@@ -1,0 +1,87 @@
+"""Table catalog: register parquet/avro/csv/json paths as temp views.
+
+Replaces the reference's runtime schema discovery (sample-1-element +
+side-input broadcast, reference: templates/SpannerToBigQuery.java:84-89,
+transforms/StructToAvroTransform.java:95-97): a Spark DataFrame carries
+its schema statically, so registration is just `createOrReplaceTempView`
+and every downstream operator reads `df.schema`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.session import ensure_engine_confs
+
+#: The driver-generated test tables (TESTDATA.md).
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
+    reader rejects. Footer-only inspection (no data read)."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    probe = path
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            return []
+        probe = os.path.join(path, parts[0])
+    schema = pq.read_schema(probe)
+    return [f.name for f in schema
+            if pat.is_timestamp(f.type) and f.type.unit == "ns"]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one parquet table from a scale-factor directory.
+
+    TIMESTAMP(NANOS) columns (illegal for Spark's parquet reader) are
+    read as raw nanos longs and truncated to microsecond timestamps —
+    the same truncation DuckDB applies natively.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _nanos_timestamp_cols(path)
+    if not ns_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str,
+                    tables: tuple[str, ...] = TABLES) -> SparkSession:
+    """Register every table in ``sf_dir`` as a temp view named after it.
+
+    Idempotent and cheap (no data read — parquet footer only), so query
+    functions call it on entry.
+    """
+    if not os.path.isdir(sf_dir):
+        raise FileNotFoundError(
+            f"scale-factor directory does not exist: {sf_dir!r} "
+            "(would silently keep previously-registered views)")
+    ensure_engine_confs(spark)
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark
+
+
+def register_path(spark: SparkSession, name: str, path: str,
+                  fmt: str = "parquet", **options) -> DataFrame:
+    """Register an arbitrary file path as a named view (any format)."""
+    df = spark.read.format(fmt).options(**options).load(path)
+    df.createOrReplaceTempView(name)
+    return df

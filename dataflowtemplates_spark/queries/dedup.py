@@ -1,0 +1,262 @@
+"""Deduplication operators over the `documents` table.
+
+The 100 TB dedup toolkit: exact (hash-groupBy — one shuffle on the
+fingerprint), MinHash+LSH (shingle -> minhash signature -> band ->
+bucket-join; candidate generation is linear + one shuffle on band keys,
+never O(n^2)), SimHash (bitwise near-dup sketch), and n-gram Jaccard
+(the exact verifier you run on LSH candidates only).
+
+Determinism contract: hashes are md5 hex strings (identical in Spark
+and DuckDB); "minhash" takes the lexicographic MIN of salted md5 hex
+digests, which is engine-independent — no integer-hash portability
+problem. Jaccard is int/int double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+
+#: MinHash permutations (salt strings) and LSH banding: 8 hashes, 4 bands x 2.
+N_HASHES = 8
+BAND_SIZE = 2
+SHINGLE = 5
+
+
+def _normalized() -> F.Column:
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "))
+
+
+def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: fingerprint -> keeper = min(doc_id) per group.
+
+    One shuffle on the 16-byte hash; at 100 TB this is the cheapest
+    dedup pass and runs first in any pipeline.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    hashed = docs.select("doc_id", F.md5(_normalized().cast("binary")).alias("fp"))
+    keepers = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"),
+                                       F.count(F.lit(1)).alias("group_size"))
+    return (
+        hashed.join(keepers, "fp")
+        .select("doc_id", "keeper_id", "group_size",
+                (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"))
+        .orderBy("doc_id")
+    )
+
+
+_Q50_ORACLE = """
+WITH hashed AS (
+  SELECT doc_id,
+         MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents),
+keepers AS (
+  SELECT fp, MIN(doc_id) AS keeper_id, COUNT(*) AS group_size
+  FROM hashed GROUP BY fp)
+SELECT doc_id, keeper_id, group_size, doc_id <> keeper_id AS is_duplicate
+FROM hashed JOIN keepers USING (fp)
+ORDER BY doc_id
+"""
+
+
+def _minhash_expr(i: int) -> str:
+    """Lexicographic-min of salted md5 digests over 5-char shingles.
+
+    Engine-portable minhash: both Spark and DuckDB produce identical
+    lowercase-hex md5 and identical string MIN.
+    """
+    return (f"array_min(transform(sequence(1, length(text) - {SHINGLE - 1}), "
+            f"i -> md5(concat('{i}#', substring(text, i, {SHINGLE})))))")
+
+
+def _minhash_oracle_expr(i: int) -> str:
+    return (f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LENGTH(text) - {SHINGLE - 2}), "
+            f"i -> MD5('{i}#' || SUBSTRING(text, i, {SHINGLE}))), 'min')")
+
+
+def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """doc_id + mh_0..mh_{n-1} columns (the reusable operator)."""
+    cols = [F.expr(_minhash_expr(i)).alias(f"mh_{i}") for i in range(n_hashes)]
+    return docs.select("doc_id", *cols)
+
+
+def q51_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return minhash_signature(spark.table("documents")).orderBy("doc_id")
+
+
+_Q51_ORACLE = "SELECT doc_id, " + ", ".join(
+    f"{_minhash_oracle_expr(i)} AS mh_{i}" for i in range(N_HASHES)
+) + " FROM documents ORDER BY doc_id"
+
+
+def lsh_candidate_pairs(docs: DataFrame,
+                        n_hashes: int = N_HASHES,
+                        band_size: int = BAND_SIZE) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, shuffle on band
+    value, self-join inside buckets. Linear scan + one band shuffle —
+    the O(n^2) comparison never materializes, which is the whole point
+    at 100 TB.
+    """
+    sig = minhash_signature(docs, n_hashes)
+    bands = []
+    for b in range(n_hashes // band_size):
+        cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
+        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *cols)).alias("band_key"))
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.array(*bands)).alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q52_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return (lsh_candidate_pairs(spark.table("documents"))
+            .orderBy("doc_a", "doc_b"))
+
+
+def _band_oracle(b: int) -> str:
+    cols = " || '|' || ".join(
+        f"{_minhash_oracle_expr(b * BAND_SIZE + j)}" for j in range(BAND_SIZE))
+    return f"MD5('{b}' || '|' || {cols})"
+
+
+_Q52_ORACLE = """
+WITH banded AS (
+""" + "\nUNION ALL\n".join(
+    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM documents"
+    for b in range(N_HASHES // BAND_SIZE)
+) + """
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle Jaccard on a bounded candidate set.
+
+    At scale this runs only on LSH candidates (q52); here it sweeps
+    doc_id < 40 pairwise to exercise the exact math.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 40)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared",
+                (F.col("n_shared").cast("double")
+                 / (F.col("na") + F.col("nb") - F.col("n_shared"))).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_Q53_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+           i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ')))) AS gram
+  FROM documents WHERE doc_id < 40),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+#: SimHash width (bits). Each bit is a salted-md5 fair coin per token.
+SIMHASH_BITS = 16
+
+
+def q54_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch: per-bit balance of salted token hashes.
+
+    bit_j(doc) = 1 iff #{tokens with md5('j#'||tok)[0] < '8'} outweighs
+    the rest — a portable rendering of the classic +/-1 bit-vote.
+    Computed as one pass over exploded tokens + a single groupBy.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = docs.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    votes = [
+        F.sum(F.when(F.substring(F.md5(F.concat(F.lit(f"{j}#"), F.col("tok"))), 1, 1)
+                     < "8", 1).otherwise(-1)).alias(f"v{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    bits = F.concat(*[
+        F.when(F.col(f"v{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+        for j in range(SIMHASH_BITS)
+    ])
+    return agg.select("doc_id", bits.alias("simhash")).orderBy("doc_id")
+
+
+_Q54_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok FROM documents),
+votes AS (
+  SELECT doc_id,
+""" + ",\n".join(
+    f"    SUM(CASE WHEN SUBSTRING(MD5('{j}#' || tok), 1, 1) < '8' "
+    f"THEN 1 ELSE -1 END) AS v{j}"
+    for j in range(SIMHASH_BITS)
+) + """
+  FROM toks GROUP BY doc_id)
+SELECT doc_id,
+""" + " || ".join(
+    f"(CASE WHEN v{j} > 0 THEN '1' ELSE '0' END)" for j in range(SIMHASH_BITS)
+) + """ AS simhash
+FROM votes ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "q50_dedup_exact": q50_dedup_exact,
+    "q51_minhash_signature": q51_minhash_signature,
+    "q52_lsh_pairs": q52_lsh_pairs,
+    "q53_ngram_jaccard": q53_ngram_jaccard,
+    "q54_simhash": q54_simhash,
+}
+
+ORACLES = {
+    "q50_dedup_exact": _Q50_ORACLE,
+    "q51_minhash_signature": _Q51_ORACLE,
+    "q52_lsh_pairs": _Q52_ORACLE,
+    "q53_ngram_jaccard": _Q53_ORACLE,
+    "q54_simhash": _Q54_ORACLE,
+}

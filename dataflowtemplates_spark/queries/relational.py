@@ -1,0 +1,962 @@
+"""The delegated-SQL surface: scan/filter/join/agg/window/sort/set ops.
+
+The reference implements none of these itself — every template pushes
+its SQL string down to Spanner or BigQuery (reference:
+transforms/SpannerQueryIO.java:127, templates/BigQueryToSpanner.java:
+101-103). In this engine Catalyst serves that surface, so the queries
+below are the test matrix proving it end-to-end over the driver's
+TPC-H-ish tables. DataFrame-API forms are used where they demonstrate
+operator composition; `run_query` (the S1-S4 source operator) where the
+pushed-down-SQL shape is the point.
+
+Scale notes (100 TB design stance):
+* fact-fact joins (lineitem x orders) shuffle on the join key — AQE
+  re-plans and handles skew (session.py);
+* dimension joins (region/nation/customer/supplier/part) are
+  broadcast — Catalyst picks that from size, `F.broadcast` pins it
+  where the dim is guaranteed small;
+* every filter is a plain column predicate so it reaches the parquet
+  scan (PushedFilters), every select keeps the ReadSchema narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.plans import run_query
+
+
+def _dec(c: str) -> F.Column:
+    """Exact currency: 2-decimal values stored as double -> DECIMAL."""
+    return F.col(c).cast("decimal(12,2)")
+
+
+def _rate(c: str) -> F.Column:
+    """Exact small rate (discount/tax, 0.00-0.10)."""
+    return F.col(c).cast("decimal(4,2)")
+
+
+def _one() -> F.Column:
+    """Literal 1 as small decimal (keeps rate arithmetic exact)."""
+    return F.lit(1).cast("decimal(4,2)")
+
+
+# --------------------------------------------------------------------------
+# Aggregation
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-shaped pricing summary (scan->filter->agg->sort)."""
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+             .cast("double").alias("sum_disc_price"),
+            F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount"))
+                  * (_one() + _rate("l_tax"))).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(_rate("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_Q01_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q06_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped single-pass filtered aggregate (pushdown check)."""
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount").cast("decimal(4,2)").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(_dec("l_extendedprice") * _rate("l_discount"))
+              .cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+_Q06_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q09_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min/max/count/count-distinct per group (exact distinct = shuffle)."""
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.min(_dec("l_extendedprice")).cast("double").alias("min_price"),
+            F.max(_dec("l_extendedprice")).cast("double").alias("max_price"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q09_ORACLE = """
+SELECT l_returnflag,
+       CAST(MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS min_price,
+       CAST(MAX(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS max_price,
+       COUNT(DISTINCT l_orderkey) AS n_orders,
+       COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+def q03_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: dim-filter -> fact join -> agg -> top-N."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.table("orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    li = spark.table("lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+              .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+_Q03_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join: snowflake dims broadcast, facts shuffle."""
+    register_tables(spark, sf_dir)
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    nation = spark.table("nation")
+    cust = spark.table("customer")
+    sup = spark.table("supplier")
+    orders = spark.table("orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
+    li = spark.table("lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup),
+              (li.l_suppkey == sup.s_suppkey)
+              & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+              .cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+_Q05_ORACLE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q07_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, order count may be 0."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.sum(_dec("o_totalprice")).cast("double"), F.lit(0.0))
+              .alias("total_spent"))
+        .filter(F.col("n_orders") <= 2)
+        .orderBy("c_custkey")
+    )
+
+
+_Q07_ORACLE = """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE), 0.0) AS total_spent
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+HAVING COUNT(o_orderkey) <= 2
+ORDER BY c_custkey
+"""
+
+
+def q08_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi (EXISTS) and left-anti (NOT EXISTS) per nation."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    big = spark.table("orders").filter(F.col("o_totalprice") > 300000.0)
+    with_big = (cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+                .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("bucket", F.lit("has_big_order")))
+    without = (cust.join(big, cust.c_custkey == big.o_custkey, "left_anti")
+               .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+               .withColumn("bucket", F.lit("no_big_order")))
+    return with_big.unionAll(without).select("bucket", "c_nationkey", "n") \
+        .orderBy("bucket", "c_nationkey")
+
+
+_Q08_ORACLE = """
+SELECT 'has_big_order' AS bucket, c_nationkey, COUNT(*) AS n
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_nationkey
+UNION ALL
+SELECT 'no_big_order' AS bucket, c_nationkey, COUNT(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
+GROUP BY c_nationkey
+ORDER BY bucket, c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube / pivot
+# --------------------------------------------------------------------------
+
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+             F.grouping("o_orderstatus").alias("g_status"),
+             F.grouping("o_orderpriority").alias("g_prio"))
+        .orderBy("g_status", "g_prio", "o_orderstatus", "o_orderpriority")
+    )
+
+
+_Q10_ORACLE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total,
+       CAST(GROUPING(o_orderstatus) AS TINYINT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS TINYINT) AS g_prio
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY g_status, g_prio, o_orderstatus, o_orderpriority
+"""
+
+
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.grouping("l_returnflag").alias("g_rf"),
+             F.grouping("l_linestatus").alias("g_ls"))
+        .orderBy("g_rf", "g_ls", "l_returnflag", "l_linestatus")
+    )
+
+
+_Q11_ORACLE = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(GROUPING(l_returnflag) AS TINYINT) AS g_rf,
+       CAST(GROUPING(l_linestatus) AS TINYINT) AS g_ls
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_rf, g_ls, l_returnflag, l_linestatus
+"""
+
+
+_Q12_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via the pushed-down-SQL surface (run_query = S1)."""
+    register_tables(spark, sf_dir)
+    return run_query(spark, _Q12_SQL)
+
+
+def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status -> columns (oracle: conditional aggregation)."""
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(F.col("o_orderpriority"),
+                F.coalesce("O", F.lit(0)).alias("n_open"),
+                F.coalesce("F", F.lit(0)).alias("n_finished"),
+                F.coalesce("P", F.lit(0)).alias("n_pending"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q19_ORACLE = """
+SELECT o_orderpriority,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_open,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_finished,
+       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS n_pending
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+
+def q13_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts per brand by retail price (rank + deterministic tiebreak)."""
+    register_tables(spark, sf_dir)
+    part = spark.table("part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("p_brand", "p_partkey", "p_name", "p_retailprice", "rk")
+        .orderBy("p_brand", "rk")
+    )
+
+
+_Q13_ORACLE = """
+SELECT p_brand, p_partkey, p_name, p_retailprice, rk FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+               ORDER BY p_retailprice DESC, p_partkey ASC) AS INTEGER) AS rk
+  FROM part) t
+WHERE rk <= 3 ORDER BY p_brand, rk
+"""
+
+
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer over order history (frame: unbounded->row)."""
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders").filter(F.col("o_custkey") < 100)
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_orderdate",
+            F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+            F.row_number().over(
+                W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+            ).alias("order_seq"))
+        .orderBy("o_custkey", "order_seq")
+    )
+
+
+_Q14_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+FROM orders WHERE o_custkey < 100
+ORDER BY o_custkey, order_seq
+"""
+
+
+def q15_window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas over the events stream table."""
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("user_id") < 50)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id", "event_id", "ts", "event_type",
+            F.lag("event_type", 1).over(w).alias("prev_type"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+            (F.col("value") - F.lag("value", 1).over(w)).alias("value_delta"))
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+_Q15_ORACLE = """
+SELECT user_id, event_id, ts, event_type,
+       LAG(event_type, 1)  OVER w AS prev_type,
+       LEAD(event_type, 1) OVER w AS next_type,
+       value - LAG(value, 1) OVER w AS value_delta
+FROM events WHERE user_id < 50
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, ts, event_id
+"""
+
+
+def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: 30-min inactivity gap -> session ids -> per-session agg.
+
+    lag + cumulative-sum-of-gap-flags; the batch equivalent of
+    Structured Streaming's session_window (streaming/ has that form).
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.when(
+        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w) > 1800,
+        1).otherwise(0)
+    sess = (ev.withColumn("new_sess", gap)
+            .withColumn("session_id",
+                        F.sum("new_sess").over(
+                            w.rowsBetween(W.unboundedPreceding, W.currentRow))))
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.max("n_events").alias("max_session_events"))
+        .orderBy("user_id")
+    )
+
+
+_Q16_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts), 1, 0)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged),
+per_session AS (
+  SELECT user_id, session_id, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_id)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events
+FROM per_session GROUP BY user_id ORDER BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Set ops / distinct / subqueries
+# --------------------------------------------------------------------------
+
+def q17_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT and EXCEPT over nation keys of customers vs suppliers."""
+    register_tables(spark, sf_dir)
+    cn = spark.table("customer").select(F.col("c_nationkey").alias("nationkey"))
+    sn = spark.table("supplier").select(F.col("s_nationkey").alias("nationkey"))
+    both = cn.intersect(sn).withColumn("bucket", F.lit("both"))
+    # subtract = EXCEPT (set semantics), matching the SQL EXCEPT oracle
+    cust_only = cn.subtract(sn).withColumn("bucket", F.lit("customer_only"))
+    return both.unionAll(cust_only).select("bucket", "nationkey").orderBy("bucket", "nationkey")
+
+
+_Q17_ORACLE = """
+SELECT 'both' AS bucket, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT
+  SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_only' AS bucket, nationkey FROM (
+  SELECT DISTINCT c_nationkey AS nationkey FROM customer
+  EXCEPT
+  SELECT DISTINCT s_nationkey FROM supplier)
+ORDER BY bucket, nationkey
+"""
+
+
+_Q18_SPARK_SQL = """
+SELECT 'big' AS src, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+--SPLITTER--
+SELECT 'old' AS src, o_orderkey, o_totalprice FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+"""
+
+
+def q18_union_splitter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's --SPLITTER-- multi-query union through run_query
+    (reference: SpannerQueryIO.java:29,73-87)."""
+    register_tables(spark, sf_dir)
+    return run_query(spark, _Q18_SPARK_SQL)
+
+
+_Q18_ORACLE = """
+SELECT 'big' AS src, o_orderkey, o_totalprice FROM orders WHERE o_totalprice > 450000.0
+UNION ALL
+SELECT 'old' AS src, o_orderkey, o_totalprice FROM orders
+WHERE o_orderdate < TIMESTAMP '1995-02-01 00:00:00'
+"""
+
+
+def q23_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above the global average price (exact-decimal average)."""
+    register_tables(spark, sf_dir)
+    return run_query(spark, """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+ORDER BY o_orderkey
+""")
+
+
+_Q23_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 1.8 * (
+  SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) FROM orders)
+ORDER BY o_orderkey
+"""
+
+
+_Q24_SQL = """
+SELECT o_orderkey, o_custkey FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 9900.0)
+ORDER BY o_orderkey
+"""
+
+
+def q24_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return run_query(spark, _Q24_SQL)
+
+
+_Q32_SQL = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE c_acctbal < 0
+  AND EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q32_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return run_query(spark, _Q32_SQL)
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (string / date / math / json / array)
+# --------------------------------------------------------------------------
+
+def q20_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    part = spark.table("part").filter(F.col("p_partkey") < 200)
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_name").alias("name_upper"),
+            F.lower("p_brand").alias("brand_lower"),
+            F.length("p_name").alias("name_len"),
+            F.substring("p_name", 1, 5).alias("name_head"),
+            F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+            F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+            F.col("p_name").like("%gold%").alias("has_gold"),
+            F.trim(F.lit("  x  ")).alias("trimmed"),
+            F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("key_padded"))
+        .orderBy("p_partkey")
+    )
+
+
+_Q20_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+       SUBSTRING(p_name, 1, 5) AS name_head,
+       CONCAT_WS('|', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       (p_name LIKE '%gold%') AS has_gold,
+       TRIM('  x  ') AS trimmed,
+       LPAD(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded
+FROM part WHERE p_partkey < 200 ORDER BY p_partkey
+"""
+
+
+def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min(F.to_date("o_orderdate")).alias("first_day"),
+             F.max(F.dayofmonth("o_orderdate")).alias("max_dom"))
+        .orderBy("order_year", "order_month")
+    )
+
+
+_Q21_ORACLE = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS order_month,
+       CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       COUNT(*) AS n,
+       MIN(CAST(o_orderdate AS DATE)) AS first_day,
+       CAST(MAX(EXTRACT(day FROM o_orderdate)) AS INTEGER) AS max_dom
+FROM orders
+GROUP BY 1, 2, 3 ORDER BY order_year, order_month
+"""
+
+
+def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+            F.floor("l_extendedprice").alias("price_floor"),
+            F.ceil("l_extendedprice").alias("price_ceil"),
+            _dec("l_extendedprice").cast("double").alias("price_2dp"),
+            (F.col("l_orderkey") % 7).alias("key_mod7"),
+            F.pow(F.lit(2), F.col("l_linenumber")).alias("pow2_line"),
+            F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
+            F.greatest("l_quantity", "l_discount").alias("gr"),
+            F.least(F.col("l_tax"), F.col("l_discount")).alias("ls"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+_Q22_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_quantity - 25) AS qty_dev,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price_2dp,
+       l_orderkey % 7 AS key_mod7,
+       POWER(2, l_linenumber) AS pow2_line,
+       SQRT(l_quantity) AS qty_sqrt,
+       GREATEST(l_quantity, l_discount) AS gr,
+       LEAST(l_tax, l_discount) AS ls
+FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q25_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"),
+             F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .filter(F.col("n_lines") >= 60)
+        .orderBy("l_partkey")
+    )
+
+
+_Q25_ORACLE = """
+SELECT l_partkey, COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 60 ORDER BY l_partkey
+"""
+
+
+def q26_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (li.select("l_returnflag", "l_linestatus").distinct()
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
+_Q26_ORACLE = """
+SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q27_epoch_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three epoch conventions, preserved per-path:
+    epoch days (Avro DATE, reference: StructToRecordConverter.java:75-79),
+    epoch millis truncated to seconds (Avro TIMESTAMP via getSeconds()*1000,
+    reference: StructToRecordConverter.java:85-86), and epoch seconds
+    (BigQuery, reference: StructToTableRowConverter.java:89-90)."""
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders").filter(F.col("o_orderkey") < 500)
+    return (
+        orders.select(
+            "o_orderkey",
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+             .cast("long").alias("epoch_days"),
+            F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_seconds"),
+            (F.col("o_orderdate").cast("timestamp").cast("long") * 1000)
+             .alias("epoch_millis_truncated"),
+            F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("iso_zulu"))
+        .orderBy("o_orderkey")
+    )
+
+
+_Q27_ORACLE = """
+SELECT o_orderkey,
+       CAST(DATE_DIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS epoch_days,
+       CAST(EPOCH(o_orderdate) AS BIGINT) AS epoch_seconds,
+       CAST(EPOCH(o_orderdate) AS BIGINT) * 1000 AS epoch_millis_truncated,
+       STRFTIME(o_orderdate, '%Y-%m-%dT%H:%M:%SZ') AS iso_zulu
+FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey
+"""
+
+
+def q28_hash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprints + base64 rendering (reference renders BYTES as
+    base64 in text outputs — util/StructUtil.java:59-60)."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 100)
+    return (
+        docs.select(
+            "doc_id",
+            F.md5(F.col("text").cast("binary")).alias("text_md5"),
+            F.base64(F.encode(F.substring("text", 1, 12), "UTF-8")).alias("head_b64"),
+            F.sha2(F.col("text").cast("binary"), 256).alias("text_sha256"))
+        .orderBy("doc_id")
+    )
+
+
+_Q28_ORACLE = """
+SELECT doc_id,
+       MD5(text) AS text_md5,
+       TO_BASE64(ENCODE(SUBSTRING(text, 1, 12))) AS head_b64,
+       SHA256(text) AS text_sha256
+FROM documents WHERE doc_id < 100 ORDER BY doc_id
+"""
+
+
+def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over the events.props payload column."""
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.select("event_id",
+                  F.get_json_object("props", "$.k").cast("bigint").alias("k_value"))
+        .filter(F.col("k_value") > 90)
+        .orderBy("event_id")
+    )
+
+
+_Q30_ORACLE = """
+SELECT event_id, CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_value
+FROM events
+WHERE CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) > 90
+ORDER BY event_id
+"""
+
+
+def q31_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic list aggregation: nations per region as sorted CSV."""
+    register_tables(spark, sf_dir)
+    nation = spark.table("nation")
+    region = spark.table("region")
+    return (
+        nation.join(F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_list("n_name")), ",")
+              .alias("nations"),
+             F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("r_name")
+    )
+
+
+_Q31_ORACLE = """
+SELECT r_name,
+       ARRAY_TO_STRING(LIST_SORT(LIST(n_name)), ',') AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q33_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-over-join: highest-spend customer in each nation."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    nation = spark.table("nation")
+    spend = (orders.groupBy("o_custkey")
+             .agg(F.sum(_dec("o_totalprice")).cast("double").alias("spend")))
+    w = W.partitionBy("c_nationkey").orderBy(F.desc("spend"), F.asc("c_custkey"))
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .join(F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey)
+        .select("n_name", "c_custkey", "c_name", "spend")
+        .orderBy("n_name")
+    )
+
+
+_Q33_ORACLE = """
+WITH spend AS (
+  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+  FROM orders GROUP BY o_custkey),
+ranked AS (
+  SELECT n_name, c_custkey, c_name, spend,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY spend DESC, c_custkey ASC) AS rk
+  FROM customer JOIN spend ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey)
+SELECT n_name, c_custkey, c_name, spend FROM ranked WHERE rk = 1 ORDER BY n_name
+"""
+
+
+def q34_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows over events (batch form of the streaming
+    windowed agg in streaming/)."""
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("window_start"),
+                   "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+             F.countDistinct("user_id").alias("n_users"))
+        .filter(F.col("n") >= 5)
+        .orderBy("window_start", "event_type")
+    )
+
+
+_Q34_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2 HAVING COUNT(*) >= 5
+ORDER BY window_start, event_type
+"""
+
+
+QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q03_top_unshipped": q03_top_unshipped,
+    "q05_regional_revenue": q05_regional_revenue,
+    "q06_revenue_delta": q06_revenue_delta,
+    "q07_left_join": q07_left_join,
+    "q08_semi_anti": q08_semi_anti,
+    "q09_agg_stats": q09_agg_stats,
+    "q10_rollup": q10_rollup,
+    "q11_cube": q11_cube,
+    "q12_grouping_sets": q12_grouping_sets,
+    "q13_window_topk": q13_window_topk,
+    "q14_window_running": q14_window_running,
+    "q15_window_lag": q15_window_lag,
+    "q16_sessionize": q16_sessionize,
+    "q17_set_ops": q17_set_ops,
+    "q18_union_splitter": q18_union_splitter,
+    "q19_pivot": q19_pivot,
+    "q20_string_funcs": q20_string_funcs,
+    "q21_date_funcs": q21_date_funcs,
+    "q22_math_funcs": q22_math_funcs,
+    "q23_scalar_subquery": q23_scalar_subquery,
+    "q24_in_subquery": q24_in_subquery,
+    "q25_having_filter": q25_having_filter,
+    "q26_distinct": q26_distinct,
+    "q27_epoch_conversions": q27_epoch_conversions,
+    "q28_hash_encode": q28_hash_encode,
+    "q30_json_funcs": q30_json_funcs,
+    "q31_collect_sorted": q31_collect_sorted,
+    "q32_exists_correlated": q32_exists_correlated,
+    "q33_top_customer_per_nation": q33_top_customer_per_nation,
+    "q34_events_tumbling": q34_events_tumbling,
+}
+
+ORACLES = {
+    "q01_pricing_summary": _Q01_ORACLE,
+    "q03_top_unshipped": _Q03_ORACLE,
+    "q05_regional_revenue": _Q05_ORACLE,
+    "q06_revenue_delta": _Q06_ORACLE,
+    "q07_left_join": _Q07_ORACLE,
+    "q08_semi_anti": _Q08_ORACLE,
+    "q09_agg_stats": _Q09_ORACLE,
+    "q10_rollup": _Q10_ORACLE,
+    "q11_cube": _Q11_ORACLE,
+    "q12_grouping_sets": _Q12_SQL,
+    "q13_window_topk": _Q13_ORACLE,
+    "q14_window_running": _Q14_ORACLE,
+    "q15_window_lag": _Q15_ORACLE,
+    "q16_sessionize": _Q16_ORACLE,
+    "q17_set_ops": _Q17_ORACLE,
+    "q18_union_splitter": _Q18_ORACLE,
+    "q19_pivot": _Q19_ORACLE,
+    "q20_string_funcs": _Q20_ORACLE,
+    "q21_date_funcs": _Q21_ORACLE,
+    "q22_math_funcs": _Q22_ORACLE,
+    "q23_scalar_subquery": _Q23_ORACLE,
+    "q24_in_subquery": _Q24_SQL,
+    "q25_having_filter": _Q25_ORACLE,
+    "q26_distinct": _Q26_ORACLE,
+    "q27_epoch_conversions": _Q27_ORACLE,
+    "q28_hash_encode": _Q28_ORACLE,
+    "q30_json_funcs": _Q30_ORACLE,
+    "q31_collect_sorted": _Q31_ORACLE,
+    "q32_exists_correlated": _Q32_SQL,
+    "q33_top_customer_per_nation": _Q33_ORACLE,
+    "q34_events_tumbling": _Q34_ORACLE,
+}
