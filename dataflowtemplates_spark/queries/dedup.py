@@ -1,10 +1,18 @@
 """Deduplication operators over the `documents` table.
 
-The 100 TB dedup toolkit: exact (hash-groupBy — one shuffle on the
-fingerprint), MinHash+LSH (shingle -> minhash signature -> band ->
-bucket-join; candidate generation is linear + one shuffle on band keys,
-never O(n^2)), SimHash (bitwise near-dup sketch), and n-gram Jaccard
-(the exact verifier you run on LSH candidates only).
+The 100 TB dedup toolkit: exact (hash over normalized text — ONE
+shuffle on the fingerprint, window-based so the hash is computed
+once), MinHash+LSH (word-shingle -> minhash signature -> band ->
+bucket-join; candidate generation is linear + one shuffle on band
+keys, never O(n^2)), SimHash (bitwise near-dup sketch), and n-gram
+Jaccard (the exact verifier you run on LSH candidates only).
+
+LSH parameter note (learned from measurement, see BENCH history):
+5-char shingles with band_size=2 put every pair of English documents
+in a shared bucket — 1.5M candidate pairs from 5k docs, i.e. the
+quadratic blowup LSH exists to avoid. 3-word shingles with
+band_size=4 (2 bands x 4 hashes) collide only on genuine near-dups;
+that is the configuration that survives a 100x scale-up.
 
 Determinism contract: hashes are md5 hex strings (identical in Spark
 and DuckDB); "minhash" takes the lexicographic MIN of salted md5 hex
@@ -15,14 +23,16 @@ problem. Jaccard is int/int double division.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
 
-#: MinHash permutations (salt strings) and LSH banding: 8 hashes, 4 bands x 2.
+#: MinHash permutations and LSH banding: 8 hashes, 2 bands x 4.
 N_HASHES = 8
-BAND_SIZE = 2
-SHINGLE = 5
+BAND_SIZE = 4
+#: Words per shingle.
+SHINGLE_WORDS = 3
 
 
 def _normalized() -> F.Column:
@@ -33,16 +43,19 @@ def _normalized() -> F.Column:
 def q50_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: fingerprint -> keeper = min(doc_id) per group.
 
-    One shuffle on the 16-byte hash; at 100 TB this is the cheapest
-    dedup pass and runs first in any pipeline.
+    Window over the fingerprint instead of groupBy+self-join: the
+    normalization+md5 runs once per row and there is exactly one
+    shuffle (on the 32-hex fp). At 100 TB this is the cheapest dedup
+    pass and runs first in any pipeline.
     """
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
-    hashed = docs.select("doc_id", F.md5(_normalized().cast("binary")).alias("fp"))
-    keepers = hashed.groupBy("fp").agg(F.min("doc_id").alias("keeper_id"),
-                                       F.count(F.lit(1)).alias("group_size"))
+    w = W.partitionBy("fp")
     return (
-        hashed.join(keepers, "fp")
+        docs.select("doc_id", F.md5(_normalized().cast("binary")).alias("fp"))
+        .select("doc_id",
+                F.min("doc_id").over(w).alias("keeper_id"),
+                F.count(F.lit(1)).over(w).alias("group_size"))
         .select("doc_id", "keeper_id", "group_size",
                 (F.col("doc_id") != F.col("keeper_id")).alias("is_duplicate"))
         .orderBy("doc_id")
@@ -63,26 +76,48 @@ FROM hashed JOIN keepers USING (fp)
 ORDER BY doc_id
 """
 
+#: Word-shingle set, computed ONCE per document (array column).
+_SHINGLES_SPARK = (
+    "array_distinct(transform("
+    f"sequence(1, greatest(size(split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)), "
+    f"i -> concat_ws(' ', slice(split(text, ' '), i, {SHINGLE_WORDS}))))"
+)
 
-def _minhash_expr(i: int) -> str:
-    """Lexicographic-min of salted md5 digests over 5-char shingles.
-
-    Engine-portable minhash: both Spark and DuckDB produce identical
-    lowercase-hex md5 and identical string MIN.
-    """
-    return (f"array_min(transform(sequence(1, length(text) - {SHINGLE - 1}), "
-            f"i -> md5(concat('{i}#', substring(text, i, {SHINGLE})))))")
-
-
-def _minhash_oracle_expr(i: int) -> str:
-    return (f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LENGTH(text) - {SHINGLE - 2}), "
-            f"i -> MD5('{i}#' || SUBSTRING(text, i, {SHINGLE}))), 'min')")
+_SHINGLES_DD = (
+    "LIST_DISTINCT(LIST_TRANSFORM("
+    f"RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {SHINGLE_WORDS - 1}, 1) + 1), "
+    f"i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), i, i + {SHINGLE_WORDS - 1}), ' ')))"
+)
 
 
 def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
-    """doc_id + mh_0..mh_{n-1} columns (the reusable operator)."""
-    cols = [F.expr(_minhash_expr(i)).alias(f"mh_{i}") for i in range(n_hashes)]
-    return docs.select("doc_id", *cols)
+    """doc_id + mh_0..mh_{n-1} columns (the reusable operator).
+
+    Each shingle is md5'd ONCE; permutation i is the min over the
+    4-hex-char slice [4i, 4i+4) of the digests. One expensive hash +
+    n cheap substrings per shingle instead of n hashes (measured 3x
+    on the md5-dominated pass). A 16-bit min per permutation is
+    plenty for banding: a band of 4 concatenated mins carries 64
+    bits, so unrelated docs don't collide.
+
+    The input is repartitioned to the session's default parallelism
+    first: higher-order-function expressions (transform/md5) are
+    interpreted, not codegen'd, so per-row cost dominates — a single
+    small parquet file would otherwise pin the whole pass to one core
+    (measured: 25s -> ~1s at sf0.1 on local[32]).
+    """
+    if n_hashes > 8:
+        raise ValueError("n_hashes > 8 needs a second digest (32 hex / 4)")
+    spark = docs.sparkSession
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    hs = docs.select(
+        "doc_id", F.expr(f"transform({_SHINGLES_SPARK}, s -> md5(s))").alias("hs"))
+    cols = [
+        F.expr(f"array_min(transform(hs, h -> substring(h, {4 * i + 1}, 4)))")
+         .alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return hs.select("doc_id", *cols)
 
 
 def q51_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,18 +125,30 @@ def q51_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signature(spark.table("documents")).orderBy("doc_id")
 
 
-_Q51_ORACLE = "SELECT doc_id, " + ", ".join(
-    f"{_minhash_oracle_expr(i)} AS mh_{i}" for i in range(N_HASHES)
-) + " FROM documents ORDER BY doc_id"
+def _mh_oracle(i: int) -> str:
+    return (f"LIST_AGGREGATE(LIST_TRANSFORM(hs, h -> SUBSTRING(h, {4 * i + 1}, 4)), 'min')")
+
+
+_HASHED_CTE = (f"WITH shingled AS (SELECT doc_id, {_SHINGLES_DD} AS sh FROM documents),\n"
+               "hashed AS (SELECT doc_id, LIST_TRANSFORM(sh, s -> MD5(s)) AS hs FROM shingled)")
+
+_Q51_ORACLE = _HASHED_CTE + "\nSELECT doc_id, " + ", ".join(
+    f"{_mh_oracle(i)} AS mh_{i}" for i in range(N_HASHES)
+) + " FROM hashed ORDER BY doc_id"
 
 
 def lsh_candidate_pairs(docs: DataFrame,
                         n_hashes: int = N_HASHES,
                         band_size: int = BAND_SIZE) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the signature, shuffle on band
-    value, self-join inside buckets. Linear scan + one band shuffle —
-    the O(n^2) comparison never materializes, which is the whole point
-    at 100 TB.
+    """MinHash-LSH candidate pairs: band the signature, shuffle on the
+    band key, generate pairs inside each bucket.
+
+    Single pass over the corpus (the expensive minhash projection runs
+    ONCE — a self-join would execute it twice, once per side), one
+    shuffle on band_key, and in-bucket pair generation from the
+    collected id list. Buckets only hold genuine near-dup candidates,
+    so the in-bucket quadratic is tiny; the corpus-level O(n^2) never
+    materializes, which is the whole point at 100 TB.
     """
     sig = minhash_signature(docs, n_hashes)
     bands = []
@@ -111,14 +158,15 @@ def lsh_candidate_pairs(docs: DataFrame,
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*bands)).alias("band_key"))
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(b, (F.col("a.band_key") == F.col("b.band_key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    buckets = (banded.groupBy("band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+               .filter(F.size("ids") > 1))
+    pairs = buckets.select(F.explode(F.expr(
+        "flatten(transform(sequence(1, size(ids) - 1), "
+        "i -> transform(slice(ids, i + 1, size(ids) - i), "
+        "y -> struct(element_at(ids, i) AS doc_a, y AS doc_b))))"
+    )).alias("p"))
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 def q52_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,14 +177,14 @@ def q52_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_oracle(b: int) -> str:
     cols = " || '|' || ".join(
-        f"{_minhash_oracle_expr(b * BAND_SIZE + j)}" for j in range(BAND_SIZE))
+        f"{_mh_oracle(b * BAND_SIZE + j)}" for j in range(BAND_SIZE))
     return f"MD5('{b}' || '|' || {cols})"
 
 
-_Q52_ORACLE = """
-WITH banded AS (
+_Q52_ORACLE = _HASHED_CTE + """,
+banded AS (
 """ + "\nUNION ALL\n".join(
-    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM documents"
+    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
     for b in range(N_HASHES // BAND_SIZE)
 ) + """
 )

@@ -6,6 +6,13 @@ partition-local, no shuffle of the big side), a sign-bucket LSH variant
 as the scale path (bucket join instead of cross join), plus vector
 hygiene ops (norms, per-label centroids, near-dup pairs).
 
+Plan-shape rule learned from measurement: per-PAIR work must be a
+single fold. Norms are per-ROW quantities — computing them inside the
+pair loop (cosine = dot/(|a||b|)) costs 3 interpreted array folds per
+pair instead of 1 and measured 20x slower. Every operator here
+pre-normalizes vectors once per row, then the join computes only the
+dot product of unit vectors.
+
 Determinism contract: dot products are computed as an explicit
 left-fold over the array (`aggregate` in Spark, `list_reduce` in
 DuckDB) after casting to double, so both engines execute the identical
@@ -20,19 +27,22 @@ from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
 
-#: Spark-side exact left-fold dot product of two array<float> columns.
-_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+#: Spark-side exact left-fold dot product of two array<double> columns.
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "cast(0 as double), (acc, v) -> acc + v)")
 _NORM = ("sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
          "cast(0 as double), (acc, v) -> acc + v))")
+#: Unit-normalized copy of a float-vector column (one pass per row).
+_UNIT = "transform({a}, x -> cast(x as double) / {n})"
 
-#: DuckDB-side identical fold (list_reduce is a left fold too).
+#: DuckDB-side identical folds (list_reduce is a left fold too).
 _DOT_DD = ("list_reduce(list_transform(range(1, 65), "
-           "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), "
+           "i -> {a}[i] * {b}[i]), "
            "(acc, v) -> acc + v)")
 _NORM_DD = ("sqrt(list_reduce(list_transform(range(1, 65), "
             "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), "
             "(acc, v) -> acc + v))")
+_UNIT_DD = "list_transform({a}, x -> CAST(x AS DOUBLE) / {n})"
 
 
 def dot_col(a: str, b: str) -> F.Column:
@@ -43,8 +53,9 @@ def norm_col(a: str) -> F.Column:
     return F.expr(_NORM.format(a=a))
 
 
-def cosine_col(a: str, b: str) -> F.Column:
-    return dot_col(a, b) / (norm_col(a) * norm_col(b))
+def unit_col(a: str) -> F.Column:
+    """Unit-normalize: computes the norm once, then scales each component."""
+    return F.expr(_UNIT.format(a=a, n=_NORM.format(a=a)))
 
 
 def q60_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -70,24 +81,48 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def _prenormalized(df: DataFrame, id_alias: str, vec_alias: str,
+                   extra: dict[str, str] | None = None) -> DataFrame:
+    """vec_id + unit vector (+extras), repartitioned for compute balance.
+
+    The norm is computed as its own column on the far side of the
+    repartition Exchange. The boundary matters twice over: it stops
+    CollapseProject from re-inlining the norm fold into the transform
+    lambda (interpreted lambdas don't hoist loop-invariant
+    subexpressions — inline costs O(dim^2) per row, measured 3.6x),
+    and it spreads the fold work across cores when the source is a
+    single small file.
+    """
+    spark = df.sparkSession
+    extra = extra or {}
+    base = df.select(
+        F.col("vec_id").alias(id_alias), "embedding",
+        norm_col("embedding").alias("_nrm"),
+        *[F.col(src).alias(dst) for src, dst in extra.items()])
+    return (base.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col(id_alias),
+                    F.expr("transform(embedding, x -> cast(x as double) / _nrm)")
+                     .alias(vec_alias),
+                    *[F.col(dst) for dst in extra.values()]))
+
+
 def ann_bruteforce_topk(queries_df: DataFrame, candidates: DataFrame,
                         k: int = 5) -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) query set against the
-    candidate scan; rank per query with a deterministic tiebreak.
+    """Exact cosine top-k: broadcast the (small) pre-normalized query
+    set against the pre-normalized candidate scan; rank per query with
+    a deterministic tiebreak.
 
     At 100 TB the candidate side is the big table and never shuffles —
-    each partition scores locally against the broadcast queries, and
-    only (n_queries x k x n_partitions) rows reach the final top-k.
+    each partition scores locally against the broadcast queries (one
+    dot-fold per pair), and only (n_queries x k x n_partitions) rows
+    reach the final top-k.
     """
     from pyspark.sql import Window as W
-    q = queries_df.select(F.col("vec_id").alias("q_id"),
-                          F.col("embedding").alias("q_vec"))
-    c = candidates.select(F.col("vec_id").alias("c_id"),
-                          F.col("embedding").alias("c_vec"),
-                          F.col("label").alias("c_label"))
+    q = _prenormalized(queries_df, "q_id", "q_vec")
+    c = _prenormalized(candidates, "c_id", "c_vec", {"label": "c_label"})
     scored = (c.crossJoin(F.broadcast(q))
               .select("q_id", "c_id", "c_label",
-                      cosine_col("q_vec", "c_vec").alias("cosine")))
+                      dot_col("q_vec", "c_vec").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
@@ -105,12 +140,18 @@ def q61_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q61_ORACLE = f"""
-WITH scored AS (
-  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS c_label,
-         {_DOT_DD.format(a='q.embedding', b='c.embedding')}
-           / ({_NORM_DD.format(a='q.embedding')} * {_NORM_DD.format(a='c.embedding')}) AS cosine
-  FROM embeddings q, embeddings c
-  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+WITH qn AS (
+  SELECT vec_id AS q_id,
+         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS q_vec
+  FROM embeddings WHERE vec_id < 5),
+cn AS (
+  SELECT vec_id AS c_id, label AS c_label,
+         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS c_vec
+  FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id, c_label,
+         {_DOT_DD.format(a='q_vec', b='c_vec')} AS cosine
+  FROM cn CROSS JOIN qn),
 ranked AS (
   SELECT q_id, c_id, c_label, cosine,
          CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rk
@@ -135,18 +176,15 @@ def q62_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
     register_tables(spark, sf_dir)
-    emb = spark.table("embeddings")
-    q = (emb.filter(F.col("vec_id") < 5)
-         .select(F.col("vec_id").alias("q_id"),
-                 F.col("embedding").alias("q_vec"),
-                 _bucket_col("embedding").alias("bucket")))
-    c = (emb.filter(F.col("vec_id") >= 5)
-         .select(F.col("vec_id").alias("c_id"),
-                 F.col("embedding").alias("c_vec"),
-                 _bucket_col("embedding").alias("bucket")))
+    emb = spark.table("embeddings").withColumn(
+        "bucket", _bucket_col("embedding"))
+    q = _prenormalized(emb.filter(F.col("vec_id") < 5),
+                       "q_id", "q_vec", {"bucket": "bucket"})
+    c = _prenormalized(emb.filter(F.col("vec_id") >= 5),
+                       "c_id", "c_vec", {"bucket": "bucket"})
     scored = (c.join(F.broadcast(q), "bucket")
               .select("q_id", "c_id", "bucket",
-                      cosine_col("q_vec", "c_vec").alias("cosine")))
+                      dot_col("q_vec", "c_vec").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
@@ -161,15 +199,18 @@ def _bucket_dd(vec: str) -> str:
 
 _Q62_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS q_id, embedding AS q_vec, {_bucket_dd('embedding')} AS bucket
+  SELECT vec_id AS q_id,
+         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS q_vec,
+         {_bucket_dd('embedding')} AS bucket
   FROM embeddings WHERE vec_id < 5),
 c AS (
-  SELECT vec_id AS c_id, embedding AS c_vec, {_bucket_dd('embedding')} AS bucket
+  SELECT vec_id AS c_id,
+         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS c_vec,
+         {_bucket_dd('embedding')} AS bucket
   FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT q_id, c_id, q.bucket AS bucket,
-         {_DOT_DD.format(a='q_vec', b='c_vec')}
-           / ({_NORM_DD.format(a='q_vec')} * {_NORM_DD.format(a='c_vec')}) AS cosine
+         {_DOT_DD.format(a='q_vec', b='c_vec')} AS cosine
   FROM q JOIN c USING (bucket)),
 ranked AS (
   SELECT q_id, c_id, bucket, cosine,
@@ -184,24 +225,26 @@ def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier; at scale it runs on q62's bucket candidates)."""
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").filter(F.col("vec_id") < 120)
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    a = _prenormalized(emb, "id_a", "va")
+    b = _prenormalized(emb, "id_b", "vb")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine_col("va", "vb").alias("cosine"))
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot_col("va", "vb").alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .orderBy("id_a", "id_b")
     )
 
 
 _Q63_ORACLE = f"""
+WITH un AS (
+  SELECT vec_id,
+         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS uv
+  FROM embeddings WHERE vec_id < 120)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT_DD.format(a='a.embedding', b='b.embedding')}
-         / ({_NORM_DD.format(a='a.embedding')} * {_NORM_DD.format(a='b.embedding')}) AS cosine
-FROM embeddings a, embeddings b
-WHERE a.vec_id < b.vec_id AND a.vec_id < 120 AND b.vec_id < 120
-  AND {_DOT_DD.format(a='a.embedding', b='b.embedding')}
-        / ({_NORM_DD.format(a='a.embedding')} * {_NORM_DD.format(a='b.embedding')}) >= 0.35
+       {_DOT_DD.format(a='a.uv', b='b.uv')} AS cosine
+FROM un a, un b
+WHERE a.vec_id < b.vec_id
+  AND {_DOT_DD.format(a='a.uv', b='b.uv')} >= 0.35
 ORDER BY id_a, id_b
 """
 
