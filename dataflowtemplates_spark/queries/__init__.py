@@ -20,9 +20,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataflowtemplates_spark.queries import dedup, relational, similarity, text
+from dataflowtemplates_spark.queries import (
+    dedup,
+    generator_queries,
+    relational,
+    similarity,
+    text,
+)
 
-_MODULES = (relational, text, dedup, similarity)
+_MODULES = (relational, text, dedup, similarity, generator_queries)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

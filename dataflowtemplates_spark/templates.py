@@ -1,0 +1,177 @@
+"""The 11 template entry points (reference §2.8 composition map).
+
+Each reference template is a thin composition of this engine's
+operators — query source (plans.run_query), converters (functions/),
+writers (sources/writers), mutation sink (operators/mutations),
+entity/TFRecord lowering (operators/) and the generator (sources/
+generator). Beam concepts (DoFn, ValueProvider, side input) do not
+survive: parameters are function arguments, schemas come from
+df.schema.
+
+Source/sink naming keeps the reference's template names so a reference
+user can map 1:1 (reference file cited per function):
+
+| reference template        | here                        |
+|---------------------------|-----------------------------|
+| SpannerToText             | table_to_text               |
+| SpannerToAvro             | table_to_columnar           |
+| SpannerToBigQuery         | query_to_table              |
+| SpannerToSpanner          | query_to_keyed_table        |
+| SpannerToSpannerDelete    | query_delete_keyed_table    |
+| BigQueryToSpanner         | query_to_keyed_table (same seam; auto-DDL built in) |
+| BigQueryToDatastore       | query_to_entities           |
+| BigQueryToTFRecord        | query_to_tfrecord           |
+| AvroToSpanner             | files_to_keyed_table        |
+| AvroToDatastore           | files_to_entities           |
+| DummyToSpanner            | generate_to_keyed_table     |
+
+"Spanner/BigQuery" map to registered Spark tables + the keyed-table
+mutation sink locally; a real connector slots into the same seam
+(`spark.read.format(...)` / MERGE) without touching these functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataflowtemplates_spark.operators.entities import write_entities_json
+from dataflowtemplates_spark.operators.mutations import (
+    KeyedTable,
+    MutationResult,
+    write_failure_count,
+    write_quarantine,
+)
+from dataflowtemplates_spark.operators.tfrecord import write_tfrecords
+from dataflowtemplates_spark.plans import run_query
+from dataflowtemplates_spark.sources.generator import (
+    TableSpec,
+    generate_table,
+)
+from dataflowtemplates_spark.sources.writers import (
+    WriteResult,
+    write_columnar_dynamic,
+    write_text_dynamic,
+)
+
+
+def table_to_text(spark: SparkSession, query: str, output: str,
+                  fmt: str = "json", split_field: str | None = None,
+                  header: bool = False, without_sharding: bool = False,
+                  prefix: str = "output", output_notify: str | None = None,
+                  output_empty: bool = False, empty_text: str = "",
+                  timestamp_bound: str | None = None) -> WriteResult:
+    """SpannerToText (reference: templates/SpannerToText.java:98-141):
+    SQL (with --SPLITTER-- union) -> dynamic CSV/JSON + finish files."""
+    df = run_query(spark, query, timestamp_bound)
+    return write_text_dynamic(df, output, fmt=fmt, split_field=split_field,
+                              header=header, without_sharding=without_sharding,
+                              prefix=prefix, empty_text=empty_text,
+                              output_empty=output_empty,
+                              output_notify=output_notify)
+
+
+def table_to_columnar(spark: SparkSession, query: str, output: str,
+                      split_field: str | None = None,
+                      fmt: str = "avro",
+                      output_notify: str | None = None,
+                      timestamp_bound: str | None = None) -> WriteResult:
+    """SpannerToAvro (reference: templates/SpannerToAvro.java:78-103):
+    SQL -> dynamic columnar files (snappy) + manifest."""
+    df = run_query(spark, query, timestamp_bound)
+    return write_columnar_dynamic(df, output, split_field=split_field,
+                                  fmt=fmt, output_notify=output_notify)
+
+
+def query_to_table(spark: SparkSession, query: str, table_name: str,
+                   mode: str = "append") -> int:
+    """SpannerToBigQuery (reference: templates/SpannerToBigQuery.java:
+    67-99): query -> managed-table append, CREATE_IF_NEEDED. The
+    reference's sample-1-element schema broadcast collapses to
+    df.schema."""
+    df = run_query(spark, query)
+    df.write.mode(mode).saveAsTable(table_name)
+    return spark.table(table_name).count()
+
+
+def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,
+                         op: str = "INSERT_OR_UPDATE",
+                         output_error: str | None = None,
+                         output_failcount: str | None = None) -> MutationResult:
+    """SpannerToSpanner / BigQueryToSpanner (reference: templates/
+    SpannerToSpanner.java:95-124, BigQueryToSpanner.java:87-148):
+    query -> auto-DDL (table.create) -> mutations with REPORT_FAILURES;
+    failures -> error files (K8) + count notification (K10)."""
+    df = run_query(spark, query)
+    table.create(df)
+    result = table.apply_mutations(df, op)
+    if output_error:
+        write_quarantine(result, output_error)
+    if output_failcount:
+        write_failure_count(result, output_failcount)
+    return result
+
+
+def query_delete_keyed_table(spark: SparkSession, query: str,
+                             table: KeyedTable) -> MutationResult:
+    """SpannerToSpannerDelete (reference: templates/
+    SpannerToSpannerDelete.java:71-94): each result row -> composite
+    delete key in the table's key-field order."""
+    df = run_query(spark, query)
+    return table.apply_mutations(df, "DELETE")
+
+
+def query_to_entities(spark: SparkSession, query: str, output: str,
+                      kind: str, key_field: str,
+                      exclude_from_indexes: tuple[str, ...] = ()) -> int:
+    """BigQueryToDatastore (reference: templates/BigQueryToDatastore.java:
+    59-88): query -> entity lowering -> keyed JSON (local stand-in)."""
+    df = run_query(spark, query)
+    return write_entities_json(df, output, kind, key_field,
+                               exclude_from_indexes)
+
+
+def query_to_tfrecord(spark: SparkSession, query: str, output: str,
+                      split_field: str | None = None,
+                      prefix: str = "output",
+                      output_notify: str | None = None) -> list[str]:
+    """BigQueryToTFRecord (reference: templates/BigQueryToTFRecord.java:
+    65-114): query -> TF Examples -> gzip .tfrecord, keyed by split."""
+    df = run_query(spark, query)
+    files = write_tfrecords(df, output, split_field=split_field, prefix=prefix)
+    if output_notify:
+        import os
+        os.makedirs(os.path.dirname(output_notify) or ".", exist_ok=True)
+        with open(output_notify, "w") as fh:
+            fh.write("\n".join(files))
+    return files
+
+
+def files_to_keyed_table(spark: SparkSession, path: str, table: KeyedTable,
+                         fmt: str = "parquet", op: str = "INSERT_OR_UPDATE",
+                         **options) -> MutationResult:
+    """AvroToSpanner (reference: templates/AvroToSpanner.java:68-85):
+    file glob -> mutations. fmt seam: 'avro' where the datasource jar
+    exists; parquet/json/csv locally."""
+    df = spark.read.format(fmt).options(**options).load(path)
+    table.create(df)
+    return table.apply_mutations(df, op)
+
+
+def files_to_entities(spark: SparkSession, path: str, output: str,
+                      kind: str, key_field: str, fmt: str = "parquet",
+                      exclude_from_indexes: tuple[str, ...] = (),
+                      **options) -> int:
+    """AvroToDatastore (reference: templates/AvroToDatastore.java:63-81)."""
+    df = spark.read.format(fmt).options(**options).load(path)
+    return write_entities_json(df, output, kind, key_field,
+                               exclude_from_indexes)
+
+
+def generate_to_keyed_table(spark: SparkSession, spec: TableSpec,
+                            table: KeyedTable, seed: str = "42",
+                            parallelism: int | None = None) -> MutationResult:
+    """DummyToSpanner (reference: templates/DummyToSpanner.java:61-81):
+    synthetic rows -> INSERT mutations."""
+    df = generate_table(spark, spec, seed=seed, parallelism=parallelism)
+    table.create(df)
+    return table.apply_mutations(df, "INSERT")

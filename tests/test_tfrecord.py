@@ -1,0 +1,123 @@
+"""TFRecord encoder tests: wire-format round-trip + type lowering
+(reference C12 semantics)."""
+
+import struct
+
+from pyspark.sql import Row
+from pyspark.sql import types as T
+
+from dataflowtemplates_spark.operators.tfrecord import (
+    _example,
+    _masked_crc,
+    encode_examples,
+    frame_record,
+    read_tfrecords,
+    write_tfrecords,
+)
+
+
+def _decode_example(buf: bytes) -> dict:
+    """Minimal Example proto decoder for assertions."""
+    def varint(b, i):
+        n = shift = 0
+        while True:
+            n |= (b[i] & 0x7F) << shift
+            shift += 7
+            i += 1
+            if not b[i - 1] & 0x80:
+                return n, i
+
+    def fields(b):
+        i = 0
+        while i < len(b):
+            tag, i = varint(b, i)
+            fno, wt = tag >> 3, tag & 7
+            assert wt == 2
+            ln, i = varint(b, i)
+            yield fno, b[i:i + ln]
+            i += ln
+
+    out = {}
+    (fno, features), = fields(buf)
+    assert fno == 1
+    for fno, entry in fields(features):
+        assert fno == 1
+        name = kind = None
+        for eno, val in fields(entry):
+            if eno == 1:
+                name = val.decode()
+            else:
+                (kno, body), = fields(val)
+                if kno == 1:   # bytes list
+                    kind = [v.decode(errors="replace") for _n, v in fields(body)]
+                elif kno == 2:  # float list (packed)
+                    (_n, packed), = fields(body)
+                    kind = list(struct.unpack(f"<{len(packed)//4}f", packed))
+                else:          # int64 list (packed varints)
+                    (_n, packed), = fields(body)
+                    vals, i = [], 0
+                    while i < len(packed):
+                        v, i = varint(packed, i)
+                        if v >= 1 << 63:
+                            v -= 1 << 64
+                        vals.append(v)
+                    kind = vals
+        out[name] = kind
+    return out
+
+
+def test_frame_roundtrip(tmp_path):
+    payloads = [b"abc", b"", b"x" * 1000]
+    target = str(tmp_path / "t.tfrecord")
+    with open(target, "wb") as fh:
+        for p in payloads:
+            fh.write(frame_record(p))
+    assert read_tfrecords(target) == payloads
+
+
+def test_masked_crc_known_value():
+    # crc32c("") = 0; masked = rot-right-15(0) + MASK = 0xA282EAD8
+    assert _masked_crc(b"") == 0xA282EAD8
+
+
+def test_encode_type_lowering(spark):
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("f", T.DoubleType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("raw", T.BinaryType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("nest", T.StructType([
+            T.StructField("x", T.StringType())])),
+        T.StructField("skipme", T.MapType(T.StringType(), T.LongType())),
+    ])
+    df = spark.createDataFrame([Row(
+        s="hi", i=42, f=1.5, flag=True, raw=b"\x01\x02",
+        arr=[1, 2, 3], nest=Row(x="deep"), skipme={"k": 1})], schema)
+    encoded = encode_examples(df).collect()[0].example
+    got = _decode_example(bytes(encoded))
+    assert got["s"] == ["hi"]
+    assert got["i"] == [42]
+    assert got["f"] == [1.5]
+    assert got["flag"] == [1]          # bool -> int64 0/1 (reference :89-90)
+    assert got["arr"] == [1, 2, 3]
+    assert got["nest_x"] == ["deep"]   # underscore flattening
+    assert "skipme" not in got         # MAP skipped
+
+
+def test_write_tfrecords_split(spark, tmp_path):
+    df = spark.createDataFrame([
+        Row(grp="a", v=1), Row(grp="b", v=2), Row(grp="a", v=3),
+        Row(grp=None, v=4),
+    ])
+    out = str(tmp_path / "tfr")
+    files = write_tfrecords(df, out, split_field="grp", compress=True)
+    assert files and all(f.endswith(".tfrecord.gz") for f in files)
+    total = []
+    for f in files:
+        total += read_tfrecords(f)
+    assert len(total) == 4
+    decoded = [_decode_example(p) for p in total]
+    # split column is passthrough metadata, not a feature
+    assert all(set(d) == {"grp", "v"} or set(d) == {"v"} for d in decoded)

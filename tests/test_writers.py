@@ -1,0 +1,96 @@
+"""E2E writer tests: write to a temp dir, re-read, inspect (reference
+test tier 3: file-writing integration, StructToAvroTransformTest)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from dataflowtemplates_spark.sources.writers import (
+    write_columnar_dynamic,
+    write_text_dynamic,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame([
+        Row(id=1, grp="a", name="one"),
+        Row(id=2, grp="b", name="two"),
+        Row(id=3, grp="a", name="three"),
+        Row(id=4, grp=None, name="ungrouped"),
+    ])
+
+
+def test_json_dynamic_split(spark, sample, tmp_path):
+    out = str(tmp_path / "out")
+    res = write_text_dynamic(sample, out, fmt="json", split_field="grp",
+                             prefix="export")
+    assert res.row_count == 4
+    groups = sorted(os.listdir(out))
+    assert "a" in groups and "b" in groups
+    # null split key -> empty-string group -> files at the root
+    root_files = [f for f in groups if f.endswith(".json")]
+    assert len(root_files) == 1
+    a_rows = []
+    for f in res.files:
+        if f"{os.sep}a{os.sep}" in f:
+            with open(f) as fh:
+                a_rows += [json.loads(line) for line in fh]
+    assert sorted(r["id"] for r in a_rows) == [1, 3]
+    # split column itself is not written into the payload? reference keeps
+    # all queried fields in the row; ours keeps them too:
+    assert set(a_rows[0]) == {"id", "grp", "name"}
+
+
+def test_csv_header_single_file(spark, sample, tmp_path):
+    out = str(tmp_path / "csv")
+    res = write_text_dynamic(sample, out, fmt="csv", header=True,
+                             without_sharding=True, prefix="data")
+    assert len(res.files) == 1
+    assert os.path.basename(res.files[0]) == "data.csv"
+    with open(res.files[0]) as fh:
+        lines = fh.read().splitlines()
+    assert lines[0] == "id,grp,name"
+    assert len(lines) == 5
+    assert "1,a,one" in lines
+
+
+def test_empty_result_writes_empty_file(spark, sample, tmp_path):
+    out = str(tmp_path / "empty")
+    notify = str(tmp_path / "notify.txt")
+    res = write_text_dynamic(sample.filter("id > 99"), out, fmt="csv",
+                             header=True, prefix="data", empty_text="",
+                             output_empty=True, output_notify=notify)
+    assert res.empty
+    assert len(res.files) == 1
+    with open(res.files[0]) as fh:
+        assert fh.read().splitlines() == ["id,grp,name"]
+    with open(notify) as fh:
+        assert fh.read() == res.files[0]
+
+
+def test_notify_manifest(spark, sample, tmp_path):
+    out = str(tmp_path / "o")
+    notify = str(tmp_path / "manifest.txt")
+    res = write_text_dynamic(sample, out, fmt="json", prefix="part",
+                             output_notify=notify)
+    with open(notify) as fh:
+        listed = fh.read().splitlines()
+    assert listed == res.files
+    assert all(os.path.exists(p) for p in listed)
+
+
+def test_columnar_dynamic_fallback(spark, sample, tmp_path):
+    out = str(tmp_path / "col")
+    res = write_columnar_dynamic(sample, out, split_field="grp", fmt="avro")
+    # sandbox has no spark-avro: seam falls back to parquet
+    assert res.format in ("avro", "parquet")
+    # dirs are plain `value/` (reference naming), not hive `k=v/`:
+    # read back with recursive lookup
+    back = (spark.read.format(res.format)
+            .option("recursiveFileLookup", "true").load(out))
+    assert back.count() == 4
+    listed = sorted(os.listdir(out))
+    assert "a" in listed and "b" in listed
