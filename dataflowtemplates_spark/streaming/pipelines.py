@@ -1,0 +1,93 @@
+"""Streaming pipelines over the events schema.
+
+Design notes (100 TB stance):
+
+* File-source streams (`readStream.format("parquet")`) discover new
+  files per micro-batch — the cloud-bucket ingestion pattern; the
+  `maxFilesPerTrigger` knob bounds batch size.
+* Watermarks bound state: the tumbling aggregation keeps only windows
+  newer than the watermark, so state is O(windows x keys in horizon),
+  not O(stream).
+* `session_window` is the built-in form of q16's batch sessionization
+  (same 30-min gap semantics) — state-backed, watermark-evicted.
+* `foreachBatch` + the keyed-table mutation sink gives exactly-once-
+  per-batch upserts into the same table abstraction the batch
+  templates write to (checkpointing makes the batch id durable).
+* Tests drive everything with `trigger(availableNow=True)` so they
+  run bounded and deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: The events table schema (streams need an explicit schema).
+EVENTS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def stream_events(spark: SparkSession, path: str,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
+    """File-source stream of events rows (new files appear -> new rows)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def tumbling_counts_stream(events: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts per event type (the streaming
+    twin of q34). Late rows beyond the watermark are dropped; state is
+    bounded by the watermark horizon."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("value_sum"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "value_sum"))
+
+
+def sessionized_stream(events: DataFrame,
+                       gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows per user with an inactivity gap (the streaming
+    twin of q16's lag+cumsum sessionization)."""
+    return (events
+            .withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("first_event"),
+                 F.max("ts").alias("last_event"))
+            .select("user_id", F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"),
+                    "n_events", "first_event", "last_event"))
+
+
+def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
+                          checkpoint: str, mode: str = "update"):
+    """foreachBatch sink into the mutation-disposition keyed table —
+    the streaming form of query_to_keyed_table. Each micro-batch is
+    applied with the given op; the checkpoint makes batch ids durable
+    so restarts do not re-apply completed batches."""
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.create(batch_df)
+        table.apply_mutations(batch_df, key_op)
+
+    return (stream.writeStream
+            .outputMode(mode)
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(apply_batch))
