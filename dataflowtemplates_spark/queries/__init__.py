@@ -23,12 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from dataflowtemplates_spark.queries import (
     dedup,
     generator_queries,
+    multimodal_queries,
     relational,
     similarity,
     text,
 )
 
-_MODULES = (relational, text, dedup, similarity, generator_queries)
+_MODULES = (relational, text, dedup, similarity, generator_queries,
+            multimodal_queries)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
