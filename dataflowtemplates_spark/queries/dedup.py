@@ -100,24 +100,27 @@ def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     plenty for banding: a band of 4 concatenated mins carries 64
     bits, so unrelated docs don't collide.
 
-    The input is repartitioned to the session's default parallelism
-    first: higher-order-function expressions (transform/md5) are
-    interpreted, not codegen'd, so per-row cost dominates — a single
-    small parquet file would otherwise pin the whole pass to one core
-    (measured: 25s -> ~1s at sf0.1 on local[32]).
+    Plan shape: the shingle array (a per-row higher-order expression)
+    is EXPLODED, so the hot md5 + substring + min path runs on flat
+    rows inside WholeStageCodegen rather than as interpreted
+    transform() lambdas (interpreted HOFs measured 10-20x slower in a
+    long-lived JVM as megamorphic call sites defeat the JIT). min() is
+    algebraic, so the groupBy does a map-side partial aggregate —
+    the shuffle carries ~one row per document, not per shingle. The
+    input is repartitioned first so a single small parquet file does
+    not pin the explode to one core.
     """
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 needs a second digest (32 hex / 4)")
     spark = docs.sparkSession
     docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    hs = docs.select(
-        "doc_id", F.expr(f"transform({_SHINGLES_SPARK}, s -> md5(s))").alias("hs"))
-    cols = [
-        F.expr(f"array_min(transform(hs, h -> substring(h, {4 * i + 1}, 4)))")
-         .alias(f"mh_{i}")
+    shingles = docs.select(
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
+    hashed = shingles.select("doc_id", F.md5("s").alias("h"))
+    return hashed.groupBy("doc_id").agg(*[
+        F.min(F.substring("h", 4 * i + 1, 4)).alias(f"mh_{i}")
         for i in range(n_hashes)
-    ]
-    return hs.select("doc_id", *cols)
+    ])
 
 
 def q51_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -6,18 +6,24 @@ partition-local, no shuffle of the big side), a sign-bucket LSH variant
 as the scale path (bucket join instead of cross join), plus vector
 hygiene ops (norms, per-label centroids, near-dup pairs).
 
-Plan-shape rule learned from measurement: per-PAIR work must be a
-single fold. Norms are per-ROW quantities — computing them inside the
-pair loop (cosine = dot/(|a||b|)) costs 3 interpreted array folds per
-pair instead of 1 and measured 20x slower. Every operator here
-pre-normalizes vectors once per row, then the join computes only the
-dot product of unit vectors.
+Plan-shape rule learned from measurement: keep the per-pair math inside
+WholeStageCodegen. Spark's higher-order array functions
+(aggregate/zip_with/transform) are INTERPRETED expressions — they run
+outside codegen, cost ~100x a codegen'd arithmetic op, and (measured
+here) degrade a further 10-20x in a long-lived JVM as their megamorphic
+call sites defeat the JIT (2s fresh -> 30-60s after a mixed-query
+session). The embedding dimension is fixed (64), so every dot product
+and norm below is a STATICALLY UNROLLED left-associated chain of
+element_at()*element_at() terms: fully codegen'd, JIT-stable, and
+~10x faster per pair. Norms are per-ROW quantities and are projected
+once per row on each join side (below the join, where CollapseProject
+cannot inline them into the per-pair cosine).
 
-Determinism contract: dot products are computed as an explicit
-left-fold over the array (`aggregate` in Spark, `list_reduce` in
-DuckDB) after casting to double, so both engines execute the identical
-IEEE operation sequence and produce bit-identical doubles — raw values
-hash-match with no rounding or tolerance.
+Determinism contract: the unrolled chain is a fixed left-to-right
+IEEE-754 double sequence; the DuckDB oracles spell out the identical
+chain (float->double casts are exact, +,*,/ and sqrt are exactly
+rounded), so both engines produce bit-identical doubles and the
+driver's value hash matches with no tolerance.
 """
 
 from __future__ import annotations
@@ -27,35 +33,42 @@ from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
 
-#: Spark-side exact left-fold dot product of two array<double> columns.
-_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
-        "cast(0 as double), (acc, v) -> acc + v)")
-_NORM = ("sqrt(aggregate(transform({a}, x -> cast(x as double) * cast(x as double)), "
-         "cast(0 as double), (acc, v) -> acc + v))")
-#: Unit-normalized copy of a float-vector column (one pass per row).
-_UNIT = "transform({a}, x -> cast(x as double) / {n})"
+#: Embedding dimensionality (the testdata contract; see TESTDATA.md).
+DIM = 64
 
-#: DuckDB-side identical folds (list_reduce is a left fold too).
-_DOT_DD = ("list_reduce(list_transform(range(1, 65), "
-           "i -> {a}[i] * {b}[i]), "
-           "(acc, v) -> acc + v)")
-_NORM_DD = ("sqrt(list_reduce(list_transform(range(1, 65), "
-            "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE)), "
-            "(acc, v) -> acc + v))")
-_UNIT_DD = "list_transform({a}, x -> CAST(x AS DOUBLE) / {n})"
+
+def _dot_sql(a: str, b: str, dim: int = DIM) -> str:
+    """Statically unrolled left-fold dot product (Spark SQL text)."""
+    return " + ".join(
+        f"(cast(element_at({a}, {i}) as double) * cast(element_at({b}, {i}) as double))"
+        for i in range(1, dim + 1))
+
+
+def _norm_sql(a: str, dim: int = DIM) -> str:
+    return "sqrt(" + " + ".join(
+        f"(cast(element_at({a}, {i}) as double) * cast(element_at({a}, {i}) as double))"
+        for i in range(1, dim + 1)) + ")"
+
+
+def _dot_dd(a: str, b: str, dim: int = DIM) -> str:
+    """The identical chain in DuckDB SQL (1-based list subscripts)."""
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1))
+
+
+def _norm_dd(a: str, dim: int = DIM) -> str:
+    return "sqrt(" + " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE))"
+        for i in range(1, dim + 1)) + ")"
 
 
 def dot_col(a: str, b: str) -> F.Column:
-    return F.expr(_DOT.format(a=a, b=b))
+    return F.expr(_dot_sql(a, b))
 
 
 def norm_col(a: str) -> F.Column:
-    return F.expr(_NORM.format(a=a))
-
-
-def unit_col(a: str) -> F.Column:
-    """Unit-normalize: computes the norm once, then scales each component."""
-    return F.expr(_UNIT.format(a=a, n=_NORM.format(a=a)))
+    return F.expr(_norm_sql(a))
 
 
 def q60_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,54 +88,53 @@ def q60_vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q60_ORACLE = f"""
 SELECT vec_id, label,
        CAST(LEN(embedding) AS INTEGER) AS dim,
-       {_NORM_DD.format(a='embedding')} AS l2_norm,
+       {_norm_dd('embedding')} AS l2_norm,
        CAST(embedding[1] AS DOUBLE) AS c0
 FROM embeddings ORDER BY vec_id
 """
 
 
-def _prenormalized(df: DataFrame, id_alias: str, vec_alias: str,
-                   extra: dict[str, str] | None = None) -> DataFrame:
-    """vec_id + unit vector (+extras), repartitioned for compute balance.
-
-    The norm is computed as its own column on the far side of the
-    repartition Exchange. The boundary matters twice over: it stops
-    CollapseProject from re-inlining the norm fold into the transform
-    lambda (interpreted lambdas don't hoist loop-invariant
-    subexpressions — inline costs O(dim^2) per row, measured 3.6x),
-    and it spreads the fold work across cores when the source is a
-    single small file.
-    """
+def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, nrm_alias: str,
+               extra: dict[str, str] | None = None) -> DataFrame:
+    """id + raw vector + its L2 norm (+extras), repartitioned for
+    compute balance when the source is a single small file. The norm is
+    a per-row projection BELOW the join that consumes it — computed
+    once per row, not once per pair."""
     spark = df.sparkSession
     extra = extra or {}
-    base = df.select(
-        F.col("vec_id").alias(id_alias), "embedding",
-        norm_col("embedding").alias("_nrm"),
-        *[F.col(src).alias(dst) for src, dst in extra.items()])
-    return (base.repartition(spark.sparkContext.defaultParallelism)
-            .select(F.col(id_alias),
-                    F.expr("transform(embedding, x -> cast(x as double) / _nrm)")
-                     .alias(vec_alias),
-                    *[F.col(dst) for dst in extra.values()]))
+    return (df.repartition(spark.sparkContext.defaultParallelism)
+            .select(F.col("vec_id").alias(id_alias),
+                    F.col("embedding").alias(vec_alias),
+                    norm_col("embedding").alias(nrm_alias),
+                    *[F.col(src).alias(dst) for src, dst in extra.items()]))
+
+
+def _cosine(q_vec: str, c_vec: str, q_nrm: str, c_nrm: str) -> F.Column:
+    """cosine = dot / (|q| * |c|) — one unrolled dot per pair, two
+    per-row norms. Association is fixed and mirrored in the oracles."""
+    return F.expr(f"({_dot_sql(q_vec, c_vec)}) / ({q_nrm} * {c_nrm})")
+
+
+def _cosine_dd(q_vec: str, c_vec: str, q_nrm: str, c_nrm: str) -> str:
+    return f"({_dot_dd(q_vec, c_vec)}) / ({q_nrm} * {c_nrm})"
 
 
 def ann_bruteforce_topk(queries_df: DataFrame, candidates: DataFrame,
                         k: int = 5) -> DataFrame:
-    """Exact cosine top-k: broadcast the (small) pre-normalized query
-    set against the pre-normalized candidate scan; rank per query with
-    a deterministic tiebreak.
+    """Exact cosine top-k: broadcast the (small) query set against the
+    candidate scan; rank per query with a deterministic tiebreak.
 
     At 100 TB the candidate side is the big table and never shuffles —
     each partition scores locally against the broadcast queries (one
-    dot-fold per pair), and only (n_queries x k x n_partitions) rows
-    reach the final top-k.
+    codegen'd dot chain per pair), and only (n_queries x k x
+    n_partitions) rows reach the final top-k.
     """
     from pyspark.sql import Window as W
-    q = _prenormalized(queries_df, "q_id", "q_vec")
-    c = _prenormalized(candidates, "c_id", "c_vec", {"label": "c_label"})
+    q = _with_norm(queries_df, "q_id", "q_vec", "q_nrm")
+    c = _with_norm(candidates, "c_id", "c_vec", "c_nrm", {"label": "c_label"})
     scored = (c.crossJoin(F.broadcast(q))
               .select("q_id", "c_id", "c_label",
-                      dot_col("q_vec", "c_vec").alias("cosine")))
+                      _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k))
@@ -141,16 +153,15 @@ def q61_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q61_ORACLE = f"""
 WITH qn AS (
-  SELECT vec_id AS q_id,
-         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS q_vec
+  SELECT vec_id AS q_id, embedding AS q_vec, {_norm_dd('embedding')} AS q_nrm
   FROM embeddings WHERE vec_id < 5),
 cn AS (
-  SELECT vec_id AS c_id, label AS c_label,
-         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS c_vec
+  SELECT vec_id AS c_id, label AS c_label, embedding AS c_vec,
+         {_norm_dd('embedding')} AS c_nrm
   FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT q_id, c_id, c_label,
-         {_DOT_DD.format(a='q_vec', b='c_vec')} AS cosine
+         {_cosine_dd('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine
   FROM cn CROSS JOIN qn),
 ranked AS (
   SELECT q_id, c_id, c_label, cosine,
@@ -178,13 +189,13 @@ def q62_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").withColumn(
         "bucket", _bucket_col("embedding"))
-    q = _prenormalized(emb.filter(F.col("vec_id") < 5),
-                       "q_id", "q_vec", {"bucket": "bucket"})
-    c = _prenormalized(emb.filter(F.col("vec_id") >= 5),
-                       "c_id", "c_vec", {"bucket": "bucket"})
+    q = _with_norm(emb.filter(F.col("vec_id") < 5),
+                   "q_id", "q_vec", "q_nrm", {"bucket": "bucket"})
+    c = _with_norm(emb.filter(F.col("vec_id") >= 5),
+                   "c_id", "c_vec", "c_nrm", {"bucket": "bucket"})
     scored = (c.join(F.broadcast(q), "bucket")
               .select("q_id", "c_id", "bucket",
-                      dot_col("q_vec", "c_vec").alias("cosine")))
+                      _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine")))
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
     return (scored.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 3)
@@ -199,18 +210,16 @@ def _bucket_dd(vec: str) -> str:
 
 _Q62_ORACLE = f"""
 WITH q AS (
-  SELECT vec_id AS q_id,
-         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS q_vec,
+  SELECT vec_id AS q_id, embedding AS q_vec, {_norm_dd('embedding')} AS q_nrm,
          {_bucket_dd('embedding')} AS bucket
   FROM embeddings WHERE vec_id < 5),
 c AS (
-  SELECT vec_id AS c_id,
-         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS c_vec,
+  SELECT vec_id AS c_id, embedding AS c_vec, {_norm_dd('embedding')} AS c_nrm,
          {_bucket_dd('embedding')} AS bucket
   FROM embeddings WHERE vec_id >= 5),
 scored AS (
   SELECT q_id, c_id, q.bucket AS bucket,
-         {_DOT_DD.format(a='q_vec', b='c_vec')} AS cosine
+         {_cosine_dd('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine
   FROM q JOIN c USING (bucket)),
 ranked AS (
   SELECT q_id, c_id, bucket, cosine,
@@ -225,11 +234,12 @@ def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifier; at scale it runs on q62's bucket candidates)."""
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").filter(F.col("vec_id") < 120)
-    a = _prenormalized(emb, "id_a", "va")
-    b = _prenormalized(emb, "id_b", "vb")
+    a = _with_norm(emb, "id_a", "va", "na")
+    b = _with_norm(emb, "id_b", "vb", "nb")
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", dot_col("va", "vb").alias("cosine"))
+        .select("id_a", "id_b",
+                _cosine("va", "vb", "na", "nb").alias("cosine"))
         .filter(F.col("cosine") >= 0.35)
         .orderBy("id_a", "id_b")
     )
@@ -237,14 +247,13 @@ def q63_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q63_ORACLE = f"""
 WITH un AS (
-  SELECT vec_id,
-         {_UNIT_DD.format(a='embedding', n=_NORM_DD.format(a='embedding'))} AS uv
+  SELECT vec_id, embedding AS uv, {_norm_dd('embedding')} AS nrm
   FROM embeddings WHERE vec_id < 120)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       {_DOT_DD.format(a='a.uv', b='b.uv')} AS cosine
+       {_cosine_dd('a.uv', 'b.uv', 'a.nrm', 'b.nrm')} AS cosine
 FROM un a, un b
 WHERE a.vec_id < b.vec_id
-  AND {_DOT_DD.format(a='a.uv', b='b.uv')} >= 0.35
+  AND {_cosine_dd('a.uv', 'b.uv', 'a.nrm', 'b.nrm')} >= 0.35
 ORDER BY id_a, id_b
 """
 
