@@ -26,11 +26,12 @@ from dataflowtemplates_spark.queries import (
     multimodal_queries,
     relational,
     similarity,
+    temporal,
     text,
 )
 
-_MODULES = (relational, text, dedup, similarity, generator_queries,
-            multimodal_queries)
+_MODULES = (relational, temporal, text, dedup, similarity,
+            generator_queries, multimodal_queries)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -288,12 +288,103 @@ GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a fixed coarse quantizer (8 seed vectors) assigns
+    every candidate to its nearest cell (the inverted lists); each
+    query probes its nprobe=2 nearest cells and scores exact cosine
+    only within them.
+
+    At 100 TB the build phase is one broadcast pass over the candidates
+    (8 seeds broadcast, argmax per row — no shuffle of the big side,
+    cells persist as a bucketed table), and the query phase is an
+    equi-join on cell id instead of a cross join — the candidate set
+    per query drops by ~the cell count. Training the quantizer (kmeans)
+    is deliberately out of band: any fixed centroid set works, and a
+    fixed one keeps the operator deterministic and oracle-checkable.
+    """
+    from pyspark.sql import Window as W
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    seeds = _with_norm(emb.filter(F.col("vec_id") < 8), "s_id", "s_vec", "s_nrm")
+    cands = _with_norm(emb.filter(F.col("vec_id") >= 20),
+                       "c_id", "c_vec", "c_nrm")
+    qrys = _with_norm(emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
+                      "q_id", "q_vec", "q_nrm")
+
+    wc = W.partitionBy("c_id").orderBy(
+        F.desc("s_cos"), F.asc("s_id"))
+    cells = (cands.crossJoin(F.broadcast(seeds))
+             .select("c_id", "c_vec", "c_nrm", "s_id",
+                     _cosine("c_vec", "s_vec", "c_nrm", "s_nrm").alias("s_cos"))
+             .withColumn("rk", F.row_number().over(wc))
+             .filter(F.col("rk") == 1)
+             .select("c_id", "c_vec", "c_nrm", F.col("s_id").alias("cell")))
+
+    wq = W.partitionBy("q_id").orderBy(F.desc("s_cos"), F.asc("s_id"))
+    probes = (qrys.crossJoin(F.broadcast(seeds))
+              .select("q_id", "q_vec", "q_nrm", "s_id",
+                      _cosine("q_vec", "s_vec", "q_nrm", "s_nrm").alias("s_cos"))
+              .withColumn("rk", F.row_number().over(wq))
+              .filter(F.col("rk") <= 2)
+              .select("q_id", "q_vec", "q_nrm", F.col("s_id").alias("cell")))
+
+    wf = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
+    return (cells.join(F.broadcast(probes), "cell")
+            .select("q_id", "c_id", "cell",
+                    _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine"))
+            .withColumn("rk", F.row_number().over(wf))
+            .filter(F.col("rk") <= 3)
+            .select("q_id", "rk", "c_id", "cell", "cosine")
+            .orderBy("q_id", "rk"))
+
+
+_Q65_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS s_id, embedding AS s_vec, {_norm_dd('embedding')} AS s_nrm
+  FROM embeddings WHERE vec_id < 8),
+cands AS (
+  SELECT vec_id AS c_id, embedding AS c_vec, {_norm_dd('embedding')} AS c_nrm
+  FROM embeddings WHERE vec_id >= 20),
+qrys AS (
+  SELECT vec_id AS q_id, embedding AS q_vec, {_norm_dd('embedding')} AS q_nrm
+  FROM embeddings WHERE vec_id >= 8 AND vec_id < 13),
+cell_scored AS (
+  SELECT c_id, c_vec, c_nrm, s_id,
+         {_cosine_dd('c_vec', 's_vec', 'c_nrm', 's_nrm')} AS s_cos
+  FROM cands CROSS JOIN seeds),
+cells AS (
+  SELECT c_id, c_vec, c_nrm, s_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_id
+        ORDER BY s_cos DESC, s_id ASC) AS rk
+    FROM cell_scored) WHERE rk = 1),
+probe_scored AS (
+  SELECT q_id, q_vec, q_nrm, s_id,
+         {_cosine_dd('q_vec', 's_vec', 'q_nrm', 's_nrm')} AS s_cos
+  FROM qrys CROSS JOIN seeds),
+probes AS (
+  SELECT q_id, q_vec, q_nrm, s_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY s_cos DESC, s_id ASC) AS rk
+    FROM probe_scored) WHERE rk <= 2),
+scored AS (
+  SELECT q_id, c_id, cell,
+         {_cosine_dd('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS cosine
+  FROM cells JOIN probes USING (cell))
+SELECT q_id, rk, c_id, cell, cosine FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      ORDER BY cosine DESC, c_id ASC) AS INTEGER) AS rk
+  FROM scored) WHERE rk <= 3
+ORDER BY q_id, rk
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
     "q62_ann_lsh_bucketed": q62_ann_lsh_bucketed,
     "q63_embedding_neardup": q63_embedding_neardup,
     "q64_label_centroids": q64_label_centroids,
+    "q65_ann_ivf": q65_ann_ivf,
 }
 
 ORACLES = {
@@ -302,4 +393,5 @@ ORACLES = {
     "q62_ann_lsh_bucketed": _Q62_ORACLE,
     "q63_embedding_neardup": _Q63_ORACLE,
     "q64_label_centroids": _Q64_ORACLE,
+    "q65_ann_ivf": _Q65_ORACLE,
 }

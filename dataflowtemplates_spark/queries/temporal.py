@@ -1,0 +1,181 @@
+"""Temporal join operators Spark lacks natively: as-of join, range join.
+
+The reference delegates all join semantics to the pushed-down SQL
+string (reference: transforms/SpannerQueryIO.java:127) and implements
+none itself; these two are the time-series joins a training-data /
+event-analytics pipeline needs that neither vanilla Spark SQL nor the
+reference's target engines expose as a first-class operator. Each is
+built as a composition of existing DataFrame ops (SURVEY.md §7 stance:
+composition > custom physical operator), shaped so the plan scales:
+
+* **as-of join** — the naive formulation (inequality join + argmax per
+  left row) is O(N*M) per user and explodes before filtering. The
+  scalable form used here is UNION + ORDER-BY window: tag both streams,
+  sort within user by time, and carry the most recent right-side row
+  forward with ``last(..., ignorenulls=True)``. One shuffle on
+  user_id, zero row amplification, and the sort is partition-local —
+  the same plan shape survives a 1000-executor cluster.
+* **range (band) join** — the naive inequality join is a broadcast
+  nested loop. Bucketing the time axis to the band width turns it into
+  an equi-join on (user_id, bucket) with exactly 2 candidate buckets
+  per probe row, then an exact range filter: hash join, bounded fan-out,
+  AQE-handled skew.
+
+Determinism: all comparisons are on raw TIMESTAMP values (integer
+microseconds in both engines — no float epoch math in predicates), ties
+are broken by (ts, stream-marker, event_id), and money aggregates go
+through exact DECIMAL before the final double cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+
+#: Band width of the range join, seconds.
+_BAND_S = 300
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str, ts: str,
+              right_cols: dict[str, str], left_marker_last: bool = True,
+              tiebreak: str | None = None) -> DataFrame:
+    """Generic as-of join: for every `left` row, attach the latest
+    `right` row with ``right.ts <= left.ts`` and equal `on` key.
+
+    Implemented as union + running ``last(ignorenulls)`` window — the
+    shuffle-once, no-amplification formulation. ``right_cols`` maps
+    right column -> output alias. On a ts tie the right row is
+    considered visible to the left row (inclusive as-of); `tiebreak`
+    (a unique column present in both) makes the winner among equal-ts
+    right rows deterministic.
+    """
+    marker = F.lit(1) if left_marker_last else F.lit(0)
+    tb = [tiebreak] if tiebreak else []
+    l_tagged = left.withColumn("_m", marker)
+    for src, dst in right_cols.items():
+        l_tagged = l_tagged.withColumn(dst, F.lit(None).cast(
+            dict(right.dtypes)[src]))
+    r_tagged = right.select(
+        F.col(on), F.col(ts), F.lit(0).alias("_m"),
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+        *[F.col(t) for t in tb if t not in (on, ts)])
+    for c in l_tagged.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(
+                dict(l_tagged.dtypes)[c]))
+    unioned = l_tagged.unionByName(r_tagged.select(l_tagged.columns))
+    w = (W.partitionBy(on).orderBy(ts, "_m", *tb)
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    carried = unioned.select(
+        *[c for c in left.columns], "_m",
+        *[F.last(dst, ignorenulls=True).over(w).alias(dst)
+          for dst in right_cols.values()])
+    return carried.filter(F.col("_m") == 1).drop("_m")
+
+
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase, the most recent prior-or-simultaneous click
+    by the same user (classic event-attribution as-of join)."""
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts",
+        F.col("value").alias("purchase_value"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    joined = asof_join(
+        purchases, clicks, on="user_id", ts="ts",
+        right_cols={"event_id": "click_id", "value": "click_value"},
+        tiebreak="event_id")
+    return joined.select(
+        "event_id", "user_id", "ts", "purchase_value",
+        "click_id", "click_value").orderBy("event_id")
+
+
+_Q35_ORACLE = """
+WITH tagged AS (
+  SELECT user_id, ts, 1 AS m, event_id, value AS purchase_value,
+         NULL::BIGINT AS click_id, NULL::DOUBLE AS click_value,
+         event_id AS tb
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, 0 AS m, NULL, NULL,
+         event_id, value, event_id
+  FROM events WHERE event_type = 'click'),
+carried AS (
+  SELECT event_id, user_id, ts, purchase_value, m,
+         LAST_VALUE(click_id IGNORE NULLS) OVER w AS click_id,
+         LAST_VALUE(click_value IGNORE NULLS) OVER w AS click_value
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, m, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, ts, purchase_value, click_id, click_value
+FROM carried WHERE m = 1 ORDER BY event_id
+"""
+
+
+def q36_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each error event: count + exact-sum of the same user's
+    clicks in the preceding 5 minutes (bucketed band join).
+
+    The time axis is bucketed to the band width, so each error probes
+    exactly 2 candidate buckets via an equi-join on (user_id, bucket);
+    the precise half-open range ``[ts-300s, ts)`` is then applied on
+    raw timestamps. Zero-match errors are kept by the final left join
+    (count 0, sum NULL — SQL aggregate semantics).
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+        F.floor(F.unix_timestamp("ts") / _BAND_S).alias("bucket"))
+    probes = errors.withColumn(
+        "b", F.floor(F.unix_timestamp("ts") / _BAND_S)).select(
+        "event_id", "user_id", "ts",
+        F.explode(F.array(F.col("b") - 1, F.col("b"))).alias("bucket"))
+    matched = (
+        probes.join(clicks, (probes.user_id == clicks.c_user)
+                    & (probes.bucket == clicks.bucket))
+        .filter((F.col("c_ts") >= F.col("ts") - F.expr(
+            f"INTERVAL {_BAND_S} SECOND")) & (F.col("c_ts") < F.col("ts")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"),
+             F.sum(F.col("c_value").cast("decimal(12,2)"))
+              .cast("double").alias("click_sum")))
+    return (errors.join(matched, "event_id", "left")
+            .select("event_id", "user_id", "ts",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    "click_sum")
+            .orderBy("event_id"))
+
+
+_Q36_ORACLE = f"""
+SELECT e.event_id, e.user_id, e.ts,
+       COUNT(c.c_ts) AS n_clicks,
+       CAST(SUM(CAST(c.c_value AS DECIMAL(12,2))) AS DOUBLE) AS click_sum
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+LEFT JOIN (SELECT user_id AS c_user, ts AS c_ts, value AS c_value
+           FROM events WHERE event_type = 'click') c
+  ON c.c_user = e.user_id
+ AND c.c_ts >= e.ts - INTERVAL {_BAND_S} SECOND
+ AND c.c_ts < e.ts
+GROUP BY e.event_id, e.user_id, e.ts
+ORDER BY e.event_id
+"""
+
+
+QUERIES = {
+    "q35_asof_join": q35_asof_join,
+    "q36_range_join": q36_range_join,
+}
+
+ORACLES = {
+    "q35_asof_join": _Q35_ORACLE,
+    "q36_range_join": _Q36_ORACLE,
+}
