@@ -30,10 +30,13 @@ HEADLINE = (
     "q13_window_topk",
     "q16_sessionize",
     "q34_events_tumbling",
+    "q35_asof_join",
+    "q36_range_join",
     "q40_token_stats",
     "q50_dedup_exact",
     "q52_lsh_pairs",
     "q61_ann_bruteforce",
+    "q65_ann_ivf",
 )
 
 

@@ -53,6 +53,16 @@ def build_session(app_name: str = "dataflowtemplates_spark",
     b = b.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     if master.startswith("local"):
         b = b.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # A long mixed-query session generates a unique whole-stage-
+        # codegen class per stage; once the JVM code cache fills,
+        # HotSpot disables the JIT and hot codegen methods (notably the
+        # unrolled vector-math chains in queries/similarity.py) drop to
+        # the interpreter — measured 3s -> 130s+ on identical plans.
+        # 512 MB + flushing keeps the JIT alive for the whole session.
+        # (Driver-only conf works because local mode runs executors in
+        # the driver JVM; on a cluster set the executor equivalent.)
+        b = b.config("spark.driver.extraJavaOptions",
+                     "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
     for k, v in (extra_confs or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
