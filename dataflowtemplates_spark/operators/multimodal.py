@@ -72,8 +72,11 @@ def attach_media(documents: DataFrame) -> DataFrame:
       modality     = image | audio | video  by  doc_id % 3
       width        = 16 + n_bytes % 64         (image/video)
       height       = 16 + n_bytes % 48         (image/video)
-      sample_rate  = 8000 + (n_bytes % 4) * 4000   (audio)
-      n_frames     = 1 + n_bytes / FRAME_BYTES     (video)
+      sample_rate  = 8000 + (n_bytes % 4) * 4000       (audio)
+      n_frames     = max(1, ceil(n_bytes / FRAME_BYTES))  (video)
+
+    n_frames uses the SAME formula as sample_frames (max(1, ceil)) so the
+    advertised count always equals the number of frames actually emitted.
     """
     data = F.encode(F.col("text"), "UTF-8")
     n = F.length(data)
@@ -88,7 +91,7 @@ def attach_media(documents: DataFrame) -> DataFrame:
         F.when(modality == "audio",
                (F.lit(8000) + (n % 4) * 4000).cast("int")).alias("sample_rate"),
         F.when(modality == "video",
-               (F.lit(1) + F.floor(n / FRAME_BYTES)).cast("int")).alias("n_frames"),
+               F.greatest(F.lit(1), F.ceil(n / FRAME_BYTES)).cast("int")).alias("n_frames"),
     )
     return (documents
             .select("doc_id", "source",

@@ -48,8 +48,18 @@ _SPEC = TableSpec(
 
 
 def q70_generator_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full deterministic generated table (sf_dir unused: synthetic source)."""
-    return generate_table(spark, _SPEC, seed=_SEED).orderBy("id")
+    """Full deterministic generated table (sf_dir unused: synthetic source).
+
+    The `pts ARRAY<INT64>` column is rendered as a comma-joined string on
+    BOTH sides so the driver's pandas-based canonicalizer (which cannot
+    hash python lists) can sort+hash the result.
+    """
+    from pyspark.sql import functions as F
+    df = generate_table(spark, _SPEC, seed=_SEED)
+    return (df.withColumn(
+                "pts",
+                F.array_join(F.transform("pts", lambda x: x.cast("string")), ","))
+            .orderBy("id"))
 
 
 def q71_generator_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,14 +133,19 @@ def _gen_oracle() -> str:
     return (f"SELECT {cols}\nFROM RANGE(0, {_N}) t(i)\nORDER BY id")
 
 
-_Q70_ORACLE = _gen_oracle()
+_Q70_ORACLE = f"""
+WITH gen AS ({_gen_oracle()})
+SELECT id, name, category, score, active, born, created,
+       array_to_string(pts, ',') AS pts
+FROM gen ORDER BY id
+"""
 
 _Q71_ORACLE = f"""
 WITH gen AS ({_gen_oracle()})
 SELECT category, COUNT(*) AS n,
-       SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS n_null_name,
-       SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS n_null_score,
-       SUM(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+       CAST(SUM(CASE WHEN name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_name,
+       CAST(SUM(CASE WHEN score IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_score,
+       CAST(SUM(CASE WHEN active THEN 1 ELSE 0 END) AS BIGINT) AS n_active
 FROM gen GROUP BY category ORDER BY category
 """
 

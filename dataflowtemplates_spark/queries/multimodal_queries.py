@@ -72,7 +72,9 @@ SELECT doc_id, source,
        CASE WHEN doc_id % 3 <> 1 THEN CAST(16 + {_N} % 48 AS INTEGER) END AS height,
        CASE WHEN doc_id % 3 = 1
             THEN CAST(8000 + ({_N} % 4) * 4000 AS INTEGER) END AS sample_rate,
-       CASE WHEN doc_id % 3 = 2 THEN CAST(1 + {_N} // 64 AS INTEGER) END AS n_frames,
+       CASE WHEN doc_id % 3 = 2
+            THEN CAST(GREATEST(1, CAST(CEIL({_N} / {FRAME_BYTES}.0) AS BIGINT))
+                 AS INTEGER) END AS n_frames,
        CAST({_N} AS INTEGER) AS n_bytes,
        md5(text) AS phash
 FROM documents ORDER BY doc_id
@@ -102,7 +104,7 @@ SELECT doc_id,
        CAST(length(substring(text, CAST(i * {FRAME_BYTES} + 1 AS INTEGER), {FRAME_BYTES}))
          AS INTEGER) AS frame_len
 FROM (SELECT doc_id, text,
-             unnest(range(0, CAST(ceil({_N} / {FRAME_BYTES}.0) AS BIGINT), 2)) AS i
+             unnest(range(0, GREATEST(1, CAST(ceil({_N} / {FRAME_BYTES}.0) AS BIGINT)), 2)) AS i
       FROM documents WHERE doc_id % 3 = 2)
 ORDER BY doc_id, frame_idx
 """

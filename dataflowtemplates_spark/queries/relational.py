@@ -367,9 +367,9 @@ def q19_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q19_ORACLE = """
 SELECT o_orderpriority,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS n_open,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS n_finished,
-       COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS n_pending
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_open,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_finished,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_pending
 FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 

@@ -177,7 +177,7 @@ def q44_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q44_ORACLE = """
-SELECT source, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars,
+SELECT source, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY source, lang ORDER BY source, lang
 """
