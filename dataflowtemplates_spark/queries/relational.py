@@ -159,9 +159,11 @@ def q03_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
     li = spark.table("lineitem").filter(
         F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp"))
+    # customer GROWS with scale factor (150k x SF rows) — never pin a
+    # broadcast on it; AQE/autoBroadcastJoinThreshold decides from size
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
               .cast("double").alias("revenue"))
@@ -197,10 +199,13 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")))
     li = spark.table("lineitem")
+    # broadcast pins ONLY on the bounded dims (region: 5 rows, nation:
+    # 25 — fixed regardless of SF); customer/supplier grow linearly
+    # with SF, so their join strategy is left to AQE/size thresholds
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup),
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup,
               (li.l_suppkey == sup.s_suppkey)
               & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)

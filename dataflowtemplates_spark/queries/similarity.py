@@ -126,18 +126,19 @@ def ann_bruteforce_topk(queries_df: DataFrame, candidates: DataFrame,
 
     At 100 TB the candidate side is the big table and never shuffles —
     each partition scores locally against the broadcast queries (one
-    codegen'd dot chain per pair), and only (n_queries x k x
-    n_partitions) rows reach the final top-k.
+    codegen'd dot chain per pair), and the two-phase ``topk_per_key``
+    keeps the rank step shuffle-free too: only n_queries x k x
+    n_partitions survivor rows reach the final merge (the window-based
+    form shuffled EVERY scored pair into n_queries partitions).
     """
-    from pyspark.sql import Window as W
+    from dataflowtemplates_spark.operators.topk import topk_per_key
     q = _with_norm(queries_df, "q_id", "q_vec", "q_nrm")
     c = _with_norm(candidates, "c_id", "c_vec", "c_nrm", {"label": "c_label"})
     scored = (c.crossJoin(F.broadcast(q))
               .select("q_id", "c_id", "c_label",
                       _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine")))
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= k))
+    return topk_per_key(scored, "q_id", "cosine", "c_id", k,
+                        payload=["c_label"])
 
 
 def q61_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,7 +186,7 @@ def q62_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank within bucket. The cross join becomes a hash join on the
     bucket key — candidate count drops 2^bits-fold.
     """
-    from pyspark.sql import Window as W
+    from dataflowtemplates_spark.operators.topk import topk_per_key
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").withColumn(
         "bucket", _bucket_col("embedding"))
@@ -196,10 +197,8 @@ def q62_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (c.join(F.broadcast(q), "bucket")
               .select("q_id", "c_id", "bucket",
                       _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine")))
-    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (scored.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= 3)
-            .select("q_id", "rk", "c_id", "bucket", "cosine")
+    return (topk_per_key(scored, "q_id", "cosine", "c_id", 3,
+                         payload=["bucket"])
             .orderBy("q_id", "rk"))
 
 
@@ -288,53 +287,105 @@ GROUP BY label, pos ORDER BY label, pos
 """
 
 
+def _chain_norm(vals: list[float]) -> float:
+    """Python mirror of _norm_sql's left-fold: exact IEEE-754 doubles,
+    so the result equals what Spark/DuckDB compute for the same vector."""
+    import math
+    acc = vals[0] * vals[0]
+    for x in vals[1:]:
+        acc = acc + x * x
+    return math.sqrt(acc)
+
+
+def assign_cells(df: DataFrame, vec_col: str, nrm_col: str,
+                 codebook: list[tuple[int, list[float]]],
+                 nprobe: int = 1) -> DataFrame:
+    """Nearest-cell assignment against a driver-side quantizer codebook:
+    emits each input row ``nprobe`` times with a ``cell`` column (the
+    ids of its nprobe nearest seeds by cosine, ties broken by smaller
+    seed id).
+
+    Plan shape: MAP-ONLY — an Arrow-batched mapInPandas projection, no
+    join, no window, no shuffle of the big side (the window-over-c_id
+    form this replaces shuffled len(codebook) x the candidate set). A
+    single inlined-expression form was tried first and breaks janino's
+    64 KB method limit (8 seeds x 64-dim unrolled chains in ONE
+    expression cannot be split), so the math runs as a 64-step
+    VECTORIZED left-fold in NumPy: ``acc = acc + V[:,i]*s_i`` over
+    float64 is the identical exactly-rounded IEEE-754 sequence as the
+    unrolled SQL chain, just batched across rows — bit-identical to
+    the DuckDB oracle, with no per-row Python.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    seeds = sorted(codebook)
+    s_ids = np.array([sid for sid, _ in seeds], dtype=np.int64)
+    s_nrms = [_chain_norm(vec) for _, vec in seeds]
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("cell", T.LongType(), False)])
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            nrm = pdf[nrm_col].to_numpy(dtype=np.float64)
+            cos = np.empty((len(pdf), len(seeds)), dtype=np.float64)
+            for j, (_, svec) in enumerate(seeds):
+                acc = V[:, 0] * svec[0]
+                for i in range(1, len(svec)):
+                    acc = acc + V[:, i] * svec[i]
+                cos[:, j] = acc / (nrm * s_nrms[j])
+            # stable argsort of -cos: cosine DESC, seed id ASC on ties
+            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
+            out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
+            out["cell"] = s_ids[order].reshape(-1)
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
 def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a fixed coarse quantizer (8 seed vectors) assigns
     every candidate to its nearest cell (the inverted lists); each
     query probes its nprobe=2 nearest cells and scores exact cosine
     only within them.
 
-    At 100 TB the build phase is one broadcast pass over the candidates
-    (8 seeds broadcast, argmax per row — no shuffle of the big side,
-    cells persist as a bucketed table), and the query phase is an
-    equi-join on cell id instead of a cross join — the candidate set
-    per query drops by ~the cell count. Training the quantizer (kmeans)
-    is deliberately out of band: any fixed centroid set works, and a
-    fixed one keeps the operator deterministic and oracle-checkable.
+    Plan shape (the part that must survive 100 TB): the codebook is
+    DRIVER-SIDE state (8 vectors — any real IVF build trains and holds
+    the centroids outside the data path), so cell assignment is the
+    MAP-ONLY `assign_cells` pass: vectorized left-fold cosines against
+    the codebook and a per-row argmax, no crossJoin row expansion, no
+    window, no shuffle of the big side — the earlier window-over-c_id
+    form shuffled 8x the candidate set. Query-side probing is the same
+    pass with nprobe=2, and the final per-query rank goes through the
+    two-phase shuffle-free `topk_per_key`. Training the quantizer
+    (kmeans) is deliberately out of band: any fixed centroid set
+    works, and a fixed one keeps the operator deterministic and
+    oracle-checkable.
     """
-    from pyspark.sql import Window as W
+    from dataflowtemplates_spark.operators.topk import topk_per_key
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    seeds = _with_norm(emb.filter(F.col("vec_id") < 8), "s_id", "s_vec", "s_nrm")
+    codebook = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding").collect())
+
     cands = _with_norm(emb.filter(F.col("vec_id") >= 20),
                        "c_id", "c_vec", "c_nrm")
     qrys = _with_norm(emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
                       "q_id", "q_vec", "q_nrm")
 
-    wc = W.partitionBy("c_id").orderBy(
-        F.desc("s_cos"), F.asc("s_id"))
-    cells = (cands.crossJoin(F.broadcast(seeds))
-             .select("c_id", "c_vec", "c_nrm", "s_id",
-                     _cosine("c_vec", "s_vec", "c_nrm", "s_nrm").alias("s_cos"))
-             .withColumn("rk", F.row_number().over(wc))
-             .filter(F.col("rk") == 1)
-             .select("c_id", "c_vec", "c_nrm", F.col("s_id").alias("cell")))
+    cells = assign_cells(cands, "c_vec", "c_nrm", codebook, nprobe=1)
+    probes = assign_cells(qrys, "q_vec", "q_nrm", codebook, nprobe=2)
 
-    wq = W.partitionBy("q_id").orderBy(F.desc("s_cos"), F.asc("s_id"))
-    probes = (qrys.crossJoin(F.broadcast(seeds))
-              .select("q_id", "q_vec", "q_nrm", "s_id",
-                      _cosine("q_vec", "s_vec", "q_nrm", "s_nrm").alias("s_cos"))
-              .withColumn("rk", F.row_number().over(wq))
-              .filter(F.col("rk") <= 2)
-              .select("q_id", "q_vec", "q_nrm", F.col("s_id").alias("cell")))
-
-    wf = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("c_id"))
-    return (cells.join(F.broadcast(probes), "cell")
-            .select("q_id", "c_id", "cell",
-                    _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine"))
-            .withColumn("rk", F.row_number().over(wf))
-            .filter(F.col("rk") <= 3)
-            .select("q_id", "rk", "c_id", "cell", "cosine")
+    scored = (cells.join(F.broadcast(probes), "cell")
+              .select("q_id", "c_id", "cell",
+                      _cosine("q_vec", "c_vec", "q_nrm", "c_nrm").alias("cosine")))
+    return (topk_per_key(scored, "q_id", "cosine", "c_id", 3,
+                         payload=["cell"])
             .orderBy("q_id", "rk"))
 
 
