@@ -243,11 +243,17 @@ def write_failure_count(result: MutationResult, path: str) -> int:
 
 
 def write_quarantine(result: MutationResult, path: str,
-                     fmt: str = "parquet") -> int:
-    """K8: failed mutations -> files (reference writes them back as Avro,
-    templates/SpannerToSpanner.java:116-121; format is a seam here)."""
+                     fmt: str = "avro") -> int:
+    """K8: failed mutations -> Avro files, matching the reference
+    (templates/SpannerToSpanner.java:116-121); other formats remain a
+    seam. The Avro path uses the container writer in
+    operators/avro_io.py, so it works without the spark-avro jar."""
     q = result.quarantine
     n = q.count()
     if n:
-        q.write.mode("overwrite").format(fmt).save(path)
+        if fmt == "avro":
+            from dataflowtemplates_spark.operators.avro_io import write_avro
+            write_avro(q, path)
+        else:
+            q.write.mode("overwrite").format(fmt).save(path)
     return n

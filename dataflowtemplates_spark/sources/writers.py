@@ -160,17 +160,27 @@ def write_columnar_dynamic(df: DataFrame, path: str,
     """K2: dynamic-destination columnar writer, Avro+snappy per the
     reference (transforms/sinks/AvroDynamicSink.java:33-49).
 
-    The sandbox's Spark has no spark-avro datasource jar, so when the
-    `avro` format is unavailable this falls through to parquet+snappy
-    with identical routing semantics — the connector-ready seam is the
-    `fmt` argument. (Schema handling needs none of the reference's
-    per-key sampling: `df.schema` is static.)
+    `fmt="avro"` always produces real .avro container files: the
+    spark-avro datasource when the jar is present, else the pure-Python
+    container writer (operators/avro_io.py — deflate codec, since no
+    snappy lib ships here). Other formats go through the native
+    datasource with a parquet fallback. (Schema handling needs none of
+    the reference's per-key sampling: `df.schema` is static.)
     """
     actual = fmt
     try:
         _probe_format(df, fmt)
     except Exception:
-        actual = "parquet"
+        actual = "parquet" if fmt != "avro" else "avro-py"
+    if actual == "avro-py":
+        from dataflowtemplates_spark.operators.avro_io import write_avro
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        files = write_avro(df, path, split_field=split_field,
+                           codec=compression)
+        result = WriteResult(files=files, row_count=df.count(), format="avro")
+        _write_notify(result, output_notify)
+        return result
     writer = (df.withColumn(_SPLIT_COL,
                             F.coalesce(F.col(split_field).cast("string"), F.lit("")))
               .write.mode("overwrite").partitionBy(_SPLIT_COL)

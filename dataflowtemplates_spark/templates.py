@@ -150,11 +150,22 @@ def files_to_keyed_table(spark: SparkSession, path: str, table: KeyedTable,
                          fmt: str = "parquet", op: str = "INSERT_OR_UPDATE",
                          **options) -> MutationResult:
     """AvroToSpanner (reference: templates/AvroToSpanner.java:68-85):
-    file glob -> mutations. fmt seam: 'avro' where the datasource jar
-    exists; parquet/json/csv locally."""
-    df = spark.read.format(fmt).options(**options).load(path)
+    file glob -> mutations. 'avro' reads real container files (via the
+    datasource jar when present, else operators/avro_io.read_avro);
+    parquet/json/csv go through the native reader."""
+    df = _read_any(spark, path, fmt, **options)
     table.create(df)
     return table.apply_mutations(df, op)
+
+
+def _read_any(spark: SparkSession, path: str, fmt: str, **options):
+    if fmt == "avro":
+        try:
+            return spark.read.format("avro").options(**options).load(path)
+        except Exception:
+            from dataflowtemplates_spark.operators.avro_io import read_avro
+            return read_avro(spark, path)
+    return spark.read.format(fmt).options(**options).load(path)
 
 
 def files_to_entities(spark: SparkSession, path: str, output: str,
@@ -162,7 +173,7 @@ def files_to_entities(spark: SparkSession, path: str, output: str,
                       exclude_from_indexes: tuple[str, ...] = (),
                       **options) -> int:
     """AvroToDatastore (reference: templates/AvroToDatastore.java:63-81)."""
-    df = spark.read.format(fmt).options(**options).load(path)
+    df = _read_any(spark, path, fmt, **options)
     return write_entities_json(df, output, kind, key_field,
                                exclude_from_indexes)
 

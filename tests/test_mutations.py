@@ -112,6 +112,8 @@ def test_quarantine_and_count_files(spark, table, tmp_path):
     cpath = str(tmp_path / "failcount.txt")
     assert write_quarantine(r, qpath) == 1
     assert write_failure_count(r, cpath) == 1
-    assert spark.read.parquet(qpath).count() == 1
+    # reference parity: quarantine records land as Avro container files
+    from dataflowtemplates_spark.operators.avro_io import read_avro
+    assert read_avro(spark, qpath).count() == 1
     with open(cpath) as fh:
         assert fh.read() == "1"

@@ -52,9 +52,9 @@ def test_table_to_columnar(spark, tmp_path):
         spark, "SELECT o_orderkey, o_orderstatus FROM orders", out,
         split_field="o_orderstatus")
     assert res.row_count > 0
-    back = (spark.read.format(res.format)
-            .option("recursiveFileLookup", "true").load(out))
-    assert back.count() == res.row_count
+    assert res.format == "avro"
+    from dataflowtemplates_spark.operators.avro_io import read_avro
+    assert read_avro(spark, out).count() == res.row_count
 
 
 def test_query_to_table(spark, tmp_path):

@@ -82,15 +82,17 @@ def test_notify_manifest(spark, sample, tmp_path):
     assert all(os.path.exists(p) for p in listed)
 
 
-def test_columnar_dynamic_fallback(spark, sample, tmp_path):
+def test_columnar_dynamic_writes_real_avro(spark, sample, tmp_path):
     out = str(tmp_path / "col")
     res = write_columnar_dynamic(sample, out, split_field="grp", fmt="avro")
-    # sandbox has no spark-avro: seam falls back to parquet
-    assert res.format in ("avro", "parquet")
-    # dirs are plain `value/` (reference naming), not hive `k=v/`:
-    # read back with recursive lookup
-    back = (spark.read.format(res.format)
-            .option("recursiveFileLookup", "true").load(out))
+    # with or without the spark-avro jar, K2 emits real .avro containers
+    assert res.format == "avro"
+    assert res.files and all(f.endswith(".avro") for f in res.files)
+    from dataflowtemplates_spark.operators.avro_io import read_avro
+    back = read_avro(spark, out)
     assert back.count() == 4
+    assert sorted(r["name"] for r in back.collect()) == \
+        ["one", "three", "two", "ungrouped"]
+    # dirs are plain `value/` (reference naming), not hive `k=v/`
     listed = sorted(os.listdir(out))
     assert "a" in listed and "b" in listed
