@@ -46,9 +46,19 @@ from dataflowtemplates_spark.functions.avroschema import (
     spark_schema_from_avro,
 )
 
-__all__ = ["write_avro", "read_avro_rows", "read_avro", "MAGIC"]
+__all__ = ["write_avro", "read_avro_rows", "read_avro", "MAGIC",
+           "AvroWriteResult"]
 
 MAGIC = b"Obj\x01"
+
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class AvroWriteResult:
+    files: list[str] = field(default_factory=list)
+    row_count: int = 0
 
 
 def _encoder_factory():
@@ -306,10 +316,12 @@ def _decoder_factory():
 
 def write_avro(df: DataFrame, path: str, split_field: str | None = None,
                codec: str = "deflate", prefix: str = "output",
-               rows_per_block: int = 4096) -> list[str]:
+               rows_per_block: int = 4096) -> AvroWriteResult:
     """Write ``df`` as Avro container files, one per partition (grouped
     into per-key subdirectories when ``split_field`` is set, matching
-    the reference's dynamic destinations). Returns written paths.
+    the reference's dynamic destinations). Returns written paths plus
+    the row count (tallied during the single encode pass — callers
+    never need a separate count job).
 
     ``codec="snappy"`` is accepted (reference parity:
     AvroDynamicSink.java:37) but lowered to deflate — see module note.
@@ -374,6 +386,7 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
             subdir = path if key == "" else _os.path.join(path, key)
             _os.makedirs(subdir, exist_ok=True)
             target = _os.path.join(subdir, f"{prefix}-{idx:05d}.avro")
+            total = 0
             with open(target, "wb") as fh:
                 fh.write(header)
                 buf, count = _io.BytesIO(), 0
@@ -382,16 +395,18 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
                     d.pop("_split", None)
                     buf.write(enc_row(d))
                     count += 1
+                    total += 1
                     if count >= rows_per_block:
                         flush(fh, buf, count)
                         buf, count = _io.BytesIO(), 0
                 if count:
                     flush(fh, buf, count)
-            written.append(target)
+            written.append((target, total))
         return iter(written)
 
-    files = work.rdd.mapPartitionsWithIndex(per_part).collect()
-    return sorted(files)
+    stats = work.rdd.mapPartitionsWithIndex(per_part).collect()
+    return AvroWriteResult(files=sorted(p for p, _n in stats),
+                           row_count=sum(n for _p, n in stats))
 
 
 _decode = _decoder_factory()

@@ -249,11 +249,10 @@ def write_quarantine(result: MutationResult, path: str,
     seam. The Avro path uses the container writer in
     operators/avro_io.py, so it works without the spark-avro jar."""
     q = result.quarantine
+    if fmt == "avro":
+        from dataflowtemplates_spark.operators.avro_io import write_avro
+        return write_avro(q, path).row_count  # count rides the write pass
     n = q.count()
     if n:
-        if fmt == "avro":
-            from dataflowtemplates_spark.operators.avro_io import write_avro
-            write_avro(q, path)
-        else:
-            q.write.mode("overwrite").format(fmt).save(path)
+        q.write.mode("overwrite").format(fmt).save(path)
     return n

@@ -30,8 +30,9 @@ from __future__ import annotations
 import os
 import shutil
 from dataclasses import dataclass, field
+from urllib.parse import unquote
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.functions.convert import text_line
@@ -40,6 +41,53 @@ from dataflowtemplates_spark.functions.convert import text_line
 _HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
 _SPLIT_COL = "_split"
 _LINE_COL = "_line"
+
+
+class _HadoopFS:
+    """Thin wrapper over the Hadoop FileSystem API so every post-write
+    finalization step (rename/list/delete) works on any Hadoop-visible
+    store (file://, hdfs://, gs://, s3a://) — the reference's naming
+    layer is FS-abstracted the same way (util/StorageUtil.java:31-49,
+    util/FixedFileNaming.java:27-34). Driver-side `os.walk`/`os.replace`
+    would be wrong everywhere except the local FS.
+    """
+
+    def __init__(self, df: DataFrame, root: str):
+        sc = df.sparkSession.sparkContext
+        self._jPath = sc._jvm.org.apache.hadoop.fs.Path
+        self._fs = self._jPath(root).getFileSystem(
+            sc._jsc.hadoopConfiguration())
+
+    def _p(self, path: str):
+        return self._jPath(path)
+
+    @staticmethod
+    def plain(jpath) -> str:
+        """file:///x -> /x (keeps full URIs for remote schemes)."""
+        uri = jpath.toUri()
+        scheme = uri.getScheme()
+        return uri.getPath() if scheme in (None, "file") else str(jpath)
+
+    def listdir(self, path: str) -> list[tuple[str, bool]]:
+        return [(st.getPath().getName(), st.isDirectory())
+                for st in self._fs.listStatus(self._p(path))]
+
+    def walk_files(self, root: str) -> list[str]:
+        out = []
+        it = self._fs.listFiles(self._p(root), True)
+        while it.hasNext():
+            out.append(self.plain(it.next().getPath()))
+        return sorted(out)
+
+    def rename(self, src: str, dst: str) -> None:
+        parent = self._p(dst).getParent()
+        if parent is not None and not self._fs.exists(parent):
+            self._fs.mkdirs(parent)
+        if not self._fs.rename(self._p(src), self._p(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        self._fs.delete(self._p(path), recursive)
 
 
 @dataclass
@@ -54,36 +102,50 @@ class WriteResult:
         return self.row_count == 0
 
 
-def _list_data_files(root: str, suffix: str | None = None) -> list[str]:
+def _list_data_files(fs: _HadoopFS, root: str,
+                     suffix: str | None = None) -> list[str]:
     out = []
-    for dirpath, _dirs, files in os.walk(root):
-        for fn in files:
-            if fn.startswith(("_", ".")):
-                continue
-            if suffix and not fn.endswith(suffix):
-                continue
-            out.append(os.path.join(dirpath, fn))
+    for path in fs.walk_files(root):
+        fn = path.rsplit("/", 1)[-1]
+        if fn.startswith(("_", ".")):
+            continue
+        if suffix and not fn.endswith(suffix):
+            continue
+        out.append(path)
     return sorted(out)
 
 
-def _finalize_partition_dirs(root: str) -> None:
-    """Rename `_split=value/` partition dirs to plain `value/`. The Hive
-    null dir maps to the reference's empty-string group: its files move
-    to the ROOT (the reference names outputs `prefix + key`, so an
-    empty key means no subpath — StructToAvroTransform.java:84). A
-    leading-underscore dir name would also be invisible to Hadoop-style
-    readers, so root placement is doubly right."""
-    for entry in sorted(os.listdir(root)):
-        full = os.path.join(root, entry)
-        if not (os.path.isdir(full) and entry.startswith(f"{_SPLIT_COL}=")):
+def _split_value(entry: str, root: str) -> str:
+    """Decode Spark's partition-path escaping (%XX, the inverse of
+    escapePathName) back to the raw split value, and refuse values
+    whose decoded form would escape the output root."""
+    value = unquote(entry[len(_SPLIT_COL) + 1:])
+    resolved = os.path.normpath(os.path.join(root, value))
+    if not resolved.startswith(os.path.normpath(root) + os.sep):
+        raise ValueError(f"split value {value!r} escapes output root")
+    return value
+
+
+def _finalize_partition_dirs(fs: _HadoopFS, root: str) -> None:
+    """Rename `_split=value/` partition dirs to plain `value/` (value
+    percent-DECODED — Spark escapes ':', '/', '%', ... in partition
+    paths; the reference names by the raw key). The Hive null dir maps
+    to the reference's empty-string group: its files move to the ROOT
+    (the reference names outputs `prefix + key`, so an empty key means
+    no subpath — StructToAvroTransform.java:84). A leading-underscore
+    dir name would also be invisible to Hadoop-style readers, so root
+    placement is doubly right."""
+    for entry, is_dir in sorted(fs.listdir(root)):
+        if not (is_dir and entry.startswith(f"{_SPLIT_COL}=")):
             continue
-        value = entry[len(_SPLIT_COL) + 1:]
-        if value == _HIVE_NULL:
-            for fn in os.listdir(full):
-                os.replace(os.path.join(full, fn), os.path.join(root, fn))
-            os.rmdir(full)
+        full = f"{root}/{entry}"
+        raw = entry[len(_SPLIT_COL) + 1:]
+        if raw == _HIVE_NULL:
+            for fn, _ in fs.listdir(full):
+                fs.rename(f"{full}/{fn}", f"{root}/{fn}")
+            fs.delete(full)
         else:
-            os.replace(full, os.path.join(root, value))
+            fs.rename(full, f"{root}/{_split_value(entry, root)}")
 
 
 def write_text_dynamic(df: DataFrame, path: str, fmt: str = "json",
@@ -108,8 +170,58 @@ def write_text_dynamic(df: DataFrame, path: str, fmt: str = "json",
     else:
         head_line = None
 
-    n = df.count()
+    # Row count rides on the write job itself (Observation metrics) —
+    # no separate pre-count scan of the input.
+    obs = Observation()
+    rendered = rendered.observe(obs, F.count(F.lit(1)).alias("n"))
+    fs = _HadoopFS(df, path)
+
+    def _emit(out: DataFrame, target: str) -> None:
+        """One pass. The CSV header is emitted BY THE EXECUTORS: the
+        line column is aliased to the header text and written through
+        the csv datasource with quoting/escaping disabled, so every
+        part file (including each per-split file under partitionBy)
+        starts with the header — no driver-side file rewriting
+        (the reference's TextDynamicSink.java:41-43 header contract).
+        """
+        writer = out.write.mode("overwrite")
+        if split_field is not None:
+            writer = writer.partitionBy(_SPLIT_COL)
+        if head_line is not None:
+            # single pre-rendered line column; delimiter/quote are
+            # control chars that never occur in the data, so the writer
+            # never quotes — lines and header land verbatim
+            writer.option("header", True).option("delimiter", "\x01") \
+                .option("quote", "\x02").option("emptyValue", "") \
+                .csv(target)
+        else:
+            writer.text(target)
+
+    if split_field is not None:
+        out = rendered.select(
+            F.col(split_field).cast("string").alias(_SPLIT_COL),
+            F.col(_LINE_COL).alias(head_line if head_line is not None
+                                   else "value"))
+        _emit(out, path)
+        n = int(obs.get["n"])
+        _finalize_partition_dirs(fs, path)
+        files = _rename_with_suffix(fs, path, prefix, suffix)
+    else:
+        out = rendered.select(
+            F.col(_LINE_COL).alias(head_line if head_line is not None
+                                   else "value"))
+        if without_sharding:
+            out = out.coalesce(1)
+        _emit(out, path)
+        n = int(obs.get["n"])
+        if without_sharding and n > 0:
+            files = _collapse_to_fixed_name(fs, path, f"{prefix}{suffix}")
+        else:
+            files = _rename_with_suffix(fs, path, prefix, suffix)
+
     if n == 0:
+        for f_ in files:  # e.g. stray header-only shards
+            fs.delete(f_)
         result = WriteResult(files=[], row_count=0, format=fmt)
         if output_empty:
             os.makedirs(path, exist_ok=True)
@@ -122,30 +234,6 @@ def write_text_dynamic(df: DataFrame, path: str, fmt: str = "json",
             result.files.append(target)
         _write_notify(result, output_notify)
         return result
-
-    if split_field is not None:
-        out = rendered.select(
-            F.col(split_field).cast("string").alias(_SPLIT_COL),
-            F.col(_LINE_COL).alias("value"))
-        writer = out.write.mode("overwrite").partitionBy(_SPLIT_COL)
-        writer.text(path)
-        _finalize_partition_dirs(path)
-        if head_line is not None:
-            for f_ in _list_data_files(path):
-                _prepend_line(f_, head_line)
-        files = _rename_with_suffix(path, prefix, suffix)
-    else:
-        out = rendered.select(F.col(_LINE_COL).alias("value"))
-        if without_sharding:
-            out = out.coalesce(1)
-        out.write.mode("overwrite").text(path)
-        if head_line is not None:
-            for f_ in _list_data_files(path):
-                _prepend_line(f_, head_line)
-        if without_sharding:
-            files = _collapse_to_fixed_name(path, f"{prefix}{suffix}")
-        else:
-            files = _rename_with_suffix(path, prefix, suffix)
 
     result = WriteResult(files=files, row_count=n, format=fmt)
     _write_notify(result, output_notify)
@@ -176,21 +264,25 @@ def write_columnar_dynamic(df: DataFrame, path: str,
         from dataflowtemplates_spark.operators.avro_io import write_avro
         if os.path.isdir(path):
             shutil.rmtree(path)
-        files = write_avro(df, path, split_field=split_field,
-                           codec=compression)
-        result = WriteResult(files=files, row_count=df.count(), format="avro")
+        r = write_avro(df, path, split_field=split_field, codec=compression)
+        result = WriteResult(files=r.files, row_count=r.row_count,
+                             format="avro")
         _write_notify(result, output_notify)
         return result
-    writer = (df.withColumn(_SPLIT_COL,
-                            F.coalesce(F.col(split_field).cast("string"), F.lit("")))
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    writer = (observed.withColumn(_SPLIT_COL,
+                                  F.coalesce(F.col(split_field).cast("string"),
+                                             F.lit("")))
               .write.mode("overwrite").partitionBy(_SPLIT_COL)
               if split_field is not None
-              else df.write.mode("overwrite"))
+              else observed.write.mode("overwrite"))
     writer.format(actual).option("compression", compression).save(path)
+    fs = _HadoopFS(df, path)
     if split_field is not None:
-        _finalize_partition_dirs(path)
-    n = df.count()
-    result = WriteResult(files=_list_data_files(path), row_count=n, format=actual)
+        _finalize_partition_dirs(fs, path)
+    result = WriteResult(files=_list_data_files(fs, path),
+                         row_count=int(obs.get["n"]), format=actual)
     _write_notify(result, output_notify)
     return result
 
@@ -214,37 +306,36 @@ def _probe_format(df: DataFrame, fmt: str) -> None:
         shutil.rmtree(probe_dir, ignore_errors=True)
 
 
-def _prepend_line(file_path: str, line: str) -> None:
-    with open(file_path) as fh:
-        body = fh.read()
-    with open(file_path, "w") as fh:
-        fh.write(line + "\n" + body)
-
-
-def _rename_with_suffix(root: str, prefix: str, suffix: str) -> list[str]:
+def _rename_with_suffix(fs: _HadoopFS, root: str, prefix: str,
+                        suffix: str) -> list[str]:
     """part-00000-... -> {prefix}-{i:05d}{suffix}, per directory —
-    the reference's defaultNaming(prefix+key, suffix)."""
+    the reference's defaultNaming(prefix+key, suffix). All renames go
+    through the Hadoop FS, so this works on object stores too."""
+    by_dir: dict[str, list[str]] = {}
+    for p in fs.walk_files(root):
+        dirpath, fn = p.rsplit("/", 1)
+        if fn.startswith(("_", ".")) or not fn.startswith("part-"):
+            continue
+        by_dir.setdefault(dirpath, []).append(fn)
     out = []
-    for dirpath, _dirs, files in os.walk(root):
-        shard = 0
-        for fn in sorted(files):
-            if fn.startswith(("_", ".")) or not fn.startswith("part-"):
-                continue
-            target = os.path.join(dirpath, f"{prefix}-{shard:05d}{suffix}")
-            os.replace(os.path.join(dirpath, fn), target)
+    for dirpath, fns in by_dir.items():
+        for shard, fn in enumerate(sorted(fns)):
+            target = f"{dirpath}/{prefix}-{shard:05d}{suffix}"
+            fs.rename(f"{dirpath}/{fn}", target)
             out.append(target)
-            shard += 1
     return sorted(out)
 
 
-def _collapse_to_fixed_name(root: str, filename: str) -> list[str]:
+def _collapse_to_fixed_name(fs: _HadoopFS, root: str,
+                            filename: str) -> list[str]:
     """withoutSharding: the single shard gets the exact fixed filename
     (reference: util/FixedFileNaming.java:27-34)."""
-    parts = [f for f in os.listdir(root)
-             if f.startswith("part-") and not f.endswith(".crc")]
+    parts = [fn for fn, is_dir in fs.listdir(root)
+             if not is_dir and fn.startswith("part-")
+             and not fn.endswith(".crc")]
     assert len(parts) == 1, f"expected 1 shard, found {parts}"
-    target = os.path.join(root, filename)
-    os.replace(os.path.join(root, parts[0]), target)
+    target = f"{root}/{filename}"
+    fs.rename(f"{root}/{parts[0]}", target)
     return [target]
 
 

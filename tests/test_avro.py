@@ -34,7 +34,7 @@ def typed(spark):
 
 def test_container_structure_and_roundtrip(typed, tmp_path):
     out = str(tmp_path / "avro")
-    files = write_avro(typed.coalesce(1), out, codec="deflate")
+    files = write_avro(typed.coalesce(1), out, codec="deflate").files
     assert len(files) == 1 and files[0].endswith(".avro")
     raw = open(files[0], "rb").read()
     assert raw[:4] == MAGIC
@@ -57,7 +57,7 @@ def test_container_structure_and_roundtrip(typed, tmp_path):
 
 def test_null_codec_and_sync_markers(typed, tmp_path):
     out = str(tmp_path / "plain")
-    files = write_avro(typed.coalesce(1), out, codec="null")
+    files = write_avro(typed.coalesce(1), out, codec="null").files
     raw = open(files[0], "rb").read()
     _schema, rows = read_avro_rows(files[0])
     assert len(rows) == 2
@@ -68,7 +68,7 @@ def test_null_codec_and_sync_markers(typed, tmp_path):
 
 def test_snappy_request_lowers_to_deflate(typed, tmp_path):
     out = str(tmp_path / "sn")
-    files = write_avro(typed.coalesce(1), out, codec="snappy")
+    files = write_avro(typed.coalesce(1), out, codec="snappy").files
     raw = open(files[0], "rb").read()
     assert b"deflate" in raw  # self-describing: codec actually used
     _s, rows = read_avro_rows(files[0])
@@ -89,7 +89,7 @@ def test_split_field_routing(spark, tmp_path):
     df = spark.createDataFrame(
         [Row(id=1, grp="a"), Row(id=2, grp="b"), Row(id=3, grp=None)])
     out = str(tmp_path / "split")
-    files = write_avro(df, out, split_field="grp")
+    files = write_avro(df, out, split_field="grp").files
     import os
     subdirs = {os.path.relpath(f, out).split(os.sep)[0] for f in files}
     assert "a" in subdirs and "b" in subdirs
@@ -105,6 +105,7 @@ def test_split_field_routing(spark, tmp_path):
 def test_block_splitting(spark, tmp_path):
     df = spark.createDataFrame([(i,) for i in range(1000)], "v long")
     out = str(tmp_path / "blocks")
-    files = write_avro(df.coalesce(1), out, rows_per_block=100)
-    _s, rows = read_avro_rows(files[0])
+    res = write_avro(df.coalesce(1), out, rows_per_block=100)
+    assert res.row_count == 1000  # tallied during the encode pass
+    _s, rows = read_avro_rows(res.files[0])
     assert sorted(r["v"] for r in rows) == list(range(1000))

@@ -96,3 +96,43 @@ def test_columnar_dynamic_writes_real_avro(spark, sample, tmp_path):
     # dirs are plain `value/` (reference naming), not hive `k=v/`
     listed = sorted(os.listdir(out))
     assert "a" in listed and "b" in listed
+
+
+def test_split_values_with_escaped_chars(spark, tmp_path):
+    # Spark percent-escapes ':' '%' etc. in partition paths; the
+    # finalized group dirs must carry the DECODED value (reference
+    # names by raw key)
+    df = spark.createDataFrame([
+        Row(id=1, grp="a:b"), Row(id=2, grp="pct%20"), Row(id=3, grp="plain"),
+    ])
+    out = str(tmp_path / "esc")
+    res = write_text_dynamic(df, out, fmt="json", split_field="grp")
+    listed = sorted(os.listdir(out))
+    assert "a:b" in listed and "pct%20" in listed and "plain" in listed
+    assert res.row_count == 3
+
+
+def test_csv_header_written_per_split_file(spark, sample, tmp_path):
+    out = str(tmp_path / "hdr")
+    res = write_text_dynamic(sample, out, fmt="csv", split_field="grp",
+                             header=True)
+    assert res.row_count == 4
+    # EVERY data file starts with the header line (executor-side header,
+    # not a driver rewrite)
+    for f in res.files:
+        with open(f) as fh:
+            assert fh.readline().rstrip("\n") == "id,grp,name"
+
+
+def test_text_write_is_single_job(spark, sample, tmp_path):
+    # row counting rides the write job via Observation metrics — the
+    # old pre-write df.count() cost a full extra scan
+    sc = spark.sparkContext
+    sc.setJobGroup("single-job-write", "write_text_dynamic")
+    try:
+        res = write_text_dynamic(sample, str(tmp_path / "one"), fmt="json")
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("single-job-write")
+    assert len(jobs) == 1
+    assert res.row_count == 4
