@@ -142,7 +142,9 @@ _Q51_ORACLE = _HASHED_CTE + "\nSELECT doc_id, " + ", ".join(
 
 def lsh_candidate_pairs(docs: DataFrame,
                         n_hashes: int = N_HASHES,
-                        band_size: int = BAND_SIZE) -> DataFrame:
+                        band_size: int = BAND_SIZE,
+                        max_bucket_size: int = 256,
+                        drop_metrics=None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, shuffle on the
     band key, generate pairs inside each bucket.
 
@@ -152,7 +154,20 @@ def lsh_candidate_pairs(docs: DataFrame,
     collected id list. Buckets only hold genuine near-dup candidates,
     so the in-bucket quadratic is tiny; the corpus-level O(n^2) never
     materializes, which is the whole point at 100 TB.
+
+    Degenerate hot buckets (empty/boilerplate near-identical docs — at
+    web scale a single band bucket can hold millions of ids, i.e. one
+    task with an O(b^2) pair explosion) are CAPPED: bucket size is
+    computed with a count-over-window on the SAME band_key shuffle
+    (spill-safe; no second exchange) and buckets above
+    ``max_bucket_size`` are dropped BEFORE collect_list ever
+    materializes an id array. Pass a pyspark Observation as
+    ``drop_metrics`` to record how many (rows, buckets-worth of) ids
+    were dropped by the cap — it rides the same job, no extra scan.
+    Dropped buckets are boilerplate by construction; their members
+    still reach exact verification through OTHER, more selective bands.
     """
+    from pyspark.sql import Window as W
     sig = minhash_signature(docs, n_hashes)
     bands = []
     for b in range(n_hashes // band_size):
@@ -161,9 +176,17 @@ def lsh_candidate_pairs(docs: DataFrame,
     banded = sig.select(
         "doc_id",
         F.explode(F.array(*bands)).alias("band_key"))
-    buckets = (banded.groupBy("band_key")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-               .filter(F.size("ids") > 1))
+    sized = banded.withColumn(
+        "bs", F.count(F.lit(1)).over(W.partitionBy("band_key")))
+    if drop_metrics is not None:
+        sized = sized.observe(
+            drop_metrics,
+            F.sum(F.when(F.col("bs") > max_bucket_size, 1).otherwise(0))
+             .alias("dropped_ids"))
+    capped = sized.filter((F.col("bs") > 1)
+                          & (F.col("bs") <= max_bucket_size))
+    buckets = (capped.groupBy("band_key")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
     pairs = buckets.select(F.explode(F.expr(
         "flatten(transform(sequence(1, size(ids) - 1), "
         "i -> transform(slice(ids, i + 1, size(ids) - i), "

@@ -1,0 +1,41 @@
+"""LSH bucket cap: a degenerate hot bucket (boilerplate/identical docs)
+must be dropped BEFORE in-bucket pair generation, with the drop count
+observable from the same job."""
+
+from pyspark.sql import Observation
+
+from dataflowtemplates_spark.queries.dedup import lsh_candidate_pairs
+
+
+def _docs(spark):
+    rows = [(i, "exactly the same boilerplate text repeated here") 
+            for i in range(120)]
+    rows += [(1000, "first genuinely distinct document about spark plans"),
+             (1001, "first genuinely distinct document about spark plans")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_hot_bucket_dropped_and_counted(spark):
+    docs = _docs(spark)
+    obs = Observation()
+    pairs = lsh_candidate_pairs(docs, max_bucket_size=50, drop_metrics=obs)
+    got = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    # no pair from the 120-doc boilerplate bucket survives the cap
+    assert not any(a < 1000 and b < 1000 for a, b in got)
+    # the near-dup pair from small buckets is unaffected
+    assert (1000, 1001) in got
+    assert obs.get["dropped_ids"] >= 120  # doc x band rows over the cap
+
+
+def test_uncapped_would_explode(spark):
+    docs = _docs(spark)
+    got = lsh_candidate_pairs(docs, max_bucket_size=1_000_000).collect()
+    # C(120,2) boilerplate pairs — what the cap protects against
+    assert len(got) >= 120 * 119 // 2
+
+
+def test_single_exchange_on_band_key(spark):
+    plan = (lsh_candidate_pairs(_docs(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    # size-filter + collect_list share ONE band_key shuffle
+    assert plan.count("Exchange hashpartitioning(band_key") == 1
