@@ -85,6 +85,41 @@ class KeyedTable:
             raise FileNotFoundError(f"table not initialized: {self.path}")
         return self.spark.read.parquet(self.path)
 
+    def read_at(self, timestamp_bound: str) -> DataFrame:
+        """Snapshot read at an exact-staleness timestamp bound — the
+        reference's TimestampBound.ofReadTimestamp semantics
+        (SpannerQueryIO.java:129-136): the state produced by the last
+        commit at or before the bound, regardless of later mutations.
+        """
+        ts = _parse_bound(timestamp_bound)
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"table not initialized: {self.path}")
+        visible = [c for c in commits if _parse_bound(c["time"]) <= ts]
+        if not visible:
+            raise ValueError(
+                f"timestamp bound {timestamp_bound!r} precedes the "
+                f"table's first commit at {commits[0]['time']}")
+        version = visible[-1]["version"]
+        if version == commits[-1]["version"]:
+            return self.read()
+        return self.spark.read.parquet(
+            os.path.join(self.path, "_history", f"v-{version:05d}"))
+
+    def register(self, name: str,
+                 timestamp_bound: str | None = None) -> None:
+        """Expose the table (optionally a snapshot) to spark.sql."""
+        df = self.read_at(timestamp_bound) if timestamp_bound else self.read()
+        df.createOrReplaceTempView(name)
+
+    def _commits(self) -> list[dict]:
+        log = os.path.join(self.path, "_commits.json")
+        if not os.path.isfile(log):
+            return []
+        import json
+        with open(log) as fh:
+            return json.load(fh)
+
     # -- DDL -------------------------------------------------------------
     def create(self, df_schema_source: DataFrame) -> None:
         """CREATE TABLE IF NOT EXISTS from a DataFrame's schema
@@ -129,7 +164,31 @@ class KeyedTable:
         good = batch.filter(~null_pred)
         return good, bad
 
+    def _unstorable_columns(self, batch: DataFrame) -> list[str]:
+        """C4 boundary rule: Spanner cannot store STRUCT columns, and
+        ARRAY<ARRAY>/ARRAY<STRUCT> are rejected — the reference's
+        converter silently skips them when building mutations
+        (StructToMutationConverter.java:59-62,89-96)."""
+        from pyspark.sql import types as T
+        out = []
+        for f in batch.schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.StructType):
+                out.append(f.name)
+            elif isinstance(dt, T.ArrayType) and isinstance(
+                    dt.elementType, (T.ArrayType, T.StructType)):
+                out.append(f.name)
+        return out
+
     def _write(self, batch: DataFrame, op: str) -> MutationResult:
+        skipped = self._unstorable_columns(batch)
+        if skipped:
+            import logging
+            logging.getLogger(__name__).warning(
+                "skipping non-storable mutation columns %s "
+                "(STRUCT / nested ARRAY at the keyed-table boundary)",
+                skipped)
+            batch = batch.drop(*skipped)
         self.create(batch)
         target = self.read()
         batch = batch.select(*[c for c in batch.columns])  # stable projection
@@ -187,33 +246,86 @@ class KeyedTable:
 
     def _delete(self, batch: DataFrame) -> MutationResult:
         """K6: delete by composite key, key fields in the given order
-        (reference: templates/SpannerToSpannerDelete.java:78-91)."""
+        (reference: templates/SpannerToSpannerDelete.java:78-91).
+
+        One pass over the target: matched-key rows are flagged by a
+        left join and the applied count rides the rewrite job via
+        Observation metrics (the earlier form cost two extra full
+        scans: target.count() - survivors.count())."""
+        from pyspark.sql import Observation
         target = self.read()
         keyed = batch.select(*self.keys)
         good, null_q = self._null_key_split(keyed)
-        n_before = target.count()
-        survivors = target.join(good.distinct(), self.keys, "left_anti")
-        applied = n_before - survivors.count()
+        hits = good.distinct().withColumn("_hit", F.lit(1))
+        marked = target.join(hits, self.keys, "left")
+        obs = Observation()
+        marked = marked.observe(
+            obs, F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("applied"))
+        survivors = marked.filter(F.col("_hit").isNull()).drop("_hit")
         null_q = null_q.localCheckpoint(eager=True)  # lineage may read old files
         self._swap_in(survivors)
-        return MutationResult(applied=applied, quarantine=null_q)
+        return MutationResult(applied=int(obs.get["applied"] or 0),
+                              quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
     def _swap_in(self, df: DataFrame) -> None:
-        """Write-new-then-swap: the parquet stand-in for a transactional
-        commit. The staging dir lands on the same filesystem so the
-        final os.replace per file set is a metadata operation."""
+        """Write-new-then-swap with VERSIONED history: the parquet
+        stand-in for a transactional commit. Superseded data files move
+        (not delete) into `_history/v-NNNNN/` and every commit appends
+        to `_commits.json`, which is what makes `read_at` timestamp
+        bounds honest against a mutating table. Underscore-prefixed
+        entries are invisible to the plain parquet reader, so `read()`
+        still sees only the current version. At real scale this seam is
+        a Delta/Iceberg commit (their logs ARE this, hardened)."""
+        from datetime import datetime, timezone
         staging = tempfile.mkdtemp(
             prefix=f".staging-{uuid.uuid4().hex[:8]}-",
             dir=os.path.dirname(self.path) or ".")
         try:
             df.write.mode("overwrite").parquet(staging)
+            commits = self._commits() if os.path.isdir(self.path) else []
             if os.path.isdir(self.path):
-                shutil.rmtree(self.path)
-            os.replace(staging, self.path)
+                keep = {"_history", "_commits.json"}
+                current = [fn for fn in os.listdir(self.path)
+                           if fn not in keep]
+                if commits:
+                    vdir = os.path.join(
+                        self.path, "_history",
+                        f"v-{commits[-1]['version']:05d}")
+                    os.makedirs(vdir, exist_ok=True)
+                    for fn in current:
+                        os.replace(os.path.join(self.path, fn),
+                                   os.path.join(vdir, fn))
+                else:  # legacy unversioned files: overwrite in place
+                    for fn in current:
+                        fp = os.path.join(self.path, fn)
+                        shutil.rmtree(fp) if os.path.isdir(fp) \
+                            else os.remove(fp)
+            else:
+                os.makedirs(self.path)
+            for fn in os.listdir(staging):
+                os.replace(os.path.join(staging, fn),
+                           os.path.join(self.path, fn))
+            os.rmdir(staging)
+            commits.append(
+                {"version": (commits[-1]["version"] + 1) if commits else 1,
+                 "time": datetime.now(timezone.utc).isoformat()})
+            import json
+            tmp_log = os.path.join(self.path, "._commits.tmp")
+            with open(tmp_log, "w") as fh:
+                json.dump(commits, fh)
+            os.replace(tmp_log, os.path.join(self.path, "_commits.json"))
         except BaseException:
             shutil.rmtree(staging, ignore_errors=True)
             raise
+
+
+def _parse_bound(s: str):
+    """ISO timestamp (naive treated as UTC, trailing Z accepted)."""
+    from datetime import datetime, timezone
+    dt = datetime.fromisoformat(s.strip().replace(" ", "T")
+                                .replace("Z", "+00:00"))
+    return dt if dt.tzinfo else dt.replace(tzinfo=timezone.utc)
 
 
 def _conform(df: DataFrame, target: DataFrame) -> DataFrame:

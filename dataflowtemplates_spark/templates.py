@@ -59,10 +59,11 @@ def table_to_text(spark: SparkSession, query: str, output: str,
                   header: bool = False, without_sharding: bool = False,
                   prefix: str = "output", output_notify: str | None = None,
                   output_empty: bool = False, empty_text: str = "",
-                  timestamp_bound: str | None = None) -> WriteResult:
+                  timestamp_bound: str | None = None,
+                  keyed_tables: dict | None = None) -> WriteResult:
     """SpannerToText (reference: templates/SpannerToText.java:98-141):
     SQL (with --SPLITTER-- union) -> dynamic CSV/JSON + finish files."""
-    df = run_query(spark, query, timestamp_bound)
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
     return write_text_dynamic(df, output, fmt=fmt, split_field=split_field,
                               header=header, without_sharding=without_sharding,
                               prefix=prefix, empty_text=empty_text,
@@ -74,10 +75,11 @@ def table_to_columnar(spark: SparkSession, query: str, output: str,
                       split_field: str | None = None,
                       fmt: str = "avro",
                       output_notify: str | None = None,
-                      timestamp_bound: str | None = None) -> WriteResult:
+                      timestamp_bound: str | None = None,
+                      keyed_tables: dict | None = None) -> WriteResult:
     """SpannerToAvro (reference: templates/SpannerToAvro.java:78-103):
     SQL -> dynamic columnar files (snappy) + manifest."""
-    df = run_query(spark, query, timestamp_bound)
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
     return write_columnar_dynamic(df, output, split_field=split_field,
                                   fmt=fmt, output_notify=output_notify)
 

@@ -117,3 +117,58 @@ def test_quarantine_and_count_files(spark, table, tmp_path):
     assert read_avro(spark, qpath).count() == 1
     with open(cpath) as fh:
         assert fh.read() == "1"
+
+
+def test_timestamp_bound_snapshot_read(spark, tmp_path):
+    """Mutate, then read at a pre-mutation bound: old rows must be
+    visible (reference: SpannerQueryIO.java:129-136 exact-staleness)."""
+    from datetime import datetime, timezone
+    t = KeyedTable(spark, str(tmp_path / "versioned"), ["id"])
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="before"), Row(id=2, v="keep")]),
+        "INSERT")
+    bound = datetime.now(timezone.utc).isoformat()
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="after")]), "INSERT_OR_UPDATE")
+    # current read sees the mutation...
+    now = {r.id: r.v for r in t.read().collect()}
+    assert now == {1: "after", 2: "keep"}
+    # ...the bounded read does not
+    old = {r.id: r.v for r in t.read_at(bound).collect()}
+    assert old == {1: "before", 2: "keep"}
+    # a bound before table creation is an error
+    with pytest.raises(ValueError):
+        t.read_at("2000-01-01T00:00:00Z")
+
+
+def test_timestamp_bound_through_run_query(spark, tmp_path):
+    from datetime import datetime, timezone
+    from dataflowtemplates_spark.plans import run_query
+    t = KeyedTable(spark, str(tmp_path / "vq"), ["id"])
+    t.apply_mutations(spark.createDataFrame([Row(id=1, v="x")]), "INSERT")
+    bound = datetime.now(timezone.utc).isoformat()
+    t.apply_mutations(spark.createDataFrame([Row(id=1, v="y")]), "REPLACE")
+    rows = run_query(spark, "SELECT v FROM snap ORDER BY id",
+                     timestamp_bound=bound,
+                     keyed_tables={"snap": t}).collect()
+    assert [r.v for r in rows] == ["x"]
+    rows = run_query(spark, "SELECT v FROM snap ORDER BY id",
+                     keyed_tables={"snap": t}).collect()
+    assert [r.v for r in rows] == ["y"]
+
+
+def test_struct_and_nested_array_columns_skipped(spark, tmp_path):
+    """C4: STRUCT and ARRAY<STRUCT>/ARRAY<ARRAY> columns are dropped at
+    the mutation boundary (StructToMutationConverter.java:59-62,89-96),
+    storable columns apply normally."""
+    t = KeyedTable(spark, str(tmp_path / "c4"), ["id"])
+    batch = spark.createDataFrame(
+        [(1, "ok", (1, "in"), [[1, 2]], [10, 20])],
+        "id long, name string, s struct<x: long, y: string>,"
+        " aa array<array<long>>, plain array<long>")
+    r = t.apply_mutations(batch, "INSERT")
+    assert r.applied == 1 and r.failed == 0
+    cols = set(t.read().columns)
+    assert cols == {"id", "name", "plain"}  # s and aa skipped
+    row = t.read().collect()[0]
+    assert row.name == "ok" and row.plain == [10, 20]
