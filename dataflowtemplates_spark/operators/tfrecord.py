@@ -264,18 +264,27 @@ def encode_examples(df: DataFrame,
             for row in pdf.itertuples(index=False):
                 feats = {}
                 for (name, kind, enc, is_arr), value in zip(plans, row[n_pass:]):
-                    if value is None:
+                    # pd.isna covers None, NaN and NaT (Arrow renders
+                    # null timestamps as NaT, which `is None` misses)
+                    if value is None or (not is_arr and pd.isna(value)):
                         continue
-                    if not is_arr and isinstance(value, float) and pd.isna(value):
-                        continue
-                    vals = [enc(v) for v in value] if is_arr else [enc(value)]
+                    if is_arr:
+                        # null elements are skipped, matching the
+                        # skip-null-features contract for scalars
+                        vals = [enc(v) for v in value if not pd.isna(v)]
+                    else:
+                        vals = [enc(value)]
                     feats[name] = (kind, builders[kind](vals))
                 encoded.append(example(feats))
             out = {passthrough[i]: pdf.iloc[:, i] for i in range(n_pass)}
             out["example"] = encoded
             yield pd.DataFrame(out)
 
-    pass_schema = "".join(f"{c} string, " for c in passthrough)
+    # passthrough columns keep their REAL types (a hardcoded `string`
+    # would mistype any non-string passthrough at the Arrow boundary)
+    pass_schema = "".join(
+        f"{f.name} {f.dataType.simpleString()}, "
+        for f in source.schema.fields[:n_pass])
     return source.mapInPandas(encode_batches, f"{pass_schema}example binary")
 
 

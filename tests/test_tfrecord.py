@@ -121,3 +121,24 @@ def test_write_tfrecords_split(spark, tmp_path):
     decoded = [_decode_example(p) for p in total]
     # split column is passthrough metadata, not a feature
     assert all(set(d) == {"grp", "v"} or set(d) == {"v"} for d in decoded)
+
+
+def test_null_timestamp_and_null_array_elements(spark):
+    """Arrow renders null timestamps as NaT — the encoder must skip
+    them like any other null feature, and null array elements drop."""
+    from datetime import datetime
+    from dataflowtemplates_spark.operators.tfrecord import encode_examples
+    df = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12, 0, 0), [1, None, 3]),
+         (2, None, None)],
+        "id long, ts timestamp, arr array<long>")
+    rows = encode_examples(df).collect()
+    assert len(rows) == 2 and all(len(r.example) > 0 for r in rows)
+
+
+def test_non_string_passthrough_keeps_type(spark):
+    from dataflowtemplates_spark.operators.tfrecord import encode_examples
+    df = spark.createDataFrame([(7, "a")], "num long, txt string")
+    out = encode_examples(df, passthrough=("num",))
+    assert dict(out.dtypes)["num"] == "bigint"
+    assert out.collect()[0].num == 7
