@@ -74,6 +74,48 @@ class TableSpec:
     fields: list[FieldSpec] = field(default_factory=list)
     random_rate: int = DEFAULT_RANDOM_RATE
 
+    @classmethod
+    def from_table(cls, spark: SparkSession, table: str,
+                   primary_keys: list[str], count: int = 1000,
+                   random_rate: int = DEFAULT_RANDOM_RATE) -> "TableSpec":
+        """Build the spec from an existing catalog table's schema — the
+        reference reads column/PK/nullability from INFORMATION_SCHEMA
+        (DummyToMutation.java:105-111,143-158); Spark's catalog carries
+        the same facts, with primary keys supplied by the caller
+        (Spark has no PK metadata).
+        """
+        from pyspark.sql import types as T
+        to_gen = {
+            T.StringType: "STRING", T.BinaryType: "BYTES",
+            T.LongType: "INT64", T.IntegerType: "INT64",
+            T.ShortType: "INT64", T.ByteType: "INT64",
+            T.DoubleType: "FLOAT64", T.FloatType: "FLOAT64",
+            T.BooleanType: "BOOL", T.DateType: "DATE",
+            T.TimestampType: "TIMESTAMP", T.TimestampNTZType: "TIMESTAMP",
+        }
+
+        def lower(dt) -> str:
+            if isinstance(dt, T.ArrayType):
+                return f"ARRAY<{lower(dt.elementType)}>"
+            if isinstance(dt, T.DecimalType):
+                return "FLOAT64"  # generator draws; NUMERIC cast at sink
+            for klass, name in to_gen.items():
+                if isinstance(dt, klass):
+                    return name
+            raise ValueError(f"no generator lowering for {dt}")
+
+        missing = [k for k in primary_keys
+                   if k not in spark.table(table).columns]
+        if missing:
+            raise ValueError(f"primary keys {missing} not in {table}")
+        fields = [
+            FieldSpec(f.name, lower(f.dataType),
+                      is_primary=f.name in primary_keys,
+                      nullable=bool(f.nullable) and f.name not in primary_keys)
+            for f in spark.table(table).schema.fields]
+        return cls(name=table, count=count, fields=fields,
+                   random_rate=random_rate)
+
 
 def parse_tables_arg(arg: str) -> dict[str, int]:
     """`"t1:1000,t2:20000"` -> {"t1": 1000, "t2": 20000}."""

@@ -134,3 +134,28 @@ def test_generate_to_keyed_table(spark, tmp_path):
     r = tpl.generate_to_keyed_table(spark, spec, t)
     assert r.applied == 50 and r.failed == 0
     assert t.read().count() == 50
+
+
+def test_tablespec_from_catalog_table(spark, tmp_path):
+    """Schema-from-catalog generator spec (reference reads
+    INFORMATION_SCHEMA — DummyToMutation.java:105-111,143-158)."""
+    from dataflowtemplates_spark.sources.generator import (
+        TableSpec, generate_table)
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True, [1, 2])],
+        "pk long, s string, f double, b boolean, arr array<long>")
+    df.write.mode("overwrite").saveAsTable("spec_src")
+    try:
+        spec = TableSpec.from_table(spark, "spec_src", ["pk"], count=25)
+        by_name = {f.name: f for f in spec.fields}
+        assert by_name["pk"].is_primary and not by_name["pk"].nullable
+        assert by_name["arr"].type == "ARRAY<INT64>"
+        out = generate_table(spark, spec, seed="7")
+        assert out.count() == 25
+        assert set(out.columns) == {"pk", "s", "f", "b", "arr"}
+        # deterministic: same seed regenerates identical rows
+        again = generate_table(spark, spec, seed="7")
+        assert sorted(map(str, out.collect())) == \
+            sorted(map(str, again.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS spec_src")
