@@ -26,12 +26,13 @@ from dataflowtemplates_spark.queries import (
     multimodal_queries,
     relational,
     similarity,
+    streaming_queries,
     temporal,
     text,
 )
 
 _MODULES = (relational, temporal, text, dedup, similarity,
-            generator_queries, multimodal_queries)
+            generator_queries, multimodal_queries, streaming_queries)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

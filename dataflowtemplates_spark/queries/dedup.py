@@ -144,7 +144,8 @@ def lsh_candidate_pairs(docs: DataFrame,
                         n_hashes: int = N_HASHES,
                         band_size: int = BAND_SIZE,
                         max_bucket_size: int = 256,
-                        drop_metrics=None) -> DataFrame:
+                        drop_metrics=None,
+                        signature: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, shuffle on the
     band key, generate pairs inside each bucket.
 
@@ -168,7 +169,8 @@ def lsh_candidate_pairs(docs: DataFrame,
     still reach exact verification through OTHER, more selective bands.
     """
     from pyspark.sql import Window as W
-    sig = minhash_signature(docs, n_hashes)
+    sig = signature if signature is not None \
+        else minhash_signature(docs, n_hashes)
     bands = []
     for b in range(n_hashes // band_size):
         cols = [f"mh_{b * band_size + j}" for j in range(band_size)]
@@ -273,6 +275,109 @@ WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
 ORDER BY doc_a, doc_b
 """
 
+def q55_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END TO END: one minhash pass feeds both the
+    LSH candidate generation and the per-pair signature-agreement
+    estimate; candidates are then verified with exact shingle Jaccard
+    and a keep-smallest-id drop decision.
+
+    Plan notes for 100 TB: the signature is computed ONCE and reused
+    by both consumers (`lsh_candidate_pairs(signature=...)`), the
+    exact verification joins grams only for documents that appear in
+    some candidate pair (a semi-join prune — the corpus-level gram
+    self-join never happens), and every stage inherits the bucketed/
+    capped shapes of the underlying operators.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    sig = minhash_signature(docs)
+    pairs = lsh_candidate_pairs(docs, signature=sig)
+
+    siga = sig.select(F.col("doc_id").alias("doc_a"),
+                      *[F.col(f"mh_{i}").alias(f"_a{i}")
+                        for i in range(N_HASHES)])
+    sigb = sig.select(F.col("doc_id").alias("doc_b"),
+                      *[F.col(f"mh_{i}").alias(f"_b{i}")
+                        for i in range(N_HASHES)])
+    agree = sum(
+        F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES))
+
+    cand_ids = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    grams = (docs.join(cand_ids, "doc_id", "left_semi")
+             .select("doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("gram")))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    ga = grams.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = grams.select(F.col("doc_id").alias("doc_b"), "gram")
+    shared = (pairs.join(ga, "doc_a").join(gb, ["doc_b", "gram"])
+              .groupBy("doc_a", "doc_b")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_grams").alias("_na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_grams").alias("_nb"))
+
+    return (pairs
+            .join(siga, "doc_a").join(sigb, "doc_b")
+            .withColumn("est_jaccard",
+                        agree.cast("double") / F.lit(float(N_HASHES)))
+            .join(shared, ["doc_a", "doc_b"], "left")
+            .join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)))
+            .withColumn("jaccard",
+                        F.col("n_shared").cast("double")
+                        / (F.col("_na") + F.col("_nb") - F.col("n_shared")))
+            .withColumn("drop_b", F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "est_jaccard", "jaccard", "drop_b")
+            .orderBy("doc_a", "doc_b"))
+
+
+_Q55_SIG = "SELECT doc_id, " + ", ".join(
+    f"{_mh_oracle(i)} AS mh_{i}" for i in range(N_HASHES)) + " FROM hashed"
+
+_Q55_ORACLE = _HASHED_CTE + """,
+banded AS (
+""" + "\nUNION ALL\n".join(
+    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
+    for b in range(N_HASHES // BAND_SIZE)
+) + f"""
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sig AS ({_Q55_SIG}),
+cand AS (SELECT doc_a AS doc_id FROM pairs
+         UNION SELECT doc_b FROM pairs),
+grams AS (
+  SELECT doc_id, UNNEST({_SHINGLES_DD}) AS gram
+  FROM documents WHERE doc_id IN (SELECT doc_id FROM cand)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_shared
+  FROM pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_a
+  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.gram = ga.gram
+  GROUP BY 1, 2)
+SELECT p.doc_a AS doc_a, p.doc_b AS doc_b,
+       CAST({" + ".join(f"(CASE WHEN a.mh_{i} = b.mh_{i} THEN 1 ELSE 0 END)"
+                        for i in range(N_HASHES))} AS DOUBLE)
+         / {float(N_HASHES)} AS est_jaccard,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         / (sa.n_grams + sb.n_grams - COALESCE(s.n_shared, 0)) AS jaccard,
+       CAST(COALESCE(s.n_shared, 0) AS DOUBLE)
+         / (sa.n_grams + sb.n_grams - COALESCE(s.n_shared, 0)) >= 0.5 AS drop_b
+FROM pairs p
+JOIN sig a ON a.doc_id = p.doc_a
+JOIN sig b ON b.doc_id = p.doc_b
+LEFT JOIN shared s ON s.doc_a = p.doc_a AND s.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
 #: SimHash width (bits). Each bit is a salted-md5 fair coin per token.
 SIMHASH_BITS = 16
 
@@ -325,6 +430,7 @@ QUERIES = {
     "q52_lsh_pairs": q52_lsh_pairs,
     "q53_ngram_jaccard": q53_ngram_jaccard,
     "q54_simhash": q54_simhash,
+    "q55_dedup_pipeline": q55_dedup_pipeline,
 }
 
 ORACLES = {
@@ -333,4 +439,5 @@ ORACLES = {
     "q52_lsh_pairs": _Q52_ORACLE,
     "q53_ngram_jaccard": _Q53_ORACLE,
     "q54_simhash": _Q54_ORACLE,
+    "q55_dedup_pipeline": _Q55_ORACLE,
 }

@@ -1,0 +1,158 @@
+"""Structured-Streaming queries surfaced through the correctness gate.
+
+The reference is batch-only (SURVEY §1.1: no windows/watermarks
+anywhere), so streaming is a first-class EXTENSION here
+(streaming/pipelines.py). These queries run the real streaming
+operators — file-source stream, watermarked tumbling window,
+session_window — bounded with ``trigger(availableNow=True)`` into an
+in-memory sink, which makes them deterministic and therefore
+oracle-checkable against batch SQL: complete output mode emits every
+window regardless of watermark progress, so a bounded stream equals
+the batch aggregation bit-for-bit.
+
+Scale stance: the same code unbounded is the production path — the
+watermark bounds state (append/update modes), availableNow is just the
+test harness's determinism knob. Event-time logic, state layout and
+shuffle shape are identical either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflowtemplates_spark.catalog import _nanos_timestamp_cols, register_tables
+
+#: events schema with ts as raw nanos (the driver parquet is
+#: TIMESTAMP(NANOS), which Spark's reader only accepts as long).
+_EVENTS_NS_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table, nanos-aware."""
+    register_tables(spark, sf_dir)  # engine confs incl. nanosAsLong
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(path):
+        # file sources stream DIRECTORIES; a single-file table streams
+        # from its parent with a glob filter
+        src, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
+    else:
+        src, opts = path, {}
+    if "ts" in _nanos_timestamp_cols(path):
+        raw = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
+               .options(**opts).parquet(src))
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+    return (spark.readStream.schema(EVENTS_SCHEMA)
+            .options(**opts).parquet(src))
+
+
+def _run_bounded(agg: DataFrame, name: str) -> None:
+    """Drain the bounded stream into the in-memory sink `name`."""
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName(name).trigger(availableNow=True).start())
+    q.awaitTermination()
+
+
+def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling 1-hour counts per event type, streamed.
+
+    The streaming twin of q34, run through the actual streaming
+    machinery (file-source micro-batches, event-time window, watermark,
+    stateful aggregation). Sums cast to DECIMAL first so the result is
+    order-independent and bit-comparable to the batch oracle.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("value_sum"))
+           .select(F.col("w.start").alias("window_start"),
+                   F.col("w.end").alias("window_end"),
+                   "event_type", "n", "value_sum"))
+    _run_bounded(agg, "q90_tumbling_sink")
+    return (spark.table("q90_tumbling_sink")
+            .orderBy("window_start", "event_type"))
+
+
+_Q90_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1, 2, 3
+ORDER BY window_start, event_type
+"""
+
+
+def q91_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window sessionization (30-min gap), streamed — the
+    stateful streaming twin of q16's batch lag+cumsum sessionization.
+    Emits per-session event counts and bounds; session_end is
+    last-event + gap (Spark session_window semantics, mirrored in the
+    oracle's lag/cumsum form).
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "2 hours")
+           .groupBy(F.session_window("ts", "30 minutes").alias("s"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.min("ts").alias("first_event"),
+                F.max("ts").alias("last_event"))
+           .select("user_id",
+                   F.col("s.start").alias("session_start"),
+                   F.col("s.end").alias("session_end"),
+                   "n_events", "first_event", "last_event"))
+    _run_bounded(agg, "q91_session_sink")
+    return (spark.table("q91_session_sink")
+            .orderBy("user_id", "session_start"))
+
+
+_Q91_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+marked AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM ordered)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event
+FROM marked
+GROUP BY user_id, sess_id
+ORDER BY user_id, session_start
+"""
+
+
+QUERIES = {
+    "q90_stream_tumbling": q90_stream_tumbling,
+    "q91_stream_sessionize": q91_stream_sessionize,
+}
+
+ORACLES = {
+    "q90_stream_tumbling": _Q90_ORACLE,
+    "q91_stream_sessionize": _Q91_ORACLE,
+}
