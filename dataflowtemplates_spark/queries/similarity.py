@@ -95,18 +95,23 @@ FROM embeddings ORDER BY vec_id
 
 
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, nrm_alias: str,
-               extra: dict[str, str] | None = None) -> DataFrame:
+               extra: dict[str, str] | None = None,
+               spread: bool = True) -> DataFrame:
     """id + raw vector + its L2 norm (+extras), repartitioned for
     compute balance when the source is a single small file. The norm is
     a per-row projection BELOW the join that consumes it — computed
-    once per row, not once per pair."""
+    once per row, not once per pair. Pass ``spread=False`` for tiny
+    query/seed sides that are about to be broadcast: fanning 5 rows
+    into defaultParallelism partitions just buys scheduling overhead.
+    """
     spark = df.sparkSession
     extra = extra or {}
-    return (df.repartition(spark.sparkContext.defaultParallelism)
-            .select(F.col("vec_id").alias(id_alias),
-                    F.col("embedding").alias(vec_alias),
-                    norm_col("embedding").alias(nrm_alias),
-                    *[F.col(src).alias(dst) for src, dst in extra.items()]))
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return (df.select(F.col("vec_id").alias(id_alias),
+                      F.col("embedding").alias(vec_alias),
+                      norm_col("embedding").alias(nrm_alias),
+                      *[F.col(src).alias(dst) for src, dst in extra.items()]))
 
 
 def _cosine(q_vec: str, c_vec: str, q_nrm: str, c_nrm: str) -> F.Column:
@@ -132,7 +137,7 @@ def ann_bruteforce_topk(queries_df: DataFrame, candidates: DataFrame,
     form shuffled EVERY scored pair into n_queries partitions).
     """
     from dataflowtemplates_spark.operators.topk import topk_per_key
-    q = _with_norm(queries_df, "q_id", "q_vec", "q_nrm")
+    q = _with_norm(queries_df, "q_id", "q_vec", "q_nrm", spread=False)
     c = _with_norm(candidates, "c_id", "c_vec", "c_nrm", {"label": "c_label"})
     scored = (c.crossJoin(F.broadcast(q))
               .select("q_id", "c_id", "c_label",
@@ -191,7 +196,8 @@ def q62_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings").withColumn(
         "bucket", _bucket_col("embedding"))
     q = _with_norm(emb.filter(F.col("vec_id") < 5),
-                   "q_id", "q_vec", "q_nrm", {"bucket": "bucket"})
+                   "q_id", "q_vec", "q_nrm", {"bucket": "bucket"},
+                   spread=False)
     c = _with_norm(emb.filter(F.col("vec_id") >= 5),
                    "c_id", "c_vec", "c_nrm", {"bucket": "bucket"})
     scored = (c.join(F.broadcast(q), "bucket")
@@ -376,7 +382,7 @@ def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = _with_norm(emb.filter(F.col("vec_id") >= 20),
                        "c_id", "c_vec", "c_nrm")
     qrys = _with_norm(emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
-                      "q_id", "q_vec", "q_nrm")
+                      "q_id", "q_vec", "q_nrm", spread=False)
 
     cells = assign_cells(cands, "c_vec", "c_nrm", codebook, nprobe=1)
     probes = assign_cells(qrys, "q_vec", "q_nrm", codebook, nprobe=2)
