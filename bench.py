@@ -35,8 +35,11 @@ HEADLINE = (
     "q40_token_stats",
     "q50_dedup_exact",
     "q52_lsh_pairs",
+    "q55_dedup_pipeline",
     "q61_ann_bruteforce",
     "q65_ann_ivf",
+    "q66_embedding_neardup_lsh",
+    "q90_stream_tumbling",
 )
 
 

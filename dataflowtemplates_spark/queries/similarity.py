@@ -263,6 +263,44 @@ ORDER BY id_a, id_b
 """
 
 
+def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide embedding near-dup pairs via sign-bucket LSH: the
+    SCALE path for what q63 verifies on a bounded window. Both sides
+    of the self-join are the full table, equi-joined on the 4-bit sign
+    bucket — a shuffle hash join on bucket, never an all-pairs cross
+    join; the normalized projection is built once and Catalyst reuses
+    the exchange for both sides (ReusedExchange). Skewed buckets are
+    AQE's skew-join problem, orthogonal to the plan shape.
+    """
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings").withColumn(
+        "bucket", _bucket_col("embedding"))
+    n = _with_norm(emb, "vid", "v", "nrm", {"bucket": "bucket"})
+    a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"), "bucket")
+    b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"), "bucket")
+    return (a.join(b, "bucket")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "bucket",
+                    _cosine("va", "vb", "na", "nb").alias("cosine"))
+            .filter(F.col("cosine") >= 0.35)
+            .orderBy("id_a", "id_b"))
+
+
+_Q66_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding AS v, {_norm_dd('embedding')} AS nrm,
+         {_bucket_dd('embedding')} AS bucket
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
+       {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cosine
+FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')} >= 0.35
+ORDER BY id_a, id_b
+"""
+
+
 def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components via posexplode + exact-decimal mean
     (float sums are order-dependent; DECIMAL(20,8) sums are not)."""
@@ -442,6 +480,7 @@ QUERIES = {
     "q63_embedding_neardup": q63_embedding_neardup,
     "q64_label_centroids": q64_label_centroids,
     "q65_ann_ivf": q65_ann_ivf,
+    "q66_embedding_neardup_lsh": q66_embedding_neardup_lsh,
 }
 
 ORACLES = {
@@ -451,4 +490,5 @@ ORACLES = {
     "q63_embedding_neardup": _Q63_ORACLE,
     "q64_label_centroids": _Q64_ORACLE,
     "q65_ann_ivf": _Q65_ORACLE,
+    "q66_embedding_neardup_lsh": _Q66_ORACLE,
 }
