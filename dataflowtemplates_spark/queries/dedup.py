@@ -281,16 +281,21 @@ def q55_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate; candidates are then verified with exact shingle Jaccard
     and a keep-smallest-id drop decision.
 
-    Plan notes for 100 TB: the signature is computed ONCE and reused
-    by both consumers (`lsh_candidate_pairs(signature=...)`), the
-    exact verification joins grams only for documents that appear in
+    Plan notes for 100 TB: the signature feeds THREE consumers (band
+    generation, est_a, est_b), and DataFrame reuse re-executes lineage
+    — audited with .explain, the naive form scanned documents 12x and
+    ran the minhash aggregation 8x. It is therefore MATERIALIZED once
+    (eager localCheckpoint — the signature is ~8 shorts/doc, a rounding
+    error next to the corpus; at production scale this is "persist the
+    signature table", the same state IVF keeps for inverted lists).
+    Exact verification joins grams only for documents that appear in
     some candidate pair (a semi-join prune — the corpus-level gram
     self-join never happens), and every stage inherits the bucketed/
     capped shapes of the underlying operators.
     """
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
-    sig = minhash_signature(docs)
+    sig = minhash_signature(docs).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(docs, signature=sig)
 
     siga = sig.select(F.col("doc_id").alias("doc_a"),

@@ -267,10 +267,9 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide embedding near-dup pairs via sign-bucket LSH: the
     SCALE path for what q63 verifies on a bounded window. Both sides
     of the self-join are the full table, equi-joined on the 4-bit sign
-    bucket — a shuffle hash join on bucket, never an all-pairs cross
-    join; the normalized projection is built once and Catalyst reuses
-    the exchange for both sides (ReusedExchange). Skewed buckets are
-    AQE's skew-join problem, orthogonal to the plan shape.
+    bucket — never an all-pairs cross join. At toy SF AQE broadcasts
+    one side; at scale it is a shuffle join on bucket, and skewed
+    buckets are AQE's skew-join problem, orthogonal to the plan shape.
     """
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").withColumn(

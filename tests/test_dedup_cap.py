@@ -39,3 +39,14 @@ def test_single_exchange_on_band_key(spark):
             ._jdf.queryExecution().executedPlan().toString())
     # size-filter + collect_list share ONE band_key shuffle
     assert plan.count("Exchange hashpartitioning(band_key") == 1
+
+
+def test_q55_signature_materialized_once(spark):
+    """The minhash aggregation must not be re-executed per consumer:
+    audited plan had 12 document scans / 8 minhash aggs before the
+    signature checkpoint."""
+    from dataflowtemplates_spark.queries.dedup import q55_dedup_pipeline
+    plan = (q55_dedup_pipeline(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("partial_min") == 0  # sig comes from the checkpoint
+    assert plan.count("FileScan parquet [doc_id") <= 4
