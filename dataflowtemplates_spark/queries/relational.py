@@ -871,6 +871,26 @@ SELECT n_name, c_custkey, c_name, spend FROM ranked WHERE rk = 1 ORDER BY n_name
 """
 
 
+def q37_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type via the skew-spread two-stage
+    form (operators/skew.salted_distinct_count): salt = hash(value) %
+    buckets keeps equal values in one bucket, so per-bucket distinct
+    counts sum to the exact answer while a hot key fans over 16
+    reducers instead of one. Bit-identical to COUNT(DISTINCT ...)."""
+    from dataflowtemplates_spark.operators.skew import salted_distinct_count
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    return (salted_distinct_count(ev, ["event_type"], "user_id", buckets=16,
+                                  out="n_users")
+            .orderBy("event_type"))
+
+
+_Q37_ORACLE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q34_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over events (batch form of the streaming
     windowed agg in streaming/)."""
@@ -930,6 +950,7 @@ QUERIES = {
     "q32_exists_correlated": q32_exists_correlated,
     "q33_top_customer_per_nation": q33_top_customer_per_nation,
     "q34_events_tumbling": q34_events_tumbling,
+    "q37_salted_distinct": q37_salted_distinct,
 }
 
 ORACLES = {
@@ -964,4 +985,5 @@ ORACLES = {
     "q32_exists_correlated": _Q32_SQL,
     "q33_top_customer_per_nation": _Q33_ORACLE,
     "q34_events_tumbling": _Q34_ORACLE,
+    "q37_salted_distinct": _Q37_ORACLE,
 }
