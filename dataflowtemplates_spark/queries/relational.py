@@ -891,6 +891,54 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q38_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (Spark `percentile` and DuckDB
+    `quantile_cont` share the lo + (hi-lo)*frac interpolation on
+    doubles, so the results are bit-identical). The exact form is a
+    full sort per group; at 100 TB swap in percentile_approx — this
+    query pins the exact baseline the sketch is judged against."""
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.5)").alias("qty_med"),
+                 F.expr("percentile(l_quantity, 0.9)").alias("qty_p90"),
+                 F.expr("percentile(l_extendedprice, 0.25)").alias("price_p25"),
+                 F.expr("percentile(l_extendedprice, 0.5)").alias("price_med"),
+                 F.expr("percentile(l_extendedprice, 0.9)").alias("price_p90"))
+            .orderBy("l_returnflag"))
+
+
+_Q38_ORACLE = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.5) AS qty_med,
+       quantile_cont(l_quantity, 0.9) AS qty_p90,
+       quantile_cont(l_extendedprice, 0.25) AS price_p25,
+       quantile_cont(l_extendedprice, 0.5) AS price_med,
+       quantile_cont(l_extendedprice, 0.9) AS price_p90
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q39_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-sketch toolkit that replaces exact forms at
+    100 TB: HLL++ distinct counts (order-independent, merge-friendly)
+    and quantile summaries. No DuckDB oracle — its HLL/quantile
+    sketches differ by construction, so the driver records the weaker
+    rows-only check; q09/q38 pin the exact baselines these approximate.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+                 F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+                  .getItem(0).alias("approx_price_med"),
+                 F.expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)")
+                  .getItem(1).alias("approx_price_p90"),
+                 F.count(F.lit(1)).alias("n_rows"))
+            .orderBy("l_returnflag"))
+
+
 def q34_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over events (batch form of the streaming
     windowed agg in streaming/)."""
@@ -951,6 +999,8 @@ QUERIES = {
     "q33_top_customer_per_nation": q33_top_customer_per_nation,
     "q34_events_tumbling": q34_events_tumbling,
     "q37_salted_distinct": q37_salted_distinct,
+    "q38_percentiles": q38_percentiles,
+    "q39_approx_sketches": q39_approx_sketches,
 }
 
 ORACLES = {
@@ -986,4 +1036,5 @@ ORACLES = {
     "q33_top_customer_per_nation": _Q33_ORACLE,
     "q34_events_tumbling": _Q34_ORACLE,
     "q37_salted_distinct": _Q37_ORACLE,
+    "q38_percentiles": _Q38_ORACLE,
 }
