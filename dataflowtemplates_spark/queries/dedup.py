@@ -296,7 +296,12 @@ def q55_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
     sig = minhash_signature(docs).localCheckpoint(eager=True)
-    pairs = lsh_candidate_pairs(docs, signature=sig)
+    # pairs also fans out to four consumers (est join, candidate-id
+    # prune, shared-gram count, final assembly) — materialize the tiny
+    # candidate list too or its banding lineage re-executes per branch
+    # (plan audit: 20 exchanges / 6 windows before, 8 / 0 after)
+    pairs = lsh_candidate_pairs(docs, signature=sig) \
+        .localCheckpoint(eager=True)
 
     siga = sig.select(F.col("doc_id").alias("doc_a"),
                       *[F.col(f"mh_{i}").alias(f"_a{i}")
