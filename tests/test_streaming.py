@@ -124,3 +124,39 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     # produce a new/duplicate emission for it
     assert after.filter("window_start = timestamp '2024-01-01 10:00:00'").count() <= 1
     assert after.count() >= first
+
+
+def test_streaming_upserts_create_snapshot_history(spark, tmp_path):
+    """Each foreachBatch commit into the versioned KeyedTable is a
+    snapshot: a timestamp bound captured mid-stream reads the
+    intermediate state even after later batches mutate rows."""
+    from datetime import datetime, timezone
+    src = str(tmp_path / "vsrc")
+    os.makedirs(src)
+
+    def emit(eid, etype):
+        spark.createDataFrame(
+            [(eid, 1, "2024-01-01 10:00:00", etype, 1.0, "{}")],
+            "event_id LONG, user_id LONG, ts STRING, event_type STRING,"
+            " value DOUBLE, props STRING"
+        ).withColumn("ts", F.col("ts").cast("timestamp")) \
+         .coalesce(1).write.mode("append").parquet(src)
+
+    table = KeyedTable(spark, str(tmp_path / "vkt"), ["event_id"])
+    ckpt = str(tmp_path / "vckpt")
+
+    def run_once():
+        q = stream_to_keyed_table(
+            stream_events(spark, src).select("event_id", "event_type"),
+            table, "INSERT_OR_UPDATE", checkpoint=ckpt) \
+            .trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    emit(1, "before")
+    run_once()
+    bound = datetime.now(timezone.utc).isoformat()
+    emit(1, "after")          # upserts the same key
+    run_once()
+    assert {r.event_type for r in table.read().collect()} == {"after"}
+    old = {r.event_type for r in table.read_at(bound).collect()}
+    assert old == {"before"}  # mid-stream snapshot preserved
