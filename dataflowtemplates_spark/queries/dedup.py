@@ -388,6 +388,91 @@ ORDER BY p.doc_a, p.doc_b
 """
 
 
+def connected_components(pairs: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b",
+                         max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation — the
+    transitive-closure step that turns pairwise near-dup hits into
+    dedup GROUPS (keep one doc per component).
+
+    Each iteration joins current labels across the (symmetrized) edge
+    list and takes the min label seen per node; convergence is
+    O(component diameter) iterations — near-dup clusters are shallow,
+    so typically 2-4. Per-iteration results are localCheckpoint'ed:
+    iterative lineage otherwise grows a plan per round (the classic
+    Spark iteration trap). The driver-side loop only ever moves ONE
+    scalar (the changed-count) — all data stays distributed.
+
+    Output: (node, component) with component = min node id reachable.
+    """
+    edges = (pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+             .unionByName(pairs.select(F.col(dst).alias("a"),
+                                       F.col(src).alias("b")))
+             .distinct().localCheckpoint(eager=True))
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("comp", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        prop = (edges.join(labels, edges.a == labels.node)
+                .select(F.col("b").alias("node"), "comp"))
+        new = (labels.unionByName(prop)
+               .groupBy("node").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "node")
+                   .filter(F.col("n.comp") != F.col("o.comp")).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def q56_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup GROUPS: LSH candidate pairs -> connected components ->
+    per-doc group leader + group size (the keep-one-per-group decision
+    a corpus dedup actually ships). Iterative distributed algorithm on
+    the Spark side; the oracle proves it with a recursive-CTE
+    transitive closure in DuckDB."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("comp").alias("group_leader"),
+                    "group_size",
+                    (F.col("node") != F.col("comp")).alias("is_duplicate"))
+            .orderBy("doc_id"))
+
+
+_Q56_ORACLE = (
+    _HASHED_CTE.replace("WITH shingled AS", "WITH RECURSIVE shingled AS", 1)
+    + """,
+banded AS (
+""" + "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
+        for b in range(N_HASHES // BAND_SIZE))
+    + """
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+sizes AS (SELECT comp, COUNT(*) AS group_size FROM labels GROUP BY comp)
+SELECT l.node AS doc_id, l.comp AS group_leader, s.group_size,
+       l.node <> l.comp AS is_duplicate
+FROM labels l JOIN sizes s USING (comp)
+ORDER BY doc_id""")
+
+
 #: SimHash width (bits). Each bit is a salted-md5 fair coin per token.
 SIMHASH_BITS = 16
 
@@ -441,6 +526,7 @@ QUERIES = {
     "q53_ngram_jaccard": q53_ngram_jaccard,
     "q54_simhash": q54_simhash,
     "q55_dedup_pipeline": q55_dedup_pipeline,
+    "q56_dup_groups": q56_dup_groups,
 }
 
 ORACLES = {
@@ -450,4 +536,5 @@ ORACLES = {
     "q53_ngram_jaccard": _Q53_ORACLE,
     "q54_simhash": _Q54_ORACLE,
     "q55_dedup_pipeline": _Q55_ORACLE,
+    "q56_dup_groups": _Q56_ORACLE,
 }

@@ -50,3 +50,16 @@ def test_q55_signature_materialized_once(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("partial_min") == 0  # sig comes from the checkpoint
     assert plan.count("FileScan parquet [doc_id") <= 4
+
+
+def test_connected_components_multihop(spark):
+    """Chain a-b-c-d must converge to one component (label propagation
+    crosses multiple hops), disjoint pairs stay separate."""
+    from dataflowtemplates_spark.queries.dedup import connected_components
+    pairs = spark.createDataFrame(
+        [(2, 3), (3, 4), (4, 5),      # chain -> component 2
+         (10, 11),                    # separate pair
+         (20, 21), (21, 20)],         # duplicate edge, both directions
+        "doc_a long, doc_b long")
+    got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20}
