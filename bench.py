@@ -36,6 +36,7 @@ HEADLINE = (
     "q50_dedup_exact",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
+    "q56_dup_groups",
     "q61_ann_bruteforce",
     "q65_ann_ivf",
     "q66_embedding_neardup_lsh",

@@ -183,12 +183,52 @@ FROM documents GROUP BY source, lang ORDER BY source, lang
 """
 
 
+def q45_corpus_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning PIPELINE: quality gate + language-ID composed into
+    one pass — the filter a pretraining corpus build actually applies.
+    Per (source, verdict) survival stats plus exact char volume kept.
+    One scan, one aggregate shuffle; every signal is a Catalyst
+    expression so the whole filter runs inside codegen at 100 TB."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_chars = F.length("text")
+    toks = tokens_col()
+    rep = F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ratio = (F.expr(f"size(filter(split(text, ' '), t -> t IN ({sw})))")
+             .cast("double") / F.size(toks))
+    keep = ((n_chars >= 50) & (rep < 0.9) & (ratio >= 0.08))
+    return (docs.select("source",
+                        F.when(keep, F.lit("keep")).otherwise(F.lit("drop"))
+                         .alias("verdict"),
+                        n_chars.alias("nc"))
+            .groupBy("source", "verdict")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("nc").cast("bigint").alias("total_chars"))
+            .orderBy("source", "verdict"))
+
+
+_Q45_ORACLE = f"""
+SELECT source,
+       CASE WHEN LENGTH(text) >= 50
+                 AND (1.0 - CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+                      / LEN(STRING_SPLIT(text, ' '))) < 0.9
+                 AND CAST(LEN(LIST_FILTER(STRING_SPLIT(text, ' '), t -> t IN {_SW_SQL})) AS DOUBLE)
+                     / LEN(STRING_SPLIT(text, ' ')) >= 0.08
+            THEN 'keep' ELSE 'drop' END AS verdict,
+       COUNT(*) AS n_docs,
+       CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+FROM documents GROUP BY 1, 2 ORDER BY source, verdict
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
     "q42_quality_score": q42_quality_score,
     "q43_fingerprint": q43_fingerprint,
     "q44_source_profile": q44_source_profile,
+    "q45_corpus_filter": q45_corpus_filter,
 }
 
 ORACLES = {
@@ -197,4 +237,5 @@ ORACLES = {
     "q42_quality_score": _Q42_ORACLE,
     "q43_fingerprint": _Q43_ORACLE,
     "q44_source_profile": _Q44_ORACLE,
+    "q45_corpus_filter": _Q45_ORACLE,
 }
