@@ -33,6 +33,7 @@ HEADLINE = (
     "q35_asof_join",
     "q36_range_join",
     "q40_token_stats",
+    "q48_sequence_packing",
     "q50_dedup_exact",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",

@@ -25,13 +25,14 @@ from dataflowtemplates_spark.queries import (
     generator_queries,
     multimodal_queries,
     relational,
+    sampling,
     similarity,
     streaming_queries,
     temporal,
     text,
 )
 
-_MODULES = (relational, temporal, text, dedup, similarity,
+_MODULES = (relational, temporal, text, sampling, dedup, similarity,
             generator_queries, multimodal_queries, streaming_queries)
 
 

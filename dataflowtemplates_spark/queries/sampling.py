@@ -1,0 +1,137 @@
+"""Deterministic sampling and sequence-packing operators.
+
+Training-data-pipeline extensions beyond the reference surface: corpus
+subsampling and context-window packing are the two operations that sit
+between a cleaned corpus and the tokenizer in every pretraining build.
+
+Scale notes (the reason these take the shapes they do):
+
+* Sampling uses a seeded HASH-Bernoulli rule (md5 prefix threshold),
+  not ``rand()``: it is reproducible across engines/runs, needs no
+  shuffle (pure map-side filter pushed into the scan stage), and any
+  worker can re-derive membership — exactly how a 100 TB corpus is
+  subsampled in practice. An exact-quota variant would need a
+  per-stratum window; the Bernoulli form is the one that scales.
+* Packing partitions by ``source`` so each shard packs independently —
+  one shuffle on source, then a running-sum window per shard. A single
+  GLOBAL ordered cumsum would serialize onto one task at 100 TB; the
+  per-shard form is how packing is actually distributed (each input
+  shard becomes its own sequence stream).
+
+Reference analogue: none — the reference's closest op is the key-by
+routing of `transforms/StructToAvroTransform.java:79-91` (split a
+stream by a field value), which is the same partition-by-source idea.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+
+#: Hash-Bernoulli keep threshold: md5 hex prefixes '00'..'19' = 26/256
+#: of the keyspace (~10.2%). Lexicographic compare is identical in
+#: Spark and DuckDB, so both engines select the same rows.
+SAMPLE_PREFIX_MAX = "19"
+
+#: Sequence-packing token budget (context window size stand-in).
+PACK_BUDGET = 512
+
+#: Seed folded into the sampling hash — change it to draw an
+#: independent sample of the same rate.
+SAMPLE_SEED = "s42"
+
+
+def q47_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% corpus sample, stratification made auditable.
+
+    Keeps every document whose seeded md5 prefix falls under the
+    threshold, and returns the kept rows with their hash key plus the
+    per-source running index of the kept row (small window over the
+    ~10% survivors only — the full corpus never shuffles).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    key = F.md5(F.concat(F.lit(SAMPLE_SEED), F.col("doc_id").cast("string")))
+    kept = (docs
+            .select("doc_id", "source", key.alias("sample_key"))
+            .where(F.substring("sample_key", 1, 2) <= SAMPLE_PREFIX_MAX))
+    w = Window.partitionBy("source").orderBy("sample_key", "doc_id")
+    return (kept
+            .withColumn("kept_rank", F.row_number().over(w))
+            .orderBy("source", "kept_rank"))
+
+
+_Q47_ORACLE = f"""
+WITH kept AS (
+  SELECT doc_id, source,
+         MD5('{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)) AS sample_key
+  FROM documents
+  WHERE SUBSTRING(MD5('{SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2)
+        <= '{SAMPLE_PREFIX_MAX}')
+SELECT doc_id, source, sample_key,
+       CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY sample_key, doc_id)
+            AS INTEGER) AS kept_rank
+FROM kept ORDER BY source, kept_rank
+"""
+
+
+def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign documents, in shard
+    order, to fixed token-budget training sequences; report per-sequence
+    fill. A doc starts a new sequence when the running token count would
+    cross the budget boundary (greedy sequential packing, the standard
+    pretraining layout; oversize docs span/overflow their own bin).
+
+    seq_id = (running_total_before_doc) DIV budget — computed from one
+    running-sum window per source shard, then one aggregate shuffle.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (docs
+              .select("doc_id", "source", n_tok.alias("n_tokens"))
+              .withColumn("running", F.sum("n_tokens").over(w))
+              .withColumn("seq_id",
+                          F.floor((F.col("running") - F.col("n_tokens"))
+                                  / F.lit(PACK_BUDGET))))
+    return (staged
+            .groupBy("source", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("source", "seq_id"))
+
+
+_Q48_ORACLE = f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM documents)
+SELECT source,
+       CAST((running - n_tokens) // {PACK_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM staged
+GROUP BY 1, 2 ORDER BY source, seq_id
+"""
+
+
+QUERIES = {
+    "q47_hash_sample": q47_hash_sample,
+    "q48_sequence_packing": q48_sequence_packing,
+}
+
+ORACLES = {
+    "q47_hash_sample": _Q47_ORACLE,
+    "q48_sequence_packing": _Q48_ORACLE,
+}

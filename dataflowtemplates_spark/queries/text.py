@@ -222,6 +222,51 @@ FROM documents GROUP BY 1, 2 ORDER BY source, verdict
 """
 
 
+def q46_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization: the pre-tokenization cleanup pass a
+    training pipeline runs on every document (lowercase, URL/email/number
+    redaction, whitespace collapse).
+
+    Map-only — zero shuffles; every rule is a Catalyst regexp expression
+    inside whole-stage codegen, so at 100 TB this is a pure scan-rewrite
+    that scales linearly with input bytes. Patterns are restricted to the
+    regex subset Java (Spark) and RE2 (DuckDB) interpret identically.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    norm = F.lower(F.col("text"))
+    norm = F.regexp_replace(norm, r"https?://[^ ]+", "<url>")
+    norm = F.regexp_replace(norm, r"[^ ]+@[^ ]+\.[a-z]+", "<email>")
+    norm = F.regexp_replace(norm, "[0-9]+", "<num>")
+    norm = F.trim(F.regexp_replace(norm, " +", " "))
+    return (
+        docs.select(
+            "doc_id",
+            norm.alias("text_norm"),
+            F.length(norm).alias("n_chars_norm"),
+            (F.length(norm) < F.length("text")).alias("shrunk"))
+        .orderBy("doc_id")
+    )
+
+
+_Q46_ORACLE = """
+WITH n AS (
+  SELECT doc_id, text,
+         TRIM(REGEXP_REPLACE(
+           REGEXP_REPLACE(
+             REGEXP_REPLACE(
+               REGEXP_REPLACE(LOWER(text), 'https?://[^ ]+', '<url>', 'g'),
+               '[^ ]+@[^ ]+\\.[a-z]+', '<email>', 'g'),
+             '[0-9]+', '<num>', 'g'),
+           ' +', ' ', 'g')) AS text_norm
+  FROM documents)
+SELECT doc_id, text_norm,
+       CAST(LENGTH(text_norm) AS INTEGER) AS n_chars_norm,
+       LENGTH(text_norm) < LENGTH(text) AS shrunk
+FROM n ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -229,6 +274,7 @@ QUERIES = {
     "q43_fingerprint": q43_fingerprint,
     "q44_source_profile": q44_source_profile,
     "q45_corpus_filter": q45_corpus_filter,
+    "q46_text_normalize": q46_text_normalize,
 }
 
 ORACLES = {
@@ -238,4 +284,5 @@ ORACLES = {
     "q43_fingerprint": _Q43_ORACLE,
     "q44_source_profile": _Q44_ORACLE,
     "q45_corpus_filter": _Q45_ORACLE,
+    "q46_text_normalize": _Q46_ORACLE,
 }
