@@ -147,12 +147,78 @@ ORDER BY user_id, session_start
 """
 
 
+def q92_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup on (user_id, event_type) with
+    watermark-bounded state (``dropDuplicatesWithinWatermark``) — the
+    streaming twin of q50's batch dedup. Emits the distinct key set,
+    which a bounded drain makes deterministic (first-arrival payload
+    columns are not, so they stay out of the oracle surface).
+    """
+    from dataflowtemplates_spark.streaming.pipelines import dedup_stream
+    ev = _stream_events(spark, sf_dir)
+    deduped = (dedup_stream(ev, ["user_id", "event_type"])
+               .select("user_id", "event_type"))
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName("q92_dedup_sink").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table("q92_dedup_sink")
+            .orderBy("user_id", "event_type"))
+
+
+_Q92_ORACLE = """
+SELECT DISTINCT user_id, event_type
+FROM events ORDER BY user_id, event_type
+"""
+
+
+def q93_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user totals plus order-dependent session-break counts. Emitted
+    stats are monotone per key across micro-batches, so the bounded
+    drain's final state per user is the per-key max/min over emitted
+    rows — robust to the stream splitting into several batches.
+    """
+    from dataflowtemplates_spark.streaming.pipelines import user_stats_stateful
+    ev = _stream_events(spark, sf_dir)
+    stats = user_stats_stateful(ev)
+    q = (stats.writeStream.outputMode("update").format("memory")
+         .queryName("q93_stats_sink").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table("q93_stats_sink")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n_events"),
+                 F.min("first_event").alias("first_event"),
+                 F.max("last_event").alias("last_event"),
+                 F.max("n_breaks").alias("n_breaks"))
+            .orderBy("user_id"))
+
+
+_Q93_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS first_event,
+       MAX(ts) AS last_event,
+       CAST(SUM(brk) AS BIGINT) AS n_breaks
+FROM ordered GROUP BY user_id ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
+    "q92_stream_dedup": q92_stream_dedup,
+    "q93_stream_user_stats": q93_stream_user_stats,
 }
 
 ORACLES = {
     "q90_stream_tumbling": _Q90_ORACLE,
     "q91_stream_sessionize": _Q91_ORACLE,
+    "q92_stream_dedup": _Q92_ORACLE,
+    "q93_stream_user_stats": _Q93_ORACLE,
 }

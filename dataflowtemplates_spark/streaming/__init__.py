@@ -8,8 +8,10 @@ needs, built on the same operator semantics as the batch queries
 """
 
 from dataflowtemplates_spark.streaming.pipelines import (  # noqa: F401
+    dedup_stream,
     sessionized_stream,
     stream_events,
     stream_to_keyed_table,
     tumbling_counts_stream,
+    user_stats_stateful,
 )

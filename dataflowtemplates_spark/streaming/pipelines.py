@@ -75,6 +75,82 @@ def sessionized_stream(events: DataFrame,
                     "n_events", "first_event", "last_event"))
 
 
+def dedup_stream(events: DataFrame, keys: list[str],
+                 watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact deduplication on ``keys`` with bounded state.
+
+    Uses ``dropDuplicatesWithinWatermark``: per-key state is evicted
+    once the event-time watermark passes, so state is O(keys within
+    the watermark horizon) — plain ``dropDuplicates`` on non-time keys
+    would grow state forever on an unbounded stream (the 100 TB
+    killer). Keeps the first-arriving row per key; duplicates arriving
+    within the watermark window are dropped exactly.
+    """
+    return (events
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(keys))
+
+
+#: gap that splits two events into separate sessions (micros).
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+USER_STATS_OUTPUT = ("user_id long, n_events long, first_event timestamp, "
+                     "last_event timestamp, n_breaks long")
+_USER_STATS_STATE = "n long, first_us long, last_us long, breaks long"
+
+
+def user_stats_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event stats plus ORDER-DEPENDENT session-break counting
+    (gaps > 30 min between consecutive events) — the fold that built-in
+    streaming aggregations cannot express because it depends on the
+    event sequence, not just commutative combines.
+
+    State per user is four longs; each micro-batch folds its (sorted)
+    rows into the state and emits the updated totals. Counts are
+    monotone across batches, so a bounded drain's final value per key
+    is the max over emitted rows (see q93). Assumes batches arrive in
+    event-time order per key (file-source micro-batches do); a
+    production deployment would pair this with a watermark-buffered
+    reorder stage.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            n, first_us, last_us, breaks = state.get
+        else:
+            n, first_us, last_us, breaks = 0, None, None, 0
+        ts = pd.concat([pdf["ts"] for pdf in pdfs])
+        if len(ts):
+            us = ts.astype("datetime64[us]").astype("int64").sort_values()
+            prev = last_us
+            for v in us:
+                v = int(v)
+                if prev is not None and v - prev > SESSION_GAP_US:
+                    breaks += 1
+                prev = v
+            n += len(us)
+            first_us = int(us.iloc[0]) if first_us is None \
+                else min(first_us, int(us.iloc[0]))
+            last_us = prev
+        state.update((n, first_us, last_us, breaks))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "n_events": [n],
+            "first_event": [pd.Timestamp(first_us, unit="us")],
+            "last_event": [pd.Timestamp(last_us, unit="us")],
+            "n_breaks": [breaks],
+        })
+
+    return (events
+            .groupBy("user_id")
+            .applyInPandasWithState(fold, USER_STATS_OUTPUT,
+                                    _USER_STATS_STATE, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
                           checkpoint: str, mode: str = "update"):
     """foreachBatch sink into the mutation-disposition keyed table —

@@ -160,3 +160,83 @@ def test_streaming_upserts_create_snapshot_history(spark, tmp_path):
     assert {r.event_type for r in table.read().collect()} == {"after"}
     old = {r.event_type for r in table.read_at(bound).collect()}
     assert old == {"before"}  # mid-stream snapshot preserved
+
+
+def test_stateful_user_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState must carry state across micro-batches:
+    two files + maxFilesPerTrigger=1 force two batches; the break
+    between the batches' events must be counted from persisted state."""
+    from dataflowtemplates_spark.streaming import user_stats_stateful
+
+    src = str(tmp_path / "ssrc")
+    os.makedirs(src)
+    schema = ("event_id LONG, user_id LONG, ts STRING, event_type STRING,"
+              " value DOUBLE, props STRING")
+
+    def emit(rows):
+        (spark.createDataFrame(rows, schema)
+         .withColumn("ts", F.col("ts").cast("timestamp"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    # batch 1: user 1 at 10:00 and 10:10 (no break between them)
+    emit([(1, 1, "2024-01-01 10:00:00", "a", 1.0, "{}"),
+          (2, 1, "2024-01-01 10:10:00", "a", 1.0, "{}")])
+    # batch 2: user 1 at 11:00 (>30min after batch-1's last -> 1 break)
+    #          user 2 first appearance
+    emit([(3, 1, "2024-01-01 11:00:00", "a", 1.0, "{}"),
+          (4, 2, "2024-01-01 09:00:00", "b", 1.0, "{}")])
+
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+    stream = (spark.readStream.schema(EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (user_stats_stateful(stream)
+         .writeStream.outputMode("update").format("memory")
+         .queryName("t_stateful_sink")
+         .option("checkpointLocation", str(tmp_path / "sckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    emitted = spark.table("t_stateful_sink").collect()
+    # update mode emits one row per touched key per batch
+    assert len(emitted) >= 3
+    final = {r.user_id: r for r in
+             spark.table("t_stateful_sink")
+             .groupBy("user_id")
+             .agg(F.max("n_events").alias("n_events"),
+                  F.max("n_breaks").alias("n_breaks"),
+                  F.min("first_event").alias("first_event"),
+                  F.max("last_event").alias("last_event"))
+             .collect()}
+    assert final[1].n_events == 3
+    assert final[1].n_breaks == 1          # counted ACROSS the batch gap
+    assert str(final[1].first_event) == "2024-01-01 10:00:00"
+    assert str(final[1].last_event) == "2024-01-01 11:00:00"
+    assert final[2].n_events == 1 and final[2].n_breaks == 0
+
+
+def test_dedup_stream_drops_within_watermark(spark, tmp_path):
+    from dataflowtemplates_spark.streaming import dedup_stream, stream_events
+
+    src = str(tmp_path / "dsrc")
+    schema = ("event_id LONG, user_id LONG, ts STRING, event_type STRING,"
+              " value DOUBLE, props STRING")
+    (spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00", "a", 1.0, "{}"),
+         (2, 1, "2024-01-01 10:05:00", "a", 2.0, "{}"),   # dup key
+         (3, 1, "2024-01-01 10:06:00", "b", 3.0, "{}"),
+         (4, 2, "2024-01-01 10:07:00", "a", 4.0, "{}")], schema)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.parquet(src))
+
+    deduped = dedup_stream(stream_events(spark, src),
+                           ["user_id", "event_type"])
+    q = (deduped.select("user_id", "event_type")
+         .writeStream.outputMode("append").format("memory")
+         .queryName("t_dedup_sink")
+         .option("checkpointLocation", str(tmp_path / "dckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r.user_id, r.event_type)
+            for r in spark.table("t_dedup_sink").collect()}
+    assert rows == {(1, "a"), (1, "b"), (2, "a")}
+    assert spark.table("t_dedup_sink").count() == 3
