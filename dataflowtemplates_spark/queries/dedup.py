@@ -519,6 +519,75 @@ FROM votes ORDER BY doc_id
 """
 
 
+#: decontamination shingle width (words) and the hit threshold above
+#: which a document is flagged as contaminated.
+DECON_NGRAM = 4
+DECON_HITS = 3
+
+
+def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing
+    ≥DECON_HITS distinct DECON_NGRAM-word shingles with a held-out
+    eval set (here: doc_id % 50 == 0 stands in for the benchmark).
+
+    Plan for 100 TB: the EVAL side is small by construction (eval
+    benchmarks are KBs–MBs), so its distinct shingle set is broadcast;
+    the corpus side explodes distinct shingles map-side, hash-joins
+    against the broadcast with NO corpus shuffle, and aggregates per
+    doc_id — only matching (doc, shingle) rows ever reach the shuffle.
+    The corpus is never self-joined.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = DECON_NGRAM
+    gram_expr = F.when(
+        F.size(F.split(F.col("text"), " ")) >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"))
+    ).otherwise(F.array().cast("array<string>"))
+    is_bench = F.col("doc_id") % 50 == 0
+    bench_grams = (docs.filter(is_bench)
+                   .select(F.explode(gram_expr).alias("gram"))
+                   .distinct())
+    corpus = (docs.filter(~is_bench)
+              .select("doc_id", F.explode(gram_expr).alias("gram"),
+                      F.size(gram_expr).alias("n_grams")))
+    hits = (corpus.join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count(F.lit(1)).alias("n_hit")))
+    return (hits.select(
+        "doc_id", "n_grams", "n_hit",
+        (F.col("n_hit").cast("double") / F.col("n_grams"))
+         .alias("overlap_frac"),
+        (F.col("n_hit") >= DECON_HITS).alias("contaminated"))
+        .orderBy("doc_id"))
+
+
+_Q57_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {DECON_NGRAM - 2}, 1)),
+           i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '),
+                                           i, i + {DECON_NGRAM - 1}), ' '))) AS gs
+  FROM documents),
+bench AS (
+  SELECT DISTINCT UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 = 0),
+corpus AS (
+  SELECT doc_id, LEN(gs) AS n_grams, UNNEST(gs) AS gram
+  FROM grams WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT doc_id, n_grams, COUNT(*) AS n_hit
+  FROM corpus JOIN bench USING (gram)
+  GROUP BY 1, 2)
+SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, n_hit,
+       CAST(n_hit AS DOUBLE) / n_grams AS overlap_frac,
+       n_hit >= {DECON_HITS} AS contaminated
+FROM hits ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -527,6 +596,7 @@ QUERIES = {
     "q54_simhash": q54_simhash,
     "q55_dedup_pipeline": q55_dedup_pipeline,
     "q56_dup_groups": q56_dup_groups,
+    "q57_decontaminate": q57_decontaminate,
 }
 
 ORACLES = {
@@ -537,4 +607,5 @@ ORACLES = {
     "q54_simhash": _Q54_ORACLE,
     "q55_dedup_pipeline": _Q55_ORACLE,
     "q56_dup_groups": _Q56_ORACLE,
+    "q57_decontaminate": _Q57_ORACLE,
 }
