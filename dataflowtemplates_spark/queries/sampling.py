@@ -126,12 +126,58 @@ GROUP BY 1, 2 ORDER BY source, seq_id
 """
 
 
+#: Per-source document quota and the seed for the priority hash.
+CAP_PER_SOURCE = 15
+CAP_SEED = "c7"
+
+
+def q49_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: keep at most CAP_PER_SOURCE documents
+    per source, chosen by a seeded hash priority (corpus balancing —
+    stop one crawl domain from dominating the training mix).
+
+    Scale shape: the rank filter is a ``row_number() <= K`` predicate,
+    which Catalyst rewrites to WindowGroupLimit — a PARTIAL top-k that
+    drops rows to K-per-source-per-partition BEFORE the shuffle, so the
+    exchange carries at most n_partitions x n_sources x K rows, not the
+    corpus. (The plan audit's rank_pushdown column asserts this.)
+    Priority is the same seeded-md5 trick as q47: any engine or worker
+    re-derives the kept set independently.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    key = F.md5(F.concat(F.lit(CAP_SEED), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("cap_key", "doc_id")
+    return (docs
+            .select("doc_id", "source", key.alias("cap_key"))
+            .withColumn("cap_rank", F.row_number().over(w))
+            .filter(F.col("cap_rank") <= CAP_PER_SOURCE)
+            .orderBy("source", "cap_rank"))
+
+
+_Q49_ORACLE = f"""
+SELECT doc_id, source, cap_key, CAST(cap_rank AS INTEGER) AS cap_rank
+FROM (
+  SELECT doc_id, source,
+         MD5('{CAP_SEED}' || CAST(doc_id AS VARCHAR)) AS cap_key,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY MD5('{CAP_SEED}' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS cap_rank
+  FROM documents)
+WHERE cap_rank <= {CAP_PER_SOURCE}
+ORDER BY source, cap_rank
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
+    "q49_domain_cap": q49_domain_cap,
 }
 
 ORACLES = {
     "q47_hash_sample": _Q47_ORACLE,
     "q48_sequence_packing": _Q48_ORACLE,
+    "q49_domain_cap": _Q49_ORACLE,
 }

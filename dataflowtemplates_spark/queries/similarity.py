@@ -472,6 +472,108 @@ ORDER BY q_id, rk
 """
 
 
+#: k-means cluster count (centroids seeded from vec_id < KMEANS_K).
+KMEANS_K = 4
+
+
+def q67_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of cosine k-means over the embedding table:
+    seed centroids = the first KMEANS_K vectors, one re-centering, one
+    re-assignment. The iterative-algorithm representative of the ANN
+    toolkit — clustering is how a real corpus map (topic balancing,
+    IVF codebook training) is actually built.
+
+    Scale shape — the distributed-kmeans loop structure, per iteration:
+    (1) assignment is the MAP-ONLY ``assign_cells`` pass against the
+    driver-held codebook (no join, no shuffle of the vectors); (2)
+    re-centering is ONE aggregate shuffle keyed (cell, pos) — K*DIM
+    cells, combiner-friendly partial sums map-side — whose K*DIM-row
+    result returns to the driver and becomes the next broadcast
+    codebook. State on the driver is K*DIM doubles; the vector table
+    shuffles ZERO times end-to-end (the assignment is checkpointed so
+    iteration 2 re-reads it instead of recomputing lineage).
+
+    Determinism (the oracle-gate contract): component means use exact
+    DECIMAL(20,8) sums (float addition is order-dependent; decimal is
+    not — same trick as q64), divided once into a double; all cosines
+    are the fixed left-fold chain shared with the other ANN operators,
+    so DuckDB reproduces every bit. Ties in assignment break toward
+    the smaller cell id in both engines.
+    """
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < KMEANS_K)
+                    .select("vec_id", "embedding").collect())
+
+    vecs = _with_norm(emb, "vec_id", "v", "nrm", {"label": "label"})
+    a1 = (assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
+          .withColumnRenamed("cell", "cell_init")
+          .localCheckpoint(eager=True))
+
+    cent = (a1.select("cell_init", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell_init", "pos")
+            .agg((F.sum(F.col("val").cast("double").cast("decimal(20,8)"))
+                  .cast("double") / F.count(F.lit(1))).alias("c")))
+    new_cents: dict[int, list[float]] = {}
+    for r in cent.collect():
+        new_cents.setdefault(int(r["cell_init"]), [0.0] * DIM)[int(r["pos"])] \
+            = float(r["c"])
+    assert len(new_cents) == KMEANS_K, "empty k-means cell"
+    codebook2 = sorted(new_cents.items())
+
+    a2 = assign_cells(a1, "v", "nrm", codebook2, nprobe=1) \
+        .withColumnRenamed("cell", "cell_final")
+    cent_df = spark.createDataFrame(
+        [(cid, vec, _chain_norm(vec)) for cid, vec in codebook2],
+        schema="cell_final long, c_vec array<double>, c_nrm double")
+    return (a2.join(F.broadcast(cent_df), "cell_final")
+            .select("vec_id", "label", "cell_init", "cell_final",
+                    _cosine("v", "c_vec", "nrm", "c_nrm")
+                    .alias("cosine_final"))
+            .orderBy("vec_id"))
+
+
+_Q67_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS s_id, embedding AS s_vec, {_norm_dd('embedding')} AS s_nrm
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+vecs AS (
+  SELECT vec_id, label, embedding AS v, {_norm_dd('embedding')} AS nrm
+  FROM embeddings),
+s1 AS (
+  SELECT vec_id, label, v, nrm, s_id,
+         {_cosine_dd('v', 's_vec', 'nrm', 's_nrm')} AS s_cos
+  FROM vecs CROSS JOIN seeds),
+a1 AS (
+  SELECT vec_id, label, v, nrm, s_id AS cell_init FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY s_cos DESC, s_id ASC) AS rk
+    FROM s1) WHERE rk = 1),
+idx AS (SELECT UNNEST(GENERATE_SERIES(1, {DIM})) AS i),
+cent AS (
+  SELECT cell_init, i AS pos,
+         CAST(SUM(CAST(CAST(v[i] AS DOUBLE) AS DECIMAL(20,8))) AS DOUBLE)
+           / COUNT(*) AS c
+  FROM a1 CROSS JOIN idx GROUP BY cell_init, i),
+cvec AS (
+  SELECT cell_init AS cell_final, LIST(c ORDER BY pos) AS c_vec
+  FROM cent GROUP BY cell_init),
+cnrm AS (
+  SELECT cell_final, c_vec, {_norm_dd('c_vec')} AS c_nrm FROM cvec),
+s2 AS (
+  SELECT vec_id, label, cell_init, cell_final,
+         {_cosine_dd('v', 'c_vec', 'nrm', 'c_nrm')} AS cosine_final
+  FROM a1 CROSS JOIN cnrm)
+SELECT vec_id, label, cell_init, cell_final, cosine_final FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+      ORDER BY cosine_final DESC, cell_final ASC) AS rk
+  FROM s2) WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -480,6 +582,7 @@ QUERIES = {
     "q64_label_centroids": q64_label_centroids,
     "q65_ann_ivf": q65_ann_ivf,
     "q66_embedding_neardup_lsh": q66_embedding_neardup_lsh,
+    "q67_kmeans": q67_kmeans,
 }
 
 ORACLES = {
@@ -490,4 +593,5 @@ ORACLES = {
     "q64_label_centroids": _Q64_ORACLE,
     "q65_ann_ivf": _Q65_ORACLE,
     "q66_embedding_neardup_lsh": _Q66_ORACLE,
+    "q67_kmeans": _Q67_ORACLE,
 }

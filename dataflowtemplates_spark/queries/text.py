@@ -13,7 +13,7 @@ division, all engine-independent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
@@ -267,6 +267,233 @@ FROM n ORDER BY doc_id
 """
 
 
+def _grams_spark(width: int) -> F.Column:
+    """Word n-grams of the given width as an array column (empty when
+    the document is shorter than ``width`` words)."""
+    return F.when(
+        F.size(tokens_col()) >= width,
+        F.expr(
+            f"transform(sequence(1, size(split(text, ' ')) - {width - 1}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i, {width})))")
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _grams_dd(width: int) -> str:
+    """The identical n-gram array in DuckDB SQL (RANGE is half-open)."""
+    return (
+        f"CASE WHEN LEN(STRING_SPLIT(text, ' ')) >= {width} THEN "
+        f"LIST_TRANSFORM(RANGE(1, LEN(STRING_SPLIT(text, ' ')) - {width - 2}), "
+        f"i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), "
+        f"i, i + {width - 1}), ' ')) "
+        f"ELSE [] END")
+
+
+def q58_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    duplicate word-bigram / word-trigram fractions and the share of the
+    document taken by its single most-repeated bigram.
+
+    Scale shape: the duplicate fractions are MAP-ONLY (array_distinct
+    over per-row gram arrays inside codegen — no shuffle); only the
+    top-bigram count needs an aggregate, and its key (doc_id, gram) is
+    maximally high-cardinality, so the shuffle is perfectly spread —
+    no skew, no low-cardinality window. Reference analogue: none (this
+    is a training-pipeline extension; the reference has no text ops).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    bi, tri = _grams_spark(2), _grams_spark(3)
+    base = docs.select(
+        "doc_id",
+        F.size(bi).alias("n_bigrams"),
+        F.size(F.array_distinct(bi)).alias("n_distinct_bigrams"),
+        F.size(tri).alias("n_trigrams"),
+        F.size(F.array_distinct(tri)).alias("n_distinct_trigrams"),
+        bi.alias("_bi"))
+    top = (base.select("doc_id", F.explode("_bi").alias("gram"))
+           .groupBy("doc_id", "gram")
+           .agg(F.count(F.lit(1)).alias("cnt"))
+           .groupBy("doc_id")
+           .agg(F.max("cnt").alias("top_bigram_n")))
+    frac = (lambda n, d: F.when(
+        F.col(d) > 0,
+        F.lit(1.0) - F.col(n).cast("double") / F.col(d)).otherwise(F.lit(0.0)))
+    return (base.drop("_bi")
+            .join(top, "doc_id", "left")
+            .withColumn("top_bigram_n",
+                        F.coalesce("top_bigram_n", F.lit(0)).cast("bigint"))
+            .withColumn("dup_bigram_frac",
+                        frac("n_distinct_bigrams", "n_bigrams"))
+            .withColumn("dup_trigram_frac",
+                        frac("n_distinct_trigrams", "n_trigrams"))
+            .withColumn("top_bigram_frac",
+                        F.when(F.col("n_bigrams") > 0,
+                               F.col("top_bigram_n").cast("double")
+                               / F.col("n_bigrams")).otherwise(F.lit(0.0)))
+            .select("doc_id", "n_bigrams", "n_distinct_bigrams",
+                    "dup_bigram_frac", "n_trigrams", "n_distinct_trigrams",
+                    "dup_trigram_frac", "top_bigram_n", "top_bigram_frac")
+            .orderBy("doc_id"))
+
+
+_Q58_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id,
+         {_grams_dd(2)} AS bi,
+         {_grams_dd(3)} AS tri
+  FROM documents),
+stats AS (
+  SELECT doc_id,
+         CAST(LEN(bi) AS INTEGER) AS n_bigrams,
+         CAST(LEN(LIST_DISTINCT(bi)) AS INTEGER) AS n_distinct_bigrams,
+         CAST(LEN(tri) AS INTEGER) AS n_trigrams,
+         CAST(LEN(LIST_DISTINCT(tri)) AS INTEGER) AS n_distinct_trigrams
+  FROM base),
+top AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_n FROM (
+    SELECT doc_id, gram, COUNT(*) AS cnt FROM (
+      SELECT doc_id, UNNEST(bi) AS gram FROM base)
+    GROUP BY doc_id, gram) GROUP BY doc_id)
+SELECT s.doc_id, n_bigrams, n_distinct_bigrams,
+       CASE WHEN n_bigrams > 0
+            THEN 1.0 - CAST(n_distinct_bigrams AS DOUBLE) / n_bigrams
+            ELSE 0.0 END AS dup_bigram_frac,
+       n_trigrams, n_distinct_trigrams,
+       CASE WHEN n_trigrams > 0
+            THEN 1.0 - CAST(n_distinct_trigrams AS DOUBLE) / n_trigrams
+            ELSE 0.0 END AS dup_trigram_frac,
+       CAST(COALESCE(top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CASE WHEN n_bigrams > 0
+            THEN CAST(COALESCE(top_bigram_n, 0) AS DOUBLE) / n_bigrams
+            ELSE 0.0 END AS top_bigram_frac
+FROM stats s LEFT JOIN top USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+#: TF-IDF top-terms per document.
+TFIDF_K = 3
+
+
+def q59_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-TFIDF_K salient terms per document. The "idf" is the exact
+    rational form tf/n_tokens * N/df (pure int→double arithmetic — a
+    log() would be libm-dependent and break bit-exact oracle compare;
+    the RANKING it induces is identical since log is monotonic).
+
+    Scale shape: term frequencies shuffle once on the high-cardinality
+    (doc_id, term) key; document frequencies aggregate to a vocab-sized
+    table that joins back BROADCAST (a vocabulary is ~10^6 rows at any
+    corpus size — genuinely bounded, unlike customer/supplier dims);
+    the per-doc rank-filter compiles to WindowGroupLimit (partial top-k
+    before the shuffle) and doc_id is maximally high-cardinality, so no
+    low-cardinality window pathology.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
+    tf = (docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"),
+                      F.explode(tokens_col()).alias("term"))
+          .groupBy("doc_id", "n_tokens", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (tf.join(F.broadcast(df_docs), "term")
+              .crossJoin(F.broadcast(n_total))
+              .withColumn(
+                  "score",
+                  (F.col("tf").cast("double") / F.col("n_tokens"))
+                  * (F.col("n_corpus").cast("double") / F.col("df_docs"))))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= TFIDF_K)
+            .select("doc_id", "rk", "term", "tf", "df_docs", "score")
+            .orderBy("doc_id", "rk"))
+
+
+_Q59_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         UNNEST(STRING_SPLIT(text, ' ')) AS term
+  FROM documents),
+tfc AS (
+  SELECT doc_id, n_tokens, term, COUNT(*) AS tf
+  FROM tf GROUP BY doc_id, n_tokens, term),
+dfc AS (
+  SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df_docs,
+         (CAST(tf AS DOUBLE) / n_tokens)
+           * (CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / df_docs)
+           AS score
+  FROM tfc JOIN dfc USING (term))
+SELECT doc_id, CAST(rk AS INTEGER) AS rk, term, tf, df_docs, score
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rk
+  FROM scored)
+WHERE rk <= {TFIDF_K}
+ORDER BY doc_id, rk
+"""
+
+
+#: How many top merge-candidate pairs the BPE step reports.
+BPE_TOP = 20
+
+
+def q68_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step: corpus-wide counts of adjacent
+    character pairs inside words, weighted by word frequency — the
+    statistic a tokenizer trainer computes to pick its next merge.
+
+    Scale shape: the corpus collapses to its VOCABULARY first (one
+    shuffle on word — at 100 TB the vocab is millions of rows, the
+    corpus is trillions; all pair work happens on the small side), char
+    pairs explode off each distinct word (bounded by word length), and
+    the global top-N is orderBy+limit = TakeOrderedAndProject — a
+    per-partition partial top-N and a single tiny merge, never a
+    global sort of the pair table.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = (docs.select(F.explode(tokens_col()).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n_uses")))
+    # NB: guard, not greatest() — sequence(1, 0) in Spark is the
+    # DESCENDING sequence [1, 0], which would fabricate pairs for
+    # single-character words
+    pair_arr = F.when(
+        F.length("word") >= 2,
+        F.expr("transform(sequence(1, length(word) - 1), "
+               "i -> substring(word, i, 2))")
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select("word", "n_uses", F.explode(pair_arr).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("n_uses").cast("bigint").alias("total_count"),
+                 F.count(F.lit(1)).alias("n_words"))
+            .orderBy(F.col("total_count").desc(), F.col("pair").asc())
+            .limit(BPE_TOP)
+            .select("pair", "n_words", "total_count"))
+
+
+_Q68_ORACLE = f"""
+WITH vocab AS (
+  SELECT word, COUNT(*) AS n_uses FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  GROUP BY word),
+pairs AS (
+  SELECT word, n_uses, UNNEST(LIST_TRANSFORM(
+      RANGE(1, GREATEST(LENGTH(word), 1)),
+      i -> SUBSTRING(word, i, 2))) AS pair
+  FROM vocab)
+SELECT pair, COUNT(*) AS n_words, CAST(SUM(n_uses) AS BIGINT) AS total_count
+FROM pairs
+GROUP BY pair
+ORDER BY total_count DESC, pair ASC
+LIMIT {BPE_TOP}
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -275,6 +502,9 @@ QUERIES = {
     "q44_source_profile": q44_source_profile,
     "q45_corpus_filter": q45_corpus_filter,
     "q46_text_normalize": q46_text_normalize,
+    "q58_repetition_stats": q58_repetition_stats,
+    "q59_tfidf_topterms": q59_tfidf_topterms,
+    "q68_bpe_pairs": q68_bpe_pairs,
 }
 
 ORACLES = {
@@ -285,4 +515,7 @@ ORACLES = {
     "q44_source_profile": _Q44_ORACLE,
     "q45_corpus_filter": _Q45_ORACLE,
     "q46_text_normalize": _Q46_ORACLE,
+    "q58_repetition_stats": _Q58_ORACLE,
+    "q59_tfidf_topterms": _Q59_ORACLE,
+    "q68_bpe_pairs": _Q68_ORACLE,
 }
