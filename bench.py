@@ -35,6 +35,9 @@ HEADLINE = (
     "q40_token_stats",
     "q48_sequence_packing",
     "q50_dedup_exact",
+    "q57_decontaminate",
+    "q59_tfidf_topterms",
+    "q67_kmeans",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
     "q56_dup_groups",

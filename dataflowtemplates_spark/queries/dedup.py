@@ -536,26 +536,42 @@ def q57_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast with NO corpus shuffle, and aggregates per
     doc_id — only matching (doc, shingle) rows ever reach the shuffle.
     The corpus is never self-joined.
+
+    Expression-placement notes (measured 25x at sf0.1): the gram
+    array NEVER rides the exploded rows. transform() lambdas are
+    interpreted, so (a) they operate on a pre-split `toks` column
+    (an inline split would re-tokenize per element), and (b) the
+    explode takes the expression INLINE so it collapses into the
+    Generate and runs once per input row — the naive
+    `select(explode(g), size(g))` evaluates size()'s whole lambda
+    chain once per EXPLODED row (64s for 2.5s of work), and even an
+    explode of a pre-projected array column measures ~8x slower than
+    the inline form. n_grams comes from a separate map-only
+    projection joined on doc_id at the end, where AQE broadcasts the
+    (small) contaminated-hits side.
     """
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
     n = DECON_NGRAM
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     gram_expr = F.when(
-        F.size(F.split(F.col("text"), " ")) >= n,
+        F.size("toks") >= n,
         F.array_distinct(F.expr(
-            f"transform(sequence(1, size(split(text, ' ')) - {n - 1}), "
-            f"i -> concat_ws(' ', slice(split(text, ' '), i, {n})))"))
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
     ).otherwise(F.array().cast("array<string>"))
     is_bench = F.col("doc_id") % 50 == 0
-    bench_grams = (docs.filter(is_bench)
+    bench_grams = (toked.filter(is_bench)
                    .select(F.explode(gram_expr).alias("gram"))
                    .distinct())
-    corpus = (docs.filter(~is_bench)
-              .select("doc_id", F.explode(gram_expr).alias("gram"),
-                      F.size(gram_expr).alias("n_grams")))
+    corpus = (toked.filter(~is_bench)
+              .select("doc_id", F.explode(gram_expr).alias("gram")))
+    sizes = (toked.filter(~is_bench)
+             .select("doc_id", F.size(gram_expr).alias("n_grams")))
     hits = (corpus.join(F.broadcast(bench_grams), "gram")
-            .groupBy("doc_id", "n_grams")
-            .agg(F.count(F.lit(1)).alias("n_hit")))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hit"))
+            .join(sizes, "doc_id"))
     return (hits.select(
         "doc_id", "n_grams", "n_hit",
         (F.col("n_hit").cast("double") / F.col("n_grams"))
