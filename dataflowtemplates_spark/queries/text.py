@@ -405,8 +405,11 @@ def q59_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
     n_total = docs.groupBy().agg(F.count(F.lit(1)).alias("n_corpus"))
-    tf = (docs.select("doc_id", F.size(tokens_col()).alias("n_tokens"),
-                      F.explode(tokens_col()).alias("term"))
+    # n_tokens is computed BELOW the Generate (so the explode carries a
+    # scalar, not a re-evaluated split-per-exploded-row expression)
+    tf = (docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+          .select("doc_id", F.size("toks").alias("n_tokens"), F.col("toks"))
+          .select("doc_id", "n_tokens", F.explode("toks").alias("term"))
           .groupBy("doc_id", "n_tokens", "term")
           .agg(F.count(F.lit(1)).alias("tf")))
     df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
