@@ -209,11 +209,52 @@ FROM ordered GROUP BY user_id ORDER BY user_id
 """
 
 
+def q94_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joins the static
+    customer dimension (stateless, map-side — Spark re-plans the
+    static side per micro-batch, no join state), then a watermarked
+    tumbling window aggregates revenue per nation. The streaming twin
+    of the batch fact-dim join family (q03/q05).
+
+    Scale shape: stream-static inner joins keep ZERO state (only the
+    windowed agg holds any), and the dimension side is broadcast per
+    micro-batch — the standard enrichment topology for a 100 TB/day
+    event feed against a bounded dimension table.
+    """
+    ev = _stream_events(spark, sf_dir)
+    dim = (spark.table("customer")
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_nationkey").alias("nationkey")))
+    agg = (ev.withWatermark("ts", "2 hours")
+           .join(F.broadcast(dim), "user_id")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "nationkey")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                 .cast("double").alias("value_sum"))
+           .select(F.col("w.start").alias("window_start"), "nationkey",
+                   "n", "value_sum"))
+    _run_bounded(agg, "q94_enrich_sink")
+    return (spark.table("q94_enrich_sink")
+            .orderBy("window_start", "nationkey"))
+
+
+_Q94_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start,
+       c_nationkey AS nationkey,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY window_start, nationkey
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
     "q92_stream_dedup": q92_stream_dedup,
     "q93_stream_user_stats": q93_stream_user_stats,
+    "q94_stream_enrich": q94_stream_enrich,
 }
 
 ORACLES = {
@@ -221,4 +262,5 @@ ORACLES = {
     "q91_stream_sessionize": _Q91_ORACLE,
     "q92_stream_dedup": _Q92_ORACLE,
     "q93_stream_user_stats": _Q93_ORACLE,
+    "q94_stream_enrich": _Q94_ORACLE,
 }
