@@ -604,6 +604,66 @@ FROM hits ORDER BY doc_id
 """
 
 
+def q69_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|)
+    on the bounded candidate set. Jaccard misses quote-inclusion (a
+    short doc fully embedded in a long one scores low); containment is
+    the standard complementary metric a dedup pass runs beside it.
+
+    Same bounded-candidate contract as q53: at scale this verifies LSH
+    candidates (q52) only — the pairwise sweep here (doc_id < 40) just
+    exercises the exact math.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 40)
+    grams = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"))).alias("gram"))
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (a.join(b, (F.col("a.gram") == F.col("b.gram"))
+                     & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
+    return (
+        shared.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_shared",
+                (F.col("n_shared").cast("double")
+                 / F.least("na", "nb")).alias("containment"),
+                (F.col("n_shared") == F.least("na", "nb")).alias("subsumed"))
+        .filter(F.col("containment") >= 0.05)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+_Q69_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - 2, 0) + 1),
+           i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ')
+         ))) AS gram
+  FROM documents WHERE doc_id < 40),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared,
+       CAST(n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) AS containment,
+       n_shared = LEAST(sa.n_grams, sb.n_grams) AS subsumed
+FROM shared
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_shared AS DOUBLE) / LEAST(sa.n_grams, sb.n_grams) >= 0.05
+ORDER BY doc_a, doc_b
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -613,6 +673,7 @@ QUERIES = {
     "q55_dedup_pipeline": q55_dedup_pipeline,
     "q56_dup_groups": q56_dup_groups,
     "q57_decontaminate": q57_decontaminate,
+    "q69_ngram_containment": q69_ngram_containment,
 }
 
 ORACLES = {
@@ -624,4 +685,5 @@ ORACLES = {
     "q55_dedup_pipeline": _Q55_ORACLE,
     "q56_dup_groups": _Q56_ORACLE,
     "q57_decontaminate": _Q57_ORACLE,
+    "q69_ngram_containment": _Q69_ORACLE,
 }

@@ -793,6 +793,40 @@ FROM documents WHERE doc_id < 100 ORDER BY doc_id
 """
 
 
+def q29_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family over one window: rank, dense_rank,
+    percent_rank, cume_dist, ntile — per-nation customer balance
+    standings. One shuffle on the (high-cardinality at scale) nation
+    key; ordering carries a full tiebreak so every rank is
+    deterministic."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (cust.select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.percent_rank().over(w).alias("pctrk"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"))
+        .orderBy("c_nationkey", "rk", "c_custkey"))
+
+
+_Q29_ORACLE = """
+SELECT c_custkey, c_nationkey, c_acctbal,
+       CAST(RANK() OVER w AS INTEGER) AS rk,
+       CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+       PERCENT_RANK() OVER w AS pctrk,
+       CUME_DIST() OVER w AS cdist,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey
+             ORDER BY c_acctbal DESC, c_custkey ASC)
+ORDER BY c_nationkey, rk, c_custkey
+"""
+
+
 def q30_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON extraction over the events.props payload column."""
     register_tables(spark, sf_dir)
@@ -993,6 +1027,7 @@ QUERIES = {
     "q26_distinct": q26_distinct,
     "q27_epoch_conversions": q27_epoch_conversions,
     "q28_hash_encode": q28_hash_encode,
+    "q29_window_ranks": q29_window_ranks,
     "q30_json_funcs": q30_json_funcs,
     "q31_collect_sorted": q31_collect_sorted,
     "q32_exists_correlated": q32_exists_correlated,
@@ -1030,6 +1065,7 @@ ORACLES = {
     "q26_distinct": _Q26_ORACLE,
     "q27_epoch_conversions": _Q27_ORACLE,
     "q28_hash_encode": _Q28_ORACLE,
+    "q29_window_ranks": _Q29_ORACLE,
     "q30_json_funcs": _Q30_ORACLE,
     "q31_collect_sorted": _Q31_ORACLE,
     "q32_exists_correlated": _Q32_SQL,
