@@ -574,6 +574,66 @@ ORDER BY vec_id
 """
 
 
+def _sq8_q(i: int) -> str:
+    """Quantized component i (Spark SQL): floor(v_i / m * 127)."""
+    return (f"floor(cast(element_at(v, {i}) as double) / m * 127)")
+
+
+def _sq8_q_dd(i: int) -> str:
+    return f"FLOOR(CAST(v[{i}] AS DOUBLE) / m * 127)"
+
+
+def q72_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (SQ8) of the embedding table: per-vector
+    symmetric scale m = max|v_i|, q_i = floor(v_i/m*127), plus the L2
+    reconstruction error — the 4x storage/bandwidth reduction every
+    100 TB ANN index applies before building inverted lists.
+
+    MAP-ONLY: zero shuffles, zero joins; the scale, four probe
+    components and the error are all codegen'd per-row expressions
+    (floor() avoids round()'s engine-specific tie semantics, and the
+    error is the same statically-unrolled left-fold chain as the other
+    vector ops, so DuckDB reproduces every bit). `m` is its own
+    multi-referenced projection, computed once per row (see the HOF
+    placement rules on q57/q58).
+    """
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    m_expr = "greatest(" + ", ".join(
+        f"abs(cast(element_at(embedding, {i}) as double))"
+        for i in range(1, DIM + 1)) + ")"
+    staged = emb.select("vec_id", F.col("embedding").alias("v"),
+                        F.expr(m_expr).alias("m"))
+    err_terms = " + ".join(
+        f"((cast(element_at(v, {i}) as double) - "
+        f"(cast({_sq8_q(i)} as double) * m) / 127) * "
+        f"(cast(element_at(v, {i}) as double) - "
+        f"(cast({_sq8_q(i)} as double) * m) / 127))"
+        for i in range(1, DIM + 1))
+    return (staged.select(
+        "vec_id", F.col("m").alias("max_abs"),
+        *[F.expr(f"cast({_sq8_q(i)} as int)").alias(f"q{i}")
+          for i in range(1, 5)],
+        F.expr(f"sqrt({err_terms})").alias("recon_err"))
+        .orderBy("vec_id"))
+
+
+_Q72_ORACLE = (
+    "WITH staged AS (SELECT vec_id, embedding AS v, GREATEST("
+    + ", ".join(f"ABS(CAST(embedding[{i}] AS DOUBLE))"
+                for i in range(1, DIM + 1))
+    + ") AS m FROM embeddings)\nSELECT vec_id, m AS max_abs, "
+    + ", ".join(f"CAST({_sq8_q_dd(i)} AS INTEGER) AS q{i}"
+                for i in range(1, 5))
+    + ", sqrt("
+    + " + ".join(
+        f"((CAST(v[{i}] AS DOUBLE) - (CAST({_sq8_q_dd(i)} AS DOUBLE) * m) / 127) * "
+        f"(CAST(v[{i}] AS DOUBLE) - (CAST({_sq8_q_dd(i)} AS DOUBLE) * m) / 127))"
+        for i in range(1, DIM + 1))
+    + ") AS recon_err FROM staged ORDER BY vec_id"
+)
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -583,6 +643,7 @@ QUERIES = {
     "q65_ann_ivf": q65_ann_ivf,
     "q66_embedding_neardup_lsh": q66_embedding_neardup_lsh,
     "q67_kmeans": q67_kmeans,
+    "q72_embedding_quantize": q72_embedding_quantize,
 }
 
 ORACLES = {
@@ -594,4 +655,5 @@ ORACLES = {
     "q65_ann_ivf": _Q65_ORACLE,
     "q66_embedding_neardup_lsh": _Q66_ORACLE,
     "q67_kmeans": _Q67_ORACLE,
+    "q72_embedding_quantize": _Q72_ORACLE,
 }
