@@ -33,6 +33,12 @@ N_HASHES = 8
 BAND_SIZE = 4
 #: Words per shingle.
 SHINGLE_WORDS = 3
+#: Default hot-bucket cap for LSH pair generation. The SAME constant is
+#: baked into the q52/q55/q56 oracles (HAVING COUNT(*) <= MAX_BUCKET per
+#: band_key), so Spark and DuckDB drop exactly the same degenerate
+#: buckets — the cap is part of the operator's declared semantics, not a
+#: silent divergence from the oracle.
+MAX_BUCKET = 256
 
 
 def _normalized() -> F.Column:
@@ -107,13 +113,15 @@ def minhash_signature(docs: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
     long-lived JVM as megamorphic call sites defeat the JIT). min() is
     algebraic, so the groupBy does a map-side partial aggregate —
     the shuffle carries ~one row per document, not per shingle. The
-    input is repartitioned first so a single small parquet file does
-    not pin the explode to one core.
+    input is spread over the cluster ONLY when the scan arrived
+    narrower than defaultParallelism (a single small file would
+    otherwise pin the explode to one core; an at-scale scan already
+    has the parallelism and must not pay a corpus-wide shuffle).
     """
     if n_hashes > 8:
         raise ValueError("n_hashes > 8 needs a second digest (32 hex / 4)")
-    spark = docs.sparkSession
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    from dataflowtemplates_spark.operators.partitioning import spread_if_narrow
+    docs = spread_if_narrow(docs)
     shingles = docs.select(
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("s"))
     hashed = shingles.select("doc_id", F.md5("s").alias("h"))
@@ -143,7 +151,7 @@ _Q51_ORACLE = _HASHED_CTE + "\nSELECT doc_id, " + ", ".join(
 def lsh_candidate_pairs(docs: DataFrame,
                         n_hashes: int = N_HASHES,
                         band_size: int = BAND_SIZE,
-                        max_bucket_size: int = 256,
+                        max_bucket_size: int | None = MAX_BUCKET,
                         drop_metrics=None,
                         signature: DataFrame | None = None) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, shuffle on the
@@ -167,6 +175,12 @@ def lsh_candidate_pairs(docs: DataFrame,
     were dropped by the cap — it rides the same job, no extra scan.
     Dropped buckets are boilerplate by construction; their members
     still reach exact verification through OTHER, more selective bands.
+
+    The cap is PART OF THE CONTRACT: the driver-gated q52/q55/q56
+    oracles apply the identical ``HAVING COUNT(*) <= MAX_BUCKET`` per
+    band_key, so both engines agree on hot-bucket data too. Pass
+    ``max_bucket_size=None`` for the uncapped form (exact LSH pair
+    enumeration, e.g. for recall studies on bounded corpora).
     """
     from pyspark.sql import Window as W
     sig = signature if signature is not None \
