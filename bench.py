@@ -71,12 +71,18 @@ def main() -> None:
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
-        df = qs[name](spark, SF_DIR)
-        # noop sink: the FULL plan runs (projections, windows, sort) —
-        # df.count() would let Catalyst prune everything but the count
-        _noop(df)
+        try:
+            df = qs[name](spark, SF_DIR)
+            # noop sink: the FULL plan runs (projections, windows, sort) —
+            # df.count() would let Catalyst prune everything but the count
+            _noop(df)
+        except Exception as exc:  # one bad query must not zero the bench
+            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
 
@@ -86,13 +92,16 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(json.dumps({
+    out = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

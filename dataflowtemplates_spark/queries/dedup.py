@@ -195,12 +195,16 @@ def lsh_candidate_pairs(docs: DataFrame,
     sized = banded.withColumn(
         "bs", F.count(F.lit(1)).over(W.partitionBy("band_key")))
     if drop_metrics is not None:
-        sized = sized.observe(
-            drop_metrics,
-            F.sum(F.when(F.col("bs") > max_bucket_size, 1).otherwise(0))
-             .alias("dropped_ids"))
-    capped = sized.filter((F.col("bs") > 1)
-                          & (F.col("bs") <= max_bucket_size))
+        # With no cap nothing is ever dropped; comparing against a NULL
+        # literal would silently report 0 *and* a NULL-poisoned filter.
+        dropped = (F.sum(F.when(F.col("bs") > max_bucket_size, 1).otherwise(0))
+                   if max_bucket_size is not None else
+                   F.sum(F.lit(0)))
+        sized = sized.observe(drop_metrics, dropped.alias("dropped_ids"))
+    cond = F.col("bs") > 1
+    if max_bucket_size is not None:
+        cond = cond & (F.col("bs") <= max_bucket_size)
+    capped = sized.filter(cond)
     buckets = (capped.groupBy("band_key")
                .agg(F.sort_array(F.collect_list("doc_id")).alias("ids")))
     pairs = buckets.select(F.explode(F.expr(

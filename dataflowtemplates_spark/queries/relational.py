@@ -469,8 +469,13 @@ def q16_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     ev = spark.table("events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ-safe epoch seconds: parquet `timestamp[us]` arrives as
+    # TIMESTAMP_NTZ under Spark 4, which cannot cast straight to long;
+    # the hop through TIMESTAMP uses the session tz (pinned UTC), so it
+    # agrees with DuckDB's epoch(ts) on the same naive values.
+    ts_s = F.col("ts").cast("timestamp").cast("long")
     gap = F.when(
-        F.col("ts").cast("long") - F.lag(F.col("ts").cast("long"), 1, 0).over(w) > 1800,
+        ts_s - F.lag(ts_s, 1, 0).over(w) > 1800,
         1).otherwise(0)
     sess = (ev.withColumn("new_sess", gap)
             .withColumn("session_id",
