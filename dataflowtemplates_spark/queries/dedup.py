@@ -227,15 +227,29 @@ def _band_oracle(b: int) -> str:
     return f"MD5('{b}' || '|' || {cols})"
 
 
-_Q52_ORACLE = _HASHED_CTE + """,
-banded AS (
-""" + "\nUNION ALL\n".join(
-    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
-    for b in range(N_HASHES // BAND_SIZE)
-) + """
-)
+def _capped_banded_cte() -> str:
+    """banded + hot-bucket-cap CTEs shared by the q52/q55/q56 oracles.
+
+    Mirrors ``lsh_candidate_pairs``'s count-over-window cap exactly:
+    band keys whose bucket holds more than MAX_BUCKET doc_ids are
+    dropped in BOTH engines, so the cap is declared semantics rather
+    than a Spark-side divergence.
+    """
+    union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
+        for b in range(N_HASHES // BAND_SIZE))
+    return ("banded AS (\n" + union + "\n),\n"
+            "kept_buckets AS (\n"
+            "  SELECT band_key FROM banded GROUP BY band_key\n"
+            f"  HAVING COUNT(*) <= {MAX_BUCKET}),\n"
+            "capped AS (\n"
+            "  SELECT bd.doc_id, bd.band_key FROM banded bd\n"
+            "  JOIN kept_buckets USING (band_key))")
+
+
+_Q52_ORACLE = _HASHED_CTE + ",\n" + _capped_banded_cte() + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b
+FROM capped a JOIN capped b
   ON a.band_key = b.band_key AND a.doc_id < b.doc_id
 ORDER BY doc_a, doc_b
 """
@@ -364,16 +378,10 @@ def q55_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q55_SIG = "SELECT doc_id, " + ", ".join(
     f"{_mh_oracle(i)} AS mh_{i}" for i in range(N_HASHES)) + " FROM hashed"
 
-_Q55_ORACLE = _HASHED_CTE + """,
-banded AS (
-""" + "\nUNION ALL\n".join(
-    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
-    for b in range(N_HASHES // BAND_SIZE)
-) + f"""
-),
+_Q55_ORACLE = _HASHED_CTE + ",\n" + _capped_banded_cte() + f""",
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sig AS ({_Q55_SIG}),
 cand AS (SELECT doc_a AS doc_id FROM pairs
@@ -466,16 +474,11 @@ def q56_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q56_ORACLE = (
     _HASHED_CTE.replace("WITH shingled AS", "WITH RECURSIVE shingled AS", 1)
+    + ",\n" + _capped_banded_cte()
     + """,
-banded AS (
-""" + "\nUNION ALL\n".join(
-        f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
-        for b in range(N_HASHES // BAND_SIZE))
-    + """
-),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM banded a JOIN banded b
+  FROM capped a JOIN capped b
     ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
         UNION SELECT doc_b, doc_a FROM pairs),

@@ -52,6 +52,28 @@ def test_q55_signature_materialized_once(spark):
     assert plan.count("FileScan parquet [doc_id") <= 4
 
 
+def test_cap_parity_with_oracle_when_binding(spark):
+    """The HAVING-cap CTE in the q52 oracle must drop the SAME hot
+    bucket the Spark-side window cap drops — checked on data where the
+    cap actually binds (sf0.01 buckets never reach MAX_BUCKET, so the
+    driver gate alone can't prove this)."""
+    import duckdb
+
+    from dataflowtemplates_spark.queries.dedup import _Q52_ORACLE
+
+    docs = _docs(spark)
+    got = sorted((r["doc_a"], r["doc_b"])
+                 for r in lsh_candidate_pairs(docs, max_bucket_size=50).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    [(r["doc_id"], r["text"]) for r in docs.collect()])
+    want = sorted(tuple(r) for r in con.execute(
+        _Q52_ORACLE.replace("COUNT(*) <= 256", "COUNT(*) <= 50")).fetchall())
+    assert got == want
+    assert got == [(1000, 1001)]  # hot bucket dropped on BOTH engines
+
+
 def test_connected_components_multihop(spark):
     """Chain a-b-c-d must converge to one component (label propagation
     crosses multiple hops), disjoint pairs stay separate."""
