@@ -46,32 +46,68 @@ def test_k_larger_than_group(spark):
     assert {r["rk"] for r in out if r["k"] == "b"} == {1, 2, 3}
 
 
-def test_plan_no_window_one_small_exchange(spark):
+def test_plan_no_window_no_python_two_bounded_exchanges(spark):
     df = _scored(spark)
     plan = (topk_per_key(df, "k", "score", "cid", 3)
             ._jdf.queryExecution().executedPlan().toString())
     # the rank must NOT be a window over the key (that shuffles every
     # scored row into n_keys partitions)...
     assert "Window" not in plan
-    # ...the only hash exchange on the key is the bounded merge of
-    # per-partition survivors, fed by the partition-local MapInPandas
-    assert plan.count("Exchange hashpartitioning(k") == 1
-    assert "MapInPandas" in plan
+    # ...and nothing crosses into Python — both phases are JVM exprs
+    assert "MapInPandas" not in plan
+    assert "ArrowEval" not in plan
+    assert "BatchEvalPython" not in plan
+    # exactly two hash exchanges: the balanced (key, partition-id)
+    # local top-k, then the bounded merge on key alone
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_nondeterministic" in plan  # the spark_partition_id() grain
 
 
-def test_ann_query_plans_are_shuffle_free_below_topk(spark):
+def test_ann_query_plans_are_python_free_below_topk(spark):
     from dataflowtemplates_spark.queries.similarity import (
         q61_ann_bruteforce, q65_ann_ivf)
     p61 = (q61_ann_bruteforce(spark, SF_DIR)
            ._jdf.queryExecution().executedPlan().toString())
     assert "Window" not in p61
-    assert p61.count("Exchange hashpartitioning(q_id") == 1
+    assert "MapInPandas" not in p61
+    assert p61.count("Exchange hashpartitioning(q_id") == 2  # local + merge
     p65 = (q65_ann_ivf(spark, SF_DIR)
            ._jdf.queryExecution().executedPlan().toString())
     # cell assignment is map-only: no window, no 8x crossJoin expansion
     assert "Window" not in p65
     assert "CartesianProduct" not in p65
-    assert p65.count("Exchange hashpartitioning(q_id") == 1
+    # (q65 keeps its by-design map-only MapInPandas for cell assignment;
+    # the topk stages themselves are JVM-only, checked via q61 above)
+    assert p65.count("Exchange hashpartitioning(q_id") == 2
+
+
+def test_nan_scores_dropped_both_phases_agree(spark):
+    rows = [("a", 1, 0.9), ("a", 2, float("nan")), ("a", 3, 0.5),
+            ("b", 4, float("nan")), ("b", 5, float("nan"))]
+    df = spark.createDataFrame(rows, "k string, cid long, score double") \
+        .repartition(3)
+    got = [(r["k"], r["rk"], r["cid"])
+           for r in topk_per_key(df, "k", "score", "cid", 2)
+           .orderBy("k", "rk").collect()]
+    # NaN rows vanish; key b (all NaN) produces no output at all
+    assert got == [("a", 1, 1), ("a", 2, 3)]
+
+
+def test_string_ids_supported(spark):
+    rows = [("q", "doc-b", 0.5), ("q", "doc-a", 0.5), ("q", "doc-c", 0.9)]
+    df = spark.createDataFrame(rows, "k string, cid string, score double")
+    got = [(r["rk"], r["cid"])
+           for r in topk_per_key(df, "k", "score", "cid", 3)
+           .orderBy("rk").collect()]
+    # score desc, then id ASC tiebreak — works without numeric ids
+    assert got == [(1, "doc-c"), (2, "doc-a"), (3, "doc-b")]
+
+
+def test_non_numeric_score_raises(spark):
+    df = spark.createDataFrame([("a", 1, "hi")],
+                               "k string, cid long, score string")
+    with pytest.raises(TypeError, match="must be numeric"):
+        topk_per_key(df, "k", "score", "cid", 2)
 
 
 def test_assign_cells_tiebreak_and_fanout(spark):
