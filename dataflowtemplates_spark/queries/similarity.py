@@ -263,18 +263,48 @@ ORDER BY id_a, id_b
 """
 
 
-def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: Hot-bucket cap for q66's sign-bucket self-join. A degenerate bucket
+#: (e.g. a boilerplate embedding cluster) makes the in-bucket pair count
+#: quadratic — AQE's skew handling splits partitions but cannot reduce
+#: the O(b^2) candidate count, so oversized buckets are dropped on BOTH
+#: engines (the q66 oracle applies the identical HAVING cap). Sized so
+#: it never binds at the test SFs (~125 rows/bucket at sf0.1) but kills
+#: the quadratic blowup at corpus scale.
+Q66_MAX_BUCKET = 2048
+
+
+def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
+                              max_bucket_size: int | None = Q66_MAX_BUCKET,
+                              drop_metrics=None) -> DataFrame:
     """Corpus-wide embedding near-dup pairs via sign-bucket LSH: the
     SCALE path for what q63 verifies on a bounded window. Both sides
     of the self-join are the full table, equi-joined on the 4-bit sign
     bucket — never an all-pairs cross join. At toy SF AQE broadcasts
-    one side; at scale it is a shuffle join on bucket, and skewed
-    buckets are AQE's skew-join problem, orthogonal to the plan shape.
+    one side; at scale it is a shuffle join on bucket.
+
+    Hot buckets are CAPPED before the join (same contract as
+    ``lsh_candidate_pairs``): bucket size comes from a count-over-window
+    on the bucket key, rows in buckets above ``max_bucket_size`` are
+    dropped pre-join, and the oracle applies the identical HAVING cap,
+    so the cap is declared semantics, not divergence. Pass a pyspark
+    ``Observation`` as ``drop_metrics`` to count dropped rows on the
+    same job. Both join sides derive from ONE capped projection, so the
+    window's bucket-key exchange is reused by the join (ReusedExchange),
+    not paid twice.
     """
+    from pyspark.sql import Window as W
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings").withColumn(
         "bucket", _bucket_col("embedding"))
     n = _with_norm(emb, "vid", "v", "nrm", {"bucket": "bucket"})
+    n = n.withColumn("bs", F.count(F.lit(1)).over(W.partitionBy("bucket")))
+    if drop_metrics is not None:
+        dropped = (F.sum(F.when(F.col("bs") > max_bucket_size, 1).otherwise(0))
+                   if max_bucket_size is not None else F.sum(F.lit(0)))
+        n = n.observe(drop_metrics, dropped.alias("dropped_rows"))
+    if max_bucket_size is not None:
+        n = n.filter(F.col("bs") <= max_bucket_size)
+    n = n.drop("bs")
     a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
                  F.col("nrm").alias("na"), "bucket")
     b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
@@ -291,10 +321,14 @@ _Q66_ORACLE = f"""
 WITH n AS (
   SELECT vec_id, embedding AS v, {_norm_dd('embedding')} AS nrm,
          {_bucket_dd('embedding')} AS bucket
-  FROM embeddings)
+  FROM embeddings),
+kept AS (
+  SELECT bucket FROM n GROUP BY bucket
+  HAVING COUNT(*) <= {Q66_MAX_BUCKET}),
+k AS (SELECT n.* FROM n JOIN kept USING (bucket))
 SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS bucket,
        {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')} AS cosine
-FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')} >= 0.35
 ORDER BY id_a, id_b
 """

@@ -68,3 +68,46 @@ def test_ivf_index_prunes_partitions(spark, tmp_path):
     rows = out.collect()
     assert {r["rk"] for r in rows} <= {1, 2, 3}
     assert len({r["q_id"] for r in rows}) == 2
+
+
+def test_q66_hot_bucket_cap_parity_with_oracle(spark, tmp_path):
+    """q66's bucket cap must drop the SAME hot bucket on both engines —
+    exercised with a binding cap on synthetic vectors (test-SF buckets
+    never reach Q66_MAX_BUCKET, so the driver gate can't prove this)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataflowtemplates_spark.queries.similarity import (
+        _Q66_ORACLE, Q66_MAX_BUCKET, q66_embedding_neardup_lsh)
+
+    # hot bucket: 30 near-identical all-positive vectors (bucket 1111);
+    # small bucket: 2 near-dups with dim 1 negative (bucket 0111)
+    def vec(seed, flip_first):
+        v = [1.0 + 0.001 * seed * ((i % 7) + 1) for i in range(64)]
+        if flip_first:
+            v[0] = -v[0]
+        return [float(x) for x in v]
+
+    rows = [(i, "hot", vec(i, False)) for i in range(30)]
+    rows += [(100, "cold", vec(1, True)), (101, "cold", vec(2, True))]
+    table = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "label": pa.array([r[1] for r in rows], pa.string()),
+        "embedding": pa.array([r[2] for r in rows], pa.list_(pa.float32())),
+    })
+    sf_dir = str(tmp_path / "sfq66")
+    import os
+    os.makedirs(sf_dir)
+    pq.write_table(table, os.path.join(sf_dir, "embeddings.parquet"))
+
+    got = sorted((r["id_a"], r["id_b"]) for r in q66_embedding_neardup_lsh(
+        spark, sf_dir, max_bucket_size=20).collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = sorted(
+        (r[0], r[1]) for r in con.execute(_Q66_ORACLE.replace(
+            f"COUNT(*) <= {Q66_MAX_BUCKET}", "COUNT(*) <= 20")).fetchall())
+    assert got == want
+    assert got == [(100, 101)]  # hot bucket dropped on BOTH engines
