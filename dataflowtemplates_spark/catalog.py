@@ -49,6 +49,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     read as raw nanos longs and truncated to microsecond timestamps —
     the same truncation DuckDB applies natively.
     """
+    from pyspark.sql.types import LongType
+
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _nanos_timestamp_cols(path)
     if not ns_cols:
@@ -56,7 +58,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
-        df = df.withColumn(c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
+        # nanosAsLong only applies to files WITHOUT Spark writer
+        # metadata (the driver's pyarrow-written tables). Spark reads
+        # its OWN nanos files as proper timestamps via the footer
+        # schema — only convert when the column actually arrived long.
+        if isinstance(df.schema[c].dataType, LongType):
+            df = df.withColumn(
+                c, F.expr(f"timestamp_micros(CAST({c} DIV 1000 AS LONG))"))
     return df
 
 

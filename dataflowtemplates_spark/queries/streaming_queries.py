@@ -39,7 +39,17 @@ _EVENTS_NS_SCHEMA = T.StructType([
 
 
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events table, nanos-aware."""
+    """File-source stream over the events table, nanos-aware.
+
+    The nanos probe checks what a BATCH read actually yields for ``ts``
+    rather than the parquet footer alone: TIMESTAMP(NANOS) written
+    WITHOUT Spark metadata (the driver's pyarrow tables) arrives as a
+    raw long under ``nanosAsLong``, while Spark-written nanos/INT96
+    files read as native timestamps despite an identical-looking
+    footer — forcing a long schema on those fails the scan.
+    """
+    from pyspark.sql.types import LongType
+
     register_tables(spark, sf_dir)  # engine confs incl. nanosAsLong
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
@@ -48,7 +58,10 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
     else:
         src, opts = path, {}
-    if "ts" in _nanos_timestamp_cols(path):
+    ts_reads_long = ("ts" in _nanos_timestamp_cols(path)
+                     and isinstance(spark.read.parquet(path)
+                                    .schema["ts"].dataType, LongType))
+    if ts_reads_long:
         raw = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
                .options(**opts).parquet(src))
         return raw.withColumn(
@@ -124,6 +137,12 @@ def q91_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q91_ORACLE = """
 WITH ordered AS (
+  -- strict > is CORRECT on the boundary: Spark's session_window merges
+  -- sessions whose windows touch — an event at exactly prev + 30min
+  -- has window [prev+gap, ...) touching the session's end prev+gap and
+  -- CONTINUES the session (empirically pinned by the exact-1800s-gap
+  -- fixture in test_streaming.py). Only a gap STRICTLY greater than
+  -- the session gap starts a new session.
   SELECT user_id, ts,
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    > INTERVAL 30 MINUTE

@@ -240,3 +240,48 @@ def test_dedup_stream_drops_within_watermark(spark, tmp_path):
             for r in spark.table("t_dedup_sink").collect()}
     assert rows == {(1, "a"), (1, "b"), (2, "a")}
     assert spark.table("t_dedup_sink").count() == 3
+
+
+def test_q91_exact_gap_boundary_matches_oracle(spark, tmp_path):
+    """Pins the session_window boundary semantics: an event at exactly
+    prev + 30min CONTINUES the session (Spark merges touching windows),
+    so the oracle's strict-> lag predicate is the correct rendering.
+    Round-5 review hypothesized the opposite (end-exclusive split);
+    this fixture is the empirical answer."""
+    import duckdb
+
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        _Q91_ORACLE, q91_stream_sessionize)
+
+    sf_dir = str(tmp_path / "sfq91")
+    import os
+    os.makedirs(sf_dir)
+    schema = ("event_id LONG, user_id LONG, ts STRING, event_type STRING,"
+              " value DOUBLE, props STRING")
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "a", 1.0, "{}"),
+        (2, 1, "2024-01-01 10:10:00", "a", 1.0, "{}"),
+        # exactly 1800 s after event 2 -> SAME session (touching windows
+        # merge); 1801 s would start a new one
+        (3, 1, "2024-01-01 10:40:00", "a", 1.0, "{}"),
+        # 1801 s after event 3 -> NEW session (strictly over the gap)
+        (4, 1, "2024-01-01 11:10:01", "a", 1.0, "{}"),
+        (5, 2, "2024-01-01 09:00:00", "b", 1.0, "{}"),
+    ]
+    (spark.createDataFrame(rows, schema)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .coalesce(1).write.parquet(os.path.join(sf_dir, "events.parquet")))
+
+    got = [(r["user_id"], str(r["session_start"]), str(r["session_end"]),
+            r["n_events"])
+           for r in q91_stream_sessionize(spark, sf_dir).collect()]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet/*.parquet')")
+    want = [(r[0], str(r[1]), str(r[2]), r[3])
+            for r in con.execute(_Q91_ORACLE).fetchall()]
+    assert got == want
+    # user 1: the exact-gap event merges (3 events), the 1801s one splits
+    u1 = [g for g in got if g[0] == 1]
+    assert [g[3] for g in u1] == [3, 1]
