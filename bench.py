@@ -94,13 +94,19 @@ def main() -> None:
         sf_val = sf
     out = {
         "metric": "headline_total",
-        "value": total,
+        # a partially-failed run must never read as a speedup: with any
+        # error the headline value is null and valid=false, so consumers
+        # comparing `value` across rounds can't mistake a crash for a win
+        "value": total if not errors else None,
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        "valid": not errors,
     }
     if errors:
         out["errors"] = errors
+        out["n_failed"] = len(errors)
+        out["partial_total"] = total
     print(json.dumps(out))
     spark.stop()
 

@@ -25,7 +25,17 @@ __all__ = ["spread_if_narrow"]
 def spread_if_narrow(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
     """Round-robin repartition to ``defaultParallelism`` — but only when
     the plan's current partition count is below ``min_factor`` x that
-    target. Reading the partition count plans the query but runs no job.
+    target.
+
+    SCAN-INPUT ONLY: pass a DataFrame whose plan is a file scan plus
+    map-side projections/filters. For such plans ``df.rdd`` is
+    job-free — the partition count comes from the file-split math. On
+    a SHUFFLED input under AQE the same probe can execute the upstream
+    query stages to materialize the shuffle (and the ``.rdd`` hop
+    detaches the Dataset lineage Catalyst would otherwise reuse), so
+    this helper must not be applied post-exchange; file-count width is
+    no substitute either (one large file still splits into many scan
+    partitions, so ``df.inputFiles()`` under-counts real width).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < int(target * min_factor):

@@ -51,13 +51,32 @@ def salted_distinct_count(df: DataFrame, keys: list[str], value: str,
             .agg(F.sum("_pc").alias(out)))
 
 
+#: Join types whose semantics survive small-side replication: every
+#: big-side row carries exactly one salt, so inner/left/left_semi
+#: results are unchanged. right/full outer would emit each UNMATCHED
+#: small row once per salt bucket, and left_anti/right variants
+#: likewise break — refuse rather than silently multiply rows.
+_SALT_SAFE_JOINS = frozenset({
+    "inner", "left", "leftouter", "left_outer", "left_semi", "leftsemi",
+})
+
+
 def salted_join(big: DataFrame, small: DataFrame, key: str,
                 buckets: int = 8, how: str = "inner") -> DataFrame:
     """Equi-join with the hot-key shuffle spread over ``buckets``
     reducers. The small side is replicated x buckets (explode of a
     literal range — no extra scan); the big side gets a uniform salt.
     Output columns match ``big.join(small, key, how)``.
+
+    Only ``inner``/``left``/``left_semi`` are accepted: the replicated
+    small side makes right/full-outer/anti forms emit each unmatched
+    small-side row ``buckets`` times (raises ``ValueError``).
     """
+    if how.lower() not in _SALT_SAFE_JOINS:
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the small side "
+            f"is replicated {buckets}x, so only "
+            "inner/left/left_semi joins keep their semantics")
     salted_big = big.withColumn(
         "_salt", (F.rand() * buckets).cast("int"))
     salted_small = small.withColumn(

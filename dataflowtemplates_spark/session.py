@@ -84,4 +84,15 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
             spark.conf.set(k, _BASE_CONFS[k])
         except Exception:
             pass  # conf locked by the host session — proceed with its value
+    # AQE confs are preferences; the timezone is a CORRECTNESS
+    # precondition: the NTZ->TIMESTAMP->epoch hops (q16/q21) equal
+    # DuckDB's epoch() only under UTC. A host session that locked a
+    # different zone would silently shift every epoch second — fail
+    # loudly instead.
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+        raise RuntimeError(
+            f"session timezone is {tz!r} and could not be pinned to UTC; "
+            "epoch-second conversions would be shifted — run with "
+            "spark.sql.session.timeZone=UTC")
     return spark

@@ -251,9 +251,14 @@ def write_columnar_dynamic(df: DataFrame, path: str,
     `fmt="avro"` always produces real .avro container files: the
     spark-avro datasource when the jar is present, else the pure-Python
     container writer (operators/avro_io.py — deflate codec, since no
-    snappy lib ships here). Other formats go through the native
-    datasource with a parquet fallback. (Schema handling needs none of
-    the reference's per-key sampling: `df.schema` is static.)
+    snappy lib ships here). The pure-Python fallback is LOCAL-FS-ONLY
+    (it collects partition streams through the driver's file API);
+    `hdfs://`/`s3a://`/`gs://` destinations raise rather than silently
+    writing to a driver-local path, and its pre-write cleanup goes
+    through the Hadoop FS like every other finalization step. Other
+    formats go through the native datasource with a parquet fallback.
+    (Schema handling needs none of the reference's per-key sampling:
+    `df.schema` is static.)
     """
     actual = fmt
     try:
@@ -261,9 +266,16 @@ def write_columnar_dynamic(df: DataFrame, path: str,
     except Exception:
         actual = "parquet" if fmt != "avro" else "avro-py"
     if actual == "avro-py":
+        from urllib.parse import urlparse
+
         from dataflowtemplates_spark.operators.avro_io import write_avro
-        if os.path.isdir(path):
-            shutil.rmtree(path)
+        scheme = urlparse(path).scheme
+        if scheme not in ("", "file"):
+            raise NotImplementedError(
+                f"avro fallback writer is local-FS-only, got scheme "
+                f"{scheme!r} — install the spark-avro jar for "
+                "object-store destinations")
+        _HadoopFS(df, path).delete(path, recursive=True)
         r = write_avro(df, path, split_field=split_field, codec=compression)
         result = WriteResult(files=r.files, row_count=r.row_count,
                              format="avro")

@@ -42,3 +42,26 @@ def test_salted_join_equals_naive(spark):
                   for r in big.join(small, "k").collect())
     assert got == want
     assert len(got) == 501
+
+
+def test_salted_join_left_modes_equal_naive(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(200)] + [("lonely", 1)],
+        "k string, v long").repartition(4)
+    small = spark.createDataFrame(
+        [("hot", "H"), ("other", "O")], "k string, tag string")
+    for how in ("left", "left_semi"):
+        got = sorted(tuple(r) for r in
+                     salted_join(big, small, "k", buckets=4, how=how).collect())
+        want = sorted(tuple(r) for r in big.join(small, "k", how).collect())
+        assert got == want, how
+
+
+def test_salted_join_rejects_replication_unsafe_modes(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "k string, v long")
+    small = spark.createDataFrame([("a", "x")], "k string, tag string")
+    for how in ("right", "full", "outer", "full_outer", "left_anti", "cross"):
+        with pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(big, small, "k", how=how)
