@@ -250,8 +250,9 @@ def write_columnar_dynamic(df: DataFrame, path: str,
 
     `fmt="avro"` always produces real .avro container files: the
     spark-avro datasource when the jar is present, else the pure-Python
-    container writer (operators/avro_io.py — deflate codec, since no
-    snappy lib ships here). The pure-Python fallback is LOCAL-FS-ONLY
+    container writer (operators/avro_io.py — including a hand-rolled
+    snappy codec, so the reference's pinned snappy+CRC block format is
+    honored even jar-less). The pure-Python fallback is LOCAL-FS-ONLY
     (it collects partition streams through the driver's file API);
     `hdfs://`/`s3a://`/`gs://` destinations raise rather than silently
     writing to a driver-local path, and its pre-write cleanup goes

@@ -66,13 +66,52 @@ def test_null_codec_and_sync_markers(typed, tmp_path):
     assert b"alpha" in raw
 
 
-def test_snappy_request_lowers_to_deflate(typed, tmp_path):
+def test_snappy_container_roundtrip(typed, tmp_path):
     out = str(tmp_path / "sn")
     files = write_avro(typed.coalesce(1), out, codec="snappy").files
     raw = open(files[0], "rb").read()
-    assert b"deflate" in raw  # self-describing: codec actually used
+    assert b"snappy" in raw and b"deflate" not in raw
     _s, rows = read_avro_rows(files[0])
     assert len(rows) == 2
+
+
+def test_snappy_crc_detects_corruption(spark, tmp_path):
+    out = str(tmp_path / "sncrc")
+    df = spark.createDataFrame(
+        [("the quick brown fox " * 50,)] * 20, "txt string")
+    files = write_avro(df.coalesce(1), out, codec="snappy").files
+    raw = bytearray(open(files[0], "rb").read())
+    # flip one bit inside the data block (well past the ~300B header)
+    raw[len(raw) - 30] ^= 0x40
+    path = files[0] + ".bad"
+    open(path, "wb").write(bytes(raw))
+    import pytest
+    with pytest.raises(Exception):  # CRC mismatch or snappy parse error
+        read_avro_rows(path)
+
+
+def test_snappy_codec_raw_blocks():
+    """Pure codec: round-trip + the format's edge shapes (incompressible
+    bytes, overlapping copies from short periods, long runs, empty)."""
+    from dataflowtemplates_spark.operators.avro_io import _snappy_factory
+    compress, decompress = _snappy_factory()
+    cases = [
+        b"",
+        b"a",
+        b"abc",
+        bytes(range(256)) * 40,            # incompressible-ish
+        b"ab" * 5000,                      # period-2 overlapping copies
+        b"x" * 100_000,                    # period-1 run
+        b"the quick brown fox jumps over the lazy dog " * 300,
+        bytes([7]) * 3 + b"unique tail",   # short run below match length
+    ]
+    import os as _os
+    cases.append(_os.urandom(65_536))      # pure noise: all literals
+    for data in cases:
+        packed = compress(data)
+        assert decompress(packed) == data
+    # compressible input actually compresses
+    assert len(compress(b"ab" * 5000)) < 1000
 
 
 def test_distributed_read_matches(spark, typed, tmp_path):
@@ -109,3 +148,17 @@ def test_block_splitting(spark, tmp_path):
     assert res.row_count == 1000  # tallied during the encode pass
     _s, rows = read_avro_rows(res.files[0])
     assert sorted(r["v"] for r in rows) == list(range(1000))
+
+
+def test_snappy_property_roundtrip():
+    from hypothesis import given, settings, strategies as st
+
+    from dataflowtemplates_spark.operators.avro_io import _snappy_factory
+    compress, decompress = _snappy_factory()
+
+    @given(st.binary(max_size=4096))
+    @settings(max_examples=300, deadline=None)
+    def check(data):
+        assert decompress(compress(data)) == data
+
+    check()
