@@ -288,9 +288,11 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     dropped pre-join, and the oracle applies the identical HAVING cap,
     so the cap is declared semantics, not divergence. Pass a pyspark
     ``Observation`` as ``drop_metrics`` to count dropped rows on the
-    same job. Both join sides derive from ONE capped projection, so the
-    window's bucket-key exchange is reused by the join (ReusedExchange),
-    not paid twice.
+    same job. Plan cost of the cap: each join side needs a bucket-key
+    exchange + sort for the sort-merge join anyway, and the
+    count-over-window computes on exactly that exchange/sort — the cap
+    adds no additional shuffle of the big side (plan: one
+    hashpartitioning(bucket) exchange per side, windows riding them).
     """
     from pyspark.sql import Window as W
     register_tables(spark, sf_dir)

@@ -1,0 +1,76 @@
+"""Connector seam: backend resolution, option pass-through, and the
+declared (never silent) fallbacks.
+
+The real cloud jars are absent in this sandbox, so the tests prove the
+seam's contract — resolve() names the backend it picked, file specs
+pass options verbatim to the native datasource, SQL specs preserve
+run_query semantics (splitter union, timestamp bound) — plus the jdbc
+provider probe against a class that IS on every Spark classpath.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.sources.connectors import (
+    SourceSpec,
+    _provider_available,
+    read_source,
+    resolve,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cloud_jars_absent_resolve_declares_fallback(spark):
+    sql = SourceSpec(kind="bigquery-sql", query="SELECT 1 AS one")
+    assert resolve(spark, sql)["backend"] == "sql-fallback"
+    tbl = SourceSpec(kind="bigquery-table", table="nation")
+    assert resolve(spark, tbl)["backend"] == "catalog-fallback"
+
+
+def test_jdbc_provider_probe_positive(spark):
+    # the JDBC relation provider ships with Spark itself — the probe
+    # must find it, proving Class.forName detection works both ways
+    assert _provider_available(spark, "jdbc")
+    assert not _provider_available(spark, "bigquery")
+
+
+def test_sql_fallback_runs_splitter_union_and_bound(spark):
+    register_tables(spark, SF)
+    spec = SourceSpec(
+        kind="spanner-sql",
+        query=("SELECT n_name FROM nation WHERE n_regionkey = 0\n"
+               "--SPLITTER--\n"
+               "SELECT n_name FROM nation WHERE n_regionkey = 1"))
+    got = read_source(spark, spec)
+    want = (spark.table("nation").filter(F.col("n_regionkey") < 2)
+            .select("n_name"))
+    assert sorted(r["n_name"] for r in got.collect()) == \
+        sorted(r["n_name"] for r in want.collect())
+
+
+def test_file_spec_passes_options_verbatim(spark, tmp_path):
+    p = str(tmp_path / "c.csv")
+    with open(p, "w") as f:
+        f.write("a;b\n1;x\n2;y\n")
+    spec = SourceSpec(kind="csv", path=p,
+                      options={"header": "true", "sep": ";"})
+    rows = read_source(spark, spec).collect()
+    assert {(r["a"], r["b"]) for r in rows} == {("1", "x"), ("2", "y")}
+
+
+def test_table_fallback_reads_catalog(spark):
+    register_tables(spark, SF)
+    spec = SourceSpec(kind="bigquery-table", table="region")
+    assert read_source(spark, spec).count() == 5
+
+
+def test_spec_validation(spark):
+    with pytest.raises(ValueError, match="needs a query"):
+        resolve(spark, SourceSpec(kind="spanner-sql"))
+    with pytest.raises(ValueError, match="needs a path"):
+        resolve(spark, SourceSpec(kind="parquet"))
+    with pytest.raises(ValueError, match="unknown source kind"):
+        resolve(spark, SourceSpec(kind="pubsub"))
