@@ -259,10 +259,12 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-shingle Jaccard on a bounded candidate set.
 
     At scale this runs only on LSH candidates (q52); here it sweeps
-    doc_id < 40 pairwise to exercise the exact math.
+    doc_id < 120 pairwise to exercise the exact math. Window/threshold
+    chosen so the result is NON-EMPTY at the correctness gate's sf0.01
+    (201 pairs) — a 0-row pass proves nothing about the Jaccard math.
     """
     register_tables(spark, sf_dir)
-    docs = spark.table("documents").filter(F.col("doc_id") < 40)
+    docs = spark.table("documents").filter(F.col("doc_id") < 120)
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
@@ -282,7 +284,7 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared",
                 (F.col("n_shared").cast("double")
                  / (F.col("na") + F.col("nb") - F.col("n_shared"))).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.05)
+        .filter(F.col("jaccard") >= 0.01)
         .orderBy("doc_a", "doc_b")
     )
 
@@ -292,7 +294,7 @@ WITH grams AS (
   SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
            RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
            i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ')))) AS gram
-  FROM documents WHERE doc_id < 40),
+  FROM documents WHERE doc_id < 120),
 sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
@@ -303,7 +305,7 @@ SELECT doc_a, doc_b, n_shared,
 FROM shared
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.05
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.01
 ORDER BY doc_a, doc_b
 """
 

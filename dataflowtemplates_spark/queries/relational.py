@@ -758,13 +758,16 @@ FROM lineitem WHERE l_orderkey < 100 ORDER BY l_orderkey, l_linenumber
 
 
 def q25_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter. Threshold chosen so the result
+    is NON-EMPTY at the correctness gate's sf0.01 (85 part keys — the
+    old >=60 matched nothing there, a vacuous pass)."""
     register_tables(spark, sf_dir)
     li = spark.table("lineitem")
     return (
         li.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_lines"),
              F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
-        .filter(F.col("n_lines") >= 60)
+        .filter(F.col("n_lines") >= 40)
         .orderBy("l_partkey")
     )
 
@@ -772,7 +775,7 @@ def q25_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q25_ORACLE = """
 SELECT l_partkey, COUNT(*) AS n_lines,
        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
-FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 60 ORDER BY l_partkey
+FROM lineitem GROUP BY l_partkey HAVING COUNT(*) >= 40 ORDER BY l_partkey
 """
 
 
