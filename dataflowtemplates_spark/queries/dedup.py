@@ -443,13 +443,19 @@ def connected_components(pairs: DataFrame, src: str = "doc_a",
     for _ in range(max_iter):
         prop = (edges.join(labels, edges.a == labels.node)
                 .select(F.col("b").alias("node"), "comp"))
-        new = (labels.unionByName(prop)
-               .groupBy("node").agg(F.min("comp").alias("comp"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n")
-                   .join(labels.alias("o"), "node")
-                   .filter(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new
+        # the old label rides the propagation result into ONE
+        # checkpointed materialization, so the convergence check is a
+        # trivial filter-count over already-materialized rows instead
+        # of a second join job per iteration (halves the driver-side
+        # job count, which IS the cost of this loop — the data per
+        # iteration is label-sized, not corpus-sized)
+        merged = (labels.unionByName(prop)
+                  .groupBy("node").agg(F.min("comp").alias("comp"))
+                  .join(labels.select("node",
+                                      F.col("comp").alias("_old")), "node")
+                  .localCheckpoint(eager=True))
+        changed = merged.filter(F.col("comp") != F.col("_old")).count()
+        labels = merged.select("node", "comp")
         if changed == 0:
             break
     return labels

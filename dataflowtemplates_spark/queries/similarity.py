@@ -338,13 +338,18 @@ ORDER BY id_a, id_b
 
 def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components via posexplode + exact-decimal mean
-    (float sums are order-dependent; DECIMAL(20,8) sums are not)."""
+    (float sums are order-dependent; DECIMAL(20,8) sums are not).
+
+    The slice happens BEFORE the explode: posexplode of the full
+    64-dim vector followed by ``pos < 8`` generates 8x the rows only
+    to discard them — the filter cannot push through a Generate, so
+    the projection must shrink the array instead."""
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    comp = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    comp = emb.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("pos", "val"))
     return (
-        comp.filter(F.col("pos") < 8)
-        .groupBy("label", "pos")
+        comp.groupBy("label", "pos")
         .agg((F.sum(F.col("val").cast("double").cast("decimal(20,8)")).cast("double")
               / F.count(F.lit(1))).alias("centroid"),
              F.count(F.lit(1)).alias("n_vectors"))
