@@ -633,6 +633,135 @@ FROM hits ORDER BY doc_id
 """
 
 
+#: Bloom decontamination parameters: hash count and bits-per-item.
+BLOOM_K = 4
+BLOOM_BITS_PER_ITEM = 16
+
+
+def build_bloom_bitmap(grams: DataFrame, col: str = "gram") -> tuple[list, int]:
+    """Aggregate a distinct-values DataFrame into a Bloom bitmap held as
+    a list of int64 words (+ the bit width m).
+
+    The positions are ``pmod(xxhash64(value, seed_j), m)`` for
+    BLOOM_K seeds — pure Catalyst expressions, so membership probes on
+    the corpus side stay inside whole-stage codegen. The bitmap itself
+    is DRIVER-HELD state (m/8 bytes — a few hundred KB for millions of
+    items), the same driver-sketch-broadcast pattern as the IVF
+    codebook: ship the sketch to every task as a literal, never join.
+    m is sized at BLOOM_BITS_PER_ITEM x n (k=4 -> ~0.2 % false
+    positives), rounded up to whole 64-bit words.
+    """
+    n = grams.count()
+    m = max(1024, ((BLOOM_BITS_PER_ITEM * n + 63) // 64) * 64)
+    pos = grams.select(F.explode(F.array(*[
+        F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m))
+        for j in range(BLOOM_K)])).alias("p")).distinct()
+    words = [0] * (m // 64)
+    for r in pos.collect():
+        p = int(r["p"])
+        words[p // 64] |= 1 << (p % 64)
+    # int64 literals: flip the sign bit range for Spark's signed longs
+    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    return words, m
+
+
+def bloom_might_contain(bitmap_lit: F.Column, m: int,
+                        col: F.Column) -> F.Column:
+    """All-BLOOM_K-bits-set membership probe against the literal bitmap."""
+    checks = []
+    for j in range(BLOOM_K):
+        p = F.pmod(F.xxhash64(col, F.lit(j)), F.lit(m))
+        word = F.element_at(bitmap_lit, (p / 64).cast("int") + 1)
+        # getbit takes a COLUMN position (shiftright would demand a
+        # Python-int shift); works on the two's-complement word
+        checks.append(F.getbit(word, p % 64) == 1)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out
+
+
+def q73_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination via a Bloom filter — the JOIN-FREE
+    scale path for q57's broadcast-join form.
+
+    At 100 TB the corpus side should not shuffle OR hash-join at all:
+    the eval set's distinct shingles aggregate into a driver-held Bloom
+    bitmap (KBs-MBs), which rides into every task as a literal; the
+    corpus probe is then a map-only codegen'd expression. The price is
+    false positives, which is why the output is shaped like q39's
+    sketch contract: the exact flagged-document count (oracle-matched
+    bit-for-bit, computed via the q57 broadcast join) plus Spark-side
+    assertion booleans — a Bloom filter has NO false negatives (every
+    exactly-flagged doc is bloom-flagged; checked as a set containment,
+    not just counts) and the false-positive overshoot stays under 2 %
+    of the corpus (20x slack over the ~0.1 % expected at 16 bits/item).
+    The oracle asserts the same booleans as literal TRUE.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = DECON_NGRAM
+    toked = docs.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    gram_expr = F.when(
+        F.size("toks") >= n,
+        F.array_distinct(F.expr(
+            f"transform(sequence(1, size(toks) - {n - 1}), "
+            f"i -> concat_ws(' ', slice(toks, i, {n})))"))
+    ).otherwise(F.array().cast("array<string>"))
+    is_bench = F.col("doc_id") % 50 == 0
+    bench_grams = (toked.filter(is_bench)
+                   .select(F.explode(gram_expr).alias("gram"))
+                   .distinct())
+    corpus = (toked.filter(~is_bench)
+              .select("doc_id", F.explode(gram_expr).alias("gram")))
+
+    words, m = build_bloom_bitmap(bench_grams)
+    bitmap = F.lit(words)
+    bloom_flagged = (corpus
+                     .filter(bloom_might_contain(bitmap, m, F.col("gram")))
+                     .groupBy("doc_id")
+                     .agg(F.count(F.lit(1)).alias("n_hit"))
+                     .filter(F.col("n_hit") >= DECON_HITS)
+                     .select("doc_id"))
+    exact_flagged = (corpus.join(F.broadcast(bench_grams), "gram")
+                     .groupBy("doc_id")
+                     .agg(F.count(F.lit(1)).alias("n_hit"))
+                     .filter(F.col("n_hit") >= DECON_HITS)
+                     .select("doc_id"))
+    n_corpus = toked.filter(~is_bench).count()
+    n_exact = exact_flagged.count()
+    n_bloom = bloom_flagged.count()
+    n_missed = exact_flagged.join(bloom_flagged, "doc_id", "left_anti").count()
+    return spark.createDataFrame(
+        [(n_corpus, n_exact,
+          n_missed == 0,
+          (n_bloom - n_exact) <= max(1, int(0.02 * n_corpus)))],
+        "n_corpus_docs long, exact_flagged long, "
+        "no_false_negatives boolean, fp_overshoot_ok boolean")
+
+
+_Q73_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(STRING_SPLIT(text, ' ')) - {DECON_NGRAM - 2}, 1)),
+           i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '),
+                                           i, i + {DECON_NGRAM - 1}), ' '))) AS gs
+  FROM documents),
+bench AS (
+  SELECT DISTINCT UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 = 0),
+corpus AS (
+  SELECT doc_id, UNNEST(gs) AS gram FROM grams WHERE doc_id % 50 <> 0),
+flagged AS (
+  SELECT doc_id FROM corpus JOIN bench USING (gram)
+  GROUP BY doc_id HAVING COUNT(*) >= {DECON_HITS})
+SELECT (SELECT COUNT(*) FROM grams WHERE doc_id % 50 <> 0) AS n_corpus_docs,
+       (SELECT COUNT(*) FROM flagged) AS exact_flagged,
+       TRUE AS no_false_negatives,
+       TRUE AS fp_overshoot_ok
+"""
+
+
 def q69_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|)
     on the bounded candidate set. Jaccard misses quote-inclusion (a
@@ -703,6 +832,7 @@ QUERIES = {
     "q56_dup_groups": q56_dup_groups,
     "q57_decontaminate": q57_decontaminate,
     "q69_ngram_containment": q69_ngram_containment,
+    "q73_decontaminate_bloom": q73_decontaminate_bloom,
 }
 
 ORACLES = {
@@ -715,4 +845,5 @@ ORACLES = {
     "q56_dup_groups": _Q56_ORACLE,
     "q57_decontaminate": _Q57_ORACLE,
     "q69_ngram_containment": _Q69_ORACLE,
+    "q73_decontaminate_bloom": _Q73_ORACLE,
 }

@@ -85,3 +85,25 @@ def test_connected_components_multihop(spark):
         "doc_a long, doc_b long")
     got = {r["node"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {2: 2, 3: 2, 4: 2, 5: 2, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_bloom_filter_no_false_negatives_and_join_free(spark):
+    """The hand-rolled Bloom probe must never miss a true member, keep
+    false positives near the designed rate, and stay join-free (the
+    whole point of the sketch at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.queries.dedup import (
+        bloom_might_contain, build_bloom_bitmap)
+
+    members = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(500)], "gram string")
+    words, m = build_bloom_bitmap(members)
+    probe = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(2000)], "gram string")
+    flt = probe.filter(bloom_might_contain(F.lit(words), m, F.col("gram")))
+    hits = {r["gram"] for r in flt.collect()}
+    assert {f"gram number {i}" for i in range(500)} <= hits
+    assert len(hits) - 500 <= 75  # 5% of 1500 non-members; ~0.2% designed
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan  # map-only probe
