@@ -762,6 +762,137 @@ SELECT (SELECT COUNT(*) FROM grams WHERE doc_id % 50 <> 0) AS n_corpus_docs,
 """
 
 
+def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: flag a NEW batch against the EXISTING corpus —
+    the shape a production pipeline runs per ingest shard, where the
+    corpus-wide self-join never happens again after the initial build.
+
+    The split (doc_id % 3 == 0 stands in for the new shard) keeps both
+    checks one-sided: exact duplicates via a fingerprint semi-join of
+    new against existing (at scale: against the persisted fingerprint
+    table), near-duplicates via LSH band keys computed on BOTH sides
+    but joined new-x-existing ONLY — the existing corpus never pairs
+    with itself, so incremental cost is O(batch), not O(corpus).
+    Candidates are verified with exact shingle Jaccard before flagging
+    (same verify-then-drop contract as q55). NOTE: this query is
+    deliberately UNCAPPED on both engines (the new-x-old band join is
+    already batch-bounded); a production shard against a boilerplate
+    bucket would add q52's count-over-window cap to both sides.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    is_new = F.col("doc_id") % 3 == 0
+    new_docs = docs.filter(is_new)
+    old_docs = docs.filter(~is_new)
+
+    fp = F.md5(_normalized().cast("binary")).alias("fp")
+    new_fp = new_docs.select("doc_id", fp)
+    old_fp = old_docs.select(F.col("doc_id").alias("_o"), fp)
+    exact_dup = (new_fp.join(old_fp, "fp", "left_semi")
+                 .select("doc_id").withColumn("exact_dup", F.lit(True)))
+
+    sig_new = minhash_signature(new_docs)
+    sig_old = minhash_signature(old_docs)
+
+    def banded(sig: DataFrame, id_alias: str) -> DataFrame:
+        bands = []
+        for b in range(N_HASHES // BAND_SIZE):
+            cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+            bands.append(F.md5(F.concat_ws(
+                "|", F.lit(str(b)), *cols)).alias("band_key"))
+        return sig.select(F.col("doc_id").alias(id_alias),
+                          F.explode(F.array(*bands)).alias("band_key"))
+
+    cand = (banded(sig_new, "doc_id")
+            .join(banded(sig_old, "old_id"), "band_key")
+            .select("doc_id", "old_id").distinct())
+
+    grams_of = lambda d: d.select(  # noqa: E731
+        "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("gram"))
+    cand_new_ids = cand.select("doc_id").distinct()
+    cand_old_ids = cand.select(F.col("old_id").alias("doc_id")).distinct()
+    gn = (grams_of(new_docs.join(cand_new_ids, "doc_id", "left_semi")))
+    go = (grams_of(old_docs.join(cand_old_ids, "doc_id", "left_semi"))
+          .select(F.col("doc_id").alias("old_id"), "gram"))
+    sn = gn.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_nn"))
+    so = go.groupBy("old_id").agg(F.count(F.lit(1)).alias("_no"))
+    shared = (cand.join(gn, "doc_id").join(go, ["old_id", "gram"])
+              .groupBy("doc_id", "old_id")
+              .agg(F.count(F.lit(1)).alias("n_shared")))
+    near = (shared.join(sn, "doc_id").join(so, "old_id")
+            .withColumn("jaccard",
+                        F.col("n_shared").cast("double")
+                        / (F.col("_nn") + F.col("_no") - F.col("n_shared")))
+            .filter(F.col("jaccard") >= 0.5)
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_near_matches"),
+                 F.max("jaccard").alias("best_jaccard")))
+
+    return (new_docs.select("doc_id")
+            .join(exact_dup, "doc_id", "left")
+            .join(near, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("exact_dup", F.lit(False)).alias("exact_dup"),
+                    F.coalesce("n_near_matches", F.lit(0))
+                     .alias("n_near_matches"),
+                    "best_jaccard")
+            .withColumn("keep", ~F.col("exact_dup")
+                        & (F.col("n_near_matches") == 0))
+            .orderBy("doc_id"))
+
+
+_Q74_ORACLE = _HASHED_CTE + f""",
+norm AS (
+  SELECT doc_id,
+         MD5(TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g'))) AS fp
+  FROM documents),
+exact_dup AS (
+  SELECT DISTINCT n.doc_id FROM norm n
+  JOIN norm o ON o.fp = n.fp AND o.doc_id % 3 <> 0
+  WHERE n.doc_id % 3 = 0),
+banded AS (
+""" + "\nUNION ALL\n".join(
+    f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
+    for b in range(N_HASHES // BAND_SIZE)
+) + f"""
+),
+cand AS (
+  SELECT DISTINCT a.doc_id, b.doc_id AS old_id
+  FROM banded a JOIN banded b ON a.band_key = b.band_key
+  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+grams AS (
+  SELECT doc_id, UNNEST({_SHINGLES_DD}) AS gram FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM cand UNION SELECT old_id FROM cand)),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT c.doc_id, c.old_id, COUNT(*) AS n_shared
+  FROM cand c
+  JOIN grams gn ON gn.doc_id = c.doc_id
+  JOIN grams go ON go.doc_id = c.old_id AND go.gram = gn.gram
+  GROUP BY 1, 2),
+near AS (
+  SELECT s.doc_id, COUNT(*) AS n_near_matches,
+         MAX(CAST(s.n_shared AS DOUBLE)
+             / (sn.n + so.n - s.n_shared)) AS best_jaccard
+  FROM shared s
+  JOIN sizes sn ON sn.doc_id = s.doc_id
+  JOIN sizes so ON so.doc_id = s.old_id
+  WHERE CAST(s.n_shared AS DOUBLE) / (sn.n + so.n - s.n_shared) >= 0.5
+  GROUP BY s.doc_id)
+SELECT d.doc_id,
+       (e.doc_id IS NOT NULL) AS exact_dup,
+       COALESCE(nr.n_near_matches, 0) AS n_near_matches,
+       nr.best_jaccard,
+       (e.doc_id IS NULL AND COALESCE(nr.n_near_matches, 0) = 0) AS keep
+FROM documents d
+LEFT JOIN exact_dup e ON e.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+WHERE d.doc_id % 3 = 0
+ORDER BY d.doc_id
+"""
+
+
 def q69_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup: shingle CONTAINMENT |A∩B| / min(|A|,|B|)
     on the bounded candidate set. Jaccard misses quote-inclusion (a
@@ -833,6 +964,7 @@ QUERIES = {
     "q57_decontaminate": q57_decontaminate,
     "q69_ngram_containment": q69_ngram_containment,
     "q73_decontaminate_bloom": q73_decontaminate_bloom,
+    "q74_incremental_dedup": q74_incremental_dedup,
 }
 
 ORACLES = {
@@ -846,4 +978,5 @@ ORACLES = {
     "q57_decontaminate": _Q57_ORACLE,
     "q69_ngram_containment": _Q69_ORACLE,
     "q73_decontaminate_bloom": _Q73_ORACLE,
+    "q74_incremental_dedup": _Q74_ORACLE,
 }
