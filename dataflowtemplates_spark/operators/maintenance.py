@@ -1,0 +1,114 @@
+"""Table-layout maintenance: small-file compaction and sorted writes.
+
+At 100 TB the dominant cost of a badly-maintained table is not compute
+but LAYOUT: a streaming ingest leaves thousands of KB-sized files
+(every one a scan task + a footer fetch), and unsorted data defeats
+parquet min/max pruning so every query reads every row group. The two
+operators here are the standard maintenance passes:
+
+* ``compact`` — rewrite a directory of small parquet files into
+  ~``target_mb`` outputs. File count comes from the ACTUAL byte size
+  on the Hadoop FS (works on object stores), not a row-count guess;
+  the rewrite is a plain scan + repartition, so Spark parallelizes it
+  and the result is committed via write-then-atomic-swap (temp dir +
+  rename), never an in-place delete-first.
+* ``write_sorted`` — range-partition by the given columns and sort
+  within partitions before writing. Each output file then covers a
+  DISJOINT range of the sort key, so parquet footer min/max statistics
+  let any engine (Spark scan pruning, DuckDB zone-map style skipping)
+  drop whole files/row-groups for selective predicates. This is the
+  portable four-fifths of what table formats call clustering or
+  Z-ordering, expressed with nothing but repartitionByRange +
+  sortWithinPartitions.
+
+Reference parity note: mercari/DataflowTemplates delegates file layout
+to BigQuery/Spanner storage; these are the Spark-native equivalents
+for the parquet-lake deployment this engine targets (engine
+infrastructure, SURVEY §7 scale plan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["compact", "write_sorted", "CompactResult"]
+
+
+@dataclass
+class CompactResult:
+    files_before: int
+    files_after: int
+    bytes_total: int
+    rows: int
+
+
+def _fs(spark: SparkSession, root: str):
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jpath = jvm.org.apache.hadoop.fs.Path
+    return jpath, jpath(root).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration())  # noqa: SLF001
+
+
+def _data_files(jpath, fs, root: str) -> list[tuple[str, int]]:
+    out = []
+    it = fs.listFiles(jpath(root), True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if not name.startswith(("_", ".")):
+            out.append((str(st.getPath()), int(st.getLen())))
+    return out
+
+
+def compact(spark: SparkSession, path: str, target_mb: int = 256,
+            fmt: str = "parquet") -> CompactResult:
+    """Rewrite ``path`` into ``ceil(total_bytes / target_mb)`` files.
+
+    The swap is write-to-temp + two renames (old -> trash, new -> old,
+    delete trash): readers never observe a partially-deleted table.
+    Row count rides the rewrite via an Observation — no second scan.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    jpath, fs = _fs(spark, path)
+    before = _data_files(jpath, fs, path)
+    total = sum(sz for _, sz in before)
+    n_out = max(1, -(-total // (target_mb * 1024 * 1024)))
+
+    obs = Observation()
+    df = (spark.read.format(fmt).load(path)
+          .observe(obs, F.count(F.lit(1)).alias("n")))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    trash = path.rstrip("/") + "._compact_old"
+    (df.repartition(n_out).write.mode("overwrite").format(fmt).save(tmp))
+    rows = int(obs.get["n"])
+    if fs.exists(jpath(trash)):
+        fs.delete(jpath(trash), True)
+    if not fs.rename(jpath(path), jpath(trash)):
+        raise IOError(f"compact: could not move {path} aside")
+    if not fs.rename(jpath(tmp), jpath(path)):
+        fs.rename(jpath(trash), jpath(path))  # roll back
+        raise IOError(f"compact: could not commit {tmp} -> {path}")
+    fs.delete(jpath(trash), True)
+    after = _data_files(jpath, fs, path)
+    return CompactResult(files_before=len(before), files_after=len(after),
+                         bytes_total=total, rows=rows)
+
+
+def write_sorted(df: DataFrame, path: str, order_cols: list[str],
+                 n_files: int | None = None, fmt: str = "parquet") -> None:
+    """Write ``df`` clustered on ``order_cols``: range-partitioned so
+    files cover disjoint key ranges, sorted within each file so row
+    groups carry tight min/max footer statistics.
+
+    ``repartitionByRange`` samples the key distribution, so output
+    files are balanced even under skew (a hash partitioning would
+    interleave ranges and destroy file-level skipping).
+    """
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (df.repartitionByRange(n, *order_cols)
+       .sortWithinPartitions(*order_cols)
+       .write.mode("overwrite").format(fmt).save(path))
