@@ -803,9 +803,15 @@ def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         return sig.select(F.col("doc_id").alias(id_alias),
                           F.explode(F.array(*bands)).alias("band_key"))
 
+    # the candidate list feeds THREE consumers (new-id prune, old-id
+    # prune, shared-gram join); without materialization the whole
+    # minhash+banding lineage re-executes per branch — same
+    # multi-consumer trap q55 fixed (plan audit: 16 exchanges before,
+    # 12 after). The list is pair-sized, a rounding error to hold.
     cand = (banded(sig_new, "doc_id")
             .join(banded(sig_old, "old_id"), "band_key")
-            .select("doc_id", "old_id").distinct())
+            .select("doc_id", "old_id").distinct()
+            .localCheckpoint(eager=True))
 
     grams_of = lambda d: d.select(  # noqa: E731
         "doc_id", F.explode(F.expr(_SHINGLES_SPARK)).alias("gram"))
