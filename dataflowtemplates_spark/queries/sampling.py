@@ -170,14 +170,79 @@ ORDER BY source, cap_rank
 """
 
 
+#: Train/val/test split fractions in 1/10000ths of the hash keyspace
+#: (md5 16-bit prefix): ~90 / ~5 / ~5. Boundaries are hex-prefix
+#: thresholds so membership is a pure map-side comparison.
+SPLIT_SEED = "sp7"
+_VAL_LO, _TEST_LO = "e666", "f333"  # 58982/65536 ~ 90%, 62259/65536 ~ 95%
+
+
+def q75_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~90/5/5) with per-source
+    stratification audit — the manifest a training-data pipeline ships
+    with the corpus.
+
+    Membership is the same seeded hash-Bernoulli rule as q47 (a
+    16-bit md5 prefix against fixed thresholds): map-side, shuffle-free
+    on the corpus, reproducible by any worker at 100 TB. The audit
+    aggregate (per source x split counts + observed fraction) is the
+    only shuffle and is stratum-sized. Documents never carry a random
+    number: re-running on a grown corpus keeps every previous
+    assignment stable — the property that makes incremental corpus
+    builds possible (a rand() split reshuffles history every run).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    key = F.substring(
+        F.md5(F.concat(F.lit(SPLIT_SEED), F.col("doc_id").cast("string"))),
+        1, 4)
+    split = (F.when(key < _VAL_LO, "train")
+             .when(key < _TEST_LO, "val")
+             .otherwise("test"))
+    tagged = docs.select("doc_id", "source", key.alias("split_key"),
+                         split.alias("split"))
+    totals = tagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_n_source"))
+    return (tagged.groupBy("source", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min("doc_id").alias("first_doc"))
+            .join(totals, "source")
+            .select("source", "split", "n_docs", "first_doc",
+                    (F.col("n_docs").cast("double") / F.col("_n_source"))
+                    .alias("frac"))
+            .orderBy("source", "split"))
+
+
+_Q75_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, source,
+         SUBSTRING(MD5('{SPLIT_SEED}' || CAST(doc_id AS VARCHAR)), 1, 4) AS k
+  FROM documents),
+split AS (
+  SELECT doc_id, source,
+         CASE WHEN k < '{_VAL_LO}' THEN 'train'
+              WHEN k < '{_TEST_LO}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM tagged),
+totals AS (SELECT source, COUNT(*) AS n_source FROM split GROUP BY source)
+SELECT s.source, s.split, COUNT(*) AS n_docs, MIN(s.doc_id) AS first_doc,
+       CAST(COUNT(*) AS DOUBLE) / MAX(t.n_source) AS frac
+FROM split s JOIN totals t ON t.source = s.source
+GROUP BY s.source, s.split
+ORDER BY s.source, s.split
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
     "q49_domain_cap": q49_domain_cap,
+    "q75_stratified_split": q75_stratified_split,
 }
 
 ORACLES = {
     "q47_hash_sample": _Q47_ORACLE,
     "q48_sequence_packing": _Q48_ORACLE,
     "q49_domain_cap": _Q49_ORACLE,
+    "q75_stratified_split": _Q75_ORACLE,
 }
