@@ -39,7 +39,9 @@ HEADLINE = (
     "q55_dedup_pipeline",
     "q56_dup_groups",
     "q50_dedup_exact",
+    "q74_incremental_dedup",
     "q57_decontaminate",
+    "q73_decontaminate_bloom",
     "q59_tfidf_topterms",
     "q40_token_stats",
     "q48_sequence_packing",
