@@ -163,3 +163,41 @@ def test_avro_schema_roundtrip():
     assert all(f["type"][0] == "null" for f in avro["fields"])
     back = spark_schema_from_avro(avro)
     assert back == schema
+
+
+def test_avro_schema_roundtrip_property():
+    """C13 as a property: ANY StructType built from the supported type
+    pool (scalars, decimal, date/timestamp, arrays, maps, structs to
+    depth 2) survives Spark -> Avro -> Spark unchanged."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = st.sampled_from([
+        T.LongType(), T.IntegerType(), T.StringType(), T.DoubleType(),
+        T.FloatType(), T.BooleanType(), T.BinaryType(), T.DateType(),
+        T.TimestampType(), T.DecimalType(38, 9),
+    ])
+
+    def fields(types, max_n=4):
+        names = st.lists(
+            st.text("abcdefgh_", min_size=1, max_size=8),
+            min_size=1, max_size=max_n, unique=True)
+        return names.flatmap(lambda ns: st.tuples(*[
+            types.map(lambda t, n=n: T.StructField(n, t, True))
+            for n in ns]))
+
+    nested = st.recursive(
+        scalars,
+        lambda inner: st.one_of(
+            inner.map(lambda t: T.ArrayType(t, True)),
+            inner.map(lambda t: T.MapType(T.StringType(), t, True)),
+            fields(inner, 3).map(lambda fs: T.StructType(list(fs)))),
+        max_leaves=6)
+
+    @given(fields(nested).map(lambda fs: T.StructType(list(fs))))
+    @settings(max_examples=150, deadline=None)
+    def check(schema):
+        back = spark_schema_from_avro(avro_schema_from_spark(schema))
+        assert back == schema
+
+    check()
