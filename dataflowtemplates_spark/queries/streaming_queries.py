@@ -268,15 +268,94 @@ ORDER BY window_start, nationkey
 """
 
 
+_DOCS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("text", T.StringType()),
+    T.StructField("lang", T.StringType()),
+    T.StructField("source", T.StringType()),
+    T.StructField("n_chars", T.LongType()),
+])
+
+
+def q95_stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MinHash-LSH candidate generation: the dedup front-end
+    (q52) run through the streaming engine against a document stream.
+
+    Structured Streaming allows ONE stateful aggregation per query in
+    complete mode, so the batch shape (explode shingles -> groupBy doc
+    -> groupBy band) cannot stream. The signature therefore computes
+    PER-ROW with higher-order array functions (array_min over the
+    md5'd shingle array — bit-identical to the batch explode+min form,
+    since both take the same lexicographic minimum), keeping banding a
+    stateless projection; the single aggregation is the band-bucket
+    collect_set. Interpreted HOFs cost more per row than the batch
+    codegen path (see queries/dedup.py notes) — the price of fitting
+    the streaming constraint, paid per-document exactly once at
+    ingest, which is the point: candidates exist the moment a shard
+    lands instead of waiting for the nightly batch pass.
+
+    Output is bucket-granular (band_key, n_docs, sorted id CSV) for
+    buckets holding >= 2 docs — deterministic and order-independent,
+    so the bounded drain equals the batch oracle bit-for-bit.
+    """
+    register_tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
+    else:
+        src, opts = path, {}
+    docs = (spark.readStream.schema(_DOCS_SCHEMA)
+            .options(**opts).parquet(src))
+
+    from dataflowtemplates_spark.queries.dedup import (
+        _SHINGLES_SPARK, BAND_SIZE, N_HASHES)
+    hs = f"transform({_SHINGLES_SPARK}, s -> md5(s))"
+    mh = [F.expr(f"array_min(transform({hs}, h -> substring(h, {4 * i + 1}, 4)))")
+          .alias(f"mh_{i}") for i in range(N_HASHES)]
+    sig = docs.select("doc_id", *mh)
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
+                     .alias("band_key"))
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+    agg = (banded.groupBy("band_key")
+           .agg(F.collect_set("doc_id").alias("_ids")))
+    _run_bounded(agg, "q95_neardup_sink")
+    return (spark.table("q95_neardup_sink")
+            .filter(F.size("_ids") >= 2)
+            .select("band_key",
+                    F.size("_ids").alias("n_docs"),
+                    F.concat_ws(",", F.transform(
+                        F.sort_array("_ids"),
+                        lambda x: x.cast("string"))).alias("ids_csv"))
+            .orderBy("band_key"))
+
+
+def _q95_oracle() -> str:
+    from dataflowtemplates_spark.queries.dedup import (
+        _band_oracle, _HASHED_CTE, BAND_SIZE, N_HASHES)
+    union = "\nUNION ALL\n".join(
+        f"  SELECT doc_id, {_band_oracle(b)} AS band_key FROM hashed"
+        for b in range(N_HASHES // BAND_SIZE))
+    return (_HASHED_CTE + ",\nbanded AS (\n" + union + "\n)\n"
+            "SELECT band_key, COUNT(*) AS n_docs,\n"
+            "       STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS ids_csv\n"
+            "FROM banded GROUP BY band_key HAVING COUNT(*) >= 2\n"
+            "ORDER BY band_key")
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
     "q92_stream_dedup": q92_stream_dedup,
     "q93_stream_user_stats": q93_stream_user_stats,
     "q94_stream_enrich": q94_stream_enrich,
+    "q95_stream_neardup_candidates": q95_stream_neardup_candidates,
 }
 
 ORACLES = {
+    "q95_stream_neardup_candidates": _q95_oracle(),
     "q90_stream_tumbling": _Q90_ORACLE,
     "q91_stream_sessionize": _Q91_ORACLE,
     "q92_stream_dedup": _Q92_ORACLE,
