@@ -40,7 +40,7 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
             streaming_queries, sampling, text, temporal, relational)
 
 
-def _last_green_round() -> dict[str, int]:
+def _last_green_round(repo_dir: str | None = None) -> dict[str, int]:
     """query name -> most recent round whose CORRECTNESS_r*.json row was
     fully green (no err, rows/schema/hash all matched).
 
@@ -58,7 +58,7 @@ def _last_green_round() -> dict[str, int]:
     import os
     import re
 
-    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+    repo = repo_dir or os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     out: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):

@@ -46,3 +46,39 @@ def test_driver_contract_surface(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert out.schema == entrymod.entry(spark).schema  # stable schema
+
+
+def test_last_green_round_parsing_rules(tmp_path):
+    """A row only counts as green when it has no err AND all three
+    match flags — errored or mismatched rows must re-enter the scoring
+    prefix immediately."""
+    import json
+
+    from dataflowtemplates_spark.queries import _last_green_round
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "q_green": {"err": None, "rows_match": True, "schema_match": True,
+                    "hash_match": True},
+        "q_later_red": {"err": None, "rows_match": True,
+                        "schema_match": True, "hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "q_green": {"err": None, "rows_match": True, "schema_match": True,
+                    "hash_match": True},
+        "q_later_red": {"err": None, "rows_match": True,
+                        "schema_match": True, "hash_match": False},
+        "q_error": {"err": "no_oracle", "rows_match": None,
+                    "schema_match": None, "hash_match": None},
+        "q_mismatch": {"err": None, "rows_match": False,
+                       "schema_match": True, "hash_match": False},
+    }))
+    (tmp_path / "not_correctness.json").write_text("{broken")
+
+    got = _last_green_round(str(tmp_path))
+    assert got == {"q_green": 2, "q_later_red": 1}
+    # q_error / q_mismatch never green -> absent -> rank -1 -> front
+
+
+def test_last_green_round_empty_dir(tmp_path):
+    from dataflowtemplates_spark.queries import _last_green_round
+    assert _last_green_round(str(tmp_path)) == {}
