@@ -136,3 +136,21 @@ def test_text_write_is_single_job(spark, sample, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("single-job-write")
     assert len(jobs) == 1
     assert res.row_count == 4
+
+
+def test_columnar_dynamic_orc_and_parquet(spark, sample, tmp_path):
+    """K2's native-datasource path: ORC and parquet dynamic writes go
+    through the same split/finalize/count machinery as Avro."""
+    for fmt in ("orc", "parquet"):
+        out = str(tmp_path / f"col_{fmt}")
+        res = write_columnar_dynamic(sample, out, split_field="grp",
+                                     fmt=fmt, compression="snappy" if
+                                     fmt == "parquet" else "zlib")
+        assert res.format == fmt
+        assert res.row_count == 4
+        # group dirs are plain `value/` (reference naming, not hive
+        # k=v), so re-reading the tree needs recursive lookup
+        back = (spark.read.format(fmt)
+                .option("recursiveFileLookup", "true").load(out))
+        assert sorted(r["name"] for r in back.collect()) == \
+            ["one", "three", "two", "ungrouped"]
