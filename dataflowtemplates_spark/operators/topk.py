@@ -22,6 +22,15 @@ decomposable aggregate, so the result is bit-identical):
    ``n_partitions x k`` survivors per key, ordered merge via the same
    sort_array+slice, ranked by position.
 
+Memory bound: phase 1's collect_list buffers, per aggregation task, at
+most one input partition's worth of the NARROW projection (the slice
+applies after the per-group list completes) — bounded by the scan
+split size (`spark.sql.files.maxPartitionBytes`), and the planner's
+ObjectHashAggregate falls back to sort-based aggregation on memory
+pressure, so a wide partition spills instead of OOMing. The earlier
+pandas partial held only k rows per key but paid an Arrow crossing on
+every scored row; this trade buys zero Python and codegen'd sorts.
+
 Both phases are pure JVM expressions inside whole-stage codegen — an
 earlier revision ran phase 1 as an Arrow-batched ``mapInPandas``
 partial, which kept memory bounded but paid a per-row Arrow crossing
