@@ -510,6 +510,71 @@ LIMIT {BPE_TOP}
 """
 
 
+def q76_charlm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram coverage against a reference corpus — the
+    integer-exact core of LM-based quality scoring.
+
+    A real pipeline scores documents by perplexity under a small LM
+    trained on trusted text; the portable, engine-exact part of that
+    signal is VOCABULARY COVERAGE: what fraction of a document's
+    distinct char-trigrams appear in the reference corpus at all
+    (OOV-rate). Log-prob scoring needs ln(), whose last-bit rounding
+    differs across libm builds and would break bit-exact oracle
+    comparison, so the query sticks to counts and one exact int/int
+    double division — the monotone backbone of the perplexity signal.
+
+    Shape at 100 TB: the reference trigram vocabulary (bounded: even
+    web-scale corpora top out at a few million distinct char-trigrams)
+    is distinct-aggregated and broadcast; the corpus side explodes
+    per-doc DISTINCT trigrams map-side, hash-joins the broadcast with
+    no corpus shuffle, and aggregates per doc — q57's decontamination
+    topology reused for scoring. Reference here: the even-doc_id half
+    of the English subset, so every document (including English ones)
+    can carry genuine OOV mass.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    tri = F.array_distinct(F.expr(
+        "transform(sequence(1, greatest(length(text) - 2, 1)), "
+        "i -> substring(text, i, 3))"))
+    is_ref = (F.col("lang") == "en") & (F.col("doc_id") % 2 == 0)
+    ref = (docs.filter(is_ref)
+           .select(F.explode(tri).alias("g")).distinct())
+    grams = docs.select("doc_id", F.explode(tri).alias("g"))
+    sizes = docs.select("doc_id", "lang", F.size(tri).alias("n_tri"))
+    seen = (grams.join(F.broadcast(ref), "g")
+            .groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_seen")))
+    return (sizes.join(seen, "doc_id", "left")
+            .select("doc_id", "lang", "n_tri",
+                    F.coalesce("n_seen", F.lit(0)).alias("n_seen"),
+                    ((F.col("n_tri") - F.coalesce("n_seen", F.lit(0)))
+                     .cast("double") / F.col("n_tri")).alias("oov_frac"),
+                    is_ref.alias("is_reference"))
+            .orderBy("doc_id"))
+
+
+_Q76_ORACLE = """
+WITH tri AS (
+  SELECT doc_id, lang, doc_id % 2 = 0 AND lang = 'en' AS is_reference,
+         LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, GREATEST(LEN(text) - 2, 1) + 1),
+           i -> SUBSTRING(text, i, 3))) AS gs
+  FROM documents),
+ref AS (SELECT DISTINCT UNNEST(gs) AS g FROM tri WHERE is_reference),
+grams AS (SELECT doc_id, UNNEST(gs) AS g FROM tri),
+seen AS (
+  SELECT doc_id, COUNT(*) AS n_seen
+  FROM grams JOIN ref USING (g) GROUP BY doc_id)
+SELECT t.doc_id, t.lang, CAST(LEN(t.gs) AS INTEGER) AS n_tri,
+       COALESCE(s.n_seen, 0) AS n_seen,
+       CAST(LEN(t.gs) - COALESCE(s.n_seen, 0) AS DOUBLE) / LEN(t.gs)
+         AS oov_frac,
+       t.is_reference
+FROM tri t LEFT JOIN seen s ON s.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -521,6 +586,7 @@ QUERIES = {
     "q58_repetition_stats": q58_repetition_stats,
     "q59_tfidf_topterms": q59_tfidf_topterms,
     "q68_bpe_pairs": q68_bpe_pairs,
+    "q76_charlm_coverage": q76_charlm_coverage,
 }
 
 ORACLES = {
@@ -534,4 +600,5 @@ ORACLES = {
     "q58_repetition_stats": _Q58_ORACLE,
     "q59_tfidf_topterms": _Q59_ORACLE,
     "q68_bpe_pairs": _Q68_ORACLE,
+    "q76_charlm_coverage": _Q76_ORACLE,
 }
