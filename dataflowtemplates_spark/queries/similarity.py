@@ -675,6 +675,53 @@ _Q72_ORACLE = (
 )
 
 
+def q77_embedding_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding duplicate GROUPS: q66's capped sign-bucket near-dup
+    pairs fed through iterative min-label propagation — the
+    keep-one-per-cluster decision for the vector side, exactly as q56
+    ships it for text. Component count stays distributed; only the
+    per-iteration changed-count scalar reaches the driver.
+    """
+    from dataflowtemplates_spark.queries.dedup import connected_components
+    pairs = q66_embedding_neardup_lsh(spark, sf_dir)
+    comp = connected_components(pairs, src="id_a", dst="id_b")
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("group_size"))
+    return (comp.join(sizes, "comp")
+            .select(F.col("node").alias("vec_id"),
+                    F.col("comp").alias("group_leader"),
+                    "group_size",
+                    (F.col("node") != F.col("comp")).alias("is_duplicate"))
+            .orderBy("vec_id"))
+
+
+_Q77_ORACLE = f"""
+WITH RECURSIVE n AS (
+  SELECT vec_id, embedding AS v, {_norm_dd('embedding')} AS nrm,
+         {_bucket_dd('embedding')} AS bucket
+  FROM embeddings),
+kept AS (
+  SELECT bucket FROM n GROUP BY bucket
+  HAVING COUNT(*) <= {Q66_MAX_BUCKET}),
+k AS (SELECT n.* FROM n JOIN kept USING (bucket)),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')} >= 0.35),
+sym AS (SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+sizes AS (SELECT comp, COUNT(*) AS group_size FROM labels GROUP BY comp)
+SELECT l.node AS vec_id, l.comp AS group_leader, s.group_size,
+       l.node <> l.comp AS is_duplicate
+FROM labels l JOIN sizes s USING (comp)
+ORDER BY vec_id
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -685,6 +732,7 @@ QUERIES = {
     "q66_embedding_neardup_lsh": q66_embedding_neardup_lsh,
     "q67_kmeans": q67_kmeans,
     "q72_embedding_quantize": q72_embedding_quantize,
+    "q77_embedding_dup_groups": q77_embedding_dup_groups,
 }
 
 ORACLES = {
@@ -697,4 +745,5 @@ ORACLES = {
     "q66_embedding_neardup_lsh": _Q66_ORACLE,
     "q67_kmeans": _Q67_ORACLE,
     "q72_embedding_quantize": _Q72_ORACLE,
+    "q77_embedding_dup_groups": _Q77_ORACLE,
 }
