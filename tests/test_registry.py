@@ -82,3 +82,29 @@ def test_last_green_round_parsing_rules(tmp_path):
 def test_last_green_round_empty_dir(tmp_path):
     from dataflowtemplates_spark.queries import _last_green_round
     assert _last_green_round(str(tmp_path)) == {}
+
+
+def test_sf_dir_switch_repoints_views(spark):
+    """The same session must serve different scale factors back to
+    back — stale views would silently answer from the wrong corpus."""
+    from dataflowtemplates_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    n_small = spark.table("lineitem").count()
+    register_tables(spark, "/root/testdata/sf0.01")
+    n_big = spark.table("lineitem").count()
+    assert n_big > n_small
+    register_tables(spark, "/root/testdata/sf0.001")
+    assert spark.table("lineitem").count() == n_small
+
+
+def test_bogus_sf_dir_raises_not_stale(spark):
+    import pytest
+
+    from dataflowtemplates_spark.catalog import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    with pytest.raises(FileNotFoundError):
+        register_tables(spark, "/no/such/dir")
+    # prior registration still intact after the failed switch
+    assert spark.table("documents").count() > 0
