@@ -1,0 +1,122 @@
+"""Mutation-family registry query: the K5/K6 write dispositions run as
+an oracle-checkable pipeline.
+
+The keyed-table mutation operators (reference
+``StructToMutationConverter.java:152-167`` op dispatch,
+``templates/SpannerToSpannerDelete.java:78-91`` delete-by-key, and the
+REPORT_FAILURES error stream of ``SpannerToSpanner.java:109-121``) were
+previously covered only by unit tests — the one §2 family with no
+driver-gated row, because a mutation sink has no obvious SELECT shape.
+q78 closes that: it routes deterministic conflicting batches through
+``KeyedTable.apply_mutations`` and surfaces, per step, the (applied,
+failed, table_rows) counts. DuckDB reproduces the same counts
+relationally (INSERT conflicts = semi-join on the seeded keys, UPDATE
+misses = anti-join, batch duplicates = the extra copies), so the
+driver's rows+schema+hash gate verifies the mutation semantics
+themselves: conflict detection, per-row failure isolation, upsert
+reachability, and delete-by-key matching.
+
+Scale note: each step is one key-join against the current table state
+plus a rewrite — the same shuffle shape the operator runs at any scale
+(AQE handles key skew); nothing here is local-mode-only except the
+parquet-directory stand-in for the transactional store.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.operators.mutations import KeyedTable
+
+
+def q78_mutation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-step mutation audit over ``customer`` (key ``c_custkey``):
+
+    1. INSERT the seed half (custkey %2==0) into an empty table.
+    2. INSERT custkey %3==0, with the %21==0 subset duplicated in the
+       batch — expecting ALREADY_EXISTS quarantines for %6==0 keys and
+       DUPLICATE_KEY_IN_BATCH for the extra copies.
+    3. UPDATE custkey %5==0 (acctbal bump) — NOT_FOUND for keys the
+       table doesn't hold.
+    4. INSERT_OR_UPDATE custkey %7==0 — upsert, never fails.
+    5. DELETE custkey %11==0 — applied counts only matched rows.
+
+    Every count is a pure function of the key residues, which is what
+    the DuckDB oracle computes set-relationally.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q78_mutation_audit_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"])
+        tbl.create(cust)
+
+        steps: list[tuple[int, str, int, int, int]] = []
+
+        def run(step: int, op: str, batch: DataFrame) -> None:
+            res = tbl.apply_mutations(batch, op)
+            steps.append((step, op, res.applied, res.failed,
+                          tbl.read().count()))
+
+        run(1, "INSERT", cust.filter(k % 2 == 0))
+        run(2, "INSERT", cust.filter(k % 3 == 0)
+            .unionByName(cust.filter(k % 21 == 0)))
+        run(3, "UPDATE", cust.filter(k % 5 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0)))
+        run(4, "INSERT_OR_UPDATE", cust.filter(k % 7 == 0))
+        run(5, "DELETE", cust.filter(k % 11 == 0).select("c_custkey"))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        steps, "step long, op string, applied long, failed long, "
+               "table_rows long").orderBy("step")
+
+
+_Q78_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k,
+         c_custkey % 2 = 0 AS s2, c_custkey % 3 = 0 AS s3,
+         c_custkey % 5 = 0 AS s5, c_custkey % 7 = 0 AS s7,
+         c_custkey % 11 = 0 AS s11, c_custkey % 21 = 0 AS s21
+  FROM customer)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'INSERT' AS op,
+         CAST((SELECT COUNT(*) FROM f WHERE s2) AS BIGINT) AS applied,
+         CAST(0 AS BIGINT) AS failed,
+         CAST((SELECT COUNT(*) FROM f WHERE s2) AS BIGINT) AS table_rows
+  UNION ALL
+  SELECT 2, 'INSERT',
+         (SELECT COUNT(*) FROM f WHERE s3 AND NOT s2),
+         (SELECT COUNT(*) FROM f WHERE s3 AND s2)
+           + (SELECT COUNT(*) FROM f WHERE s21),
+         (SELECT COUNT(*) FROM f WHERE s2 OR s3)
+  UNION ALL
+  SELECT 3, 'UPDATE',
+         (SELECT COUNT(*) FROM f WHERE s5 AND (s2 OR s3)),
+         (SELECT COUNT(*) FROM f WHERE s5 AND NOT (s2 OR s3)),
+         (SELECT COUNT(*) FROM f WHERE s2 OR s3)
+  UNION ALL
+  SELECT 4, 'INSERT_OR_UPDATE',
+         (SELECT COUNT(*) FROM f WHERE s7),
+         0,
+         (SELECT COUNT(*) FROM f WHERE s2 OR s3 OR s7)
+  UNION ALL
+  SELECT 5, 'DELETE',
+         (SELECT COUNT(*) FROM f WHERE s11 AND (s2 OR s3 OR s7)),
+         0,
+         (SELECT COUNT(*) FROM f WHERE (s2 OR s3 OR s7) AND NOT s11)
+) ORDER BY step
+"""
+
+
+QUERIES = {"q78_mutation_audit": q78_mutation_audit}
+ORACLES = {"q78_mutation_audit": _Q78_ORACLE}

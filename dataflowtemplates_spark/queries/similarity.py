@@ -389,45 +389,52 @@ def assign_cells(df: DataFrame, vec_col: str, nrm_col: str,
     ids of its nprobe nearest seeds by cosine, ties broken by smaller
     seed id).
 
-    Plan shape: MAP-ONLY — an Arrow-batched mapInPandas projection, no
-    join, no window, no shuffle of the big side (the window-over-c_id
-    form this replaces shuffled len(codebook) x the candidate set). A
-    single inlined-expression form was tried first and breaks janino's
-    64 KB method limit (8 seeds x 64-dim unrolled chains in ONE
-    expression cannot be split), so the math runs as a 64-step
-    VECTORIZED left-fold in NumPy: ``acc = acc + V[:,i]*s_i`` over
-    float64 is the identical exactly-rounded IEEE-754 sequence as the
-    unrolled SQL chain, just batched across rows — bit-identical to
-    the DuckDB oracle, with no per-row Python.
+    Plan shape: MAP-ONLY and PURE JVM — no join, no window, no shuffle
+    of the big side (the window-over-c_id form this replaces shuffled
+    len(codebook) x the candidate set), and no Python crossing (the
+    mapInPandas form this replaces moved the full candidate set through
+    Arrow once per pass). The janino trap that forced the Python detour
+    was real but narrower than first diagnosed: 8 seeds x 64-dim chains
+    nested inside ONE selection expression blow the 64 KB method limit,
+    but eight SEPARATE 64-term chains — each its own projected column,
+    the same size as q61's per-pair cosine — compile fine. So:
+
+    * projection 1 emits one cosine column per seed (statically
+      unrolled left-fold against literal seed components — exactly the
+      chain the DuckDB oracle spells out, so bit parity holds);
+    * projection 2 ranks the seeds with ``array_sort`` over an
+      8-element struct array ``(neg cosine, seed id, cosine)`` and
+      extracts the top ``nprobe`` cells. Each cosine column is
+      referenced TWICE in the structs, which is what keeps
+      CollapseProject from re-inlining the chains into a single giant
+      expression (Catalyst only collapses aliases that are cheap or
+      single-use). The interpreted array_sort touches 8 elements per
+      ROW — nothing like the per-pair HOF cost documented above.
     """
-    import numpy as np
-    from pyspark.sql import types as T
-
     seeds = sorted(codebook)
-    s_ids = np.array([sid for sid, _ in seeds], dtype=np.int64)
     s_nrms = [_chain_norm(vec) for _, vec in seeds]
-    out_schema = T.StructType(
-        list(df.schema.fields) + [T.StructField("cell", T.LongType(), False)])
+    orig_cols = df.columns
 
-    def run(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            nrm = pdf[nrm_col].to_numpy(dtype=np.float64)
-            cos = np.empty((len(pdf), len(seeds)), dtype=np.float64)
-            for j, (_, svec) in enumerate(seeds):
-                acc = V[:, 0] * svec[0]
-                for i in range(1, len(svec)):
-                    acc = acc + V[:, i] * svec[i]
-                cos[:, j] = acc / (nrm * s_nrms[j])
-            # stable argsort of -cos: cosine DESC, seed id ASC on ties
-            order = np.argsort(-cos, axis=1, kind="stable")[:, :nprobe]
-            out = pdf.loc[pdf.index.repeat(nprobe)].reset_index(drop=True)
-            out["cell"] = s_ids[order].reshape(-1)
-            yield out
+    cos_cols = []
+    for j, (_, svec) in enumerate(seeds):
+        acc = F.element_at(vec_col, 1).cast("double") * F.lit(svec[0])
+        for i in range(1, len(svec)):
+            acc = acc + (F.element_at(vec_col, i + 1).cast("double")
+                         * F.lit(svec[i]))
+        cos_cols.append(
+            (acc / (F.col(nrm_col) * F.lit(s_nrms[j]))).alias(f"__cos{j}"))
+    staged = df.select("*", *cos_cols)
 
-    return df.mapInPandas(run, schema=out_schema)
+    ranked = F.array_sort(F.array(*[
+        F.struct((-F.col(f"__cos{j}")).alias("neg"),
+                 F.lit(sid).cast("long").alias("sid"),
+                 F.col(f"__cos{j}").alias("cos"))
+        for j, (sid, _) in enumerate(seeds)]))
+    if nprobe == 1:
+        return staged.select(
+            *orig_cols, F.element_at(ranked, 1)["sid"].alias("cell"))
+    cells = F.slice(F.transform(ranked, lambda x: x["sid"]), 1, nprobe)
+    return staged.select(*orig_cols, F.explode(cells).alias("cell"))
 
 
 def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

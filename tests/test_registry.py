@@ -2,9 +2,10 @@
 
 The external harness imports ``__spark_entry__`` and scores a prefix of
 ``queries()`` — these tests pin the properties that contract depends
-on: every query has an oracle, the rotation really orders
-least-recently-green first, and ``entry`` produces rows with a stable
-schema.
+on: every query has an oracle, the registry order is the explicit
+source-committed ``REGISTRY_ORDER`` (a pure function of the checkout —
+no result artifacts, no environment state), and ``entry`` produces rows
+with a stable schema.
 """
 
 import os
@@ -19,22 +20,33 @@ def test_every_query_has_an_oracle():
     assert set(q) == set(o)
 
 
-def test_rotation_orders_least_recently_green_first():
-    from dataflowtemplates_spark.queries import (
-        _last_green_round,
-        all_queries,
-    )
-    scored = _last_green_round()
-    ranks = [scored.get(name, -1) for name in all_queries()]
-    # never-green (-1) first, then strictly by last green round — the
-    # property that makes a fixed-size scoring prefix rotate through
-    # the whole registry across rounds
-    assert ranks == sorted(ranks)
+def test_order_is_exactly_registry_order():
+    """all_queries() iterates in the committed REGISTRY_ORDER — the
+    scored prefix is reviewable in source and identical for every
+    clone of the same commit."""
+    from dataflowtemplates_spark.queries import REGISTRY_ORDER, all_queries
+    assert list(all_queries()) == list(REGISTRY_ORDER)
 
 
-def test_rotation_is_deterministic():
+def test_registry_order_covers_registered_set_exactly():
+    from dataflowtemplates_spark.queries import REGISTRY_ORDER, _registered
+    assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER)), "duplicates"
+    assert set(REGISTRY_ORDER) == set(_registered())
+
+
+def test_order_ignores_result_artifacts(tmp_path, monkeypatch):
+    """The order must not depend on files outside source control:
+    importing/calling from a different cwd with artifacts lying around
+    yields the identical order."""
+    import json
+
     from dataflowtemplates_spark.queries import all_queries
-    assert list(all_queries()) == list(all_queries())
+    before = list(all_queries())
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({
+        before[-1]: {"err": "boom", "rows_match": False,
+                     "schema_match": False, "hash_match": False}}))
+    monkeypatch.chdir(tmp_path)
+    assert list(all_queries()) == before
 
 
 def test_driver_contract_surface(spark):
@@ -46,42 +58,6 @@ def test_driver_contract_surface(spark):
     rows = out.collect()
     assert len(rows) > 0
     assert out.schema == entrymod.entry(spark).schema  # stable schema
-
-
-def test_last_green_round_parsing_rules(tmp_path):
-    """A row only counts as green when it has no err AND all three
-    match flags — errored or mismatched rows must re-enter the scoring
-    prefix immediately."""
-    import json
-
-    from dataflowtemplates_spark.queries import _last_green_round
-
-    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
-        "q_green": {"err": None, "rows_match": True, "schema_match": True,
-                    "hash_match": True},
-        "q_later_red": {"err": None, "rows_match": True,
-                        "schema_match": True, "hash_match": True},
-    }))
-    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
-        "q_green": {"err": None, "rows_match": True, "schema_match": True,
-                    "hash_match": True},
-        "q_later_red": {"err": None, "rows_match": True,
-                        "schema_match": True, "hash_match": False},
-        "q_error": {"err": "no_oracle", "rows_match": None,
-                    "schema_match": None, "hash_match": None},
-        "q_mismatch": {"err": None, "rows_match": False,
-                       "schema_match": True, "hash_match": False},
-    }))
-    (tmp_path / "not_correctness.json").write_text("{broken")
-
-    got = _last_green_round(str(tmp_path))
-    assert got == {"q_green": 2, "q_later_red": 1}
-    # q_error / q_mismatch never green -> absent -> rank -1 -> front
-
-
-def test_last_green_round_empty_dir(tmp_path):
-    from dataflowtemplates_spark.queries import _last_green_round
-    assert _last_green_round(str(tmp_path)) == {}
 
 
 def test_sf_dir_switch_repoints_views(spark):

@@ -73,11 +73,12 @@ def test_ann_query_plans_are_python_free_below_topk(spark):
     assert p61.count("Exchange hashpartitioning(q_id") == 2  # local + merge
     p65 = (q65_ann_ivf(spark, SF_DIR)
            ._jdf.queryExecution().executedPlan().toString())
-    # cell assignment is map-only: no window, no 8x crossJoin expansion
+    # cell assignment is map-only: no window, no 8x crossJoin expansion,
+    # and — since the chunked-projection rewrite — no Python crossing
     assert "Window" not in p65
     assert "CartesianProduct" not in p65
-    # (q65 keeps its by-design map-only MapInPandas for cell assignment;
-    # the topk stages themselves are JVM-only, checked via q61 above)
+    assert "MapInPandas" not in p65
+    assert "ArrowEval" not in p65
     assert p65.count("Exchange hashpartitioning(q_id") == 2
 
 
