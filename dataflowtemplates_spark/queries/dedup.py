@@ -637,31 +637,51 @@ FROM hits ORDER BY doc_id
 BLOOM_K = 4
 BLOOM_BITS_PER_ITEM = 16
 
+#: Hard ceiling on the sketch-side item count. The bitmap is
+#: driver-held by DESIGN (the eval/benchmark side of a decontamination
+#: is small); this guard turns that assumption into an enforced
+#: contract instead of a silent driver OOM if someone points the build
+#: at a corpus. 4M items -> m = 64M bits -> an 8 MB bitmap (1M longs
+#: through the driver), still broadcast-friendly.
+BLOOM_MAX_ITEMS = 4_000_000
 
-def build_bloom_bitmap(grams: DataFrame, col: str = "gram") -> tuple[list, int]:
+
+def build_bloom_bitmap(grams: DataFrame, col: str = "gram",
+                       max_items: int = BLOOM_MAX_ITEMS) -> tuple[list, int]:
     """Aggregate a distinct-values DataFrame into a Bloom bitmap held as
     a list of int64 words (+ the bit width m).
 
     The positions are ``pmod(xxhash64(value, seed_j), m)`` for
     BLOOM_K seeds — pure Catalyst expressions, so membership probes on
-    the corpus side stay inside whole-stage codegen. The bitmap itself
-    is DRIVER-HELD state (m/8 bytes — a few hundred KB for millions of
-    items), the same driver-sketch-broadcast pattern as the IVF
-    codebook: ship the sketch to every task as a literal, never join.
-    m is sized at BLOOM_BITS_PER_ITEM x n (k=4 -> ~0.2 % false
-    positives), rounded up to whole 64-bit words.
+    the corpus side stay inside whole-stage codegen. The bitmap words
+    are built DISTRIBUTED — one shuffle keyed by word index with a
+    map-side-combining ``bit_or`` of the single-bit contributions — so
+    the driver receives at most m/64 pre-OR'd longs, never the k*n raw
+    positions. m is sized at BLOOM_BITS_PER_ITEM x n (k=4 -> ~0.2 %
+    false positives), rounded up to whole 64-bit words; ``max_items``
+    (default BLOOM_MAX_ITEMS) bounds the driver-held sketch and raises
+    on a side too big to be a sketch.
     """
     n = grams.count()
+    if n > max_items:
+        raise ValueError(
+            f"bloom build side has {n} items > max_items={max_items}; "
+            "the bitmap is driver-held by design — a side this large "
+            "is not a sketchable eval set (use the broadcast-join "
+            "decontamination path instead)")
     m = max(1024, ((BLOOM_BITS_PER_ITEM * n + 63) // 64) * 64)
     pos = grams.select(F.explode(F.array(*[
         F.pmod(F.xxhash64(F.col(col), F.lit(j)), F.lit(m))
-        for j in range(BLOOM_K)])).alias("p")).distinct()
+        for j in range(BLOOM_K)])).alias("p"))
+    # bit_or is idempotent on duplicate positions, so no distinct pass;
+    # signed-long words come out of the aggregation directly
+    word_rows = (pos.groupBy(F.expr("p DIV 64").alias("w"))
+                 .agg(F.bit_or(F.expr("shiftleft(1L, cast(p % 64 as int))"))
+                      .alias("word"))
+                 .collect())
     words = [0] * (m // 64)
-    for r in pos.collect():
-        p = int(r["p"])
-        words[p // 64] |= 1 << (p % 64)
-    # int64 literals: flip the sign bit range for Spark's signed longs
-    words = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    for r in word_rows:
+        words[int(r["w"])] = int(r["word"])
     return words, m
 
 
@@ -686,9 +706,12 @@ def q73_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for q57's broadcast-join form.
 
     At 100 TB the corpus side should not shuffle OR hash-join at all:
-    the eval set's distinct shingles aggregate into a driver-held Bloom
-    bitmap (KBs-MBs), which rides into every task as a literal; the
-    corpus probe is then a map-only codegen'd expression. The price is
+    the eval set's distinct shingles aggregate (distributed, bit_or
+    word merge) into a driver-held Bloom bitmap (KBs-MBs, guarded by
+    BLOOM_MAX_ITEMS), which ships once per executor as a broadcast
+    one-row side; the corpus probe is then a map-only codegen'd
+    expression against that row — no shuffle of the corpus, and no
+    per-task re-serialization of the bitmap. The price is
     false positives, which is why the output is shaped like q39's
     sketch contract: the exact flagged-document count (oracle-matched
     bit-for-bit, computed via the q57 broadcast join) plus Spark-side
@@ -716,9 +739,15 @@ def q73_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("doc_id", F.explode(gram_expr).alias("gram")))
 
     words, m = build_bloom_bitmap(bench_grams)
-    bitmap = F.lit(words)
+    # one broadcast row instead of a per-task literal: the probe is
+    # still map-only (BroadcastNestedLoopJoin against a single row, no
+    # shuffle of the corpus), but the bitmap crosses the wire once per
+    # executor rather than once per task closure
+    bloom_df = spark.createDataFrame([(words,)], "bloom array<long>")
     bloom_flagged = (corpus
-                     .filter(bloom_might_contain(bitmap, m, F.col("gram")))
+                     .crossJoin(F.broadcast(bloom_df))
+                     .filter(bloom_might_contain(F.col("bloom"), m,
+                                                 F.col("gram")))
                      .groupBy("doc_id")
                      .agg(F.count(F.lit(1)).alias("n_hit"))
                      .filter(F.col("n_hit") >= DECON_HITS)
@@ -762,6 +791,29 @@ SELECT (SELECT COUNT(*) FROM grams WHERE doc_id % 50 <> 0) AS n_corpus_docs,
 """
 
 
+def banded_capped(sig: DataFrame, id_alias: str,
+                  max_bucket: int | None = MAX_BUCKET) -> DataFrame:
+    """Band a minhash signature into (id, band_key) rows with q52's
+    hot-bucket cap applied to THIS side: band keys holding more than
+    ``max_bucket`` ids are dropped via a count-over-window on the same
+    band_key shuffle the downstream join reuses (no extra exchange).
+    Pass ``max_bucket=None`` for the uncapped form.
+    """
+    from pyspark.sql import Window as W
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(F.md5(F.concat_ws(
+            "|", F.lit(str(b)), *cols)).alias("band_key"))
+    out = sig.select(F.col("doc_id").alias(id_alias),
+                     F.explode(F.array(*bands)).alias("band_key"))
+    if max_bucket is None:
+        return out
+    return (out.withColumn(
+        "_bs", F.count(F.lit(1)).over(W.partitionBy("band_key")))
+        .filter(F.col("_bs") <= max_bucket).drop("_bs"))
+
+
 def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup: flag a NEW batch against the EXISTING corpus —
     the shape a production pipeline runs per ingest shard, where the
@@ -774,10 +826,13 @@ def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     but joined new-x-existing ONLY — the existing corpus never pairs
     with itself, so incremental cost is O(batch), not O(corpus).
     Candidates are verified with exact shingle Jaccard before flagging
-    (same verify-then-drop contract as q55). NOTE: this query is
-    deliberately UNCAPPED on both engines (the new-x-old band join is
-    already batch-bounded); a production shard against a boilerplate
-    bucket would add q52's count-over-window cap to both sides.
+    (same verify-then-drop contract as q55). Both sides of the band
+    join carry q52's hot-bucket cap (``banded_capped``): a boilerplate
+    bucket on EITHER side would otherwise explode the join (a hot new
+    shard x a hot corpus bucket is the worst case), so band keys whose
+    per-side bucket exceeds MAX_BUCKET are dropped before the join —
+    and the oracle applies the identical per-side ``HAVING COUNT(*)``
+    cap, keeping the cap declared semantics on both engines.
     """
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
@@ -794,22 +849,13 @@ def q74_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig_new = minhash_signature(new_docs)
     sig_old = minhash_signature(old_docs)
 
-    def banded(sig: DataFrame, id_alias: str) -> DataFrame:
-        bands = []
-        for b in range(N_HASHES // BAND_SIZE):
-            cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-            bands.append(F.md5(F.concat_ws(
-                "|", F.lit(str(b)), *cols)).alias("band_key"))
-        return sig.select(F.col("doc_id").alias(id_alias),
-                          F.explode(F.array(*bands)).alias("band_key"))
-
     # the candidate list feeds THREE consumers (new-id prune, old-id
     # prune, shared-gram join); without materialization the whole
     # minhash+banding lineage re-executes per branch — same
     # multi-consumer trap q55 fixed (plan audit: 16 exchanges before,
     # 12 after). The list is pair-sized, a rounding error to hold.
-    cand = (banded(sig_new, "doc_id")
-            .join(banded(sig_old, "old_id"), "band_key")
+    cand = (banded_capped(sig_new, "doc_id")
+            .join(banded_capped(sig_old, "old_id"), "band_key")
             .select("doc_id", "old_id").distinct()
             .localCheckpoint(eager=True))
 
@@ -863,10 +909,20 @@ banded AS (
     for b in range(N_HASHES // BAND_SIZE)
 ) + f"""
 ),
+new_b AS (SELECT doc_id, band_key FROM banded WHERE doc_id % 3 = 0),
+old_b AS (SELECT doc_id, band_key FROM banded WHERE doc_id % 3 <> 0),
+new_kept AS (
+  SELECT band_key FROM new_b GROUP BY band_key
+  HAVING COUNT(*) <= {MAX_BUCKET}),
+old_kept AS (
+  SELECT band_key FROM old_b GROUP BY band_key
+  HAVING COUNT(*) <= {MAX_BUCKET}),
 cand AS (
   SELECT DISTINCT a.doc_id, b.doc_id AS old_id
-  FROM banded a JOIN banded b ON a.band_key = b.band_key
-  WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0),
+  FROM new_b a
+  JOIN new_kept nk ON nk.band_key = a.band_key
+  JOIN old_b b ON b.band_key = a.band_key
+  JOIN old_kept ok ON ok.band_key = a.band_key),
 grams AS (
   SELECT doc_id, UNNEST({_SHINGLES_DD}) AS gram FROM documents
   WHERE doc_id IN (SELECT doc_id FROM cand UNION SELECT old_id FROM cand)),

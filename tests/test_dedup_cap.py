@@ -3,6 +3,7 @@ must be dropped BEFORE in-bucket pair generation, with the drop count
 observable from the same job."""
 
 from pyspark.sql import Observation
+from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.queries.dedup import lsh_candidate_pairs
 
@@ -72,6 +73,73 @@ def test_cap_parity_with_oracle_when_binding(spark):
         _Q52_ORACLE.replace("COUNT(*) <= 256", "COUNT(*) <= 50")).fetchall())
     assert got == want
     assert got == [(1000, 1001)]  # hot bucket dropped on BOTH engines
+
+
+def test_q74_band_side_cap_drops_hot_bucket(spark):
+    """q74's incremental new-x-old band join caps EACH side: a
+    boilerplate bucket must vanish from the banded stream before the
+    join, while small buckets pass through untouched."""
+    from dataflowtemplates_spark.queries.dedup import (
+        banded_capped, minhash_signature)
+
+    sig = minhash_signature(_docs(spark))
+    capped = banded_capped(sig, "doc_id", max_bucket=50)
+    sizes = [r["n"] for r in capped.groupBy("band_key")
+             .agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sizes and max(sizes) <= 50
+    # the two genuinely-near-dup docs still band together
+    kept_ids = {r["doc_id"] for r in capped.collect()}
+    assert {1000, 1001} <= kept_ids
+    # uncapped form retains the 120-doc boilerplate bucket
+    raw = banded_capped(sig, "doc_id", max_bucket=None)
+    raw_max = max(r["n"] for r in raw.groupBy("band_key")
+                  .agg(F.count(F.lit(1)).alias("n")).collect())
+    assert raw_max >= 120
+
+
+def test_q74_oracle_mirrors_per_side_cap():
+    """The cap must be declared semantics on BOTH engines: the q74
+    oracle carries the identical per-side HAVING cap."""
+    from dataflowtemplates_spark.queries.dedup import MAX_BUCKET, _Q74_ORACLE
+    assert _Q74_ORACLE.count(f"HAVING COUNT(*) <= {MAX_BUCKET}") == 2
+    assert "new_kept" in _Q74_ORACLE and "old_kept" in _Q74_ORACLE
+
+
+def test_bloom_build_guard_raises_on_oversized_side(spark):
+    """The Bloom bitmap is driver-held by design; a build side larger
+    than max_items must fail loudly, not OOM the driver."""
+    import pytest
+
+    from dataflowtemplates_spark.queries.dedup import build_bloom_bitmap
+
+    members = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(500)], "gram string")
+    with pytest.raises(ValueError, match="max_items"):
+        build_bloom_bitmap(members, max_items=100)
+
+
+def test_bloom_probe_via_broadcast_row_is_shuffle_free(spark):
+    """q73's delivery path: bitmap as a broadcast one-row side — the
+    probe must stay map-only (no shuffle of the corpus)."""
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.queries.dedup import (
+        bloom_might_contain, build_bloom_bitmap)
+
+    members = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(200)], "gram string")
+    words, m = build_bloom_bitmap(members)
+    probe = spark.createDataFrame(
+        [(f"gram number {i}",) for i in range(800)], "gram string")
+    bloom_df = spark.createDataFrame([(words,)], "bloom array<long>")
+    flt = (probe.crossJoin(F.broadcast(bloom_df))
+           .filter(bloom_might_contain(F.col("bloom"), m, F.col("gram")))
+           .drop("bloom"))
+    hits = {r["gram"] for r in flt.collect()}
+    assert {f"gram number {i}" for i in range(200)} <= hits
+    plan = flt._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_connected_components_multihop(spark):
