@@ -28,8 +28,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: classes; once the cache fills, JIT output degrades and the chains
 #: fall back toward the interpreter — measured 2-5x run-to-run swings
 #: when they ran late in the session). Running them against a fresh
-#: cache measures the plans, not the JVM's memory state; the set and
-#: the total are unchanged.
+#: cache measures the plans, not the JVM's memory state.
+#:
+#: Comparability contract: the set HAS changed across rounds (r6 added
+#: q73/q74), so headline_total is only comparable between runs whose
+#: ``query_set`` identity (count + sha256 of the sorted names, emitted
+#: in the JSON) matches; for cross-round deltas use
+#: ``tools/bench_compare.py``, which diffs the shared subset only.
 HEADLINE = (
     "q61_ann_bruteforce",
     "q65_ann_ivf",
@@ -103,8 +108,14 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
+    import hashlib
+    set_id = hashlib.sha256(
+        "\n".join(sorted(HEADLINE)).encode()).hexdigest()[:16]
     out = {
         "metric": "headline_total",
+        # identity of the query set this total was measured over —
+        # totals are only comparable when these match
+        "query_set": {"n": len(HEADLINE), "sha256": set_id},
         # a partially-failed run must never read as a speedup: with any
         # error the headline value is null and valid=false, so consumers
         # comparing `value` across rounds can't mistake a crash for a win

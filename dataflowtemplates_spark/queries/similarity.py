@@ -393,48 +393,62 @@ def assign_cells(df: DataFrame, vec_col: str, nrm_col: str,
     of the big side (the window-over-c_id form this replaces shuffled
     len(codebook) x the candidate set), and no Python crossing (the
     mapInPandas form this replaces moved the full candidate set through
-    Arrow once per pass). The janino trap that forced the Python detour
-    was real but narrower than first diagnosed: 8 seeds x 64-dim chains
-    nested inside ONE selection expression blow the 64 KB method limit,
-    but eight SEPARATE 64-term chains — each its own projected column,
-    the same size as q61's per-pair cosine — compile fine. So:
+    Arrow once per pass, plus a per-pass Python worker spin-up).
 
-    * projection 1 emits one cosine column per seed (statically
-      unrolled left-fold against literal seed components — exactly the
-      chain the DuckDB oracle spells out, so bit parity holds);
-    * projection 2 ranks the seeds with ``array_sort`` over an
-      8-element struct array ``(neg cosine, seed id, cosine)`` and
-      extracts the top ``nprobe`` cells. Each cosine column is
-      referenced TWICE in the structs, which is what keeps
-      CollapseProject from re-inlining the chains into a single giant
-      expression (Catalyst only collapses aliases that are cheap or
-      single-use). The interpreted array_sort touches 8 elements per
-      ROW — nothing like the per-pair HOF cost documented above.
+    The whole assignment is ONE projected expression: the codebook
+    rides as a literal ``array<struct<sid, nrm, vec>>``, a ``transform``
+    lambda computes each seed's cosine with an ``aggregate`` left-fold
+    whose accumulator STARTS at the first product and folds dims 2..n —
+    the exact IEEE-754 sequence of the unrolled chain the DuckDB oracle
+    spells out (a 0-seeded fold would differ on -0.0 products), so bit
+    parity holds; ``repr(float)`` + Spark's ``D`` literal round-trips
+    every seed bit. ``array_sort`` ascending on (neg cosine, id) IS the
+    cosine-DESC/smaller-id tiebreak contract.
+
+    Why THIS form, measured against three alternatives at sf0.1:
+    * mapInPandas (replaced): Arrow-ships every column of the full
+      candidate set + Python worker spin-up per pass.
+    * per-seed unrolled-chain columns in a codegen'd Project: all
+      K x dim terms land in one whole-stage consume() method, which
+      janino compiles but the JVM JIT refuses (8 KB bytecode ceiling),
+      so the hot loop runs in the BYTECODE INTERPRETER; 2-4x slower
+      end-to-end, worse in long sessions.
+    * K unrolled chains inside this one expression: same eval speed as
+      the HOF fold (both interpreted — the top-level array_sort is
+      CodegenFallback either way), but a ~50x bigger expression tree
+      that AQE re-copies per stage replan — measured 2-3s of extra
+      driver time per execution of the composed q65.
+    The HOF fold keeps the tree tiny (one literal, one lambda),
+    evaluates at the same ~0.5 us/row/seed-dim as the chains, and
+    crosses nothing into Python. The module-docstring HOF warning is
+    about per-PAIR hot paths under a join; this is a per-ROW pass
+    whose alternative is not codegen but the JIT-refused giant method.
     """
     seeds = sorted(codebook)
     s_nrms = [_chain_norm(vec) for _, vec in seeds]
-    orig_cols = df.columns
 
-    cos_cols = []
-    for j, (_, svec) in enumerate(seeds):
-        acc = F.element_at(vec_col, 1).cast("double") * F.lit(svec[0])
-        for i in range(1, len(svec)):
-            acc = acc + (F.element_at(vec_col, i + 1).cast("double")
-                         * F.lit(svec[i]))
-        cos_cols.append(
-            (acc / (F.col(nrm_col) * F.lit(s_nrms[j]))).alias(f"__cos{j}"))
-    staged = df.select("*", *cos_cols)
-
-    ranked = F.array_sort(F.array(*[
-        F.struct((-F.col(f"__cos{j}")).alias("neg"),
-                 F.lit(sid).cast("long").alias("sid"),
-                 F.col(f"__cos{j}").alias("cos"))
-        for j, (sid, _) in enumerate(seeds)]))
+    entries = ", ".join(
+        "named_struct('sid', {sid}L, 'nrm', {nrm!r}D, 'vec', array({vs}))"
+        .format(sid=sid, nrm=s_nrms[j],
+                vs=", ".join(f"{x!r}D" for x in vec))
+        for j, (sid, vec) in enumerate(seeds))
+    dim = len(seeds[0][1])
+    first = (f"cast(element_at({vec_col}, 1) as double) "
+             f"* element_at(s.vec, 1)")
+    dot = first if dim == 1 else (
+        f"aggregate(sequence(2, {dim}), {first}, (acc, i) -> "
+        f"acc + cast(element_at({vec_col}, i) as double) "
+        f"* element_at(s.vec, i))")
+    ranked = (f"array_sort(transform(array({entries}), s -> "
+              f"struct(-(({dot}) / ({nrm_col} * s.nrm)) AS neg, "
+              f"s.sid AS sid)))")
     if nprobe == 1:
-        return staged.select(
-            *orig_cols, F.element_at(ranked, 1)["sid"].alias("cell"))
-    cells = F.slice(F.transform(ranked, lambda x: x["sid"]), 1, nprobe)
-    return staged.select(*orig_cols, F.explode(cells).alias("cell"))
+        cell = F.expr(f"element_at({ranked}, 1).sid").alias("cell")
+    else:
+        cell = F.expr(
+            f"explode(slice(transform({ranked}, x -> x.sid), 1, {nprobe}))"
+        ).alias("cell")
+    return df.select("*", cell)
 
 
 def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
