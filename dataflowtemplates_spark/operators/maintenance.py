@@ -67,8 +67,19 @@ def compact(spark: SparkSession, path: str, target_mb: int = 256,
     """Rewrite ``path`` into ``ceil(total_bytes / target_mb)`` files.
 
     The swap is write-to-temp + two renames (old -> trash, new -> old,
-    delete trash): readers never observe a partially-deleted table.
-    Row count rides the rewrite via an Observation — no second scan.
+    delete trash). CONCURRENCY CONTRACT — single writer, no concurrent
+    readers during the swap: between the two renames the table path
+    does not exist, so a reader racing the swap can fail or see an
+    empty listing, and rows appended by a concurrent writer during the
+    rewrite are lost with the trash directory. On a real HDFS the
+    renames are atomic metadata ops (the unavailable window is the gap
+    BETWEEN them, not within); on object stores "rename" is copy+delete
+    and the window widens to the copy — only the LISTING here is
+    object-store-safe, not the swap. For concurrent readers commit via
+    catalog/view repointing (write new dir, repoint the view, reap the
+    old dir later) or use a transactional table format (Delta/Iceberg),
+    whose commit log is this seam hardened. Row count rides the rewrite
+    via an Observation — no second scan.
     """
     from pyspark.sql import Observation
     from pyspark.sql import functions as F

@@ -277,6 +277,32 @@ _DOCS_SCHEMA = T.StructType([
 ])
 
 
+def neardup_bucket_stream(docs: DataFrame) -> DataFrame:
+    """The q95 streaming-LSH aggregation as a reusable stream
+    transformation: per-row MinHash signature (HOF array_min — no
+    stateful pre-aggregation), stateless banding, then the ONE stateful
+    aggregation Structured Streaming allows — collect_set of doc ids
+    per band bucket. State grain is the BUCKET, never the document:
+    one state row per distinct band_key, which is what
+    tests/test_streaming.py pins via StreamingQueryProgress so a
+    per-doc-state regression (e.g. an added dedup/groupBy upstream)
+    is caught by metrics, not just output values."""
+    from dataflowtemplates_spark.queries.dedup import (
+        _SHINGLES_SPARK, BAND_SIZE, N_HASHES)
+    hs = f"transform({_SHINGLES_SPARK}, s -> md5(s))"
+    mh = [F.expr(f"array_min(transform({hs}, h -> substring(h, {4 * i + 1}, 4)))")
+          .alias(f"mh_{i}") for i in range(N_HASHES)]
+    sig = docs.select("doc_id", *mh)
+    bands = []
+    for b in range(N_HASHES // BAND_SIZE):
+        cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
+        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
+                     .alias("band_key"))
+    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
+    return (banded.groupBy("band_key")
+            .agg(F.collect_set("doc_id").alias("_ids")))
+
+
 def q95_stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming MinHash-LSH candidate generation: the dedup front-end
     (q52) run through the streaming engine against a document stream.
@@ -306,22 +332,7 @@ def q95_stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
         src, opts = path, {}
     docs = (spark.readStream.schema(_DOCS_SCHEMA)
             .options(**opts).parquet(src))
-
-    from dataflowtemplates_spark.queries.dedup import (
-        _SHINGLES_SPARK, BAND_SIZE, N_HASHES)
-    hs = f"transform({_SHINGLES_SPARK}, s -> md5(s))"
-    mh = [F.expr(f"array_min(transform({hs}, h -> substring(h, {4 * i + 1}, 4)))")
-          .alias(f"mh_{i}") for i in range(N_HASHES)]
-    sig = docs.select("doc_id", *mh)
-    bands = []
-    for b in range(N_HASHES // BAND_SIZE):
-        cols = [f"mh_{b * BAND_SIZE + j}" for j in range(BAND_SIZE)]
-        bands.append(F.md5(F.concat_ws("|", F.lit(str(b)), *cols))
-                     .alias("band_key"))
-    banded = sig.select("doc_id", F.explode(F.array(*bands)).alias("band_key"))
-    agg = (banded.groupBy("band_key")
-           .agg(F.collect_set("doc_id").alias("_ids")))
-    _run_bounded(agg, "q95_neardup_sink")
+    _run_bounded(neardup_bucket_stream(docs), "q95_neardup_sink")
     return (spark.table("q95_neardup_sink")
             .filter(F.size("_ids") >= 2)
             .select("band_key",

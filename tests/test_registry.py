@@ -28,6 +28,13 @@ def test_order_is_exactly_registry_order():
     assert list(all_queries()) == list(REGISTRY_ORDER)
 
 
+def test_registry_count_matches_survey():
+    """SURVEY.md §7.5 states the registry size; keep the self-
+    description exact (update BOTH when adding a query)."""
+    from dataflowtemplates_spark.queries import all_queries
+    assert len(all_queries()) == 81
+
+
 def test_registry_order_covers_registered_set_exactly():
     from dataflowtemplates_spark.queries import REGISTRY_ORDER, _registered
     assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER)), "duplicates"

@@ -126,6 +126,105 @@ def test_late_data_dropped_by_watermark(spark, tmp_path):
     assert after.count() >= first
 
 
+def _progresses(q):
+    """recentProgress as plain dicts across pyspark versions."""
+    import json
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, dict):
+            out.append(p)
+        else:
+            out.append(json.loads(p.json))
+    return out
+
+
+def test_watermark_bounds_state_across_batches(spark, tmp_path):
+    """State-cleanup metrics, not just output values: streaming the
+    events corpus in time-ordered chunks, the tumbling aggregation's
+    state-store rows must be EVICTED as the watermark advances — the
+    peak state never approaches the total window count, and
+    numRowsRemoved shows real cleanup. This is the unbounded-state
+    regression guard for the watermarked pipelines."""
+    from dataflowtemplates_spark.catalog import load_table
+
+    src = str(tmp_path / "chunked_src")
+    os.makedirs(src)
+    ev = load_table(spark, SF, "events").orderBy("ts").collect()
+    chunk = len(ev) // 6 + 1
+    schema = load_table(spark, SF, "events").schema
+    for i in range(6):
+        rows = ev[i * chunk:(i + 1) * chunk]
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+
+    stream = stream_events(spark, src, max_files_per_trigger=1)
+    agg = tumbling_counts_stream(stream, window="1 hour",
+                                 watermark="2 hours")
+    q = (agg.writeStream.outputMode("append").format("memory")
+         .queryName("state_plateau_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt_plateau"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    progs = [p for p in _progresses(q) if p.get("stateOperators")]
+    assert len(progs) >= 3, "expected one micro-batch per chunk file"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progs]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progs)
+    n_windows = (load_table(spark, SF, "events")
+                 .groupBy(F.window("ts", "1 hour"), "event_type")
+                 .count().count())
+    # eviction really ran, and peak state stayed a fraction of the
+    # would-be-unbounded total (all windows ever seen)
+    assert removed > 0
+    assert max(totals) < n_windows
+    # after the last batch the store holds only the watermark horizon
+    assert totals[-1] < max(totals) or totals[-1] < n_windows // 2
+
+
+def test_q95_state_grain_is_bucket_not_document(spark, tmp_path):
+    """The streaming-LSH aggregation must keep ONE state row per band
+    bucket (corpus-bounded, the documented complete-mode contract) —
+    a per-document state grain creeping in upstream would multiply
+    state by docs x bands and OOM at scale. Pinned via the state-store
+    metrics of a multi-batch run."""
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        _DOCS_SCHEMA, neardup_bucket_stream)
+
+    src = str(tmp_path / "docs_chunks")
+    os.makedirs(src)
+    docs = (spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id", "text", "lang", "source", "n_chars")
+            .orderBy("doc_id").collect())
+    chunk = len(docs) // 3 + 1
+    for i in range(3):
+        rows = docs[i * chunk:(i + 1) * chunk]
+        if rows:
+            spark.createDataFrame(rows, _DOCS_SCHEMA).coalesce(1) \
+                .write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(_DOCS_SCHEMA) \
+        .option("maxFilesPerTrigger", 1).parquet(src)
+    agg = neardup_bucket_stream(stream)
+    q = (agg.writeStream.outputMode("complete").format("memory")
+         .queryName("q95_state_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt_q95state"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    progs = [p for p in _progresses(q) if p.get("stateOperators")]
+    assert len(progs) >= 2
+    final_state = progs[-1]["stateOperators"][0]["numRowsTotal"]
+    n_buckets = spark.table("q95_state_sink").count()
+    from dataflowtemplates_spark.queries.dedup import BAND_SIZE, N_HASHES
+    n_docs = len(docs)
+    # state rows == emitted buckets (one per distinct band_key), and
+    # strictly below the doc x band blow-up a per-doc grain would cost
+    assert final_state == n_buckets
+    assert final_state < n_docs * (N_HASHES // BAND_SIZE)
+
+
 def test_streaming_upserts_create_snapshot_history(spark, tmp_path):
     """Each foreachBatch commit into the versioned KeyedTable is a
     snapshot: a timestamp bound captured mid-stream reads the

@@ -6,7 +6,13 @@ and the exact multiset of canonicalized values (no tolerance, no
 rounding: floats compare by bit pattern via repr). If this passes, any
 order-insensitive value-hash the driver computes will match too.
 
-Usage: python tools/local_verify.py [sf_dir] [query ...]
+Usage: python tools/local_verify.py [sf_dir] [query ...] [--json OUT]
+
+With ``--json OUT`` a machine-readable result map is written, one row
+per query (status pass/fail/rows_only, row counts, timing, problems) —
+committed per round as ``LOCALVERIFY_r*.json`` so every registry query
+carries fresh evidence even when an external harness scores only a
+prefix (see queries/__init__.py).
 """
 
 from __future__ import annotations
@@ -85,9 +91,16 @@ def compare(name, spark_df, dd_rel):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) \
+    import json
+    args = list(sys.argv[1:])
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        del args[i:i + 2]
+    sf_dir = args[0] if args and os.path.isdir(args[0]) \
         else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    only = set(a for a in args if not os.path.isdir(a))
 
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
@@ -100,6 +113,7 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    results: dict[str, dict] = {}
     passed = failed = skipped = 0
     for name, fn in sorted(qs.items()):
         if only and name not in only:
@@ -110,23 +124,44 @@ def main():
             if name not in oracles:
                 n = sdf.count()
                 print(f"  ~ {name}: rows-only check, {n} rows ({time.time()-t0:.1f}s)")
+                results[name] = {"status": "rows_only", "spark_rows": n,
+                                 "secs": round(time.time() - t0, 1)}
                 skipped += 1
                 continue
             rel = con.sql(oracles[name])
             problems, ns, nd = compare(name, sdf, rel)
         except Exception as e:
             print(f"  ✗ {name}: EXCEPTION {type(e).__name__}: {str(e)[:500]}")
+            results[name] = {"status": "fail",
+                             "error": f"{type(e).__name__}: {str(e)[:300]}",
+                             "secs": round(time.time() - t0, 1)}
             failed += 1
             continue
         if problems:
             print(f"  ✗ {name} ({time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"    {p}")
+            results[name] = {"status": "fail", "problems": problems[:5],
+                             "spark_rows": ns, "oracle_rows": nd,
+                             "secs": round(time.time() - t0, 1)}
             failed += 1
         else:
             print(f"  ✓ {name}: {ns} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "pass", "spark_rows": ns,
+                             "oracle_rows": nd,
+                             "secs": round(time.time() - t0, 1)}
             passed += 1
     print(f"\n{passed} passed, {failed} failed, {skipped} rows-only")
+    if json_out:
+        payload = {
+            "sf_dir": sf_dir,
+            "compare": "bit-exact multiset (tools/local_verify.py)",
+            "n_pass": passed, "n_fail": failed, "n_rows_only": skipped,
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if failed else 0)
 
 
