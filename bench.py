@@ -31,7 +31,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: cache measures the plans, not the JVM's memory state.
 #:
 #: Comparability contract: the set HAS changed across rounds (r6 added
-#: q73/q74), so headline_total is only comparable between runs whose
+#: q73/q74; r7 added q85/q96 and made per-query numbers median-of-3),
+#: so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -48,6 +49,7 @@ HEADLINE = (
     "q57_decontaminate",
     "q73_decontaminate_bloom",
     "q59_tfidf_topterms",
+    "q85_bm25_topk",
     "q40_token_stats",
     "q48_sequence_packing",
     "q01_pricing_summary",
@@ -61,6 +63,7 @@ HEADLINE = (
     "q35_asof_join",
     "q36_range_join",
     "q90_stream_tumbling",
+    "q96_stream_stream_join",
 )
 
 
@@ -86,21 +89,38 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, "id long").write.format("noop").mode("overwrite").save()
 
+    # Median-of-N per query: this host carries external load with 2-5x
+    # run-to-run swings on identical code (measured r4-r6), so a single
+    # sample cannot distinguish a plan regression from noise. The
+    # median of 3 consecutive runs is robust to one load spike; the
+    # raw samples ship in "runs" so any comparison can reconstruct the
+    # spread. N=1 (SPARK_GRAFT_BENCH_REPEATS=1) restores the old
+    # single-shot behavior.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        try:
-            df = qs[name](spark, SF_DIR)
-            # noop sink: the FULL plan runs (projections, windows, sort) —
-            # df.count() would let Catalyst prune everything but the count
-            _noop(df)
-        except Exception as exc:  # one bad query must not zero the bench
-            errors[name] = f"{type(exc).__name__}: {exc}"[:400]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        samples: list[float] = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            try:
+                df = qs[name](spark, SF_DIR)
+                # noop sink: the FULL plan runs (projections, windows,
+                # sort) — df.count() would let Catalyst prune
+                # everything but the count
+                _noop(df)
+            except Exception as exc:  # one bad query must not zero the bench
+                errors[name] = f"{type(exc).__name__}: {exc}"[:400]
+                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+                break
+            samples.append(round(time.perf_counter() - t0, 3))
+        if name in errors:
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.2f}s", file=sys.stderr)
+        runs[name] = samples
+        timings[name] = sorted(samples)[len(samples) // 2]
+        print(f"# {name}: median {timings[name]:.2f}s of "
+              f"{[f'{s:.2f}' for s in samples]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -121,7 +141,10 @@ def main() -> None:
         # comparing `value` across rounds can't mistake a crash for a win
         "value": total if not errors else None,
         "unit": "sec",
+        # per-query MEDIAN of `repeats` runs; raw samples in "runs"
+        "repeats": repeats,
         "queries": timings,
+        "runs": runs,
         "sf": sf_val,
         "valid": not errors,
     }

@@ -42,6 +42,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from dataflowtemplates_spark.queries import (
+    corpus_pipeline,
     dedup,
     generator_queries,
     multimodal_queries,
@@ -56,7 +57,7 @@ from dataflowtemplates_spark.queries import (
 
 _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
             mutation_queries, streaming_queries, sampling, text, temporal,
-            relational)
+            relational, corpus_pipeline)
 
 #: The committed registry order. Edited by hand each development cycle
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
@@ -68,6 +69,12 @@ REGISTRY_ORDER = (
     "q73_decontaminate_bloom",  # Bloom build made distributed + guarded
     "q74_incremental_dedup",    # hot-bucket cap added to both engines
     "q78_mutation_audit",       # new: K5/K6 mutation counts vs oracle
+    "q79_pii_redact",           # new: PII scan + redaction
+    "q84_chunk_overlap",        # new: overlapping context-window chunking
+    "q85_bm25_topk",            # new: BM25 keyword retrieval
+    "q86_source_mixture",       # new: temperature-balanced lang mixture
+    "q87_corpus_pipeline",      # new: composed corpus-prep funnel
+    "q96_stream_stream_join",   # new: watermarked stream-stream interval join
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

@@ -1,0 +1,172 @@
+"""End-to-end corpus-preparation pipeline, composed and auditable.
+
+q87 chains the individual training-data operators — PII redaction
+(q79), heuristic quality filtering (q42), exact near-identity dedup
+(q50) and hash-Bernoulli subsampling (q47) — into ONE dataflow and
+reports the per-source funnel (how many documents survive each stage).
+This is the composition a real 100 TB pretraining build runs nightly;
+surfacing it as a single query proves the stages compose without
+per-stage materialization.
+
+Execution shape (the reason this scales):
+
+* Every stage is computed as a BOOLEAN TAG on the document row, not a
+  filter-and-materialize: redaction and quality are map-side column
+  expressions, dedup canonicality is one row_number window over the
+  content-hash (the only corpus-wide shuffle, and it is keyed by a
+  max-cardinality hash so it cannot skew), sampling is a pure hash
+  predicate. The funnel then aggregates ONCE by source with
+  conditional sums — so the whole pipeline is: scan -> project ->
+  one hash-partitioned window -> one partial-agg shuffle.
+* Per-stage counts use nested AND semantics (a doc counts for stage k
+  only if it passed stages 1..k-1) — the funnel is monotone by
+  construction, which the tests pin.
+
+Determinism: all counts are integers; the only doubles are int/int
+ratios (bit-exact in both engines, see queries/__init__.py).
+
+Reference analogue: none — the reference ships single-purpose
+templates; composing them is the Spark-first extension (SURVEY §2.8
+discusses the template compositions this generalizes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.queries.text import (
+    PII_EMAIL_RE,
+    PII_IP_RE,
+    STOPWORDS,
+    _SW_SQL,
+)
+
+#: Quality gate: token-count band + minimum stopword ratio (q42's
+#: heuristics, hardened to exact int comparisons where possible).
+PIPE_MIN_TOKENS = 20
+PIPE_MAX_TOKENS = 1000
+PIPE_MIN_STOPWORD_RATIO = 0.05
+
+#: Sampling stage: keep md5-prefix < '80' = 128/256 of keyspace (50%).
+PIPE_SAMPLE_PREFIX_MAX = "80"
+PIPE_SAMPLE_SEED = "pipe87:"
+
+
+def q87_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel of the composed corpus-prep pipeline."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+
+    # stage 1: PII scrub (map-side). The corpus is synthetic word-salad,
+    # so like q79 we append deterministic PII spans first; the scrubbed
+    # text feeds every later stage, proving the stages compose.
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com"))).otherwise(F.lit(""))
+    aug = F.concat(F.col("text"), email)
+    clean = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>")
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    tagged = (docs
+              .select("doc_id", "source", clean.alias("clean"))
+              .withColumn("toks", F.split(F.col("clean"), " "))
+              .withColumn("n_tokens", F.size("toks"))
+              # stage 2: quality gate (map-side; ratio is int/int)
+              .withColumn(
+                  "q_ok",
+                  (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+                  & (F.col("n_tokens") <= PIPE_MAX_TOKENS)
+                  & (F.expr(f"size(filter(toks, t -> t IN ({sw})))")
+                     .cast("double") / F.col("n_tokens")
+                     >= PIPE_MIN_STOPWORD_RATIO))
+              # bag-of-words fingerprint: two docs built from the same
+              # template vocabulary collide even when token ORDER
+              # differs — the near-identity rule that actually fires on
+              # templated/boilerplate corpora (exact-text dedup is
+              # vacuous on them; q50 covers that rule separately)
+              .withColumn("content_hash", F.md5(F.concat_ws(
+                  " ", F.sort_array(F.array_distinct(F.col("toks")))))))
+    # stage 3: dedup over the scrubbed-content fingerprint — canonical
+    # = lowest doc_id per hash, among quality survivors only (the
+    # funnel order matters: dedup work shrinks to the quality-passing
+    # set)
+    w = Window.partitionBy("content_hash", "q_ok").orderBy("doc_id")
+    staged = (tagged
+              .withColumn("canon", F.col("q_ok")
+                          & (F.row_number().over(w) == 1))
+              # stage 4: hash-Bernoulli 50% of canonical survivors
+              .withColumn(
+                  "sampled",
+                  F.col("canon")
+                  & (F.substring(
+                      F.md5(F.concat(F.lit(PIPE_SAMPLE_SEED),
+                                     F.col("doc_id").cast("string"))),
+                      1, 2) < PIPE_SAMPLE_PREFIX_MAX)))
+    return (staged.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_input"),
+                 F.sum(F.col("q_ok").cast("int")).cast("bigint")
+                  .alias("n_quality"),
+                 F.sum(F.col("canon").cast("int")).cast("bigint")
+                  .alias("n_canonical"),
+                 F.sum(F.col("sampled").cast("int")).cast("bigint")
+                  .alias("n_sampled"))
+            .withColumn("yield_frac", F.col("n_sampled").cast("double")
+                        / F.col("n_input"))
+            .orderBy("source"))
+
+
+_Q87_ORACLE = f"""
+WITH clean AS (
+  SELECT doc_id, source,
+         REGEXP_REPLACE(REGEXP_REPLACE(
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com' ELSE '' END,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS clean
+  FROM documents),
+tagged AS (
+  SELECT doc_id, source, clean,
+         LEN(STRING_SPLIT(clean, ' ')) AS n_tokens,
+         (LEN(STRING_SPLIT(clean, ' ')) >= {PIPE_MIN_TOKENS}
+          AND LEN(STRING_SPLIT(clean, ' ')) <= {PIPE_MAX_TOKENS}
+          AND CAST(LEN(LIST_FILTER(STRING_SPLIT(clean, ' '),
+                       t -> t IN {_SW_SQL})) AS DOUBLE)
+              / LEN(STRING_SPLIT(clean, ' '))
+              >= {PIPE_MIN_STOPWORD_RATIO}) AS q_ok,
+         MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
+             STRING_SPLIT(clean, ' '))), ' ')) AS content_hash
+  FROM clean),
+staged AS (
+  SELECT doc_id, source, q_ok,
+         q_ok AND ROW_NUMBER() OVER (
+             PARTITION BY content_hash, q_ok ORDER BY doc_id) = 1 AS canon
+  FROM tagged),
+sampled AS (
+  SELECT source, q_ok, canon,
+         canon AND SUBSTRING(
+             MD5('{PIPE_SAMPLE_SEED}' || CAST(doc_id AS VARCHAR)), 1, 2)
+             < '{PIPE_SAMPLE_PREFIX_MAX}' AS sampled
+  FROM staged)
+SELECT source,
+       COUNT(*) AS n_input,
+       CAST(SUM(CAST(q_ok AS INTEGER)) AS BIGINT) AS n_quality,
+       CAST(SUM(CAST(canon AS INTEGER)) AS BIGINT) AS n_canonical,
+       CAST(SUM(CAST(sampled AS INTEGER)) AS BIGINT) AS n_sampled,
+       CAST(SUM(CAST(sampled AS INTEGER)) AS DOUBLE) / COUNT(*)
+         AS yield_frac
+FROM sampled GROUP BY source ORDER BY source
+"""
+
+
+QUERIES = {
+    "q87_corpus_pipeline": q87_corpus_pipeline,
+}
+
+ORACLES = {
+    "q87_corpus_pipeline": _Q87_ORACLE,
+}

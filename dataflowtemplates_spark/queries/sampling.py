@@ -233,11 +233,93 @@ ORDER BY s.source, s.split
 """
 
 
+#: Temperature-mixture hash resolution: thresholds quantize keep-rates
+#: to 1/16^6 of the md5-prefix keyspace.
+MIX_HEX_SPACE = 16777216  # 16^6
+MIX_SEED = "mix86:"
+
+
+def q86_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language mixture (α = 0.5 resampling).
+
+    Multilingual pretraining corpora are rebalanced by sampling group g
+    with probability ∝ p_g^α (α<1 upweights rare groups). With α = 0.5
+    the per-group keep-rate that equalizes toward the rarest group is
+    rate_g = sqrt(min_n / n_g): the rarest language keeps everything,
+    a language 4× larger keeps half. sqrt() is IEEE-754
+    correctly-rounded in every implementation (unlike pow/ln), so the
+    double rates are bit-identical across engines — that is WHY α is
+    pinned to 0.5 here rather than the usual 0.7 free parameter.
+
+    Row selection is the same hash-Bernoulli rule as q47, with a
+    per-group threshold: keep a doc iff its 6-hex-digit md5 prefix is
+    lexicographically below lower(hex(floor(rate * 16^6))) (equal-width
+    lowercase hex compares numerically). rate = 1.0 maps to the whole
+    keyspace and is kept unconditionally rather than through a 7-digit
+    threshold.
+
+    Scale shape: group rates come from a lang-cardinality aggregate
+    (tiny) broadcast back; membership is then a pure map-side filter —
+    the full corpus never shuffles, matching the q47 scaling argument.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    min_n = counts.agg(F.min("n_lang").alias("min_n"))
+    rates = (counts.crossJoin(F.broadcast(min_n))
+             .withColumn("rate", F.sqrt(
+                 F.col("min_n").cast("double") / F.col("n_lang")))
+             .withColumn("thr", F.floor(
+                 F.col("rate") * MIX_HEX_SPACE).cast("bigint"))
+             .withColumn("thr_hex",
+                         F.lpad(F.lower(F.hex(F.col("thr"))), 6, "0")))
+    prefix = F.substring(
+        F.md5(F.concat(F.lit(MIX_SEED), F.col("doc_id").cast("string"))),
+        1, 6)
+    tagged = (docs.join(F.broadcast(rates), "lang")
+              .withColumn("kept", (F.col("thr") >= MIX_HEX_SPACE)
+                          | (prefix < F.col("thr_hex"))))
+    return (tagged.groupBy("lang")
+            .agg(F.max("n_lang").alias("n_docs"),
+                 F.max("rate").alias("rate"),
+                 F.sum(F.col("kept").cast("int")).alias("n_kept"))
+            .withColumn("kept_frac", F.col("n_kept").cast("double")
+                        / F.col("n_docs"))
+            .select("lang", "n_docs", "rate", "n_kept", "kept_frac")
+            .orderBy("lang"))
+
+
+_Q86_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+rates AS (
+  SELECT lang, n_lang,
+         SQRT(CAST((SELECT MIN(n_lang) FROM counts) AS DOUBLE) / n_lang)
+           AS rate,
+         CAST(FLOOR(SQRT(CAST((SELECT MIN(n_lang) FROM counts) AS DOUBLE)
+                         / n_lang) * {MIX_HEX_SPACE}) AS BIGINT) AS thr
+  FROM counts),
+tagged AS (
+  SELECT d.lang, r.n_lang, r.rate, r.thr,
+         (r.thr >= {MIX_HEX_SPACE}
+          OR SUBSTRING(MD5('{MIX_SEED}' || CAST(d.doc_id AS VARCHAR)), 1, 6)
+             < LPAD(LOWER(HEX(r.thr)), 6, '0')) AS kept
+  FROM documents d JOIN rates r ON r.lang = d.lang)
+SELECT lang,
+       MAX(n_lang) AS n_docs,
+       MAX(rate) AS rate,
+       CAST(SUM(CAST(kept AS INTEGER)) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(kept AS INTEGER)) AS DOUBLE) / MAX(n_lang) AS kept_frac
+FROM tagged GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
     "q49_domain_cap": q49_domain_cap,
     "q75_stratified_split": q75_stratified_split,
+    "q86_source_mixture": q86_source_mixture,
 }
 
 ORACLES = {
@@ -245,4 +327,5 @@ ORACLES = {
     "q48_sequence_packing": _Q48_ORACLE,
     "q49_domain_cap": _Q49_ORACLE,
     "q75_stratified_split": _Q75_ORACLE,
+    "q86_source_mixture": _Q86_ORACLE,
 }

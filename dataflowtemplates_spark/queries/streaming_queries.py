@@ -356,6 +356,69 @@ def _q95_oracle() -> str:
             "ORDER BY band_key")
 
 
+def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the views
+    they followed within one hour, per user — the classic streaming
+    attribution join, run through the real two-sided join state store.
+
+    Both sides are watermarked and the join carries an event-time range
+    constraint, which is exactly what lets Spark BOUND the join state:
+    a buffered view can be dropped once the purchase-side watermark
+    passes view_ts + 1 hour (and vice versa), so state is O(events per
+    watermark horizon), not O(stream). Inner-join matches emit as they
+    arrive (no watermark wait on output), so the bounded availableNow
+    drain produces exactly the batch join — the oracle below.
+
+    The two sides read the file source independently (two readStream
+    lineages), the production topology for joining two distinct topics;
+    the filter to each side's event_type prunes before any state is
+    buffered.
+
+    Output mode is APPEND (required for stream-stream joins): each
+    matched (view, purchase) pair is emitted once with its attribution
+    gap in microseconds.
+    """
+    views = (_stream_events(spark, sf_dir)
+             .filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    purchases = (_stream_events(spark, sf_dir)
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = (views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts")
+           + F.expr("INTERVAL 1 HOUR")),
+        "inner")
+        .select("view_id", "purchase_id", "user_id",
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("gap_us")))
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("q96_attribution_sink")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table("q96_attribution_sink")
+            .orderBy("view_id", "purchase_id"))
+
+
+_Q96_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+       EPOCH_US(p.ts) - EPOCH_US(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -363,6 +426,7 @@ QUERIES = {
     "q93_stream_user_stats": q93_stream_user_stats,
     "q94_stream_enrich": q94_stream_enrich,
     "q95_stream_neardup_candidates": q95_stream_neardup_candidates,
+    "q96_stream_stream_join": q96_stream_stream_join,
 }
 
 ORACLES = {
@@ -372,4 +436,5 @@ ORACLES = {
     "q92_stream_dedup": _Q92_ORACLE,
     "q93_stream_user_stats": _Q93_ORACLE,
     "q94_stream_enrich": _Q94_ORACLE,
+    "q96_stream_stream_join": _Q96_ORACLE,
 }

@@ -575,6 +575,240 @@ ORDER BY t.doc_id
 """
 
 
+#: PII patterns, byte-identical in both engines (kept to the regex
+#: subset where Java (Spark) and RE2 (DuckDB) agree: character
+#: classes, bounded repetition, no backrefs/lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def q79_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction over free text (emails, IPv4).
+
+    A training-data pipeline scrubs PII before anything else touches
+    the text. The synthetic corpus contains none (fixed word-salad
+    vocabulary), so the query first APPENDS deterministic PII spans to
+    a subset of documents (every 3rd gets an email, every 5th an IP —
+    documented synthesis, not test-data mutation) and then runs the
+    actual operator: match-count per pattern and a two-pass
+    regexp_replace redaction, verified via redacted-text hash. The
+    unmodified documents double as the negative control (counts 0,
+    hash of the original text).
+
+    Scale shape: pure per-row Catalyst expressions (regexp_count /
+    regexp_replace run inside whole-stage codegen) — no shuffle at
+    all except the final presentation sort; at 100 TB this is a
+    map-only scan, exactly what a scrubbing pass must be.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com"))).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+                 F.lit(".0."), (F.col("doc_id") % 250).cast("string"))
+    ).otherwise(F.lit(""))
+    aug = F.concat(F.col("text"), email, ip)
+    redacted = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+        PII_IP_RE, "<IP>")
+    return (docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(PII_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(PII_IP_RE)).alias("n_ips"),
+        (F.length(aug) - F.length(redacted)).alias("n_chars_removed"),
+        F.md5(redacted).alias("redacted_hash"))
+        .orderBy("doc_id"))
+
+
+_Q79_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                   || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+              ELSE '' END AS t
+  FROM documents),
+red AS (
+  SELECT doc_id, t,
+         REGEXP_REPLACE(REGEXP_REPLACE(t,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS r
+  FROM aug)
+SELECT doc_id,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t, '{PII_EMAIL_RE}')) AS INTEGER)
+         AS n_emails,
+       CAST(LEN(REGEXP_EXTRACT_ALL(t, '{PII_IP_RE}')) AS INTEGER) AS n_ips,
+       CAST(LENGTH(t) - LENGTH(r) AS INTEGER) AS n_chars_removed,
+       MD5(r) AS redacted_hash
+FROM red ORDER BY doc_id
+"""
+
+
+#: Context-window chunking: token window / stride (overlap = 10).
+CHUNK_TOKENS = 40
+CHUNK_STRIDE = 30
+
+
+def q84_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split documents into overlapping fixed-token context windows —
+    the chunking step ahead of embedding / retrieval indexing.
+
+    Chunk c of a document covers tokens [c*stride, c*stride + window);
+    the last chunk is short rather than padded. Verified per-chunk via
+    token count + content hash.
+
+    Scale shape: sequence() + explode is a map-side Generate (no
+    shuffle; output rows ≈ input tokens / stride), slice() runs below
+    the Generate so each chunk row carries only its own tokens, and
+    the only exchange is the presentation sort. Chunking 100 TB is a
+    map-only pass whose output feeds the embedding UDF stage.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    return (docs
+            .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+            .select("doc_id", "toks", F.explode(F.expr(
+                f"sequence(0, size(toks) - 1, {CHUNK_STRIDE})")).alias("st"))
+            .select(
+                "doc_id",
+                F.expr(f"CAST(st DIV {CHUNK_STRIDE} AS INT)")
+                 .alias("chunk_index"),
+                F.expr(f"slice(toks, st + 1, {CHUNK_TOKENS})").alias("chunk"))
+            .select("doc_id", "chunk_index",
+                    F.size("chunk").alias("n_chunk_tokens"),
+                    F.md5(F.concat_ws(" ", "chunk")).alias("chunk_hash"))
+            .orderBy("doc_id", "chunk_index"))
+
+
+_Q84_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents),
+s AS (
+  SELECT doc_id, toks,
+         UNNEST(GENERATE_SERIES(0, LEN(toks) - 1, {CHUNK_STRIDE})) AS st
+  FROM t)
+SELECT doc_id,
+       CAST(st // {CHUNK_STRIDE} AS INTEGER) AS chunk_index,
+       CAST(LEN(toks[st + 1 : st + {CHUNK_TOKENS}]) AS INTEGER)
+         AS n_chunk_tokens,
+       MD5(ARRAY_TO_STRING(toks[st + 1 : st + {CHUNK_TOKENS}], ' '))
+         AS chunk_hash
+FROM s ORDER BY doc_id, chunk_index
+"""
+
+
+#: BM25 keyword retrieval: fixed query terms, result depth.
+BM25_TERMS = ("spark", "query", "window", "table")
+BM25_TOPK = 10
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_TERMS) + ")"
+
+#: Per-term BM25 score, written ONCE and reused verbatim in both
+#: engines so the double-arithmetic expression TREE (not just the
+#: math) is identical — both evaluate it left-to-right as parsed,
+#: giving bit-identical doubles. ``idf`` is the rational substitute
+#: (N - df + 0.5)/(df + 0.5) — same rationale as q59: ln() is
+#: libm-dependent and would break bit-exact compare, and the rational
+#: form preserves the per-term ordering (monotone in true idf).
+#: k1 = 1.2, b = 0.75 (the standard Robertson defaults; 2.2 = k1+1,
+#: 0.25 = 1-b).
+_BM25_SCORE_EXPR = (
+    "((CAST(n_corpus AS DOUBLE) - df_docs + 0.5) / (df_docs + 0.5))"
+    " * ((CAST(tf AS DOUBLE) * 2.2)"
+    " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75"
+    " * (CAST(dl AS DOUBLE) / (CAST(t_tokens AS DOUBLE) / n_corpus)))))")
+
+
+def q85_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a fixed term set.
+
+    The classic sparse-retrieval scorer a data pipeline uses to mine
+    domain-relevant documents from a crawl. Per-term scores are plain
+    double arithmetic on exact integer inputs (tf, dl, df, N, T) via
+    the shared expression above; the per-document TOTAL folds the
+    term-sorted score list left-to-right in BOTH engines
+    (aggregate(sort_array(...)) vs LIST_REDUCE(LIST(... ORDER BY
+    term))), so the sum is bit-exact despite float addition being
+    non-associative.
+
+    Scale shape: one shuffle on (doc_id, term) for tf — but only over
+    rows matching the term list, which the explode-side filter prunes
+    map-side; df and the corpus stats are tiny broadcast sides; the
+    final top-k is TakeOrderedAndProject (per-partition partial top-k,
+    single small merge), never a global sort. At 100 TB the scored
+    candidate set is |docs containing a query term|, not |corpus|.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    stats = docs.select(F.split(F.col("text"), " ").alias("toks")).agg(
+        F.count(F.lit(1)).alias("n_corpus"),
+        F.sum(F.size("toks")).alias("t_tokens"))
+    tf = (docs
+          .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+          .select("doc_id", F.size("toks").alias("dl"),
+                  F.explode("toks").alias("term"))
+          .filter(F.col("term").isin(*BM25_TERMS))
+          .groupBy("doc_id", "dl", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_docs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    scored = (tf.join(F.broadcast(df_docs), "term")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("score", F.expr(_BM25_SCORE_EXPR)))
+    per_doc = (scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.expr("aggregate(sort_array(collect_list(struct(term, score))), "
+               "CAST(0 AS DOUBLE), (a, x) -> a + x.score)")
+         .alias("score_total")))
+    top = (per_doc
+           .orderBy(F.col("score_total").desc(), F.col("doc_id").asc())
+           .limit(BM25_TOPK))
+    w = Window.orderBy(F.col("score_total").desc(), F.col("doc_id").asc())
+    return (top.withColumn("rk", F.row_number().over(w))
+            .select("rk", "doc_id", "n_terms_matched", "score_total")
+            .orderBy("rk"))
+
+
+_Q85_ORACLE = f"""
+WITH tf AS (
+  SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
+         UNNEST(STRING_SPLIT(text, ' ')) AS term
+  FROM documents),
+tfc AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf
+  FROM tf WHERE term IN {_BM25_TERMS_SQL}
+  GROUP BY doc_id, dl, term),
+dfc AS (SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY term),
+stats AS (
+  SELECT COUNT(*) AS n_corpus,
+         SUM(LEN(STRING_SPLIT(text, ' '))) AS t_tokens
+  FROM documents),
+scored AS (
+  SELECT doc_id, term,
+         {_BM25_SCORE_EXPR} AS score
+  FROM tfc JOIN dfc USING (term) CROSS JOIN stats),
+per_doc AS (
+  SELECT doc_id,
+         COUNT(*) AS n_terms_matched,
+         LIST_REDUCE(LIST(score ORDER BY term), (a, b) -> a + b)
+           AS score_total
+  FROM scored GROUP BY doc_id)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_total DESC, doc_id ASC)
+            AS INTEGER) AS rk,
+       doc_id, n_terms_matched, score_total
+FROM per_doc
+ORDER BY score_total DESC, doc_id ASC
+LIMIT {BM25_TOPK}
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -587,6 +821,9 @@ QUERIES = {
     "q59_tfidf_topterms": q59_tfidf_topterms,
     "q68_bpe_pairs": q68_bpe_pairs,
     "q76_charlm_coverage": q76_charlm_coverage,
+    "q79_pii_redact": q79_pii_redact,
+    "q84_chunk_overlap": q84_chunk_overlap,
+    "q85_bm25_topk": q85_bm25_topk,
 }
 
 ORACLES = {
@@ -601,4 +838,7 @@ ORACLES = {
     "q59_tfidf_topterms": _Q59_ORACLE,
     "q68_bpe_pairs": _Q68_ORACLE,
     "q76_charlm_coverage": _Q76_ORACLE,
+    "q79_pii_redact": _Q79_ORACLE,
+    "q84_chunk_overlap": _Q84_ORACLE,
+    "q85_bm25_topk": _Q85_ORACLE,
 }

@@ -1,0 +1,157 @@
+"""Semantic + plan-shape guards for the round-7 pipeline operators:
+PII redaction (q79), context-window chunking (q84), BM25 retrieval
+(q85), temperature mixture sampling (q86), and the stream-stream
+attribution join (q96).
+
+The oracle sweep (tools/local_verify.py) proves bit-exact values;
+these tests pin invariants and the scale-relevant plan shapes: the
+scrubbing/chunking passes must be map-only, BM25's small sides must be
+broadcast with a partial top-k (never a global sort), and the mixture
+filter must not shuffle the corpus.
+"""
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed(df) -> str:
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q79_redaction_counts_and_negative_control(spark):
+    from dataflowtemplates_spark.queries.text import q79_pii_redact
+    df = q79_pii_redact(spark, SF_DIR)
+    plan = _executed(df)
+    # scrubbing is a map-only scan: no join, no aggregate, no window —
+    # the only exchange is the presentation sort
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") <= 1
+    rows = {r["doc_id"]: r for r in df.collect()}
+    assert rows
+    docs = {r["doc_id"]: r["text"]
+            for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text").collect()}
+    import hashlib
+    for doc_id, r in rows.items():
+        assert r["n_emails"] == (1 if doc_id % 3 == 0 else 0)
+        assert r["n_ips"] == (1 if doc_id % 5 == 0 else 0)
+        if doc_id % 3 and doc_id % 5:
+            # negative control: untouched text, hash of the original
+            assert r["n_chars_removed"] == 0
+            assert r["redacted_hash"] == hashlib.md5(
+                docs[doc_id].encode()).hexdigest()
+
+
+def test_q84_chunk_cover_and_overlap_invariants(spark):
+    from dataflowtemplates_spark.queries.text import (
+        CHUNK_STRIDE, CHUNK_TOKENS, q84_chunk_overlap)
+    df = q84_chunk_overlap(spark, SF_DIR)
+    plan = _executed(df)
+    assert "Join" not in plan and "Window" not in plan
+    n_tokens = {r["doc_id"]: r["n"] for r in
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                .select("doc_id",
+                        F.size(F.split("text", " ")).alias("n")).collect()}
+    by_doc: dict[int, list] = {}
+    for r in df.collect():
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(n_tokens)
+    for doc_id, chunks in by_doc.items():
+        n = n_tokens[doc_id]
+        idxs = sorted(c["chunk_index"] for c in chunks)
+        # chunk starts tile [0, n) with the given stride — full cover
+        assert idxs == list(range((n - 1) // CHUNK_STRIDE + 1))
+        for c in chunks:
+            st = c["chunk_index"] * CHUNK_STRIDE
+            assert c["n_chunk_tokens"] == min(CHUNK_TOKENS, n - st)
+
+
+def test_q85_bm25_broadcast_and_partial_topk(spark):
+    from dataflowtemplates_spark.queries.text import (
+        BM25_TERMS, BM25_TOPK, q85_bm25_topk)
+    df = q85_bm25_topk(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # df-per-term and corpus stats are pinned broadcast sides
+    assert analyzed.count("ResolvedHint") == 2
+    plan = _executed(df)
+    # global top-k must be a partial per-partition top-k + tiny merge
+    assert "TakeOrderedAndProject" in plan
+    rows = df.collect()
+    assert 0 < len(rows) <= BM25_TOPK
+    scores = [r["score_total"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(1 <= r["n_terms_matched"] <= len(BM25_TERMS) for r in rows)
+    assert all(s > 0 for s in scores)
+
+
+def test_q86_mixture_rates_and_map_side_filter(spark):
+    from dataflowtemplates_spark.queries.sampling import q86_source_mixture
+    df = q86_source_mixture(spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # per-lang rates join back to the corpus broadcast — the corpus
+    # itself never shuffles for membership
+    assert analyzed.count("ResolvedHint") >= 1
+    rows = df.collect()
+    assert rows
+    min_n = min(r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0.0 < r["rate"] <= 1.0
+        assert 0 <= r["n_kept"] <= r["n_docs"]
+        if r["n_docs"] == min_n:
+            # the rarest language is kept in full (rate exactly 1.0)
+            assert r["rate"] == 1.0 and r["n_kept"] == r["n_docs"]
+
+
+def test_q87_funnel_monotone_and_single_window(spark):
+    from dataflowtemplates_spark.queries.corpus_pipeline import (
+        q87_corpus_pipeline)
+    df = q87_corpus_pipeline(spark, SF_DIR)
+    plan = _executed(df)
+    # the whole composed pipeline is: scan -> map-side tags -> ONE
+    # window shuffle (dedup rank) -> one agg shuffle -> final sort
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange") <= 3
+    rows = df.collect()
+    assert rows
+    for r in rows:
+        assert (r["n_input"] >= r["n_quality"] >= r["n_canonical"]
+                >= r["n_sampled"] >= 0)
+    # every stage must actually fire somewhere in the corpus
+    assert sum(r["n_input"] for r in rows) > sum(
+        r["n_quality"] for r in rows)
+    assert sum(r["n_quality"] for r in rows) > sum(
+        r["n_canonical"] for r in rows)
+    assert sum(r["n_canonical"] for r in rows) > sum(
+        r["n_sampled"] for r in rows)
+
+
+def test_q96_stream_join_equals_batch_join(spark):
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        q96_stream_stream_join)
+    got = sorted(
+        tuple(r) for r in q96_stream_stream_join(spark, SF_DIR).collect())
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("vts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    want = sorted(
+        tuple(r) for r in
+        v.join(p, (F.col("user_id") == F.col("pu"))
+               & (F.col("pts") >= F.col("vts"))
+               & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")))
+        .select("view_id", "purchase_id", "user_id",
+                # the batch read yields TIMESTAMP_NTZ (session parity
+                # config); unix_micros needs TIMESTAMP — UTC-locked, so
+                # the cast is a pure reinterpretation
+                (F.expr("unix_micros(CAST(pts AS TIMESTAMP))")
+                 - F.expr("unix_micros(CAST(vts AS TIMESTAMP))"))
+                .alias("gap_us"))
+        .collect())
+    assert got == want and want
+    assert all(0 <= g <= 3_600_000_000 for *_, g in got)
