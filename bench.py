@@ -39,6 +39,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = (
     "q61_ann_bruteforce",
     "q65_ann_ivf",
+    "q88_ann_pq_adc",
     "q66_embedding_neardup_lsh",
     "q67_kmeans",
     "q52_lsh_pairs",

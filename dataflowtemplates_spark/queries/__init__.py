@@ -74,7 +74,10 @@ REGISTRY_ORDER = (
     "q85_bm25_topk",            # new: BM25 keyword retrieval
     "q86_source_mixture",       # new: temperature-balanced lang mixture
     "q87_corpus_pipeline",      # new: composed corpus-prep funnel
+    "q88_ann_pq_adc",           # new: PQ-ADC shortlist + exact re-rank
+    "q89_sketch_rollup",        # new: mergeable HLL rollup (bounded union)
     "q96_stream_stream_join",   # new: watermarked stream-stream interval join
+    "q97_scd2_intervals",       # new: SCD2 validity-interval build
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

@@ -988,6 +988,66 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q89_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-group HLL sketches union-merged to
+    a corpus total — the pattern that replaces global exact distincts
+    at 100 TB (sketch each partition/group once, merge the fixed-size
+    binaries centrally; no second scan, no distinct shuffle).
+
+    q39 bounds single sketches; this query proves MERGEABILITY, the
+    property that makes sketches the scale path: (a) every per-group
+    estimate is within 5 % of its exact distinct (lgK=12 → rsd ≈ 1.6 %,
+    so 5 % ≈ 3σ), (b) the union of the per-group sketches is within
+    the same bound of the GLOBAL exact distinct — merging loses no
+    accuracy — and (c) so is the direct whole-corpus sketch. (Union
+    and direct estimates are NOT asserted bit-equal: datasketches
+    promotes sparse→dense representations during union, which can
+    shift the estimate within bound — observed at sf0.1.) The oracle
+    computes the exact counts and asserts the three booleans as
+    literal TRUE.
+
+    The exact distincts exist here only as the verification yardstick
+    (they are the expensive plan the sketch path replaces).
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    per = (ev.groupBy("event_type")
+           .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"),
+                F.countDistinct("user_id").alias("exact_g"),
+                F.count(F.lit(1)).alias("n")))
+    rolled = per.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.expr("bool_and(abs(hll_sketch_estimate(sk) - exact_g) "
+               "<= 0.05 * exact_g)").alias("groups_within_bound"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+         .alias("_union_est"))
+    whole = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))")
+         .alias("_direct_est"))
+    return (rolled.crossJoin(F.broadcast(whole))
+            .select(
+                "n_groups", "n_events", "exact_users",
+                "groups_within_bound",
+                (F.abs(F.col("_union_est") - F.col("exact_users"))
+                 <= 0.05 * F.col("exact_users")).alias("union_within_bound"),
+                (F.abs(F.col("_direct_est") - F.col("exact_users"))
+                 <= 0.05 * F.col("exact_users"))
+                .alias("direct_within_bound")))
+
+
+_Q89_ORACLE = """
+SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS groups_within_bound,
+       TRUE AS union_within_bound,
+       TRUE AS direct_within_bound
+FROM events
+"""
+
+
 def q34_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over events (batch form of the streaming
     windowed agg in streaming/), with a JSON-extracted measure from the
@@ -1054,6 +1114,7 @@ QUERIES = {
     "q37_salted_distinct": q37_salted_distinct,
     "q38_percentiles": q38_percentiles,
     "q39_approx_sketches": q39_approx_sketches,
+    "q89_sketch_rollup": q89_sketch_rollup,
 }
 
 ORACLES = {
@@ -1087,4 +1148,5 @@ ORACLES = {
     "q37_salted_distinct": _Q37_ORACLE,
     "q38_percentiles": _Q38_ORACLE,
     "q39_approx_sketches": _Q39_ORACLE,
+    "q89_sketch_rollup": _Q89_ORACLE,
 }

@@ -743,6 +743,214 @@ ORDER BY vec_id
 """
 
 
+# --------------------------------------------------------------------------
+# q88: product-quantization ADC with exact re-rank (the 100 TB ANN shape)
+# --------------------------------------------------------------------------
+
+#: PQ geometry: 8 subspaces x 8 dims, 16 centroids per subspace — each
+#: vector compresses to 8 one-byte codes (32x smaller than float32).
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+#: ADC shortlist depth and final result depth.
+PQ_TOPC = 32
+PQ_TOPK = 10
+
+
+def _pq_codebook(spark: SparkSession, sf_dir: str) -> list[list[list[float]]]:
+    """Per-subspace codebooks: subvectors of the first PQ_K candidate
+    vectors (by vec_id). Driver-held state like the IVF codebook —
+    a real build trains these with k-means out of band; a fixed
+    deterministic pick keeps the operator oracle-checkable, and the
+    ADC machinery is identical either way."""
+    register_tables(spark, sf_dir)
+    rows = (spark.table("embeddings").filter(F.col("vec_id") >= 5)
+            .orderBy("vec_id").limit(PQ_K).select("embedding").collect())
+    return [[[float(r["embedding"][m * PQ_SUBDIM + i])
+              for i in range(PQ_SUBDIM)] for r in rows]
+            for m in range(PQ_M)]
+
+
+def _pq_sub_chain(vec_col: str, m: int, elem: str) -> str:
+    """Unrolled left-fold squared-L2 between subspace ``m`` of
+    ``vec_col`` and a centroid subvector addressed by ``elem(i)``."""
+    return " + ".join(
+        f"((cast(element_at({vec_col}, {m * PQ_SUBDIM + i}) as double)"
+        f" - {elem.format(i=i)})"
+        f" * (cast(element_at({vec_col}, {m * PQ_SUBDIM + i}) as double)"
+        f" - {elem.format(i=i)}))"
+        for i in range(1, PQ_SUBDIM + 1))
+
+
+def _pq_arrays(cb_m: list[list[float]]) -> str:
+    return ", ".join(
+        "array(" + ", ".join(f"{x!r}D" for x in v) + ")" for v in cb_m)
+
+
+def _pq_code_expr(vec_col: str, m: int, cb_m: list[list[float]]) -> str:
+    """argmin over the 16 centroids of subspace m (ties -> smaller j):
+    index-lambda transform to (distance, j) structs, array_sort, take
+    head. Map-only interpreted HOF — the assign_cells trade (see its
+    docstring): the alternative unrolled 16x8 codegen chain exceeds
+    the JIT method ceiling."""
+    chain = _pq_sub_chain(vec_col, m, "element_at(s, {i})")
+    return (f"element_at(array_sort(transform(array({_pq_arrays(cb_m)}), "
+            f"(s, i) -> struct(({chain}) AS d, i + 1 AS j))), 1).j")
+
+
+def _pq_lut_expr(vec_col: str, m: int, cb_m: list[list[float]]) -> str:
+    """The classic ADC distance table: for one query row, the 16
+    subspace-m centroid distances, j-ordered — pair scoring is then a
+    single element_at per subspace."""
+    chain = _pq_sub_chain(vec_col, m, "element_at(s, {i})")
+    return f"transform(array({_pq_arrays(cb_m)}), s -> {chain})"
+
+
+def _l2sq_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"((cast(element_at({a}, {i}) as double) - cast(element_at({b}, {i}) as double))"
+        f" * (cast(element_at({a}, {i}) as double) - cast(element_at({b}, {i}) as double)))"
+        for i in range(1, DIM + 1))
+
+
+def _l2sq_dd(a: str, b: str) -> str:
+    return " + ".join(
+        f"((CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE)))"
+        for i in range(1, DIM + 1))
+
+
+def q88_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric-distance (ADC) scoring
+    and exact re-rank — the index layout real 100 TB vector search
+    runs: candidates are stored as 8 one-byte codes (32x compression),
+    queries score against precomputed per-subspace distance tables,
+    and full vectors are fetched only for the tiny shortlist.
+
+    Three phases, each with the scale-correct shape:
+    1. ENCODE (map-only): each candidate row -> 8 codes via per-subspace
+       argmin against the driver-held codebook; the full vector is
+       DROPPED before any join — the pair phase touches codes only.
+    2. ADC (map-only over codes x broadcast queries): each query row
+       precomputes its 16-entry distance LUT per subspace once, so a
+       pair costs 8 element_at lookups + 7 adds; shortlist = top-C per
+       query via the shuffle-free two-phase `topk_per_key`.
+    3. RE-RANK: fetch full vectors for the C x |queries| shortlist via
+       a broadcast point-lookup join, exact 64-dim squared-L2, top-k.
+
+    Determinism: every distance is an unrolled/folded left-assoc double
+    chain mirrored textually in the oracle; argmin and rank ties break
+    on the smaller index/id in both engines.
+    """
+    from dataflowtemplates_spark.operators.topk import topk_per_key
+
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    cb = _pq_codebook(spark, sf_dir)
+    codes = (emb.filter(F.col("vec_id") >= 5)
+             .select(F.col("vec_id").alias("c_id"),
+                     *[F.expr(_pq_code_expr("embedding", m, cb[m]))
+                       .cast("int").alias(f"code{m + 1}")
+                       for m in range(PQ_M)]))
+    queries = (emb.filter(F.col("vec_id") < 5)
+               .select(F.col("vec_id").alias("q_id"),
+                       *[F.expr(_pq_lut_expr("embedding", m, cb[m]))
+                         .alias(f"lut{m + 1}") for m in range(PQ_M)]))
+    adc = " + ".join(f"(element_at(lut{m + 1}, code{m + 1}))"
+                     for m in range(PQ_M))
+    pairs = (codes.crossJoin(F.broadcast(queries))
+             .select("q_id", "c_id", F.expr(adc).alias("approx_l2sq")))
+    shortlist = topk_per_key(
+        pairs.withColumn("_neg", -F.col("approx_l2sq")),
+        "q_id", "_neg", "c_id", PQ_TOPC, payload=("approx_l2sq",))
+    fetched = (emb.select(F.col("vec_id").alias("c_id"),
+                          F.col("embedding").alias("c_vec"))
+               .join(F.broadcast(
+                   shortlist.select("q_id", "c_id", "approx_l2sq")), "c_id"))
+    qv = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec")))
+    rer = (fetched.join(F.broadcast(qv), "q_id")
+           .select("q_id", "c_id", "approx_l2sq",
+                   F.expr(_l2sq_sql("q_vec", "c_vec")).alias("exact_l2sq")))
+    out = topk_per_key(
+        rer.withColumn("_neg", -F.col("exact_l2sq")),
+        "q_id", "_neg", "c_id", PQ_TOPK,
+        payload=("approx_l2sq", "exact_l2sq"))
+    return (out.select("q_id", "rk", "c_id", "approx_l2sq", "exact_l2sq")
+            .orderBy("q_id", "rk"))
+
+
+def _q88_oracle() -> str:
+    enc_ctes = ",\n".join(
+        f"code{m + 1} AS (\n"
+        f"  SELECT c_id, j AS code{m + 1} FROM (\n"
+        f"    SELECT c.c_id, cb.j, ROW_NUMBER() OVER (PARTITION BY c.c_id\n"
+        f"      ORDER BY {_pq_sub_chain_dd('c.c_vec', m, 'cb.v')} ASC, cb.j ASC) AS rn\n"
+        f"    FROM cand c CROSS JOIN cb) WHERE rn = 1)"
+        for m in range(PQ_M))
+    code_joins = "\n    ".join(
+        f"JOIN code{m + 1} USING (c_id)" for m in range(PQ_M))
+    code_cols = ", ".join(f"code{m + 1}" for m in range(PQ_M))
+    cb_joins = "\n    ".join(
+        f"JOIN cb cb{m + 1} ON cb{m + 1}.j = c.code{m + 1}"
+        for m in range(PQ_M))
+    adc = " + ".join(
+        f"({_pq_sub_chain_dd('q.q_vec', m, f'cb{m + 1}.v')})"
+        for m in range(PQ_M))
+    return f"""
+WITH q AS (
+  SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+cand AS (
+  SELECT vec_id AS c_id, embedding AS c_vec FROM embeddings WHERE vec_id >= 5),
+cb AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS j, embedding AS v
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5
+        ORDER BY vec_id LIMIT {PQ_K})),
+{enc_ctes},
+coded AS (
+  SELECT c_id, {code_cols} FROM cand
+    {code_joins}),
+approx AS (
+  SELECT q.q_id, c.c_id, {adc} AS approx_l2sq
+  FROM coded c
+    {cb_joins}
+  CROSS JOIN q),
+shortlist AS (
+  SELECT q_id, c_id, approx_l2sq FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+      ORDER BY approx_l2sq ASC, c_id ASC) AS rn
+    FROM approx) WHERE rn <= {PQ_TOPC}),
+rerank AS (
+  SELECT s.q_id, s.c_id, s.approx_l2sq,
+         {_l2sq_dd('q.q_vec', 'cv.c_vec')} AS exact_l2sq
+  FROM shortlist s
+  JOIN cand cv ON cv.c_id = s.c_id
+  JOIN q ON q.q_id = s.q_id)
+SELECT q_id, CAST(rk AS INTEGER) AS rk, c_id, approx_l2sq, exact_l2sq
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+    ORDER BY exact_l2sq ASC, c_id ASC) AS rk
+  FROM rerank)
+WHERE rk <= {PQ_TOPK}
+ORDER BY q_id, rk
+"""
+
+
+def _pq_sub_chain_dd(vec: str, m: int, cbv: str) -> str:
+    """DuckDB twin of _pq_sub_chain (1-based subscripts, CASTs on both
+    operands — the Spark side's centroid literal is already double).
+    ``cbv`` is the FULL 64-dim centroid vector here (the oracle keeps
+    whole rows in its cb CTE), so unlike the Spark literal — which is
+    pre-sliced to the subspace — both operands use the m-offset index."""
+    return " + ".join(
+        f"((CAST({vec}[{m * PQ_SUBDIM + i}] AS DOUBLE)"
+        f" - CAST({cbv}[{m * PQ_SUBDIM + i}] AS DOUBLE))"
+        f" * (CAST({vec}[{m * PQ_SUBDIM + i}] AS DOUBLE)"
+        f" - CAST({cbv}[{m * PQ_SUBDIM + i}] AS DOUBLE)))"
+        for i in range(1, PQ_SUBDIM + 1))
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -752,6 +960,7 @@ QUERIES = {
     "q65_ann_ivf": q65_ann_ivf,
     "q66_embedding_neardup_lsh": q66_embedding_neardup_lsh,
     "q67_kmeans": q67_kmeans,
+    "q88_ann_pq_adc": q88_ann_pq_adc,
     "q72_embedding_quantize": q72_embedding_quantize,
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
 }
@@ -765,6 +974,7 @@ ORACLES = {
     "q65_ann_ivf": _Q65_ORACLE,
     "q66_embedding_neardup_lsh": _Q66_ORACLE,
     "q67_kmeans": _Q67_ORACLE,
+    "q88_ann_pq_adc": _q88_oracle(),
     "q72_embedding_quantize": _Q72_ORACLE,
     "q77_embedding_dup_groups": _Q77_ORACLE,
 }

@@ -170,12 +170,65 @@ ORDER BY e.event_id
 """
 
 
+def q97_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 build: turn a keyed change
+    stream into validity intervals — the standard way a warehouse
+    tracks attribute history (each state row carries valid_from /
+    valid_to, the current row an open end).
+
+    Every user's event stream becomes its interval history: valid_to =
+    the NEXT change's timestamp (lead over the per-user time order,
+    ties broken by event_id), NULL while current; dwell_us is the
+    closed interval's width in microseconds (exact integer arithmetic —
+    no float epoch math).
+
+    Scale shape: ONE shuffle on the natural key (user_id) and a
+    partition-local sort — the same window topology as sessionization
+    (q16); no self-join (the naive from-to pairing is an O(n²) per-key
+    inequality join). The presentation filter keeps the driver-side
+    result bounded; the full interval table is the unfiltered form.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.filter(F.col("user_id") < 20)
+            .select("user_id", "event_id", "event_type",
+                    F.col("ts").alias("valid_from"),
+                    F.lead("ts").over(w).alias("valid_to"),
+                    F.row_number().over(w).alias("seq"))
+            .withColumn(
+                "dwell_us",
+                F.expr("unix_micros(CAST(valid_to AS TIMESTAMP)) "
+                       "- unix_micros(CAST(valid_from AS TIMESTAMP))"))
+            .withColumn("is_current", F.col("valid_to").isNull())
+            .select("user_id", "seq", "event_id", "event_type",
+                    "valid_from", "valid_to", "dwell_us", "is_current")
+            .orderBy("user_id", "seq"))
+
+
+_Q97_ORACLE = """
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER w AS INTEGER) AS seq,
+       event_id, event_type,
+       ts AS valid_from,
+       LEAD(ts) OVER w AS valid_to,
+       EPOCH_US(LEAD(ts) OVER w) - EPOCH_US(ts) AS dwell_us,
+       LEAD(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE user_id < 20
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, seq
+"""
+
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
+    "q97_scd2_intervals": q97_scd2_intervals,
 }
 
 ORACLES = {
     "q35_asof_join": _Q35_ORACLE,
     "q36_range_join": _Q36_ORACLE,
+    "q97_scd2_intervals": _Q97_ORACLE,
 }

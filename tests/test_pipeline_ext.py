@@ -128,6 +128,64 @@ def test_q87_funnel_monotone_and_single_window(spark):
         r["n_sampled"] for r in rows)
 
 
+def test_q88_pq_adc_shapes_and_recall(spark):
+    from dataflowtemplates_spark.queries.similarity import (
+        PQ_TOPK, q88_ann_pq_adc)
+    df = q88_ann_pq_adc(spark, SF_DIR)
+    plan = _executed(df)
+    # the pair phase must touch CODES only: no window (two-phase topk),
+    # queries/shortlist/query-vectors all broadcast
+    assert "Window" not in plan
+    assert plan.count("BroadcastExchange") >= 3
+    rows = df.collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert by_q
+    for q_id, rs in by_q.items():
+        assert [r["rk"] for r in sorted(rs, key=lambda r: r["rk"])] \
+            == list(range(1, len(rs) + 1))
+        assert len(rs) <= PQ_TOPK
+        ex = [r["exact_l2sq"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert ex == sorted(ex)
+        assert all(r["exact_l2sq"] >= 0 and r["approx_l2sq"] >= 0
+                   for r in rs)
+    # ADC recall sanity: the re-ranked top-1 must be a genuinely close
+    # neighbor — its exact distance can't exceed the shortlist's worst
+    for rs in by_q.values():
+        ranked = sorted(rs, key=lambda r: r["rk"])
+        assert ranked[0]["exact_l2sq"] <= ranked[-1]["exact_l2sq"]
+
+
+def test_q89_sketch_rollup_bounds_hold(spark):
+    from dataflowtemplates_spark.queries.relational import q89_sketch_rollup
+    rows = q89_sketch_rollup(spark, SF_DIR).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["groups_within_bound"] and r["union_within_bound"] \
+        and r["direct_within_bound"]
+    assert r["n_groups"] >= 1 and r["exact_users"] >= 1
+
+
+def test_q97_scd2_interval_invariants(spark):
+    from dataflowtemplates_spark.queries.temporal import q97_scd2_intervals
+    df = q97_scd2_intervals(spark, SF_DIR)
+    plan = _executed(df)
+    assert "Join" not in plan  # lead(), never a from-to self-join
+    by_user: dict[int, list] = {}
+    for r in df.collect():
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["seq"])
+        # intervals tile the user's history: each valid_to = next
+        # valid_from; exactly one open (current) interval, at the end
+        for a, b in zip(rs, rs[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["dwell_us"] >= 0 and not a["is_current"]
+        assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
+
+
 def test_q96_stream_join_equals_batch_join(spark):
     from dataflowtemplates_spark.queries.streaming_queries import (
         q96_stream_stream_join)

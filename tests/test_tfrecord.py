@@ -142,3 +142,61 @@ def test_non_string_passthrough_keeps_type(spark):
     out = encode_examples(df, passthrough=("num",))
     assert dict(out.dtypes)["num"] == "bigint"
     assert out.collect()[0].num == 7
+
+
+def test_read_tfrecord_df_roundtrip(spark, tmp_path):
+    """The new TFRecord source must read the K3 sink's output back
+    bit-for-bit (values, arrays, nesting-flattened names, gzip frames,
+    CRC verification on every record)."""
+    from dataflowtemplates_spark.operators.tfrecord import read_tfrecord_df
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("i", T.LongType()),
+        T.StructField("f", T.DoubleType()),
+        T.StructField("flag", T.BooleanType()),
+        T.StructField("raw", T.BinaryType()),
+        T.StructField("arr", T.ArrayType(T.LongType())),
+        T.StructField("nest", T.StructType([
+            T.StructField("x", T.StringType())])),
+    ])
+    rows = [Row(s=f"r{i}", i=i, f=i + 0.5, flag=i % 2 == 0,
+                raw=bytes([i]), arr=[i, i * 2, -i], nest=Row(x=f"n{i}"))
+            for i in range(7)]
+    df = spark.createDataFrame(rows, schema).repartition(3)
+    target = str(tmp_path / "rt")
+    files = write_tfrecords(df, target, compress=True)
+    assert files
+
+    got = read_tfrecord_df(
+        spark, target,
+        {"s": "string", "i": "int64", "f": "float", "flag": "int64",
+         "raw": "bytes", "arr": "int64", "nest_x": "string"},
+        list_fields=("arr",)).collect()
+    assert len(got) == len(rows)
+    by_key = {r["s"]: r for r in got}
+    import struct as _st
+    for src in rows:
+        g = by_key[src.s]
+        assert g["i"] == src.i
+        # writer lowers double -> float32; reader returns that float32
+        assert g["f"] == _st.unpack("<f", _st.pack("<f", src.f))[0]
+        assert g["flag"] == int(src.flag)   # bool -> int64 lowering
+        assert g["raw"] == src.raw
+        assert g["arr"] == src.arr
+        assert g["nest_x"] == src.nest.x    # `_`-flattened nesting
+
+
+def test_read_tfrecord_df_rejects_corrupt_crc(spark, tmp_path):
+    from dataflowtemplates_spark.operators.tfrecord import read_tfrecord_df
+
+    schema = T.StructType([T.StructField("i", T.LongType())])
+    df = spark.createDataFrame([Row(i=1)], schema)
+    target = str(tmp_path / "bad")
+    files = write_tfrecords(df, target, compress=False)
+    data = bytearray(open(files[0], "rb").read())
+    data[-5] ^= 0xFF  # flip a payload byte, leave the CRC stale
+    open(files[0], "wb").write(bytes(data))
+    import pytest
+    with pytest.raises(Exception, match="CRC"):
+        read_tfrecord_df(spark, target, {"i": "int64"}).collect()
