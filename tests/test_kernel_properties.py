@@ -1,0 +1,123 @@
+"""Property-based tests for the determinism-critical kernels.
+
+The oracle sweep proves Spark == DuckDB on the shipped data; these
+hypothesis tests prove the KERNELS match an independent pure-Python
+reference on arbitrary inputs — the argmin/fold/chunking/threshold
+logic can't silently drift to something that happens to agree on the
+current testdata.
+
+All Spark work here runs through one-row/few-row local DataFrames, so
+the suite stays fast; the point is input coverage, not volume.
+"""
+
+import math
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# -- chunking ---------------------------------------------------------------
+
+
+@given(n=st.integers(min_value=1, max_value=400))
+@settings(max_examples=60, deadline=None)
+def test_chunk_tiling_covers_every_token_exactly(n):
+    from dataflowtemplates_spark.queries.text import CHUNK_STRIDE, CHUNK_TOKENS
+    starts = list(range(0, n, CHUNK_STRIDE))
+    # every token is in >= 1 chunk; consecutive chunks overlap by
+    # window - stride except possibly the tail
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + CHUNK_TOKENS, n)))
+    assert covered == set(range(n))
+    for a, b in zip(starts, starts[1:]):
+        assert b - a == CHUNK_STRIDE
+
+
+# -- PQ encode argmin -------------------------------------------------------
+
+
+def _py_code(vec, cb_m, m, subdim):
+    def d(j):
+        acc = 0.0
+        for i in range(subdim):
+            t = float(vec[m * subdim + i]) - cb_m[j][i]
+            acc = acc + t * t
+        return acc
+    return min(range(len(cb_m)), key=lambda j: (d(j), j)) + 1
+
+
+@given(data=st.data())
+@settings(max_examples=15, deadline=None)
+def test_pq_code_expr_matches_python_argmin(spark, data):
+    import numpy as np
+
+    from dataflowtemplates_spark.queries.similarity import (
+        PQ_SUBDIM, _pq_code_expr)
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+    vec = [float(np.float32(x)) for x in rng.normal(size=PQ_SUBDIM)]
+    cb_m = [[float(np.float32(x)) for x in rng.normal(size=PQ_SUBDIM)]
+            for _ in range(4)]
+    df = spark.createDataFrame([(vec,)], "embedding array<float>")
+    got = df.select(
+        F.expr(_pq_code_expr("embedding", 0, cb_m)).alias("c")).collect()[0].c
+    assert got == _py_code(vec, cb_m, 0, PQ_SUBDIM)
+
+
+# -- ordered float fold (BM25 total) ----------------------------------------
+
+
+@given(scores=st.lists(
+    st.floats(min_value=1e-6, max_value=1e6, allow_nan=False,
+              allow_infinity=False),
+    min_size=1, max_size=6))
+@settings(max_examples=20, deadline=None)
+def test_sorted_fold_matches_python_left_sum(spark, scores):
+    from pyspark.sql import functions as F
+    rows = [(f"t{i:02d}", s) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "term string, score double")
+    got = df.agg(F.expr(
+        "aggregate(sort_array(collect_list(struct(term, score))), "
+        "CAST(0 AS DOUBLE), (a, x) -> a + x.score)").alias("t")
+    ).collect()[0].t
+    want = 0.0
+    for _, s in sorted(rows):
+        want = want + s
+    assert struct.pack("<d", got) == struct.pack("<d", want)
+
+
+# -- mixture thresholds -----------------------------------------------------
+
+
+@given(n_min=st.integers(1, 10_000), n_g=st.integers(1, 10_000_000))
+@settings(max_examples=100, deadline=None)
+def test_mixture_threshold_hex_is_monotone_and_bounded(n_min, n_g):
+    from dataflowtemplates_spark.queries.sampling import MIX_HEX_SPACE
+    if n_g < n_min:
+        n_g = n_min  # rate is defined for groups >= the smallest
+    rate = math.sqrt(n_min / n_g)
+    thr = math.floor(rate * MIX_HEX_SPACE)
+    assert 0 <= thr <= MIX_HEX_SPACE
+    hexthr = format(thr, "x").rjust(6, "0") if thr < MIX_HEX_SPACE else None
+    if hexthr is not None:
+        assert len(hexthr) == 6
+        # lexicographic-on-hex == numeric for equal-width lowercase
+        assert int(hexthr, 16) == thr
+
+
+# -- SCD2 interval tiling ---------------------------------------------------
+
+
+@given(ts=st.lists(st.integers(0, 10**9), min_size=1, max_size=20))
+@settings(max_examples=50, deadline=None)
+def test_scd2_lead_tiles_any_history(ts):
+    ordered = sorted((t, i) for i, t in enumerate(ts))
+    intervals = [
+        (a[0], b[0] if b else None)
+        for a, b in zip(ordered, list(ordered[1:]) + [None])]
+    assert len(intervals) == len(ts)
+    for (f1, t1), (f2, _) in zip(intervals, intervals[1:]):
+        assert t1 == f2 and t1 is not None and t1 >= f1
+    assert intervals[-1][1] is None
