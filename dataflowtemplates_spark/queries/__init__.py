@@ -78,6 +78,7 @@ REGISTRY_ORDER = (
     "q89_sketch_rollup",        # new: mergeable HLL rollup (bounded union)
     "q96_stream_stream_join",   # new: watermarked stream-stream interval join
     "q97_scd2_intervals",       # new: SCD2 validity-interval build
+    "q98_stream_corpus_scrub",  # new: stream/batch-unified corpus scrub
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

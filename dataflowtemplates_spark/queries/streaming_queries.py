@@ -419,6 +419,104 @@ ORDER BY view_id, purchase_id
 """
 
 
+def q98_stream_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-prep scrub run UNBOUNDED: q87's PII redaction and
+    quality gate applied to a document STREAM, funnel counts per
+    source — proof that the batch corpus operators are stream/batch
+    unified (identical column expressions, no code fork).
+
+    The scrub and gate are STATELESS projections (the scale-critical
+    property: a 100 TB/day ingest scrubs at wire speed with zero
+    state); the only stateful op is the final per-source counting
+    aggregation. Dedup is deliberately absent here — its streaming
+    form is the watermark-bounded q92/q95 state machinery, which would
+    consume this pass's scrubbed text downstream.
+    """
+    from dataflowtemplates_spark.queries.corpus_pipeline import (
+        PIPE_MAX_TOKENS,
+        PIPE_MIN_STOPWORD_RATIO,
+        PIPE_MIN_TOKENS,
+    )
+    from dataflowtemplates_spark.queries.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        STOPWORDS,
+    )
+
+    register_tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
+    else:
+        src, opts = path, {}
+    docs = (spark.readStream.schema(_DOCS_SCHEMA)
+            .options(**opts).parquet(src))
+
+    email = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com"))).otherwise(F.lit(""))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.concat(F.col("text"), email),
+                         PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    tagged = (docs
+              .select("doc_id", "source", clean.alias("clean"))
+              .withColumn("toks", F.split(F.col("clean"), " "))
+              .withColumn("n_tokens", F.size("toks"))
+              .withColumn(
+                  "q_ok",
+                  (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+                  & (F.col("n_tokens") <= PIPE_MAX_TOKENS)
+                  & (F.expr(f"size(filter(toks, t -> t IN ({sw})))")
+                     .cast("double") / F.col("n_tokens")
+                     >= PIPE_MIN_STOPWORD_RATIO)))
+    agg = (tagged.groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_input"),
+                F.sum(F.col("q_ok").cast("int")).cast("bigint")
+                 .alias("n_quality"),
+                F.sum("n_tokens").cast("bigint").alias("total_tokens")))
+    _run_bounded(agg, "q98_scrub_sink")
+    return spark.table("q98_scrub_sink").orderBy("source")
+
+
+def _q98_oracle() -> str:
+    from dataflowtemplates_spark.queries.corpus_pipeline import (
+        PIPE_MAX_TOKENS,
+        PIPE_MIN_STOPWORD_RATIO,
+        PIPE_MIN_TOKENS,
+    )
+    from dataflowtemplates_spark.queries.text import (
+        PII_EMAIL_RE,
+        PII_IP_RE,
+        _SW_SQL,
+    )
+    return f"""
+WITH clean AS (
+  SELECT doc_id, source,
+         REGEXP_REPLACE(REGEXP_REPLACE(
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com' ELSE '' END,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS clean
+  FROM documents),
+tagged AS (
+  SELECT source, LEN(STRING_SPLIT(clean, ' ')) AS n_tokens,
+         (LEN(STRING_SPLIT(clean, ' ')) >= {PIPE_MIN_TOKENS}
+          AND LEN(STRING_SPLIT(clean, ' ')) <= {PIPE_MAX_TOKENS}
+          AND CAST(LEN(LIST_FILTER(STRING_SPLIT(clean, ' '),
+                       t -> t IN {_SW_SQL})) AS DOUBLE)
+              / LEN(STRING_SPLIT(clean, ' '))
+              >= {PIPE_MIN_STOPWORD_RATIO}) AS q_ok
+  FROM clean)
+SELECT source, COUNT(*) AS n_input,
+       CAST(SUM(CAST(q_ok AS INTEGER)) AS BIGINT) AS n_quality,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM tagged GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -427,6 +525,7 @@ QUERIES = {
     "q94_stream_enrich": q94_stream_enrich,
     "q95_stream_neardup_candidates": q95_stream_neardup_candidates,
     "q96_stream_stream_join": q96_stream_stream_join,
+    "q98_stream_corpus_scrub": q98_stream_corpus_scrub,
 }
 
 ORACLES = {
@@ -437,4 +536,5 @@ ORACLES = {
     "q93_stream_user_stats": _Q93_ORACLE,
     "q94_stream_enrich": _Q94_ORACLE,
     "q96_stream_stream_join": _Q96_ORACLE,
+    "q98_stream_corpus_scrub": _q98_oracle(),
 }

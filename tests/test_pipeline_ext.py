@@ -186,6 +186,21 @@ def test_q97_scd2_interval_invariants(spark):
         assert rs[-1]["is_current"] and rs[-1]["valid_to"] is None
 
 
+def test_q98_stream_scrub_agrees_with_batch_funnel(spark):
+    """Stream/batch unification: the streaming scrub's per-source
+    (n_input, n_quality) must equal the batch funnel's first two
+    stages — same expressions, two execution engines."""
+    from dataflowtemplates_spark.queries.corpus_pipeline import (
+        q87_corpus_pipeline)
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        q98_stream_corpus_scrub)
+    stream = {r["source"]: (r["n_input"], r["n_quality"])
+              for r in q98_stream_corpus_scrub(spark, SF_DIR).collect()}
+    batch = {r["source"]: (r["n_input"], r["n_quality"])
+             for r in q87_corpus_pipeline(spark, SF_DIR).collect()}
+    assert stream == batch and stream
+
+
 def test_q96_stream_join_equals_batch_join(spark):
     from dataflowtemplates_spark.queries.streaming_queries import (
         q96_stream_stream_join)
