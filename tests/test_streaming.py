@@ -384,3 +384,50 @@ def test_q91_exact_gap_boundary_matches_oracle(spark, tmp_path):
     # user 1: the exact-gap event merges (3 events), the 1801s one splits
     u1 = [g for g in got if g[0] == 1]
     assert [g[3] for g in u1] == [3, 1]
+
+
+def test_checkpoint_recovery_is_exactly_once(spark, tmp_path):
+    """Stop/restart against the same checkpoint must neither drop nor
+    double-process: batch A is processed in run 1, the stream stops,
+    batch B lands, run 2 resumes from the checkpoint — the file sink
+    must hold each row exactly once. This is the production restart
+    story for every pipeline in streaming/ (the checkpoint, not the
+    availableNow drain, is what makes a 100 TB/day ingest resumable)."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ])
+    batch_a = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50)], schema)
+    batch_b = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(50, 80)], schema)
+    batch_a.coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = (spark.readStream.schema(schema).parquet(str(src))
+                  .withColumn("n_tokens", F.size(F.split("text", " "))))
+        q = (stream.writeStream.format("parquet")
+             .option("path", str(out))
+             .option("checkpointLocation", str(ckpt))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    got_1 = spark.read.parquet(str(out)).count()
+    assert got_1 == 50
+
+    batch_b.coalesce(1).write.mode("append").parquet(str(src))
+    run_once()
+
+    final = spark.read.parquet(str(out))
+    assert final.count() == 80                       # B processed once
+    ids = sorted(r.doc_id for r in final.select("doc_id").collect())
+    assert ids == list(range(80))                    # A not re-processed
