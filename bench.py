@@ -49,6 +49,7 @@ HEADLINE = (
     "q74_incremental_dedup",
     "q57_decontaminate",
     "q73_decontaminate_bloom",
+    "q87_corpus_pipeline",
     "q59_tfidf_topterms",
     "q85_bm25_topk",
     "q40_token_stats",

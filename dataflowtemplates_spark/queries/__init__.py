@@ -79,6 +79,7 @@ REGISTRY_ORDER = (
     "q96_stream_stream_join",   # new: watermarked stream-stream interval join
     "q97_scd2_intervals",       # new: SCD2 validity-interval build
     "q98_stream_corpus_scrub",  # new: stream/batch-unified corpus scrub
+    "q99_snapshot_audit",       # new: S3 timestamp-bound snapshot gate
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

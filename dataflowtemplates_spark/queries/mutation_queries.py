@@ -118,5 +118,89 @@ SELECT * FROM (
 """
 
 
-QUERIES = {"q78_mutation_audit": q78_mutation_audit}
-ORACLES = {"q78_mutation_audit": _Q78_ORACLE}
+def q99_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp-bound snapshot reads (S3) through the oracle gate.
+
+    The reference's ``TimestampBound.ofReadTimestamp`` semantics
+    (``SpannerQueryIO.java:129-136``) — read the state produced by the
+    last commit at or before the bound — were previously pinned only by
+    unit tests. Here a keyed table takes three commits (seed INSERT,
+    acctbal-bumping upsert, delete), then ``read_at`` replays EVERY
+    recorded commit time and surfaces each snapshot's (row count, exact
+    acctbal sum). The DuckDB oracle recomputes the three states
+    set-relationally from the key residues, so the hash gate verifies
+    the version history itself: no commit lost, no later mutation
+    leaking into an earlier bound.
+
+    Scale note: snapshot selection is commit-log metadata (tiny);
+    reading a version is an ordinary pruned parquet scan of that
+    version's directory — history depth costs storage, not query time.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q99_snapshot_audit_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"])
+        tbl.create(cust)
+        tbl.apply_mutations(cust.filter(k % 2 == 0), "INSERT")
+        tbl.apply_mutations(
+            cust.filter(k % 3 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(1000.0)),
+            "INSERT_OR_UPDATE")
+        tbl.apply_mutations(cust.filter(k % 5 == 0).select("c_custkey"),
+                            "DELETE")
+
+        rows = []
+        # the first commit is the empty CREATE; the data commits that
+        # follow are numbered 1..n here (their log version ids are an
+        # internal detail — the bound TIME is the contract under test)
+        for i, c in enumerate(tbl._commits()[1:], start=1):
+            snap = tbl.read_at(c["time"])
+            agg = snap.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("s")).collect()[0]
+            rows.append((i, int(agg["n"]), float(agg["s"])))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(
+        rows, "version long, n_rows long, acctbal_sum double"
+    ).orderBy("version")
+
+
+_Q99_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal,
+         c_custkey % 2 = 0 AS s2, c_custkey % 3 = 0 AS s3,
+         c_custkey % 5 = 0 AS s5
+  FROM customer),
+v1 AS (SELECT k, c_acctbal FROM f WHERE s2),
+v2 AS (
+  SELECT k, CASE WHEN s3 THEN c_acctbal + 1000.0 ELSE c_acctbal END
+           AS c_acctbal
+  FROM f WHERE s2 OR s3),
+v3 AS (
+  SELECT v2.k, v2.c_acctbal FROM v2 JOIN f ON f.k = v2.k WHERE NOT f.s5)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS acctbal_sum
+  FROM v1
+  UNION ALL
+  SELECT 2, COUNT(*), CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v2
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3
+) ORDER BY version
+"""
+
+
+QUERIES = {"q78_mutation_audit": q78_mutation_audit,
+           "q99_snapshot_audit": q99_snapshot_audit}
+ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
+           "q99_snapshot_audit": _Q99_ORACLE}
