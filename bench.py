@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -31,8 +32,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: cache measures the plans, not the JVM's memory state.
 #:
 #: Comparability contract: the set HAS changed across rounds (r6 added
-#: q73/q74; r7 added q85/q96 and made per-query numbers median-of-3),
-#: so headline_total is only comparable between runs whose
+#: q73/q74; r7 added q85/q87/q88/q96 and made per-query numbers
+#: median-of-3), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -120,7 +121,7 @@ def main() -> None:
         if name in errors:
             continue
         runs[name] = samples
-        timings[name] = sorted(samples)[len(samples) // 2]
+        timings[name] = round(statistics.median(samples), 3)
         print(f"# {name}: median {timings[name]:.2f}s of "
               f"{[f'{s:.2f}' for s in samples]}", file=sys.stderr)
 

@@ -441,17 +441,32 @@ def read_tfrecord_df(spark, path: str,
             c = crc32c(data)
             return ((c >> 15) | (c << 17)) + 0xA282EAD8 & 0xFFFFFFFF
 
-        def frames(raw):
-            i = 0
-            while i < len(raw):
+        def frames(raw, fpath):
+            # the header CRC covers the length bytes, so a corrupt
+            # length reports as a header CRC mismatch; the explicit
+            # bounds checks distinguish TRUNCATION (killed writer,
+            # partial upload) from corruption, with file + offset
+            i, n = 0, len(raw)
+            while i < n:
+                if n - i < 12:
+                    raise ValueError(
+                        f"truncated TFRecord header at offset {i} of {fpath}")
                 (ln,) = _st.unpack_from("<Q", raw, i)
                 (hcrc,) = _st.unpack_from("<I", raw, i + 8)
                 if hcrc != masked(raw[i:i + 8]):
-                    raise ValueError("TFRecord header CRC mismatch")
+                    raise ValueError(
+                        f"TFRecord header CRC mismatch at offset {i} "
+                        f"of {fpath}")
+                if n - i - 12 < ln + 4:
+                    raise ValueError(
+                        f"truncated TFRecord payload (need {ln} bytes) "
+                        f"at offset {i} of {fpath}")
                 payload = raw[i + 12:i + 12 + ln]
                 (pcrc,) = _st.unpack_from("<I", raw, i + 12 + ln)
                 if pcrc != masked(payload):
-                    raise ValueError("TFRecord payload CRC mismatch")
+                    raise ValueError(
+                        f"TFRecord payload CRC mismatch at offset {i} "
+                        f"of {fpath}")
                 yield payload
                 i += 16 + ln
 
@@ -519,7 +534,7 @@ def read_tfrecord_df(spark, path: str,
                 raw = bytes(content)
                 if str(fpath).endswith(".gz"):
                     raw = _gz.decompress(raw)
-                for payload in frames(raw):
+                for payload in frames(raw, fpath):
                     ex = decode(payload)
                     row = {}
                     for name, kind in spec.items():

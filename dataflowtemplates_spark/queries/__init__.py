@@ -80,6 +80,7 @@ REGISTRY_ORDER = (
     "q97_scd2_intervals",       # new: SCD2 validity-interval build
     "q98_stream_corpus_scrub",  # new: stream/batch-unified corpus scrub
     "q99_snapshot_audit",       # new: S3 timestamp-bound snapshot gate
+    "q95_stream_neardup_candidates",  # refactored through neardup_bucket_stream
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",
@@ -157,7 +158,6 @@ REGISTRY_ORDER = (
     "q92_stream_dedup",
     "q93_stream_user_stats",
     "q94_stream_enrich",
-    "q95_stream_neardup_candidates",
 )
 
 

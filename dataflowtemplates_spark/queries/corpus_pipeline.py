@@ -54,14 +54,20 @@ PIPE_SAMPLE_PREFIX_MAX = "80"
 PIPE_SAMPLE_SEED = "pipe87:"
 
 
-def q87_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source funnel of the composed corpus-prep pipeline."""
-    register_tables(spark, sf_dir)
-    docs = spark.table("documents")
+def scrub_quality_tags(docs: DataFrame) -> DataFrame:
+    """Stages 1–2 of the corpus pipeline as ONE shared map-side pass:
+    PII-scrubbed text (``clean``/``toks``/``n_tokens``) plus the
+    quality flag (``q_ok``). Stateless column expressions only, so the
+    same function runs batch (q87) and streaming (q98) — the
+    stream/batch unification the tests pin. ``scrub_quality_cte()`` is
+    the oracle-side twin; edit both together.
 
-    # stage 1: PII scrub (map-side). The corpus is synthetic word-salad,
-    # so like q79 we append deterministic PII spans first; the scrubbed
-    # text feeds every later stage, proving the stages compose.
+    The corpus is synthetic word-salad, so deterministic PII spans are
+    appended first (documented synthesis; q79 is the standalone PII
+    operator and deliberately synthesizes BOTH email and IP spans to
+    exercise both patterns — here one span suffices, the scrub regexes
+    are shared constants either way).
+    """
     email = F.when(
         F.col("doc_id") % 3 == 0,
         F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
@@ -69,20 +75,51 @@ def q87_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug = F.concat(F.col("text"), email)
     clean = F.regexp_replace(
         F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>")
-
     sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    tagged = (docs
-              .select("doc_id", "source", clean.alias("clean"))
-              .withColumn("toks", F.split(F.col("clean"), " "))
-              .withColumn("n_tokens", F.size("toks"))
-              # stage 2: quality gate (map-side; ratio is int/int)
-              .withColumn(
-                  "q_ok",
-                  (F.col("n_tokens") >= PIPE_MIN_TOKENS)
-                  & (F.col("n_tokens") <= PIPE_MAX_TOKENS)
-                  & (F.expr(f"size(filter(toks, t -> t IN ({sw})))")
-                     .cast("double") / F.col("n_tokens")
-                     >= PIPE_MIN_STOPWORD_RATIO))
+    return (docs
+            .select("doc_id", "source", clean.alias("clean"))
+            .withColumn("toks", F.split(F.col("clean"), " "))
+            .withColumn("n_tokens", F.size("toks"))
+            .withColumn(
+                "q_ok",
+                (F.col("n_tokens") >= PIPE_MIN_TOKENS)
+                & (F.col("n_tokens") <= PIPE_MAX_TOKENS)
+                & (F.expr(f"size(filter(toks, t -> t IN ({sw})))")
+                   .cast("double") / F.col("n_tokens")
+                   >= PIPE_MIN_STOPWORD_RATIO)))
+
+
+def scrub_quality_cte() -> str:
+    """DuckDB CTEs ``clean`` + ``tagged`` mirroring
+    ``scrub_quality_tags`` (same expression trees, both engines)."""
+    return f"""clean AS (
+  SELECT doc_id, source,
+         REGEXP_REPLACE(REGEXP_REPLACE(
+             text || CASE WHEN doc_id % 3 = 0
+               THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com' ELSE '' END,
+             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PII_IP_RE}', '<IP>', 'g') AS clean
+  FROM documents),
+tagged AS (
+  SELECT doc_id, source, clean,
+         LEN(STRING_SPLIT(clean, ' ')) AS n_tokens,
+         (LEN(STRING_SPLIT(clean, ' ')) >= {PIPE_MIN_TOKENS}
+          AND LEN(STRING_SPLIT(clean, ' ')) <= {PIPE_MAX_TOKENS}
+          AND CAST(LEN(LIST_FILTER(STRING_SPLIT(clean, ' '),
+                       t -> t IN {_SW_SQL})) AS DOUBLE)
+              / LEN(STRING_SPLIT(clean, ' '))
+              >= {PIPE_MIN_STOPWORD_RATIO}) AS q_ok
+  FROM clean)"""
+
+
+def q87_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source funnel of the composed corpus-prep pipeline."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+
+    # stages 1-2 shared with the streaming form (q98)
+    tagged = (scrub_quality_tags(docs)
               # bag-of-words fingerprint: two docs built from the same
               # template vocabulary collide even when token ORDER
               # differs — the near-identity rule that actually fires on
@@ -120,32 +157,17 @@ def q87_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q87_ORACLE = f"""
-WITH clean AS (
-  SELECT doc_id, source,
-         REGEXP_REPLACE(REGEXP_REPLACE(
-             text || CASE WHEN doc_id % 3 = 0
-               THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com' ELSE '' END,
-             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{PII_IP_RE}', '<IP>', 'g') AS clean
-  FROM documents),
-tagged AS (
-  SELECT doc_id, source, clean,
-         LEN(STRING_SPLIT(clean, ' ')) AS n_tokens,
-         (LEN(STRING_SPLIT(clean, ' ')) >= {PIPE_MIN_TOKENS}
-          AND LEN(STRING_SPLIT(clean, ' ')) <= {PIPE_MAX_TOKENS}
-          AND CAST(LEN(LIST_FILTER(STRING_SPLIT(clean, ' '),
-                       t -> t IN {_SW_SQL})) AS DOUBLE)
-              / LEN(STRING_SPLIT(clean, ' '))
-              >= {PIPE_MIN_STOPWORD_RATIO}) AS q_ok,
+WITH {scrub_quality_cte()},
+hashed AS (
+  SELECT doc_id, source, q_ok,
          MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(
              STRING_SPLIT(clean, ' '))), ' ')) AS content_hash
-  FROM clean),
+  FROM tagged),
 staged AS (
   SELECT doc_id, source, q_ok,
          q_ok AND ROW_NUMBER() OVER (
              PARTITION BY content_hash, q_ok ORDER BY doc_id) = 1 AS canon
-  FROM tagged),
+  FROM hashed),
 sampled AS (
   SELECT source, q_ok, canon,
          canon AND SUBSTRING(

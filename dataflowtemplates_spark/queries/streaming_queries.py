@@ -433,14 +433,7 @@ def q98_stream_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     consume this pass's scrubbed text downstream.
     """
     from dataflowtemplates_spark.queries.corpus_pipeline import (
-        PIPE_MAX_TOKENS,
-        PIPE_MIN_STOPWORD_RATIO,
-        PIPE_MIN_TOKENS,
-    )
-    from dataflowtemplates_spark.queries.text import (
-        PII_EMAIL_RE,
-        PII_IP_RE,
-        STOPWORDS,
+        scrub_quality_tags,
     )
 
     register_tables(spark, sf_dir)
@@ -452,25 +445,9 @@ def q98_stream_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.readStream.schema(_DOCS_SCHEMA)
             .options(**opts).parquet(src))
 
-    email = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"),
-                 F.lit("@example.com"))).otherwise(F.lit(""))
-    clean = F.regexp_replace(
-        F.regexp_replace(F.concat(F.col("text"), email),
-                         PII_EMAIL_RE, "<EMAIL>"), PII_IP_RE, "<IP>")
-    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
-    tagged = (docs
-              .select("doc_id", "source", clean.alias("clean"))
-              .withColumn("toks", F.split(F.col("clean"), " "))
-              .withColumn("n_tokens", F.size("toks"))
-              .withColumn(
-                  "q_ok",
-                  (F.col("n_tokens") >= PIPE_MIN_TOKENS)
-                  & (F.col("n_tokens") <= PIPE_MAX_TOKENS)
-                  & (F.expr(f"size(filter(toks, t -> t IN ({sw})))")
-                     .cast("double") / F.col("n_tokens")
-                     >= PIPE_MIN_STOPWORD_RATIO)))
+    # the SAME tagging pass the batch funnel (q87) runs — a streaming
+    # DataFrame is a DataFrame; stateless projections need no fork
+    tagged = scrub_quality_tags(docs)
     agg = (tagged.groupBy("source")
            .agg(F.count(F.lit(1)).alias("n_input"),
                 F.sum(F.col("q_ok").cast("int")).cast("bigint")
@@ -482,34 +459,10 @@ def q98_stream_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q98_oracle() -> str:
     from dataflowtemplates_spark.queries.corpus_pipeline import (
-        PIPE_MAX_TOKENS,
-        PIPE_MIN_STOPWORD_RATIO,
-        PIPE_MIN_TOKENS,
-    )
-    from dataflowtemplates_spark.queries.text import (
-        PII_EMAIL_RE,
-        PII_IP_RE,
-        _SW_SQL,
+        scrub_quality_cte,
     )
     return f"""
-WITH clean AS (
-  SELECT doc_id, source,
-         REGEXP_REPLACE(REGEXP_REPLACE(
-             text || CASE WHEN doc_id % 3 = 0
-               THEN ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com' ELSE '' END,
-             '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
-             '{PII_IP_RE}', '<IP>', 'g') AS clean
-  FROM documents),
-tagged AS (
-  SELECT source, LEN(STRING_SPLIT(clean, ' ')) AS n_tokens,
-         (LEN(STRING_SPLIT(clean, ' ')) >= {PIPE_MIN_TOKENS}
-          AND LEN(STRING_SPLIT(clean, ' ')) <= {PIPE_MAX_TOKENS}
-          AND CAST(LEN(LIST_FILTER(STRING_SPLIT(clean, ' '),
-                       t -> t IN {_SW_SQL})) AS DOUBLE)
-              / LEN(STRING_SPLIT(clean, ' '))
-              >= {PIPE_MIN_STOPWORD_RATIO}) AS q_ok
-  FROM clean)
+WITH {scrub_quality_cte()}
 SELECT source, COUNT(*) AS n_input,
        CAST(SUM(CAST(q_ok AS INTEGER)) AS BIGINT) AS n_quality,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

@@ -96,6 +96,8 @@ def main():
     json_out = None
     if "--json" in args:
         i = args.index("--json")
+        if i + 1 >= len(args):
+            sys.exit("usage: --json requires an output path")
         json_out = args[i + 1]
         del args[i:i + 2]
     sf_dir = args[0] if args and os.path.isdir(args[0]) \
