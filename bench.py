@@ -32,7 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: cache measures the plans, not the JVM's memory state.
 #:
 #: Comparability contract: the set HAS changed across rounds (r6 added
-#: q73/q74; r7 added q85/q87/q88/q96 and made per-query numbers
+#: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
 #: median-of-3), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
@@ -60,6 +60,7 @@ HEADLINE = (
     "q05_regional_revenue",
     "q06_revenue_delta",
     "q09_agg_stats",
+    "q100_blocking_supplier",
     "q13_window_topk",
     "q16_sessionize",
     "q34_events_tumbling",

@@ -81,6 +81,7 @@ REGISTRY_ORDER = (
     "q98_stream_corpus_scrub",  # new: stream/batch-unified corpus scrub
     "q99_snapshot_audit",       # new: S3 timestamp-bound snapshot gate
     "q95_stream_neardup_candidates",  # refactored through neardup_bucket_stream
+    "q100_blocking_supplier",   # new: Q21-shaped semi+anti fact self-join
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

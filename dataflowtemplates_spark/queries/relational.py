@@ -1048,6 +1048,72 @@ FROM events
 """
 
 
+def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
+    supplier, count multi-supplier orders where THIS supplier's line
+    was returned ('R') and no other supplier's line in the order was —
+    the classic double fact-self-join (one EXISTS, one NOT EXISTS)
+    that exercises semi + anti join planning on the same large table.
+
+    (The canonical Q21 uses receipt-vs-commit dates; this corpus has
+    no commit/receipt columns, so the returnflag marks the "failing"
+    line — same plan shape, different predicate.)
+
+    Scale shape: both self-joins shuffle on l_orderkey — the SAME key,
+    so Catalyst reuses one exchange of the fact table across the semi
+    and anti sides instead of re-shuffling; supplier/nation join
+    size-based (supplier grows with SF — never pinned broadcast, see
+    q03's rule); final top-k is TakeOrderedAndProject.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    sup = spark.table("supplier")
+    nat = spark.table("nation")
+    failed = li.filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_suppkey")
+    others = (li.select(F.col("l_orderkey").alias("o_k"),
+                        F.col("l_suppkey").alias("s_k")))
+    other_failed = (li.filter(F.col("l_returnflag") == "R")
+                    .select(F.col("l_orderkey").alias("o_k"),
+                            F.col("l_suppkey").alias("s_k")))
+    blocking = (
+        failed
+        # EXISTS: some other supplier participated in the order
+        .join(others, (F.col("l_orderkey") == F.col("o_k"))
+              & (F.col("l_suppkey") != F.col("s_k")), "left_semi")
+        # NOT EXISTS: no other supplier's line in the order failed
+        .join(other_failed, (F.col("l_orderkey") == F.col("o_k"))
+              & (F.col("l_suppkey") != F.col("s_k")), "left_anti"))
+    return (blocking
+            .join(sup, blocking.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), F.asc("s_name"))
+            .limit(20))
+
+
+_Q100_ORACLE = """
+SELECT s_name, n_name, COUNT(*) AS numwait
+FROM lineitem l1
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R')
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
 def q34_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows over events (batch form of the streaming
     windowed agg in streaming/), with a JSON-extracted measure from the
@@ -1115,6 +1181,7 @@ QUERIES = {
     "q38_percentiles": q38_percentiles,
     "q39_approx_sketches": q39_approx_sketches,
     "q89_sketch_rollup": q89_sketch_rollup,
+    "q100_blocking_supplier": q100_blocking_supplier,
 }
 
 ORACLES = {
@@ -1149,4 +1216,5 @@ ORACLES = {
     "q38_percentiles": _Q38_ORACLE,
     "q39_approx_sketches": _Q39_ORACLE,
     "q89_sketch_rollup": _Q89_ORACLE,
+    "q100_blocking_supplier": _Q100_ORACLE,
 }
