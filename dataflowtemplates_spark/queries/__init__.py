@@ -82,6 +82,7 @@ REGISTRY_ORDER = (
     "q99_snapshot_audit",       # new: S3 timestamp-bound snapshot gate
     "q95_stream_neardup_candidates",  # refactored through neardup_bucket_stream
     "q100_blocking_supplier",   # new: Q21-shaped semi+anti fact self-join
+    "q101_small_quantity_revenue",  # new: Q17-shaped correlated per-key agg
     # -- last driver-scored in r5 (oldest evidence) --------------------
     "q01_pricing_summary",
     "q03_top_unshipped",

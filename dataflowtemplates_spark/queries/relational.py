@@ -1048,6 +1048,57 @@ FROM events
 """
 
 
+def q101_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: per-brand revenue
+    from lineitems whose quantity is below half that PART's average —
+    the correlated per-group aggregate that re-joins its own fact table
+    (aggregate lineitem by part, join back to lineitem rows).
+
+    q23 covers the GLOBAL scalar subquery; this is the per-key form,
+    whose plan is structurally different: a partial-agg shuffle of the
+    fact keyed on l_partkey, rejoined to the same scan on the same key
+    (one exchange reused), then the brand dim join and a tiny final
+    aggregate. The per-part average goes through exact DECIMAL before
+    the half-threshold double, so the selection predicate is
+    bit-deterministic in both engines.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    half_avg = (li.groupBy(F.col("l_partkey").alias("pk"))
+                .agg(((F.sum(_dec("l_quantity")).cast("double")
+                       / F.count(F.lit(1))) * 0.5).alias("half_avg")))
+    small = (li.join(half_avg, li.l_partkey == half_avg.pk)
+             .filter(F.col("l_quantity") < F.col("half_avg")))
+    return (small
+            .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                  small.l_partkey == F.col("p_partkey"))
+            .groupBy("p_brand")
+            .agg((F.sum(_dec("l_extendedprice")).cast("double") / 7.0)
+                 .alias("avg_yearly"),
+                 F.count(F.lit(1)).alias("n_small_lines"))
+            .orderBy("p_brand"))
+
+
+_Q101_ORACLE = """
+WITH half AS (
+  SELECT l_partkey AS pk,
+         (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+          / COUNT(*)) * 0.5 AS half_avg
+  FROM lineitem GROUP BY l_partkey)
+SELECT p_brand,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0
+         AS avg_yearly,
+       COUNT(*) AS n_small_lines
+FROM lineitem l
+JOIN half ON half.pk = l.l_partkey
+JOIN part ON p_partkey = l.l_partkey
+WHERE l.l_quantity < half.half_avg
+GROUP BY p_brand
+ORDER BY p_brand
+"""
+
+
 def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
     supplier, count multi-supplier orders where THIS supplier's line
@@ -1182,6 +1233,7 @@ QUERIES = {
     "q39_approx_sketches": q39_approx_sketches,
     "q89_sketch_rollup": q89_sketch_rollup,
     "q100_blocking_supplier": q100_blocking_supplier,
+    "q101_small_quantity_revenue": q101_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -1217,4 +1269,5 @@ ORACLES = {
     "q39_approx_sketches": _Q39_ORACLE,
     "q89_sketch_rollup": _Q89_ORACLE,
     "q100_blocking_supplier": _Q100_ORACLE,
+    "q101_small_quantity_revenue": _Q101_ORACLE,
 }
