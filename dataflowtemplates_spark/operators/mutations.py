@@ -307,9 +307,19 @@ class KeyedTable:
                 os.replace(os.path.join(staging, fn),
                            os.path.join(self.path, fn))
             os.rmdir(staging)
+            # Commit times are the read_at contract's key: two commits
+            # landing in the same microsecond would make both bounds
+            # resolve to the later version. Enforce strict monotonicity
+            # by bumping a non-advancing clock 1µs past the prior commit.
+            now = datetime.now(timezone.utc)
+            if commits:
+                prev = datetime.fromisoformat(commits[-1]["time"])
+                if now <= prev:
+                    from datetime import timedelta
+                    now = prev + timedelta(microseconds=1)
             commits.append(
                 {"version": (commits[-1]["version"] + 1) if commits else 1,
-                 "time": datetime.now(timezone.utc).isoformat()})
+                 "time": now.isoformat()})
             import json
             tmp_log = os.path.join(self.path, "._commits.tmp")
             with open(tmp_log, "w") as fh:

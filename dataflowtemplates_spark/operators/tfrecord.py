@@ -396,6 +396,12 @@ def read_tfrecord_df(spark, path: str,
     (TF's own parse_example included) a feature spec is required —
     Examples carry no schema.
 
+    Value lists decode in BOTH protobuf encodings — packed (one
+    length-delimited chunk, what the K3 writer emits) and unpacked
+    (one wire-type-0/5 field per value, common in externally produced
+    files); malformed wire types raise with the offending field rather
+    than silently dropping values.
+
     Scale shape: files are listed by Spark's binaryFile source and
     parsed in an Arrow-batched ``mapInPandas`` — one task per file
     group, no driver involvement, CRC32C verified per record exactly
@@ -493,6 +499,59 @@ def read_tfrecord_df(spark, path: str,
                 yield fno, b[i:i + ln]
                 i += ln
 
+        def list_values(body, kind):
+            # One of BytesList/FloatList/Int64List (kind 1/2/3): field 1
+            # repeated. Handles BOTH packed (one wt=2 chunk) and
+            # unpacked (one wt=0/5 field per value) encodings — both
+            # are valid protobuf for repeated scalars, and externally
+            # produced TFRecords use either. Anything else is malformed
+            # and raises; silent value drops are worse than an error.
+            vals, i = [], 0
+            while i < len(body):
+                tag, i = varint(body, i)
+                fno, wt = tag >> 3, tag & 7
+                if fno != 1:
+                    raise ValueError(
+                        f"unexpected field {fno} in value-list message")
+                if kind == 1:  # bytes: always length-delimited
+                    if wt != 2:
+                        raise ValueError(
+                            f"unexpected wire type {wt} for bytes list")
+                    ln, i = varint(body, i)
+                    vals.append(bytes(body[i:i + ln]))
+                    i += ln
+                elif kind == 2:  # float
+                    if wt == 2:  # packed chunk
+                        ln, i = varint(body, i)
+                        vals.extend(_st.unpack(
+                            f"<{ln // 4}f", body[i:i + ln]))
+                        i += ln
+                    elif wt == 5:  # unpacked single value
+                        vals.append(_st.unpack_from("<f", body, i)[0])
+                        i += 4
+                    else:
+                        raise ValueError(
+                            f"unexpected wire type {wt} for float list")
+                else:  # int64
+                    if wt == 2:  # packed varint chunk
+                        ln, i = varint(body, i)
+                        chunk, j = body[i:i + ln], 0
+                        while j < len(chunk):
+                            v, j = varint(chunk, j)
+                            if v >= 1 << 63:
+                                v -= 1 << 64
+                            vals.append(v)
+                        i += ln
+                    elif wt == 0:  # unpacked single varint
+                        v, i = varint(body, i)
+                        if v >= 1 << 63:
+                            v -= 1 << 64
+                        vals.append(v)
+                    else:
+                        raise ValueError(
+                            f"unexpected wire type {wt} for int64 list")
+            return vals
+
         def decode(buf):
             out = {}
             for fno, featmsg in submessages(buf):
@@ -507,23 +566,8 @@ def read_tfrecord_df(spark, path: str,
                             name = val.decode()
                         else:
                             for kno, body in submessages(val):
-                                if kno == 1:  # bytes list
-                                    vals = [bytes(v) for _n, v
-                                            in submessages(body)]
-                                elif kno == 2:  # packed float list
-                                    packed = b"".join(
-                                        p for _n, p in submessages(body))
-                                    vals = list(_st.unpack(
-                                        f"<{len(packed) // 4}f", packed))
-                                elif kno == 3:  # packed varint int64 list
-                                    packed = b"".join(
-                                        p for _n, p in submessages(body))
-                                    vals, i = [], 0
-                                    while i < len(packed):
-                                        v, i = varint(packed, i)
-                                        if v >= 1 << 63:
-                                            v -= 1 << 64
-                                        vals.append(v)
+                                if kno in (1, 2, 3):
+                                    vals = list_values(body, kno)
                     if name is not None:
                         out[name] = vals
             return out

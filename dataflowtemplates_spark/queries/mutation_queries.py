@@ -152,23 +152,27 @@ def q99_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.apply_mutations(cust.filter(k % 5 == 0).select("c_custkey"),
                             "DELETE")
 
-        rows = []
         # the first commit is the empty CREATE; the data commits that
         # follow are numbered 1..n here (their log version ids are an
-        # internal detail — the bound TIME is the contract under test)
-        for i, c in enumerate(tbl._commits()[1:], start=1):
-            snap = tbl.read_at(c["time"])
-            agg = snap.agg(
-                F.count(F.lit(1)).alias("n"),
+        # internal detail — the bound TIME is the contract under test).
+        # All snapshot aggregates run as ONE job: a UNION of the
+        # per-version agg frames, materialized (localCheckpoint) before
+        # the parquet stand-in is torn down — not a per-version collect
+        # loop, which audit-query templates would then inherit.
+        from functools import reduce
+        per_version = [
+            tbl.read_at(c["time"]).agg(
+                F.lit(i).cast("long").alias("version"),
+                F.count(F.lit(1)).alias("n_rows"),
                 F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                 .cast("double").alias("s")).collect()[0]
-            rows.append((i, int(agg["n"]), float(agg["s"])))
+                 .cast("double").alias("acctbal_sum"))
+            for i, c in enumerate(tbl._commits()[1:], start=1)]
+        out = reduce(DataFrame.unionByName, per_version) \
+            .localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    return spark.createDataFrame(
-        rows, "version long, n_rows long, acctbal_sum double"
-    ).orderBy("version")
+    return out.orderBy("version")
 
 
 _Q99_ORACLE = """

@@ -1018,8 +1018,12 @@ def q89_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     rolled = per.agg(
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("n").cast("bigint").alias("n_events"),
-        F.expr("bool_and(abs(hll_sketch_estimate(sk) - exact_g) "
-               "<= 0.05 * exact_g)").alias("groups_within_bound"),
+        # coalesce: an all-NULL-user_id group yields a NULL sketch and
+        # exact_g = 0; without it the comparison is NULL and bool_and
+        # would silently drop the group from the check
+        F.expr("bool_and(abs(coalesce(hll_sketch_estimate(sk), 0) "
+               "- exact_g) <= 0.05 * exact_g)")
+         .alias("groups_within_bound"),
         F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
          .alias("_union_est"))
     whole = ev.agg(
@@ -1038,7 +1042,12 @@ def q89_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q89_ORACLE = """
-SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_groups,
+-- n_groups counts groupBy groups, which INCLUDE a NULL event_type
+-- group; COUNT(DISTINCT x) alone excludes NULLs, so add the NULL
+-- group back when any row has a NULL event_type.
+SELECT CAST(COUNT(DISTINCT event_type)
+            + CASE WHEN COUNT(*) > COUNT(event_type) THEN 1 ELSE 0 END
+            AS BIGINT) AS n_groups,
        COUNT(*) AS n_events,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
        TRUE AS groups_within_bound,

@@ -200,3 +200,64 @@ def test_read_tfrecord_df_rejects_corrupt_crc(spark, tmp_path):
     import pytest
     with pytest.raises(Exception, match="CRC"):
         read_tfrecord_df(spark, target, {"i": "int64"}).collect()
+
+
+def test_read_tfrecord_df_unpacked_scalars(spark, tmp_path):
+    """Externally produced files may encode repeated scalars UNPACKED
+    (one wire-type-0/5 field per value) — valid protobuf the K3 writer
+    never emits. The reader must return the values, not drop them."""
+    from dataflowtemplates_spark.operators.tfrecord import (
+        _len_delimited,
+        _tag,
+        _varint,
+        frame_record,
+        read_tfrecord_df,
+    )
+
+    ints = [3, -4, 1 << 40]
+    floats = [1.5, -2.25]
+    int_body = b"".join(_tag(1, 0) + _varint(v & 0xFFFFFFFFFFFFFFFF)
+                        for v in ints)
+    float_body = b"".join(_tag(1, 5) + struct.pack("<f", v)
+                          for v in floats)
+    entries = (
+        _len_delimited(1, _len_delimited(1, b"iv")
+                       + _len_delimited(2, _len_delimited(3, int_body)))
+        + _len_delimited(1, _len_delimited(1, b"fv")
+                         + _len_delimited(2, _len_delimited(2, float_body)))
+    )
+    example = _len_delimited(1, entries)
+    target = tmp_path / "unpacked"
+    target.mkdir()
+    (target / "part.tfrecord").write_bytes(frame_record(example))
+
+    got = read_tfrecord_df(
+        spark, str(target), {"iv": "int64", "fv": "float"},
+        list_fields=("iv", "fv")).collect()
+    assert len(got) == 1
+    assert list(got[0]["iv"]) == ints
+    assert list(got[0]["fv"]) == floats
+
+
+def test_read_tfrecord_df_bad_wire_type_raises(spark, tmp_path):
+    """A malformed wire type inside a value list must raise — silent
+    data loss on externally produced files is worse than an error."""
+    from dataflowtemplates_spark.operators.tfrecord import (
+        _len_delimited,
+        _tag,
+        frame_record,
+        read_tfrecord_df,
+    )
+    import pytest
+
+    bad_body = _tag(1, 1) + struct.pack("<d", 1.0)  # wt=1 in an int64 list
+    entries = _len_delimited(
+        1, _len_delimited(1, b"iv")
+        + _len_delimited(2, _len_delimited(3, bad_body)))
+    example = _len_delimited(1, entries)
+    target = tmp_path / "badwire"
+    target.mkdir()
+    (target / "part.tfrecord").write_bytes(frame_record(example))
+    with pytest.raises(Exception, match="wire type"):
+        read_tfrecord_df(spark, str(target), {"iv": "int64"},
+                         list_fields=("iv",)).collect()
