@@ -63,7 +63,11 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r7): must be inside any scored prefix -----
+    # -- changed this cycle (r8): must be inside any scored prefix -----
+    "q102_bpe_tokenize",        # new: BPE merge-table application
+    "q104_span_dedup",          # new: repeated-span removal lists
+    "q103_ann_recall",          # new: recall@k gate for q65/q88 vs exact truth
+    # -- changed in r7 ------------------------------------------------
     "q65_ann_ivf",              # assign_cells moved mapInPandas -> JVM
     "q67_kmeans",               # same (both assignment passes)
     "q73_decontaminate_bloom",  # Bloom build made distributed + guarded

@@ -1015,6 +1015,131 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------------------------
+# q104: span-level (repeated-substring) dedup — removal lists for spans
+# repeated across documents
+# --------------------------------------------------------------------------
+
+#: Anchor span length in words (the production form uses ~50 tokens on
+#: real crawls; 5 fits the synthetic corpus's short documents while
+#: exercising the identical plan).
+SPAN_WORDS = 5
+#: Hot-anchor cap: shingles occurring more often than this corpus-wide
+#: are boilerplate (stop-spans) and are EXCLUDED on both engines — the
+#: q52 cap discipline: the cap is part of the operator's declared
+#: semantics, mirrored in the oracle's HAVING clause.
+SPAN_MAX_OCC = 256
+
+
+def q104_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level dedup: find word spans repeated ACROSS documents and
+    emit per-document removal lists — the within-document form of
+    dedup that document-level exact/near-dup (q50–q56) cannot express
+    (the 50-token-repeat pass run on real crawls to strip boilerplate
+    and templated text without dropping whole documents).
+
+    Algorithm (anchor-shingle grouping, never all-pairs):
+    1. Every SPAN_WORDS-word shingle with its 1-based word position.
+    2. Anchors = shingles occurring in >= 2 DISTINCT documents, capped
+       at SPAN_MAX_OCC total occurrences (ubiquitous boilerplate is a
+       stop-span; the cap bounds the join fan-out and is mirrored in
+       the oracle).
+    3. Per document, overlapping/adjacent anchor intervals
+       [pos, pos+SPAN_WORDS-1] merge into maximal removal spans
+       (classic gaps-and-islands: running max of interval end marks
+       island starts).
+
+    Scale shape: one shuffle on the shingle key (at 100 TB the key
+    would be a 64-bit hash of the shingle — md5 here keeps both
+    engines' keys identical), the anchor set is capped before the
+    join back, and the island merge is one window per document —
+    partitioned by doc_id, so no global sort. No self-join of the
+    corpus, no pair materialization.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n = SPAN_WORDS
+    wdf = docs.select("doc_id", F.split("text", " ").alias("w"))
+    marks = (wdf.select("doc_id", F.explode(F.expr(
+        f"case when size(w) >= {n} then transform("
+        f"sequence(1, size(w) - {n - 1}), "
+        f"i -> named_struct('pos', i, 'sh', "
+        f"concat_ws(' ', slice(w, i, {n})))) "
+        f"else cast(array() as array<struct<pos:int,sh:string>>) end"
+    )).alias("m"))
+        .select("doc_id", F.col("m.pos").alias("pos"),
+                F.col("m.sh").alias("sh")))
+    anchors = (marks.groupBy("sh")
+               .agg(F.count_distinct("doc_id").alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_occ"))
+               .filter((F.col("n_docs") >= 2)
+                       & (F.col("n_occ") <= SPAN_MAX_OCC))
+               .select("sh"))
+    iv = (marks.join(anchors, "sh")
+          .select("doc_id", F.col("pos").alias("s"),
+                  (F.col("pos") + F.lit(n - 1)).alias("e")))
+    wname = W.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(
+        wname.rowsBetween(W.unboundedPreceding, -1))
+    isl = iv.select(
+        "doc_id", "s", "e",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1)
+         .otherwise(0).alias("ni"))
+    grps = isl.select(
+        "doc_id", "s", "e",
+        F.sum("ni").over(
+            wname.rowsBetween(W.unboundedPreceding, 0)).alias("grp"))
+    return (grps.groupBy("doc_id", "grp")
+            .agg(F.min("s").cast("int").alias("span_start"),
+                 F.max("e").cast("int").alias("span_end"),
+                 (F.max("e") - F.min("s") + 1).cast("int")
+                 .alias("span_len"),
+                 F.count(F.lit(1)).alias("n_anchors"))
+            .select("doc_id", "span_start", "span_end", "span_len",
+                    "n_anchors")
+            .orderBy("doc_id", "span_start"))
+
+
+_Q104_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+marks AS (
+  SELECT doc_id, m.pos AS pos, m.sh AS sh FROM (
+    SELECT doc_id, UNNEST(
+      CASE WHEN LEN(w) >= {SPAN_WORDS} THEN LIST_TRANSFORM(
+        RANGE(1, LEN(w) - {SPAN_WORDS} + 2),
+        i -> {{'pos': i, 'sh': ARRAY_TO_STRING(
+                w[i:i + {SPAN_WORDS - 1}], ' ')}})
+      ELSE [] END) AS m
+    FROM w)),
+anchors AS (
+  SELECT sh FROM marks GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= {SPAN_MAX_OCC}),
+iv AS (
+  SELECT doc_id, pos AS s, pos + {SPAN_WORDS - 1} AS e
+  FROM marks JOIN anchors USING (sh)),
+isl AS (
+  SELECT doc_id, s, e,
+    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS ni
+  FROM iv),
+grps AS (
+  SELECT doc_id, s, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl)
+SELECT doc_id, CAST(MIN(s) AS INTEGER) AS span_start,
+       CAST(MAX(e) AS INTEGER) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS INTEGER) AS span_len,
+       COUNT(*) AS n_anchors
+FROM grps GROUP BY doc_id, grp
+ORDER BY doc_id, span_start
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -1027,6 +1152,7 @@ QUERIES = {
     "q69_ngram_containment": q69_ngram_containment,
     "q73_decontaminate_bloom": q73_decontaminate_bloom,
     "q74_incremental_dedup": q74_incremental_dedup,
+    "q104_span_dedup": q104_span_dedup,
 }
 
 ORACLES = {
@@ -1041,4 +1167,5 @@ ORACLES = {
     "q69_ngram_containment": _Q69_ORACLE,
     "q73_decontaminate_bloom": _Q73_ORACLE,
     "q74_incremental_dedup": _Q74_ORACLE,
+    "q104_span_dedup": _Q104_ORACLE,
 }

@@ -951,6 +951,141 @@ def _pq_sub_chain_dd(vec: str, m: int, cbv: str) -> str:
         for i in range(1, PQ_SUBDIM + 1))
 
 
+# --------------------------------------------------------------------------
+# q103: recall@k gate — approximate indexes measured against exact truth
+# --------------------------------------------------------------------------
+
+
+def _recall_per_query(approx: DataFrame, exact: DataFrame, k: int,
+                      kind: str) -> DataFrame:
+    """Per-query |approx ∩ exact| / k with queries that hit nothing
+    kept at 0 (an inner-join-only form would silently drop them)."""
+    hits = (approx.select("q_id", "c_id")
+            .join(exact.select("q_id", "c_id"), ["q_id", "c_id"])
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hit")))
+    universe = exact.select("q_id").distinct()
+    return (universe.join(hits, "q_id", "left")
+            .select(F.lit(kind).alias("index_kind"),
+                    "q_id",
+                    F.lit(k).cast("int").alias("k"),
+                    F.coalesce("n_hit", F.lit(0)).cast("bigint")
+                     .alias("n_hit"),
+                    (F.coalesce("n_hit", F.lit(0)).cast("double")
+                     / F.lit(float(k))).alias("recall")))
+
+
+def q103_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two approximate indexes against exact ground
+    truth — the index-QUALITY gate the plumbing-parity oracles (q65,
+    q88) cannot provide: those oracles replicate the approximation, so
+    a bad codebook or a too-shallow shortlist passes every bit-exact
+    check while silently degrading retrieval. Recall of a DETERMINISTIC
+    index is itself deterministic, so it oracle-checks like any other
+    query and doubles as living documentation of the quality /
+    compression trade.
+
+    Two measurements, each on its index's own query/candidate split:
+    * ``ivf``     — q65 (IVF, nprobe=2) vs exact cosine top-3 over the
+      same candidates (vec_id >= 20, queries 8..12).
+    * ``pq_adc``  — q88 (PQ-ADC shortlist + exact re-rank) vs exact
+      squared-L2 top-10 over the same candidates (vec_id >= 5,
+      queries < 5).
+
+    Scale shape: ground truth is the one genuinely expensive side and
+    runs as the broadcast-query brute-force scan (q61's shape — the
+    big side never shuffles); the intersection joins are per-query
+    k-row sets, trivially broadcastable. At 100 TB this is the standard
+    sampled-recall harness: a bounded query panel against the full
+    index, exact truth computed once per panel refresh.
+    """
+    from dataflowtemplates_spark.operators.topk import topk_per_key
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+
+    # -- IVF side (q65 geometry) --
+    ivf_exact = ann_bruteforce_topk(
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 13)),
+        emb.filter(F.col("vec_id") >= 20), k=3)
+    ivf = _recall_per_query(q65_ann_ivf(spark, sf_dir), ivf_exact, 3, "ivf")
+
+    # -- PQ-ADC side (q88 geometry; truth metric = exact squared L2,
+    #    the metric q88's re-rank phase optimizes) --
+    cands = (emb.filter(F.col("vec_id") >= 5)
+             .repartition(spark.sparkContext.defaultParallelism)
+             .select(F.col("vec_id").alias("c_id"),
+                     F.col("embedding").alias("c_vec")))
+    qrys = (emb.filter(F.col("vec_id") < 5)
+            .select(F.col("vec_id").alias("q_id"),
+                    F.col("embedding").alias("q_vec")))
+    pairs = (cands.crossJoin(F.broadcast(qrys))
+             .select("q_id", "c_id",
+                     (-F.expr(_l2sq_sql("q_vec", "c_vec"))).alias("_neg")))
+    pq_exact = topk_per_key(pairs, "q_id", "_neg", "c_id", PQ_TOPK)
+    pq = _recall_per_query(q88_ann_pq_adc(spark, sf_dir), pq_exact,
+                           PQ_TOPK, "pq_adc")
+
+    return ivf.unionByName(pq).orderBy("index_kind", "q_id")
+
+
+def _q103_oracle() -> str:
+    return f"""
+WITH ivf_approx AS (
+  SELECT q_id, c_id FROM ({_Q65_ORACLE})),
+ivf_exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY cosine DESC, c_id ASC) AS rk
+    FROM (
+      SELECT q.q_id, c.c_id,
+             {_cosine_dd('q.q_vec', 'c.c_vec', 'q.q_nrm', 'c.c_nrm')}
+               AS cosine
+      FROM (SELECT vec_id AS q_id, embedding AS q_vec,
+                   {_norm_dd('embedding')} AS q_nrm
+            FROM embeddings WHERE vec_id >= 8 AND vec_id < 13) q
+      CROSS JOIN (SELECT vec_id AS c_id, embedding AS c_vec,
+                         {_norm_dd('embedding')} AS c_nrm
+                  FROM embeddings WHERE vec_id >= 20) c))
+  WHERE rk <= 3),
+pq_approx AS (
+  SELECT q_id, c_id FROM ({_q88_oracle()})),
+pq_exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY l2sq ASC, c_id ASC) AS rk
+    FROM (
+      SELECT q.q_id, c.c_id,
+             {_l2sq_dd('q.q_vec', 'c.c_vec')} AS l2sq
+      FROM (SELECT vec_id AS q_id, embedding AS q_vec
+            FROM embeddings WHERE vec_id < 5) q
+      CROSS JOIN (SELECT vec_id AS c_id, embedding AS c_vec
+                  FROM embeddings WHERE vec_id >= 5) c))
+  WHERE rk <= {PQ_TOPK}),
+ivf_hits AS (
+  SELECT a.q_id, COUNT(*) AS n_hit
+  FROM ivf_approx a JOIN ivf_exact e USING (q_id, c_id)
+  GROUP BY a.q_id),
+pq_hits AS (
+  SELECT a.q_id, COUNT(*) AS n_hit
+  FROM pq_approx a JOIN pq_exact e USING (q_id, c_id)
+  GROUP BY a.q_id)
+SELECT * FROM (
+  SELECT 'ivf' AS index_kind, u.q_id, CAST(3 AS INTEGER) AS k,
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+         CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 3.0 AS recall
+  FROM (SELECT DISTINCT q_id FROM ivf_exact) u
+  LEFT JOIN ivf_hits h USING (q_id)
+  UNION ALL
+  SELECT 'pq_adc', u.q_id, {PQ_TOPK},
+         CAST(COALESCE(h.n_hit, 0) AS BIGINT),
+         CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {float(PQ_TOPK)}
+  FROM (SELECT DISTINCT q_id FROM pq_exact) u
+  LEFT JOIN pq_hits h USING (q_id))
+ORDER BY index_kind, q_id
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -963,6 +1098,7 @@ QUERIES = {
     "q88_ann_pq_adc": q88_ann_pq_adc,
     "q72_embedding_quantize": q72_embedding_quantize,
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
+    "q103_ann_recall": q103_ann_recall,
 }
 
 ORACLES = {
@@ -977,4 +1113,5 @@ ORACLES = {
     "q88_ann_pq_adc": _q88_oracle(),
     "q72_embedding_quantize": _Q72_ORACLE,
     "q77_embedding_dup_groups": _Q77_ORACLE,
+    "q103_ann_recall": _q103_oracle(),
 }

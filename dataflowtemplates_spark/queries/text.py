@@ -510,6 +510,142 @@ LIMIT {BPE_TOP}
 """
 
 
+def _sql_str(s: str) -> str:
+    """Spark SQL single-quoted string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def bpe_apply_expr(word_col: str, merges: list[str]) -> str:
+    """Spark SQL expression applying a ranked 2-char merge list to
+    ``word_col``'s character sequence -> array<string> of tokens.
+
+    Each merge is one greedy left-to-right pass: a left fold whose
+    accumulator is the output token list; the merge fires when the
+    accumulator's last token equals the pair's first char and the
+    incoming token its second. Equivalent to the two-pointer scan
+    (property-tested in tests/test_kernel_properties.py) because a
+    merged token is strictly longer than its left half and can never
+    re-fire as the same pair's left side.
+    """
+    chars = (f"transform(sequence(1, length({word_col})), "
+             f"i -> substring({word_col}, i, 1))")
+    if not merges:
+        return chars
+    mlits = ", ".join(_sql_str(m) for m in merges)
+    return f"""
+        aggregate(
+          array({mlits}),
+          {chars},
+          (toks, m) -> aggregate(
+            toks,
+            cast(array() as array<string>),
+            (acc, t) -> case when size(acc) > 0
+                              and element_at(acc, -1) = substring(m, 1, 1)
+                              and t = substring(m, 2, 1)
+                        then concat(slice(acc, 1, size(acc) - 1),
+                                    array(m))
+                        else concat(acc, array(t)) end))"""
+
+
+def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLICATION — the pipeline stage between chunking (q84) and
+    sequence packing (q48) that q68 (merge-pair statistics) stopped
+    short of: apply a trained merges table to the corpus and emit the
+    resulting token vocabulary with ids.
+
+    The merges table is a deterministic function of q68's output: its
+    BPE_TOP adjacent-pair counts, in rank order (total_count DESC,
+    pair ASC), become the merge list — a one-round-trained tokenizer,
+    which keeps the table oracle-recomputable in SQL while exercising
+    the full APPLY machinery (greedy left-to-right merge per rank, new
+    adjacencies from earlier merges feeding later ones).
+
+    Application is a pure fold, identical in both engines: a word's
+    character sequence is folded over the ranked merges; each merge is
+    one greedy left-to-right pass implemented as a left fold whose
+    accumulator is the output token list (merge fires when the
+    accumulator's last token is the pair's first char and the incoming
+    token its second — equivalent to the two-pointer scan, since a
+    merged token is strictly longer than its left half and can never
+    re-fire as the same pair's left side).
+
+    Scale shape (the BPE trick that makes tokenization tractable at
+    100 TB): tokenize the VOCABULARY, not the corpus — one shuffle
+    collapses trillions of corpus tokens to millions of distinct
+    words, the fold runs once per distinct word, and corpus-level
+    counts come back by weighting with the word's use count. The
+    merges table is driver-held O(model) state like the IVF/PQ
+    codebooks. Everything is JVM-side HOF expressions — no Python,
+    no join, no per-row explosion before the final small aggregate.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = (docs.select(F.explode(tokens_col()).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n_uses")))
+
+    # trained merges: q68's ranked pair list, collected as driver-side
+    # model state (BPE_TOP rows)
+    merges = [r["pair"] for r in q68_bpe_pairs(spark, sf_dir)
+              .select("pair").collect()]
+
+    tok_rows = (vocab
+                .select("word", "n_uses",
+                        F.explode(F.expr(bpe_apply_expr("word", merges)))
+                        .alias("token")))
+    agg = (tok_rows.groupBy("token")
+           .agg(F.count(F.lit(1)).alias("n_vocab_occ"),
+                F.sum("n_uses").cast("bigint").alias("n_corpus_occ")))
+    w = Window.orderBy(F.col("n_corpus_occ").desc(), F.col("token").asc())
+    return (agg
+            .select(F.row_number().over(w).alias("token_id"),
+                    "token",
+                    (F.length("token") > 1).alias("is_merged"),
+                    "n_vocab_occ", "n_corpus_occ")
+            .orderBy("token_id"))
+
+
+_Q102_ORACLE = f"""
+WITH vocab AS (
+  SELECT word, COUNT(*) AS n_uses FROM (
+    SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word),
+pair_stats AS (
+  SELECT pair, CAST(SUM(n_uses) AS BIGINT) AS total_count FROM (
+    SELECT word, n_uses, UNNEST(LIST_TRANSFORM(
+        RANGE(1, GREATEST(LENGTH(word), 1)),
+        i -> SUBSTRING(word, i, 2))) AS pair
+    FROM vocab)
+  GROUP BY pair ORDER BY total_count DESC, pair ASC LIMIT {BPE_TOP}),
+mlist AS (
+  SELECT LIST(pair ORDER BY total_count DESC, pair ASC) AS ms
+  FROM pair_stats),
+tok AS (
+  SELECT word, n_uses,
+    list_reduce(
+      list_prepend(
+        list_transform(range(1, len(word) + 1), i -> word[i:i]),
+        list_transform((SELECT ms FROM mlist), m -> [m])),
+      (acc, x) -> list_reduce(
+        list_transform(acc, t -> [t]),
+        (iacc, ix) -> CASE WHEN len(iacc) > 0
+                            AND iacc[-1] = x[1][1:1]
+                            AND ix[1] = x[1][2:2]
+                      THEN iacc[1:len(iacc) - 1] || [x[1]]
+                      ELSE iacc || ix END)) AS toks
+  FROM vocab),
+agg AS (
+  SELECT token, COUNT(*) AS n_vocab_occ,
+         CAST(SUM(n_uses) AS BIGINT) AS n_corpus_occ
+  FROM (SELECT word, n_uses, UNNEST(toks) AS token FROM tok)
+  GROUP BY token)
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY n_corpus_occ DESC, token ASC) AS INTEGER) AS token_id,
+       token, LEN(token) > 1 AS is_merged, n_vocab_occ, n_corpus_occ
+FROM agg ORDER BY token_id
+"""
+
+
 def q76_charlm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram coverage against a reference corpus — the
     integer-exact core of LM-based quality scoring.
@@ -820,6 +956,7 @@ QUERIES = {
     "q58_repetition_stats": q58_repetition_stats,
     "q59_tfidf_topterms": q59_tfidf_topterms,
     "q68_bpe_pairs": q68_bpe_pairs,
+    "q102_bpe_tokenize": q102_bpe_tokenize,
     "q76_charlm_coverage": q76_charlm_coverage,
     "q79_pii_redact": q79_pii_redact,
     "q84_chunk_overlap": q84_chunk_overlap,
@@ -837,6 +974,7 @@ ORACLES = {
     "q58_repetition_stats": _Q58_ORACLE,
     "q59_tfidf_topterms": _Q59_ORACLE,
     "q68_bpe_pairs": _Q68_ORACLE,
+    "q102_bpe_tokenize": _Q102_ORACLE,
     "q76_charlm_coverage": _Q76_ORACLE,
     "q79_pii_redact": _Q79_ORACLE,
     "q84_chunk_overlap": _Q84_ORACLE,

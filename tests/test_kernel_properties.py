@@ -121,3 +121,93 @@ def test_scd2_lead_tiles_any_history(ts):
     for (f1, t1), (f2, _) in zip(intervals, intervals[1:]):
         assert t1 == f2 and t1 is not None and t1 >= f1
     assert intervals[-1][1] is None
+
+
+# -- BPE merge application (q102) ------------------------------------------
+
+
+def _py_bpe(word, merges):
+    """Independent two-pointer reference: per merge, one greedy
+    left-to-right scan replacing (a, b) token pairs with the merged
+    token."""
+    toks = list(word)
+    for m in merges:
+        a, b = m[0], m[1]
+        out, i = [], 0
+        while i < len(toks):
+            if (i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b):
+                out.append(m)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@given(data=st.data())
+@settings(max_examples=25, deadline=None)
+def test_bpe_fold_matches_two_pointer_scan(spark, data):
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.queries.text import bpe_apply_expr
+
+    alpha = "abcd"
+    words = data.draw(st.lists(
+        st.text(alphabet=alpha, min_size=1, max_size=12),
+        min_size=1, max_size=8))
+    merges = data.draw(st.lists(
+        st.text(alphabet=alpha, min_size=2, max_size=2),
+        min_size=0, max_size=6, unique=True))
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {r["word"]: list(r["toks"]) for r in df.select(
+        "word", F.expr(bpe_apply_expr("word", merges)).alias("toks"))
+        .collect()}
+    for w in words:
+        assert got[w] == _py_bpe(w, merges), (w, merges)
+        assert "".join(got[w]) == w  # tokens tile the word exactly
+
+
+# -- span interval merge (q104) --------------------------------------------
+
+
+def _py_merge_intervals(ivs):
+    """Merge overlapping-or-adjacent [s, e] intervals."""
+    out = []
+    for s, e in sorted(ivs):
+        if out and s <= out[-1][1] + 1:
+            out[-1][1] = max(out[-1][1], e)
+        else:
+            out.append([s, e])
+    return [tuple(x) for x in out]
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_span_island_merge_matches_python(spark, data):
+    """The q104 gaps-and-islands window formula produces exactly the
+    merged-interval set of an independent sweep-line reference."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    n = 5  # span width used to build [pos, pos+n-1] intervals
+    positions = data.draw(st.lists(
+        st.integers(min_value=1, max_value=60),
+        min_size=1, max_size=25, unique=True))
+    ivs = [(p, p + n - 1) for p in positions]
+    df = spark.createDataFrame([(1, s, e) for s, e in ivs],
+                               "doc_id int, s int, e int")
+    wname = W.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(wname.rowsBetween(W.unboundedPreceding, -1))
+    isl = df.select(
+        "doc_id", "s", "e",
+        F.when(prev_e.isNull() | (F.col("s") > prev_e + 1), 1)
+         .otherwise(0).alias("ni"))
+    grps = isl.select(
+        "doc_id", "s", "e",
+        F.sum("ni").over(
+            wname.rowsBetween(W.unboundedPreceding, 0)).alias("grp"))
+    spans = (grps.groupBy("doc_id", "grp")
+             .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
+             .orderBy("ss").collect())
+    assert [(r["ss"], r["ee"]) for r in spans] == _py_merge_intervals(ivs)

@@ -32,7 +32,7 @@ def test_registry_count_matches_survey():
     """SURVEY.md §7.5 states the registry size; keep the self-
     description exact (update BOTH when adding a query)."""
     from dataflowtemplates_spark.queries import all_queries
-    assert len(all_queries()) == 94
+    assert len(all_queries()) == 97
 
 
 def test_registry_order_covers_registered_set_exactly():
