@@ -65,61 +65,13 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 REGISTRY_ORDER = (
     # -- changed this cycle (r8): must be inside any scored prefix -----
     "q102_bpe_tokenize",        # new: BPE merge-table application
-    "q104_span_dedup",          # new: repeated-span removal lists
     "q103_ann_recall",          # new: recall@k gate for q65/q88 vs exact truth
-    # -- changed in r7 ------------------------------------------------
-    "q65_ann_ivf",              # assign_cells moved mapInPandas -> JVM
-    "q67_kmeans",               # same (both assignment passes)
-    "q73_decontaminate_bloom",  # Bloom build made distributed + guarded
-    "q74_incremental_dedup",    # hot-bucket cap added to both engines
-    "q78_mutation_audit",       # new: K5/K6 mutation counts vs oracle
-    "q79_pii_redact",           # new: PII scan + redaction
-    "q84_chunk_overlap",        # new: overlapping context-window chunking
-    "q85_bm25_topk",            # new: BM25 keyword retrieval
-    "q86_source_mixture",       # new: temperature-balanced lang mixture
-    "q87_corpus_pipeline",      # new: composed corpus-prep funnel
-    "q88_ann_pq_adc",           # new: PQ-ADC shortlist + exact re-rank
-    "q89_sketch_rollup",        # new: mergeable HLL rollup (bounded union)
-    "q96_stream_stream_join",   # new: watermarked stream-stream interval join
-    "q97_scd2_intervals",       # new: SCD2 validity-interval build
-    "q98_stream_corpus_scrub",  # new: stream/batch-unified corpus scrub
-    "q99_snapshot_audit",       # new: S3 timestamp-bound snapshot gate
-    "q95_stream_neardup_candidates",  # refactored through neardup_bucket_stream
-    "q100_blocking_supplier",   # new: Q21-shaped semi+anti fact self-join
-    "q101_small_quantity_revenue",  # new: Q17-shaped correlated per-key agg
-    # -- last driver-scored in r5 (oldest evidence) --------------------
-    "q01_pricing_summary",
-    "q03_top_unshipped",
-    "q05_regional_revenue",
-    "q06_revenue_delta",
-    "q07_left_join",
-    "q08_semi_anti",
-    "q09_agg_stats",
-    "q13_window_topk",
-    "q14_window_running",
-    "q15_window_lag",
-    "q16_sessionize",
-    "q17_set_ops",
-    "q18_union_splitter",
-    "q19_pivot",
-    "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_math_funcs",
-    "q23_scalar_subquery",
-    "q24_in_subquery",
-    "q25_having_filter",
-    "q26_distinct",
-    "q29_window_ranks",
-    "q31_collect_sorted",
-    "q32_exists_correlated",
-    "q33_top_customer_per_nation",
-    "q34_events_tumbling",
-    "q35_asof_join",
-    "q36_range_join",
-    "q37_salted_distinct",
-    "q38_percentiles",
-    # -- driver-scored green in r6, unchanged since (name order) -------
-    "q10_grouping_analytics",
+    "q104_span_dedup",          # new: repeated-span removal lists
+    "q78_mutation_audit",       # mutation store: commit-time monotonicity
+    "q89_sketch_rollup",        # NULL-group parity fix (both engines)
+    "q99_snapshot_audit",       # per-version collect loop -> one unioned job
+    # -- last driver-scored in r6 (oldest evidence; r7 evidence is the
+    #    committed LOCALVERIFY_r07.json + judge re-verification) -------
     "q39_approx_sketches",
     "q40_token_stats",
     "q41_lang_id",
@@ -164,6 +116,54 @@ REGISTRY_ORDER = (
     "q92_stream_dedup",
     "q93_stream_user_stats",
     "q94_stream_enrich",
+    # -- driver-scored green in r7, unchanged since (name order) -------
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q05_regional_revenue",
+    "q06_revenue_delta",
+    "q07_left_join",
+    "q08_semi_anti",
+    "q09_agg_stats",
+    "q10_grouping_analytics",
+    "q13_window_topk",
+    "q14_window_running",
+    "q15_window_lag",
+    "q16_sessionize",
+    "q17_set_ops",
+    "q18_union_splitter",
+    "q19_pivot",
+    "q20_string_funcs",
+    "q21_date_funcs",
+    "q22_math_funcs",
+    "q23_scalar_subquery",
+    "q24_in_subquery",
+    "q25_having_filter",
+    "q26_distinct",
+    "q29_window_ranks",
+    "q31_collect_sorted",
+    "q32_exists_correlated",
+    "q33_top_customer_per_nation",
+    "q34_events_tumbling",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_salted_distinct",
+    "q38_percentiles",
+    "q65_ann_ivf",
+    "q67_kmeans",
+    "q73_decontaminate_bloom",
+    "q74_incremental_dedup",
+    "q79_pii_redact",
+    "q84_chunk_overlap",
+    "q85_bm25_topk",
+    "q86_source_mixture",
+    "q87_corpus_pipeline",
+    "q88_ann_pq_adc",
+    "q95_stream_neardup_candidates",
+    "q96_stream_stream_join",
+    "q97_scd2_intervals",
+    "q98_stream_corpus_scrub",
+    "q100_blocking_supplier",
+    "q101_small_quantity_revenue",
 )
 
 

@@ -35,6 +35,25 @@ def test_registry_count_matches_survey():
     assert len(all_queries()) == 97
 
 
+def test_committed_docs_state_the_real_registry_count():
+    """Every committed self-description of the registry size must match
+    the registry — the static-prefix contract depends on readers
+    trusting these counts (the r7 SCALE.md '90' drift motivated this)."""
+    import re
+
+    from dataflowtemplates_spark.queries import all_queries
+    n = len(all_queries())
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    survey = open(os.path.join(repo, "SURVEY.md")).read()
+    m = re.search(r"Registry: (\d+) queries", survey)
+    assert m and int(m.group(1)) == n, f"SURVEY.md says {m and m.group(1)}"
+
+    scale = open(os.path.join(repo, "SCALE.md")).read()
+    m = re.search(r"for all (\d+)\s+registry queries", scale)
+    assert m and int(m.group(1)) == n, f"SCALE.md says {m and m.group(1)}"
+
+
 def test_registry_order_covers_registered_set_exactly():
     from dataflowtemplates_spark.queries import REGISTRY_ORDER, _registered
     assert len(REGISTRY_ORDER) == len(set(REGISTRY_ORDER)), "duplicates"
