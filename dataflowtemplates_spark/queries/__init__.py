@@ -70,6 +70,7 @@ REGISTRY_ORDER = (
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job
+    "q96_stream_stream_join",   # join factored into attribution_join (tested)
     # -- last driver-scored in r6 (oldest evidence; r7 evidence is the
     #    committed LOCALVERIFY_r07.json + judge re-verification) -------
     "q39_approx_sketches",
@@ -159,7 +160,6 @@ REGISTRY_ORDER = (
     "q87_corpus_pipeline",
     "q88_ann_pq_adc",
     "q95_stream_neardup_candidates",
-    "q96_stream_stream_join",
     "q97_scd2_intervals",
     "q98_stream_corpus_scrub",
     "q100_blocking_supplier",

@@ -356,6 +356,38 @@ def _q95_oracle() -> str:
             "ORDER BY band_key")
 
 
+def attribution_join(views_raw: DataFrame,
+                     purchases_raw: DataFrame) -> DataFrame:
+    """The q96 join topology on any pair of event-schema streams:
+    view-side and purchase-side filters, two-sided 2-hour watermarks,
+    and the event-time range constraint (purchase within 1 hour after
+    the view) that lets Spark bound the join state. Factored out so
+    the state-metrics and checkpoint-recovery tests drive the SAME
+    code q96 ships."""
+    views = (views_raw
+             .filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("user_id"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", "2 hours"))
+    purchases = (purchases_raw
+                 .filter(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    return (views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts")
+           + F.expr("INTERVAL 1 HOUR")),
+        "inner")
+        .select("view_id", "purchase_id", "user_id",
+                (F.unix_micros("purchase_ts")
+                 - F.unix_micros("view_ts")).alias("gap_us")))
+
+
 def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join: purchases attributed to the views
     they followed within one hour, per user — the classic streaming
@@ -378,28 +410,8 @@ def q96_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched (view, purchase) pair is emitted once with its attribution
     gap in microseconds.
     """
-    views = (_stream_events(spark, sf_dir)
-             .filter(F.col("event_type") == "view")
-             .select(F.col("event_id").alias("view_id"),
-                     F.col("user_id"),
-                     F.col("ts").alias("view_ts"))
-             .withWatermark("view_ts", "2 hours"))
-    purchases = (_stream_events(spark, sf_dir)
-                 .filter(F.col("event_type") == "purchase")
-                 .select(F.col("event_id").alias("purchase_id"),
-                         F.col("user_id").alias("p_user_id"),
-                         F.col("ts").alias("purchase_ts"))
-                 .withWatermark("purchase_ts", "2 hours"))
-    joined = (views.join(
-        purchases,
-        (F.col("user_id") == F.col("p_user_id"))
-        & (F.col("purchase_ts") >= F.col("view_ts"))
-        & (F.col("purchase_ts") <= F.col("view_ts")
-           + F.expr("INTERVAL 1 HOUR")),
-        "inner")
-        .select("view_id", "purchase_id", "user_id",
-                (F.unix_micros("purchase_ts")
-                 - F.unix_micros("view_ts")).alias("gap_us")))
+    joined = attribution_join(_stream_events(spark, sf_dir),
+                              _stream_events(spark, sf_dir))
     q = (joined.writeStream.outputMode("append").format("memory")
          .queryName("q96_attribution_sink")
          .trigger(availableNow=True).start())

@@ -431,3 +431,160 @@ def test_checkpoint_recovery_is_exactly_once(spark, tmp_path):
     assert final.count() == 80                       # B processed once
     ids = sorted(r.doc_id for r in final.select("doc_id").collect())
     assert ids == list(range(80))                    # A not re-processed
+
+
+def test_q96_join_state_is_watermark_bounded(spark, tmp_path):
+    """The stream-stream interval join's buffered-row state must be
+    EVICTED as the two-sided watermark advances — the range condition,
+    not hope, is what bounds join state. Feeding the corpus in
+    time-ordered chunks, the state store must show real removals and a
+    peak well below the would-be-unbounded total (all views+purchases
+    ever seen). Catches range-condition regressions that the value
+    gate (q96 vs its batch oracle) cannot."""
+    from dataflowtemplates_spark.catalog import load_table
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        attribution_join,
+    )
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    src = str(tmp_path / "q96_chunks")
+    os.makedirs(src)
+    evdf = load_table(spark, SF, "events")
+    schema = evdf.schema
+    ev = evdf.orderBy("ts").collect()
+    chunk = len(ev) // 6 + 1
+    for i in range(6):
+        rows = ev[i * chunk:(i + 1) * chunk]
+        if rows:
+            spark.createDataFrame(rows, schema).coalesce(1) \
+                .write.mode("append").parquet(src)
+
+    def side():
+        # catalog yields TIMESTAMP_NTZ; watermarks need TIMESTAMP
+        return (spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp")))
+
+    joined = attribution_join(side(), side())
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("q96_state_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt_q96state"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+
+    progs = [p for p in _progresses(q) if p.get("stateOperators")]
+    assert len(progs) >= 3, "expected one micro-batch per chunk file"
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progs]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progs)
+    n_sides = len([r for r in ev
+                   if r["event_type"] in ("view", "purchase")])
+    assert removed > 0, "watermark never evicted join state"
+    assert max(totals) < n_sides, (
+        f"peak join state {max(totals)} ~ unbounded total {n_sides}")
+
+
+def _write_events(spark, src, rows):
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+    schema = ("event_id LONG, user_id LONG, ts STRING, event_type STRING,"
+              " value DOUBLE, props STRING")
+    (spark.createDataFrame(rows, schema)
+     .withColumn("ts", F.col("ts").cast("timestamp"))
+     .select([f.name for f in EVENTS_SCHEMA])
+     .coalesce(1).write.mode("append").parquet(src))
+
+
+def test_q96_checkpoint_recovery_restores_join_state(spark, tmp_path):
+    """Restarting the stream-stream join from its checkpoint must
+    RESTORE the buffered join state: a view processed before the stop
+    must still match a purchase arriving after the restart, and the
+    pre-stop match must not re-emit."""
+    from dataflowtemplates_spark.queries.streaming_queries import (
+        attribution_join,
+    )
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    src = str(tmp_path / "j_src")
+    out = str(tmp_path / "j_out")
+    ckpt = str(tmp_path / "j_ckpt")
+    os.makedirs(src)
+
+    def run_once():
+        def side():
+            return (spark.readStream.schema(EVENTS_SCHEMA).parquet(src))
+        q = (attribution_join(side(), side())
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_events(spark, src, [
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0, "{}"),
+        (2, 1, "2024-01-01 10:30:00", "purchase", 5.0, "{}"),
+    ])
+    run_once()
+    first = {(r["view_id"], r["purchase_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert first == {(1, 2)}
+
+    # lands AFTER the restart; must match the view buffered pre-stop
+    _write_events(spark, src, [
+        (3, 1, "2024-01-01 10:45:00", "purchase", 7.0, "{}"),
+    ])
+    run_once()
+    final = [(r["view_id"], r["purchase_id"], r["gap_us"])
+             for r in spark.read.parquet(out).collect()]
+    assert sorted((v, p) for v, p, _ in final) == [(1, 2), (1, 3)]
+    gaps = {p: g for _, p, g in final}
+    assert gaps[3] == 45 * 60 * 1_000_000  # restored state, right math
+
+
+def test_q91_checkpoint_recovery_restores_session_state(spark, tmp_path):
+    """Restarting the session_window aggregation from its checkpoint
+    must restore open-session state: events before the stop and events
+    after the restart that fall within the gap must land in ONE merged
+    session with the pre-stop start time."""
+    src = str(tmp_path / "s_src")
+    out = str(tmp_path / "s_out")
+    ckpt = str(tmp_path / "s_ckpt")
+    os.makedirs(src)
+
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(src)
+        agg = (stream.withWatermark("ts", "30 minutes")
+               .groupBy(F.session_window("ts", "30 minutes").alias("sw"),
+                        "user_id")
+               .agg(F.count(F.lit(1)).alias("n_events"))
+               .select("user_id",
+                       F.col("sw.start").alias("session_start"),
+                       F.col("sw.end").alias("session_end"),
+                       "n_events"))
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    _write_events(spark, src, [
+        (1, 1, "2024-01-01 10:00:00", "view", 1.0, "{}"),
+        (2, 1, "2024-01-01 10:10:00", "view", 1.0, "{}"),
+    ])
+    run_once()
+
+    # within the 30-min gap of event 2 -> must MERGE into the open
+    # session restored from the checkpoint; the far-future row pushes
+    # the watermark past the merged session's end so it finalizes
+    _write_events(spark, src, [
+        (3, 1, "2024-01-01 10:20:00", "view", 1.0, "{}"),
+        (4, 2, "2024-01-01 15:00:00", "view", 1.0, "{}"),
+    ])
+    run_once()
+
+    rows = [r for r in spark.read.parquet(out).collect()
+            if r["user_id"] == 1]
+    assert len(rows) == 1, f"session split across restart: {rows}"
+    r = rows[0]
+    assert str(r["session_start"]).startswith("2024-01-01 10:00:00")
+    assert r["n_events"] == 3
+    assert str(r["session_end"]).startswith("2024-01-01 10:50:00")
