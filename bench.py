@@ -33,7 +33,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #:
 #: Comparability contract: the set HAS changed across rounds (r6 added
 #: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
-#: median-of-3), so headline_total is only comparable between runs whose
+#: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
+#: the new q102–q107), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -41,12 +42,15 @@ HEADLINE = (
     "q61_ann_bruteforce",
     "q65_ann_ivf",
     "q88_ann_pq_adc",
+    "q103_ann_recall",
     "q66_embedding_neardup_lsh",
     "q67_kmeans",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
     "q56_dup_groups",
     "q50_dedup_exact",
+    "q104_span_dedup",
+    "q107_span_scrub",
     "q74_incremental_dedup",
     "q57_decontaminate",
     "q73_decontaminate_bloom",
@@ -54,12 +58,19 @@ HEADLINE = (
     "q59_tfidf_topterms",
     "q85_bm25_topk",
     "q40_token_stats",
+    "q102_bpe_tokenize",
     "q48_sequence_packing",
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_regional_revenue",
     "q06_revenue_delta",
     "q09_agg_stats",
+    "q89_sketch_rollup",
+    "q97_scd2_intervals",
+    "q99_snapshot_audit",
+    "q101_small_quantity_revenue",
+    "q105_min_cost_supplier",
+    "q106_dominant_supplier",
     "q100_blocking_supplier",
     "q13_window_topk",
     "q16_sessionize",

@@ -67,10 +67,13 @@ REGISTRY_ORDER = (
     "q102_bpe_tokenize",        # new: BPE merge-table application
     "q103_ann_recall",          # new: recall@k gate for q65/q88 vs exact truth
     "q104_span_dedup",          # new: repeated-span removal lists
+    "q107_span_scrub",          # new: span removal APPLIED (rewrite docs)
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job
     "q96_stream_stream_join",   # join factored into attribution_join (tested)
+    "q105_min_cost_supplier",   # new: Q2-shaped correlated-min join-back
+    "q106_dominant_supplier",   # new: Q20-shaped two-level majority agg
     # -- last driver-scored in r6 (oldest evidence; r7 evidence is the
     #    committed LOCALVERIFY_r07.json + judge re-verification) -------
     "q39_approx_sketches",

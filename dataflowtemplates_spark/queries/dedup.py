@@ -1140,6 +1140,121 @@ ORDER BY doc_id, span_start
 """
 
 
+def q107_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY q104's removal lists: rewrite each document with its
+    repeated spans excised and emit per-document before/after counts
+    plus an md5 fingerprint of the cleaned text — the second half of
+    span-level dedup (q104 finds, this removes), verified end-to-end
+    because any off-by-one in span application changes the fingerprint.
+
+    Scale shape: removal positions explode off the (small) span table
+    — bounded by total removed tokens, never O(corpus tokens); the
+    word-level anti-join is a hash join on (doc_id, pos); rebuild is
+    one per-document aggregate (array_sort of (pos, word) structs —
+    sorts WITHIN each doc's collected list, no global sort). Documents
+    with nothing to remove pass through with a fingerprint of their
+    original layout.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    spans = q104_span_dedup(spark, sf_dir)
+
+    removed = spans.select(
+        "doc_id",
+        F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"))
+    words = (docs.select("doc_id",
+                         F.posexplode(F.split("text", " "))
+                         .alias("pos0", "word"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word"))
+    kept = words.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("doc_id")
+               .agg(F.expr(
+                   "concat_ws(' ', transform(array_sort("
+                   "collect_list(struct(pos, word))), x -> x.word))")
+                   .alias("cleaned")))
+    n_removed = (removed.groupBy("doc_id")
+                 .agg(F.count(F.lit(1)).alias("n_removed")))
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_words"))
+    return (base
+            .join(n_removed, "doc_id", "left")
+            .join(rebuilt, "doc_id", "left")
+            .select(
+                "doc_id", "n_words",
+                F.coalesce("n_removed", F.lit(0)).cast("bigint")
+                 .alias("n_removed"),
+                (F.col("n_words")
+                 - F.coalesce("n_removed", F.lit(0))).cast("bigint")
+                 .alias("n_kept"),
+                F.md5(F.coalesce("cleaned", F.lit(""))
+                      .cast("binary")).alias("cleaned_fp"))
+            .orderBy("doc_id"))
+
+
+_Q107_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS w FROM documents),
+marks AS (
+  SELECT doc_id, m.pos AS pos, m.sh AS sh FROM (
+    SELECT doc_id, UNNEST(
+      CASE WHEN LEN(w) >= {SPAN_WORDS} THEN LIST_TRANSFORM(
+        RANGE(1, LEN(w) - {SPAN_WORDS} + 2),
+        i -> {{'pos': i, 'sh': ARRAY_TO_STRING(
+                w[i:i + {SPAN_WORDS - 1}], ' ')}})
+      ELSE [] END) AS m
+    FROM w)),
+anchors AS (
+  SELECT sh FROM marks GROUP BY sh
+  HAVING COUNT(DISTINCT doc_id) >= 2 AND COUNT(*) <= {SPAN_MAX_OCC}),
+iv AS (
+  SELECT doc_id, pos AS s, pos + {SPAN_WORDS - 1} AS e
+  FROM marks JOIN anchors USING (sh)),
+isl AS (
+  SELECT doc_id, s, e,
+    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+    THEN 1 ELSE 0 END AS ni
+  FROM iv),
+grps AS (
+  SELECT doc_id, s, e,
+    SUM(ni) OVER (PARTITION BY doc_id ORDER BY s
+      ROWS UNBOUNDED PRECEDING) AS grp
+  FROM isl),
+spans AS (
+  SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+  FROM grps GROUP BY doc_id, grp),
+removed AS (
+  SELECT doc_id, UNNEST(RANGE(span_start, span_end + 1)) AS pos
+  FROM spans),
+words AS (
+  SELECT doc_id, t.pos AS pos, t.word AS word FROM (
+    SELECT doc_id, UNNEST(LIST_TRANSFORM(
+      RANGE(1, LEN(w) + 1),
+      i -> {{'pos': i, 'word': LIST_EXTRACT(w, i)}})) AS t
+    FROM w)),
+kept AS (
+  SELECT wo.doc_id, wo.pos, wo.word
+  FROM words wo LEFT JOIN removed r
+    ON r.doc_id = wo.doc_id AND r.pos = wo.pos
+  WHERE r.pos IS NULL),
+rebuilt AS (
+  SELECT doc_id, ARRAY_TO_STRING(LIST(word ORDER BY pos), ' ') AS cleaned
+  FROM kept GROUP BY doc_id),
+nrem AS (
+  SELECT doc_id, COUNT(*) AS n_removed FROM removed GROUP BY doc_id)
+SELECT w.doc_id, CAST(LEN(w.w) AS INTEGER) AS n_words,
+       CAST(COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_removed,
+       CAST(LEN(w.w) - COALESCE(nrem.n_removed, 0) AS BIGINT) AS n_kept,
+       MD5(COALESCE(rebuilt.cleaned, '')) AS cleaned_fp
+FROM w
+LEFT JOIN nrem ON nrem.doc_id = w.doc_id
+LEFT JOIN rebuilt ON rebuilt.doc_id = w.doc_id
+ORDER BY w.doc_id
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -1153,6 +1268,7 @@ QUERIES = {
     "q73_decontaminate_bloom": q73_decontaminate_bloom,
     "q74_incremental_dedup": q74_incremental_dedup,
     "q104_span_dedup": q104_span_dedup,
+    "q107_span_scrub": q107_span_scrub,
 }
 
 ORACLES = {
@@ -1168,4 +1284,5 @@ ORACLES = {
     "q73_decontaminate_bloom": _Q73_ORACLE,
     "q74_incremental_dedup": _Q74_ORACLE,
     "q104_span_dedup": _Q104_ORACLE,
+    "q107_span_scrub": _Q107_ORACLE,
 }

@@ -1108,6 +1108,153 @@ ORDER BY p_brand
 """
 
 
+def q105_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-shaped minimum-cost supplier: for each qualifying part,
+    the EUROPE supplier(s) offering it at the lowest observed unit
+    cost — the correlated-MIN-with-join-back shape (aggregate, min per
+    group, equality join back to recover the argmin rows) that q33's
+    window-based top-1 deliberately does NOT cover: at 100 TB the
+    join-back form lets both aggregates reuse ONE shuffle on the part
+    key, where a window would sort every group.
+
+    (This corpus has no partsupp table, so the supply cost is the
+    minimum observed l_extendedprice/l_quantity per (part, supplier) —
+    same plan shape, lineitem standing in for partsupp.)
+
+    Scale shape: lineitem aggregates on (l_partkey, l_suppkey) — one
+    shuffle; the per-part MIN and the join-back both key on l_partkey
+    (exchange reuse); region/nation broadcast by size-based planning;
+    the final order is TakeOrderedAndProject via limit.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    sup = spark.table("supplier")
+    nat = spark.table("nation")
+    reg = spark.table("region")
+    part = spark.table("part")
+
+    europe_sup = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    supply = (li.join(europe_sup, li.l_suppkey == F.col("s_suppkey"))
+              .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal",
+                       "n_name")
+              .agg(F.min(F.col("l_extendedprice").cast("double")
+                         / F.col("l_quantity").cast("double"))
+                   .alias("cost")))
+    target = part.filter((F.col("p_size") <= 10)
+                         & (F.col("p_type") == "STANDARD")) \
+        .select("p_partkey", "p_size")
+    supply_t = supply.join(target, supply.l_partkey == F.col("p_partkey"))
+    minc = (supply_t.groupBy(F.col("p_partkey").alias("mk"))
+            .agg(F.min("cost").alias("min_cost")))
+    return (supply_t
+            .join(minc, (supply_t.p_partkey == minc.mk)
+                  & (supply_t.cost == minc.min_cost))
+            .select("s_acctbal", "s_name", "n_name", "p_partkey",
+                    "p_size", "cost")
+            .orderBy(F.desc("s_acctbal"), F.asc("n_name"),
+                     F.asc("s_name"), F.asc("p_partkey"))
+            .limit(100))
+
+
+_Q105_ORACLE = """
+WITH esup AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON n_nationkey = s_nationkey
+  JOIN region ON r_regionkey = n_regionkey
+  WHERE r_name = 'EUROPE'),
+supply AS (
+  SELECT l_partkey, s_suppkey, s_name, s_acctbal, n_name,
+         MIN(CAST(l_extendedprice AS DOUBLE)
+             / CAST(l_quantity AS DOUBLE)) AS cost
+  FROM lineitem JOIN esup ON s_suppkey = l_suppkey
+  GROUP BY l_partkey, s_suppkey, s_name, s_acctbal, n_name),
+target AS (
+  SELECT p_partkey, p_size FROM part
+  WHERE p_size <= 10 AND p_type = 'STANDARD'),
+st AS (
+  SELECT * FROM supply JOIN target ON p_partkey = l_partkey),
+minc AS (
+  SELECT p_partkey AS mk, MIN(cost) AS min_cost
+  FROM st GROUP BY p_partkey)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_size, cost
+FROM st JOIN minc ON mk = p_partkey AND cost = min_cost
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+def q106_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-shaped dominant suppliers: suppliers who shipped MORE
+    THAN HALF of some part's total early-window volume — the two-level
+    correlated aggregate (per part-supplier vs per part) whose ratio
+    predicate selects the suppliers, plus the dimension join out.
+
+    The majority predicate is decided in EXACT decimal arithmetic
+    (2 * qty_ps > qty_p — no division, no doubles), so the selection
+    is bit-deterministic in both engines.
+
+    Scale shape: both aggregates shuffle on l_partkey (the finer
+    (part, supplier) grain first, the per-part total as a second
+    partial over the SAME key — exchange reuse, no second fact scan in
+    the reused-exchange plan); the shipdate window is a plain pushed
+    predicate; supplier/nation joins are size-based/broadcast.
+    """
+    register_tables(spark, sf_dir)
+    li = (spark.table("lineitem")
+          .filter(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    sup = spark.table("supplier")
+    nat = spark.table("nation")
+
+    per_ps = (li.groupBy("l_partkey", "l_suppkey")
+              .agg(F.sum(_dec("l_quantity")).alias("qty_ps")))
+    per_p = (li.groupBy(F.col("l_partkey").alias("pk"))
+             .agg(F.sum(_dec("l_quantity")).alias("qty_p")))
+    dom = (per_ps.join(per_p, per_ps.l_partkey == per_p.pk)
+           .filter(F.col("qty_ps") * 2 > F.col("qty_p")))
+    per_sup = (dom.groupBy("l_suppkey")
+               .agg(F.count(F.lit(1)).alias("n_dominated"),
+                    F.sum("qty_ps").cast("double").alias("dominated_qty")))
+    return (per_sup
+            .join(sup, per_sup.l_suppkey == sup.s_suppkey)
+            .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+            .select("s_name", "n_name", "n_dominated", "dominated_qty")
+            .orderBy(F.desc("n_dominated"), F.asc("s_name"))
+            .limit(50))
+
+
+_Q106_ORACLE = """
+WITH li AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01'),
+per_ps AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_ps
+  FROM li GROUP BY l_partkey, l_suppkey),
+per_p AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty_p
+  FROM li GROUP BY l_partkey),
+dom AS (
+  SELECT l_suppkey, qty_ps
+  FROM per_ps JOIN per_p ON pk = l_partkey
+  WHERE qty_ps * 2 > qty_p),
+per_sup AS (
+  SELECT l_suppkey, COUNT(*) AS n_dominated,
+         CAST(SUM(qty_ps) AS DOUBLE) AS dominated_qty
+  FROM dom GROUP BY l_suppkey)
+SELECT s_name, n_name, n_dominated, dominated_qty
+FROM per_sup
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+ORDER BY n_dominated DESC, s_name ASC
+LIMIT 50
+"""
+
+
 def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
     supplier, count multi-supplier orders where THIS supplier's line
@@ -1243,6 +1390,8 @@ QUERIES = {
     "q89_sketch_rollup": q89_sketch_rollup,
     "q100_blocking_supplier": q100_blocking_supplier,
     "q101_small_quantity_revenue": q101_small_quantity_revenue,
+    "q105_min_cost_supplier": q105_min_cost_supplier,
+    "q106_dominant_supplier": q106_dominant_supplier,
 }
 
 ORACLES = {
@@ -1279,4 +1428,6 @@ ORACLES = {
     "q89_sketch_rollup": _Q89_ORACLE,
     "q100_blocking_supplier": _Q100_ORACLE,
     "q101_small_quantity_revenue": _Q101_ORACLE,
+    "q105_min_cost_supplier": _Q105_ORACLE,
+    "q106_dominant_supplier": _Q106_ORACLE,
 }
