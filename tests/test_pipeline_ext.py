@@ -228,3 +228,79 @@ def test_q96_stream_join_equals_batch_join(spark):
         .collect())
     assert got == want and want
     assert all(0 <= g <= 3_600_000_000 for *_, g in got)
+
+
+def _write_docs_fixture(spark, sf_dir, texts):
+    """Minimal documents.parquet a query + its oracle can both read."""
+    import os
+
+    os.makedirs(sf_dir)
+    rows = [(i, t, "en", "fixt", len(t)) for i, t in enumerate(texts)]
+    (spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars int")
+     .coalesce(1).write.parquet(os.path.join(sf_dir, "documents.parquet")))
+
+
+def _oracle_on_fixture(sf_dir, sql):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')")
+    return con.execute(sql).fetchall()
+
+
+def test_q102_handles_quotes_backslashes_and_empty_words(spark, tmp_path):
+    """The merge literals travel as Spark SQL string literals; a corpus
+    whose hot pairs contain quotes or backslashes exercises the
+    escaping path the shipped testdata never does, and double spaces
+    exercise the empty-word filter. Gate: Spark == DuckDB oracle on
+    the fixture, same as the sweep."""
+    from dataflowtemplates_spark.queries.text import (
+        _Q102_ORACLE, q102_bpe_tokenize)
+
+    sf_dir = str(tmp_path / "sfq102")
+    # ''ll / \\\\o / o' pairs dominate; double spaces make empty words
+    _write_docs_fixture(spark, sf_dir, [
+        "it'll  we'll he'll", "o\\o o\\o  o\\o", "a''a a''a", "x"])
+    got = [tuple(r) for r in q102_bpe_tokenize(spark, sf_dir)
+           .collect()]
+    want = [tuple(r) for r in _oracle_on_fixture(sf_dir, _Q102_ORACLE)]
+    assert got == want
+    toks = {t[1] for t in got}
+    assert "'l" in toks or "ll" in toks  # a quote-bearing merge applied
+
+
+def test_q104_q107_span_semantics_on_crafted_corpus(spark, tmp_path):
+    """Hand-computable span fixture: docs 0 and 1 share one 6-word
+    run (two overlapping 5-shingles -> ONE merged span of 6 words);
+    doc 2 shares nothing. q104 must emit exactly the two merged spans
+    and q107 must remove exactly those words."""
+    from dataflowtemplates_spark.queries.dedup import (
+        q104_span_dedup, q107_span_scrub)
+
+    sf_dir = str(tmp_path / "sfq104")
+    shared = "the quick brown fox jumps high"          # 6 shared words
+    _write_docs_fixture(spark, sf_dir, [
+        f"{shared} alpha beta gamma",                  # span at pos 1..6
+        f"prefix words {shared} tail",                 # span at pos 3..8
+        "totally different content here now ok",
+    ])
+    spans = [(r["doc_id"], r["span_start"], r["span_end"],
+              r["span_len"], r["n_anchors"])
+             for r in q104_span_dedup(spark, sf_dir).collect()]
+    assert spans == [(0, 1, 6, 6, 2), (1, 3, 8, 6, 2)]
+
+    scrub = {r["doc_id"]: (r["n_words"], r["n_removed"], r["n_kept"])
+             for r in q107_span_scrub(spark, sf_dir).collect()}
+    assert scrub[0] == (9, 6, 3)
+    assert scrub[1] == (9, 6, 3)
+    assert scrub[2] == (6, 0, 6)
+    # the kept words are exactly the non-shared ones, order preserved
+    import hashlib
+    fp = {r["doc_id"]: r["cleaned_fp"]
+          for r in q107_span_scrub(spark, sf_dir).collect()}
+    assert fp[0] == hashlib.md5(b"alpha beta gamma").hexdigest()
+    assert fp[1] == hashlib.md5(b"prefix words tail").hexdigest()
