@@ -68,6 +68,7 @@ REGISTRY_ORDER = (
     "q103_ann_recall",          # new: recall@k gate for q65/q88 vs exact truth
     "q104_span_dedup",          # new: repeated-span removal lists
     "q107_span_scrub",          # new: span removal APPLIED (rewrite docs)
+    "q108_bpe_packing",         # new: packing under BPE token counts
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

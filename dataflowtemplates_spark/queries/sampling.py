@@ -314,12 +314,106 @@ FROM tagged GROUP BY lang ORDER BY lang
 """
 
 
+#: Token budget for BPE-counted packing (q108). BPE tokens run several
+#: per word, so the budget is wider than q48's whitespace-token budget.
+BPE_PACK_BUDGET = 2048
+
+
+def q108_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing under REAL tokenizer counts: q48's greedy
+    per-shard packing, but budgeted by each document's BPE token count
+    (q102's trained merges applied) instead of its whitespace word
+    count — the chunk→tokenize→pack integration a pretraining build
+    actually runs, where packing against the wrong token count
+    silently over/under-fills every context window.
+
+    Scale shape (the composition keeps both parents' shapes): the
+    merge fold still runs once per DISTINCT word (vocabulary trick),
+    per-word token counts join back to the exploded corpus on the
+    word key (max-cardinality, unskewable-ish; AQE handles the rest),
+    per-doc counts are one aggregate, and packing is q48's per-shard
+    running-sum window — no global ordered cumsum.
+    """
+    from dataflowtemplates_spark.queries.text import (
+        bpe_apply_expr, tokens_col, trained_merges)
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = trained_merges(spark, sf_dir)
+
+    vocab_counts = (docs.select(F.explode(tokens_col()).alias("word"))
+                    .filter(F.col("word") != "").distinct()
+                    .select("word",
+                            F.size(F.expr(bpe_apply_expr("word", merges)))
+                            .alias("n_tok")))
+    doc_words = (docs.select("doc_id",
+                             F.explode(tokens_col()).alias("word"))
+                 .filter(F.col("word") != ""))
+    per_doc = (doc_words.join(vocab_counts, "word")
+               .groupBy("doc_id")
+               .agg(F.sum("n_tok").alias("n_bpe")))
+    staged = (docs.select("doc_id", "source")
+              .join(per_doc, "doc_id", "left")
+              .select("doc_id", "source",
+                      F.coalesce("n_bpe", F.lit(0)).cast("bigint")
+                      .alias("n_tokens")))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (staged
+              .withColumn("running", F.sum("n_tokens").over(w))
+              .withColumn("seq_id",
+                          F.floor((F.col("running") - F.col("n_tokens"))
+                                  / F.lit(BPE_PACK_BUDGET))))
+    return (packed
+            .groupBy("source", "seq_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+                 F.min("doc_id").alias("first_doc"),
+                 F.max("doc_id").alias("last_doc"))
+            .orderBy("source", "seq_id"))
+
+
+def _q108_oracle() -> str:
+    from dataflowtemplates_spark.queries.text import _BPE_TOK_CTES
+    return f"""
+WITH {_BPE_TOK_CTES},
+tokcnt AS (
+  SELECT word, LEN(toks) AS n_tok FROM tok),
+docw AS (
+  SELECT doc_id, word FROM (
+    SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS word
+    FROM documents)
+  WHERE word <> ''),
+per_doc AS (
+  SELECT doc_id, SUM(n_tok) AS n_bpe
+  FROM docw JOIN tokcnt USING (word) GROUP BY doc_id),
+staged AS (
+  SELECT d.doc_id, d.source,
+         CAST(COALESCE(p.n_bpe, 0) AS BIGINT) AS n_tokens
+  FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id),
+packed AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM staged)
+SELECT source,
+       CAST((running - n_tokens) // {BPE_PACK_BUDGET} AS BIGINT) AS seq_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY 1, 2 ORDER BY source, seq_id
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
     "q49_domain_cap": q49_domain_cap,
     "q75_stratified_split": q75_stratified_split,
     "q86_source_mixture": q86_source_mixture,
+    "q108_bpe_packing": q108_bpe_packing,
 }
 
 ORACLES = {
@@ -328,4 +422,5 @@ ORACLES = {
     "q49_domain_cap": _Q49_ORACLE,
     "q75_stratified_split": _Q75_ORACLE,
     "q86_source_mixture": _Q86_ORACLE,
+    "q108_bpe_packing": _q108_oracle(),
 }

@@ -547,6 +547,15 @@ def bpe_apply_expr(word_col: str, merges: list[str]) -> str:
                         else concat(acc, array(t)) end))"""
 
 
+def trained_merges(spark: SparkSession, sf_dir: str) -> list[str]:
+    """The trained merges table: q68's ranked pair list collected as
+    driver-side model state (BPE_TOP rows — O(model), like the ANN
+    codebooks). Shared by q102 (tokenize) and q108 (token-budget
+    packing)."""
+    return [r["pair"] for r in q68_bpe_pairs(spark, sf_dir)
+            .select("pair").collect()]
+
+
 def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE APPLICATION — the pipeline stage between chunking (q84) and
     sequence packing (q48) that q68 (merge-pair statistics) stopped
@@ -583,11 +592,7 @@ def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (docs.select(F.explode(tokens_col()).alias("word"))
              .filter(F.col("word") != "")
              .groupBy("word").agg(F.count(F.lit(1)).alias("n_uses")))
-
-    # trained merges: q68's ranked pair list, collected as driver-side
-    # model state (BPE_TOP rows)
-    merges = [r["pair"] for r in q68_bpe_pairs(spark, sf_dir)
-              .select("pair").collect()]
+    merges = trained_merges(spark, sf_dir)
 
     tok_rows = (vocab
                 .select("word", "n_uses",
@@ -605,8 +610,11 @@ def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("token_id"))
 
 
-_Q102_ORACLE = f"""
-WITH vocab AS (
+#: The vocabulary-tokenization CTE chain shared by the q102 and q108
+#: oracles (one definition, so the two gates can't drift): distinct
+#: non-empty words, the ranked merge table, and the nested-list_reduce
+#: merge application producing ``tok(word, n_uses, toks)``.
+_BPE_TOK_CTES = f"""vocab AS (
   SELECT word, COUNT(*) AS n_uses FROM (
     SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
   WHERE word <> '' GROUP BY word),
@@ -633,7 +641,11 @@ tok AS (
                             AND ix[1] = x[1][2:2]
                       THEN iacc[1:len(iacc) - 1] || [x[1]]
                       ELSE iacc || ix END)) AS toks
-  FROM vocab),
+  FROM vocab)"""
+
+
+_Q102_ORACLE = f"""
+WITH {_BPE_TOK_CTES},
 agg AS (
   SELECT token, COUNT(*) AS n_vocab_occ,
          CAST(SUM(n_uses) AS BIGINT) AS n_corpus_occ
