@@ -69,6 +69,8 @@ REGISTRY_ORDER = (
     "q104_span_dedup",          # new: repeated-span removal lists
     "q107_span_scrub",          # new: span removal APPLIED (rewrite docs)
     "q108_bpe_packing",         # new: packing under BPE token counts
+    "q109_idle_customers",      # new: Q22-shaped scalar+anti composition
+    "q110_key_skew_profile",    # new: shuffle-key skew diagnostic
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

@@ -1255,6 +1255,129 @@ LIMIT 50
 """
 
 
+def q109_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped idle high-balance customers: customers whose
+    balance beats the positive-balance average but who placed no order
+    since 2000-01-01, grouped per nation — the scalar-threshold +
+    anti-join + dim-group COMPOSITION (q23 has the scalar alone, q08
+    the anti alone; Q22's point is running them in one plan; the date
+    cutoff stands in for Q22's no-orders-at-all predicate, which is
+    vacuous on this corpus where every customer has ordered).
+
+    The threshold average is exact-decimal (sum DECIMAL / count), so
+    the selection predicate is bit-deterministic; the anti join runs
+    on o_custkey before any dimension work so the orders fact is
+    touched once, semi-reduced.
+
+    Scale shape: the scalar aggregate is a broadcast 1-row side; the
+    anti join shuffles customer vs orders on the customer key (AQE
+    skew-handled); nation is a broadcast dim; one final tiny group.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    orders = spark.table("orders")
+    nat = spark.table("nation")
+
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        .alias("avg_bal"))
+    rich = (cust.crossJoin(F.broadcast(thr))
+            .filter(F.col("c_acctbal") > F.col("avg_bal")))
+    recent = (orders
+              .filter(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp"))
+              .select(F.col("o_custkey")))
+    idle = rich.join(recent, rich.c_custkey == F.col("o_custkey"),
+                     "left_anti")
+    return (idle
+            .join(F.broadcast(nat), idle.c_nationkey == nat.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"))
+            .orderBy("n_name"))
+
+
+_Q109_ORACLE = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
+           AS avg_bal
+  FROM customer WHERE c_acctbal > 0),
+idle AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c, thr
+  WHERE c.c_acctbal > thr.avg_bal
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01'))
+SELECT n_name, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+FROM idle JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name ORDER BY n_name
+"""
+
+
+#: Heavy-hitter report depth for the skew profile.
+SKEW_TOP = 10
+
+
+def q110_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution diagnostic: the per-key frequency profile of
+    the events fact's shuffle key (user_id) — heavy hitters, each
+    key's share of the table, and the skew ratio (top count over the
+    per-key mean). This is the measurement that DECIDES the salting /
+    AQE-skew strategy (`operators/skew.py`, q37): at 100 TB you run
+    this profile before picking a partitioning, not after the first
+    straggler.
+
+    Scale shape: one count aggregate on the key (the same shuffle the
+    downstream job would do, so the profile costs what one groupBy
+    costs), then TakeOrderedAndProject for the top-N and a broadcast
+    1-row global side for shares — no global sort, no second scan of
+    the fact.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    glob = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"))
+    top = (per_key
+           .orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+           .limit(SKEW_TOP))
+    w = W.orderBy(F.col("cnt").desc(), F.col("user_id").asc())
+    return (top.crossJoin(F.broadcast(glob))
+            .select(F.row_number().over(w).alias("rank"),
+                    "user_id", "cnt",
+                    (F.col("cnt").cast("double") / F.col("n_rows"))
+                    .alias("share"),
+                    (F.col("cnt").cast("double")
+                     / (F.col("n_rows").cast("double") / F.col("n_keys")))
+                    .alias("skew_ratio"),
+                    "n_keys", "n_rows")
+            .orderBy("rank"))
+
+
+_Q110_ORACLE = f"""
+WITH per_key AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+gstats AS (
+  SELECT COUNT(*) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+  FROM per_key),
+hh AS (
+  SELECT user_id, cnt FROM per_key
+  ORDER BY cnt DESC, user_id ASC LIMIT {SKEW_TOP})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id ASC) AS INTEGER)
+         AS rank,
+       user_id, cnt,
+       CAST(cnt AS DOUBLE) / n_rows AS share,
+       CAST(cnt AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys)
+         AS skew_ratio,
+       CAST(n_keys AS BIGINT) AS n_keys, n_rows
+FROM hh CROSS JOIN gstats
+ORDER BY rank
+"""
+
+
 def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
     supplier, count multi-supplier orders where THIS supplier's line
@@ -1392,6 +1515,8 @@ QUERIES = {
     "q101_small_quantity_revenue": q101_small_quantity_revenue,
     "q105_min_cost_supplier": q105_min_cost_supplier,
     "q106_dominant_supplier": q106_dominant_supplier,
+    "q109_idle_customers": q109_idle_customers,
+    "q110_key_skew_profile": q110_key_skew_profile,
 }
 
 ORACLES = {
@@ -1430,4 +1555,6 @@ ORACLES = {
     "q101_small_quantity_revenue": _Q101_ORACLE,
     "q105_min_cost_supplier": _Q105_ORACLE,
     "q106_dominant_supplier": _Q106_ORACLE,
+    "q109_idle_customers": _Q109_ORACLE,
+    "q110_key_skew_profile": _Q110_ORACLE,
 }
