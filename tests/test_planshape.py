@@ -54,3 +54,73 @@ def test_q64_explodes_sliced_array_only(spark):
             ._jdf.queryExecution().executedPlan().toString())
     gen = plan.split("Generate posexplode", 1)[1][:120]
     assert "slice" in gen
+
+
+def test_q105_joinback_reuses_part_key_exchange(spark):
+    """The Q2-shaped argmin join-back's reason to exist over a window:
+    the per-part MIN and the join back both key on the part key, so the
+    physical plan must REUSE the supply aggregate's exchange (or its
+    whole subtree) rather than re-shuffling — and no Window may appear."""
+    from dataflowtemplates_spark.queries.relational import (
+        q105_min_cost_supplier)
+    df = q105_min_cost_supplier(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert ("ReusedExchange" in plan) or ("ReusedSubquery" in plan) or (
+        plan.count("Scan parquet") <= 4), plan[:2000]
+
+
+def test_q106_majority_predicate_no_window_no_cartesian(spark):
+    from dataflowtemplates_spark.queries.relational import (
+        q106_dominant_supplier)
+    df = q106_dominant_supplier(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Cartesian" not in plan
+    # the shipdate window must reach the lineitem scan
+    assert "PushedFilters: [" in plan
+
+
+def test_q110_topk_is_partial_not_global_sort(spark):
+    """The heavy-hitter report must plan as TakeOrderedAndProject (a
+    per-partition partial top-N + tiny merge), never a global Sort of
+    the per-key table."""
+    from dataflowtemplates_spark.queries.relational import (
+        q110_key_skew_profile)
+    df = q110_key_skew_profile(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q104_anchor_cap_limits_join_input(spark):
+    """Span dedup must filter anchors (the capped HAVING) BEFORE the
+    join back to positions — the aggregate-filter-join order is what
+    bounds the fan-out at scale."""
+    from dataflowtemplates_spark.queries.dedup import q104_span_dedup
+    df = q104_span_dedup(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the n_docs >= 2 / n_occ <= cap filter sits above an aggregate,
+    # below the join: a Filter mentioning the agg outputs must exist
+    assert "n_docs" in plan and "n_occ" in plan
+    assert "Cartesian" not in plan
+
+
+def test_q108_tokenization_runs_on_distinct_words(spark):
+    """BPE packing must apply the merge fold to the DISTINCT word
+    table, not the exploded corpus: the fold expression (aggregate
+    over the merges literal) must sit above a distinct/aggregate of
+    words, never directly on the posexploded stream."""
+    from dataflowtemplates_spark.queries.sampling import q108_bpe_packing
+    df = q108_bpe_packing(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    fold_lines = [ln for ln in plan.splitlines() if "aggregate([" in ln]
+    assert fold_lines, "merge fold missing from optimized plan"
+    # Catalyst collapses the distinct + fold into ONE per-word
+    # Aggregate whose result expressions evaluate the fold — i.e. the
+    # fold line IS the word-grouped aggregate, once per distinct word
+    assert any("Aggregate [word" in ln for ln in fold_lines), fold_lines
