@@ -159,10 +159,14 @@ def main() -> None:
         # comparing `value` across rounds can't mistake a crash for a win
         "value": total if not errors else None,
         "unit": "sec",
-        # per-query MEDIAN of `repeats` runs; raw samples in "runs"
+        # per-query MEDIAN of `repeats` runs; raw samples go to stderr
+        # and BENCH_RUNS_local.json — NOT this line: the recording
+        # harness keeps only the TAIL of long stdout lines (observed:
+        # 2000 chars, which truncated the r7 record into an unparseable
+        # fragment), so the canonical line must stay small. Compact
+        # separators for the same reason.
         "repeats": repeats,
         "queries": timings,
-        "runs": runs,
         "sf": sf_val,
         "valid": not errors,
     }
@@ -170,7 +174,15 @@ def main() -> None:
         out["errors"] = errors
         out["n_failed"] = len(errors)
         out["partial_total"] = total
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    print(line)
+    print(f"# stdout line: {len(line)} chars", file=sys.stderr)
+    # full raw samples, for spread reconstruction (side channel)
+    detail = dict(out)
+    detail["runs"] = runs
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_RUNS_local.json"), "w") as fh:
+        json.dump(detail, fh)
     spark.stop()
 
 
