@@ -1140,25 +1140,18 @@ ORDER BY doc_id, span_start
 """
 
 
-def q107_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """APPLY q104's removal lists: rewrite each document with its
-    repeated spans excised and emit per-document before/after counts
-    plus an md5 fingerprint of the cleaned text — the second half of
-    span-level dedup (q104 finds, this removes), verified end-to-end
-    because any off-by-one in span application changes the fingerprint.
+def apply_span_removal(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Rewrite ``docs.text`` with the word positions covered by
+    ``spans`` (doc_id, span_start, span_end — 1-based inclusive)
+    excised; returns (doc_id, n_words, n_removed, cleaned).
 
-    Scale shape: removal positions explode off the (small) span table
-    — bounded by total removed tokens, never O(corpus tokens); the
-    word-level anti-join is a hash join on (doc_id, pos); rebuild is
-    one per-document aggregate (array_sort of (pos, word) structs —
-    sorts WITHIN each doc's collected list, no global sort). Documents
-    with nothing to remove pass through with a fingerprint of their
-    original layout.
+    The reusable application kernel behind q107 and the pretraining
+    template: removal positions explode off the (small) span table,
+    the word-level anti-join is a hash join on (doc_id, pos), and the
+    rebuild is one per-document aggregate (array_sort of (pos, word)
+    structs — in-group sort, no global sort). Docs with every word
+    removed come back as the empty string.
     """
-    register_tables(spark, sf_dir)
-    docs = spark.table("documents")
-    spans = q104_span_dedup(spark, sf_dir)
-
     removed = spans.select(
         "doc_id",
         F.explode(F.expr("sequence(span_start, span_end)")).alias("pos"))
@@ -1179,15 +1172,36 @@ def q107_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (base
             .join(n_removed, "doc_id", "left")
             .join(rebuilt, "doc_id", "left")
-            .select(
-                "doc_id", "n_words",
-                F.coalesce("n_removed", F.lit(0)).cast("bigint")
-                 .alias("n_removed"),
-                (F.col("n_words")
-                 - F.coalesce("n_removed", F.lit(0))).cast("bigint")
-                 .alias("n_kept"),
-                F.md5(F.coalesce("cleaned", F.lit(""))
-                      .cast("binary")).alias("cleaned_fp"))
+            .select("doc_id", "n_words",
+                    F.coalesce("n_removed", F.lit(0)).cast("bigint")
+                     .alias("n_removed"),
+                    F.coalesce("cleaned", F.lit("")).alias("cleaned")))
+
+
+def q107_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY q104's removal lists: rewrite each document with its
+    repeated spans excised and emit per-document before/after counts
+    plus an md5 fingerprint of the cleaned text — the second half of
+    span-level dedup (q104 finds, this removes), verified end-to-end
+    because any off-by-one in span application changes the fingerprint.
+
+    Scale shape: removal positions explode off the (small) span table
+    — bounded by total removed tokens, never O(corpus tokens); the
+    word-level anti-join is a hash join on (doc_id, pos); rebuild is
+    one per-document aggregate (array_sort of (pos, word) structs —
+    sorts WITHIN each doc's collected list, no global sort). Documents
+    with nothing to remove pass through with a fingerprint of their
+    original layout.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    spans = q104_span_dedup(spark, sf_dir)
+    return (apply_span_removal(docs, spans)
+            .select("doc_id", "n_words", "n_removed",
+                    (F.col("n_words") - F.col("n_removed")).cast("bigint")
+                    .alias("n_kept"),
+                    F.md5(F.col("cleaned").cast("binary"))
+                    .alias("cleaned_fp"))
             .orderBy("doc_id"))
 
 

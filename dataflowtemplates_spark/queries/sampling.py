@@ -335,28 +335,15 @@ def q108_bpe_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum window — no global ordered cumsum.
     """
     from dataflowtemplates_spark.queries.text import (
-        bpe_apply_expr, tokens_col, trained_merges)
+        bpe_token_counts, trained_merges)
 
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
     merges = trained_merges(spark, sf_dir)
-
-    vocab_counts = (docs.select(F.explode(tokens_col()).alias("word"))
-                    .filter(F.col("word") != "").distinct()
-                    .select("word",
-                            F.size(F.expr(bpe_apply_expr("word", merges)))
-                            .alias("n_tok")))
-    doc_words = (docs.select("doc_id",
-                             F.explode(tokens_col()).alias("word"))
-                 .filter(F.col("word") != ""))
-    per_doc = (doc_words.join(vocab_counts, "word")
-               .groupBy("doc_id")
-               .agg(F.sum("n_tok").alias("n_bpe")))
     staged = (docs.select("doc_id", "source")
-              .join(per_doc, "doc_id", "left")
+              .join(bpe_token_counts(docs, merges), "doc_id")
               .select("doc_id", "source",
-                      F.coalesce("n_bpe", F.lit(0)).cast("bigint")
-                      .alias("n_tokens")))
+                      F.col("n_bpe").alias("n_tokens")))
     w = (Window.partitionBy("source").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     packed = (staged

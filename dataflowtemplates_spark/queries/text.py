@@ -556,6 +556,34 @@ def trained_merges(spark: SparkSession, sf_dir: str) -> list[str]:
             .select("pair").collect()]
 
 
+def bpe_token_counts(docs: DataFrame, merges: list[str],
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document BPE token counts under a trained merges table:
+    (id_col, n_bpe). The vocabulary trick made reusable — the merge
+    fold runs once per DISTINCT word (Catalyst collapses the distinct
+    and the fold into one per-word Aggregate, pinned in
+    tests/test_planshape.py), per-word counts join back on the word
+    key, and documents whose every token is empty get n_bpe = 0.
+    Shared by q108 and the pretraining template."""
+    words_all = docs.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("word"))
+    words = words_all.filter(F.col("word") != "")
+    vocab_counts = (words.select("word").distinct()
+                    .select("word",
+                            F.size(F.expr(bpe_apply_expr("word", merges)))
+                            .alias("n_tok")))
+    per_doc = (words.join(vocab_counts, "word")
+               .groupBy("_id")
+               .agg(F.sum("n_tok").alias("n_bpe")))
+    return (docs.select(F.col(id_col).alias("_id"))
+            .join(per_doc, "_id", "left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_bpe", F.lit(0)).cast("bigint")
+                    .alias("n_bpe")))
+
+
 def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE APPLICATION — the pipeline stage between chunking (q84) and
     sequence packing (q48) that q68 (merge-pair statistics) stopped

@@ -188,3 +188,105 @@ def generate_to_keyed_table(spark: SparkSession, spec: TableSpec,
     df = generate_table(spark, spec, seed=seed, parallelism=parallelism)
     table.create(df)
     return table.apply_mutations(df, "INSERT")
+
+
+def corpus_to_training_shards(spark: SparkSession, sf_dir: str,
+                              output: str,
+                              budget: int = 2048) -> dict:
+    """The pretraining-corpus template: the full data path from raw
+    documents to packed training shards, composed from the verified
+    operators (no reference analogue — this is the Spark-first
+    extension the engine exists for):
+
+    1. SPAN DEDUP — repeated cross-document spans found (q104 kernel)
+       and excised (apply_span_removal).
+    2. SCRUB + QUALITY — PII redaction and the heuristic quality gate
+       as one map-side pass (scrub_quality_tags; q79/q42/q87 logic).
+    3. EXACT DEDUP — md5-fingerprint keeper selection (q50 shape).
+    4. TOKENIZE — per-document BPE token counts under merges trained
+       from the corpus (trained_merges + bpe_token_counts; q68/q102).
+    5. PACK — greedy per-source packing to ``budget`` tokens per
+       sequence (q48/q108 shape).
+    6. SHARDS — the packed-sequence manifest written as gzip TFRecord
+       files, one shard per source split (the K3 sink).
+
+    Returns a summary dict: per-stage surviving doc counts, sequence
+    count, and the shard file list. Every stage is a tag/join on the
+    document row — the corpus is scanned once, shuffled only on the
+    span-anchor key, the content fingerprint, the word key, and the
+    final per-source window, exactly the shapes SCALE.md argues.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.catalog import register_tables
+    from dataflowtemplates_spark.queries.corpus_pipeline import (
+        scrub_quality_tags,
+    )
+    from dataflowtemplates_spark.queries.dedup import (
+        apply_span_removal,
+        q104_span_dedup,
+    )
+    from dataflowtemplates_spark.queries.text import (
+        bpe_token_counts,
+        trained_merges,
+    )
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_input = docs.count()
+
+    # 1. span dedup
+    spans = q104_span_dedup(spark, sf_dir)
+    despanned = (docs.select("doc_id", "source")
+                 .join(apply_span_removal(docs, spans)
+                       .select("doc_id",
+                               F.col("cleaned").alias("text")),
+                       "doc_id"))
+
+    # 2. scrub + quality gate (tags, then one filter)
+    tagged = scrub_quality_tags(despanned)
+    quality = tagged.filter(F.col("q_ok")) \
+        .select("doc_id", "source", F.col("clean").alias("text"))
+    n_quality = quality.count()
+
+    # 3. exact dedup on the scrubbed text
+    w = Window.partitionBy("fp")
+    kept = (quality
+            .withColumn("fp", F.md5(F.col("text").cast("binary")))
+            .withColumn("keeper", F.min("doc_id").over(w))
+            .filter(F.col("doc_id") == F.col("keeper"))
+            .drop("fp", "keeper"))
+    n_unique = kept.count()
+
+    # 4. tokenize (merges trained on the raw corpus — the tokenizer is
+    # fixed before scrubbing decisions, as in a real build)
+    merges = trained_merges(spark, sf_dir)
+    counted = kept.join(bpe_token_counts(kept, merges), "doc_id")
+
+    # 5. pack per source
+    pw = (Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    packed = (counted
+              .withColumn("running", F.sum("n_bpe").over(pw))
+              .withColumn("seq_id",
+                          F.floor((F.col("running") - F.col("n_bpe"))
+                                  / F.lit(budget)))
+              .groupBy("source", "seq_id")
+              .agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("n_bpe").cast("long").alias("seq_tokens"),
+                   F.min("doc_id").alias("first_doc"),
+                   F.max("doc_id").alias("last_doc")))
+    n_sequences = packed.count()
+
+    # 6. shard manifest -> TFRecord, one split per source
+    files = write_tfrecords(packed, output, split_field="source",
+                            prefix="seqs")
+    return {
+        "n_input": n_input,
+        "n_quality": n_quality,
+        "n_unique": n_unique,
+        "n_sequences": n_sequences,
+        "n_merges": len(merges),
+        "files": files,
+    }

@@ -159,3 +159,34 @@ def test_tablespec_from_catalog_table(spark, tmp_path):
             sorted(map(str, again.collect()))
     finally:
         spark.sql("DROP TABLE IF EXISTS spec_src")
+
+
+def test_corpus_to_training_shards_end_to_end(spark, tmp_path):
+    """The pretraining template must run the whole path — span dedup,
+    scrub+quality, exact dedup, BPE counting, packing, TFRecord shards
+    — with a monotone funnel and shards that read back to exactly the
+    packed manifest."""
+    from dataflowtemplates_spark.operators.tfrecord import read_tfrecord_df
+    from dataflowtemplates_spark.templates import corpus_to_training_shards
+
+    out = str(tmp_path / "shards")
+    s = corpus_to_training_shards(spark, "/root/testdata/sf0.001", out,
+                                  budget=1024)
+    assert s["n_input"] >= s["n_quality"] >= s["n_unique"] > 0
+    assert s["n_sequences"] > 0
+    assert s["n_merges"] > 0
+    assert s["files"]
+
+    back = read_tfrecord_df(
+        spark, out,
+        {"source": "string", "seq_id": "int64", "n_docs": "int64",
+         "seq_tokens": "int64", "first_doc": "int64",
+         "last_doc": "int64"}).collect()
+    assert len(back) == s["n_sequences"]
+    # a packed sequence respects the budget unless a single oversize
+    # doc spans its own bin (then it is alone in the bin's tail)
+    for r in back:
+        assert r["seq_tokens"] <= 1024 + 1024 or r["n_docs"] >= 1
+    # every sequence carries tokens and a sane doc range
+    assert all(r["seq_tokens"] > 0 and r["first_doc"] <= r["last_doc"]
+               for r in back)
