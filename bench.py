@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Comparability contract: the set HAS changed across rounds (r6 added
 #: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
-#: the new q102–q110), so headline_total is only comparable between runs whose
+#: the new q102–q111), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -59,6 +59,7 @@ HEADLINE = (
     "q85_bm25_topk",
     "q40_token_stats",
     "q102_bpe_tokenize",
+    "q111_bpe_train",
     "q48_sequence_packing",
     "q108_bpe_packing",
     "q01_pricing_summary",

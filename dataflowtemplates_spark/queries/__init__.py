@@ -71,6 +71,7 @@ REGISTRY_ORDER = (
     "q108_bpe_packing",         # new: packing under BPE token counts
     "q109_idle_customers",      # new: Q22-shaped scalar+anti composition
     "q110_key_skew_profile",    # new: shuffle-key skew diagnostic
+    "q111_bpe_train",           # new: TRUE iterative BPE training loop
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

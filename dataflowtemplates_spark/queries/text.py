@@ -686,6 +686,137 @@ FROM agg ORDER BY token_id
 """
 
 
+#: Iterative BPE training rounds (q111).
+BPE_TRAIN_ROUNDS = 12
+#: Training-vocabulary cap: train on the top-N words by use count
+#: (ties broken by word ASC), the standard trainer practice that also
+#: bounds both engines' per-round cost — mirrored in the oracle's
+#: tok0 CTE, so the cap is part of the declared semantics.
+BPE_TRAIN_VOCAB = 2000
+
+
+def q111_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE iterative BPE training: after every merge the pair
+    statistics are recomputed over the RE-TOKENIZED vocabulary — the
+    real trainer loop, where q68 (single-round pair stats) and q102
+    (application of a fixed table) are the two halves this closes.
+    Emits the learned merges in training order with each pair's count
+    at selection time.
+
+    A merge is a PAIR of tokens (left, right) — after round one these
+    are multi-character, so the pair cannot be carried as a single
+    concatenated string (("ab","c") and ("a","bc") would collide);
+    rank ties break on (count DESC, left ASC, right ASC) in both
+    engines.
+
+    Scale shape — the bounded-iteration pattern (connected_components'
+    discipline): the corpus collapses to its vocabulary ONCE; each
+    round is one pair-stats aggregate over the (bounded) vocab, one
+    O(1)-row argmax collected driver-side, and one map-only fold
+    re-tokenization, materialized per round (localCheckpoint) so the
+    lineage stays flat. Driver state is the merges list — O(rounds),
+    never O(data). The DuckDB oracle unrolls the same rounds as CTE
+    pairs (stats_r -> argmax_r -> retokenize_r), merging via a LEFT
+    JOIN so a dried-up corpus (no pair left) no-ops identically on
+    both sides.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    vocab = (docs.select(F.explode(tokens_col()).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n_uses"))
+             .orderBy(F.col("n_uses").desc(), F.col("word").asc())
+             .limit(BPE_TRAIN_VOCAB)
+             .withColumn("toks", F.expr(
+                 "transform(sequence(1, length(word)), "
+                 "i -> substring(word, i, 1))"))
+             .localCheckpoint(eager=True))
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(BPE_TRAIN_ROUNDS):
+        pairs = (vocab
+                 .select("n_uses", F.explode(F.expr(
+                     "case when size(toks) >= 2 then transform("
+                     "sequence(1, size(toks) - 1), i -> named_struct("
+                     "'l', element_at(toks, i), "
+                     "'r', element_at(toks, i + 1))) "
+                     "else cast(array() as "
+                     "array<struct<l:string,r:string>>) end"))
+                     .alias("p"))
+                 .groupBy("p.l", "p.r")
+                 .agg(F.sum("n_uses").cast("bigint").alias("total"))
+                 .orderBy(F.col("total").desc(), F.col("l").asc(),
+                          F.col("r").asc())
+                 .limit(1).collect())
+        if not pairs:
+            break
+        left, right, total = pairs[0]["l"], pairs[0]["r"], pairs[0]["total"]
+        merges.append((left, right, int(total)))
+        fold = (
+            "aggregate(toks, cast(array() as array<string>), "
+            "(acc, t) -> case when size(acc) > 0 "
+            f"and element_at(acc, -1) = {_sql_str(left)} "
+            f"and t = {_sql_str(right)} "
+            "then concat(slice(acc, 1, size(acc) - 1), "
+            f"array({_sql_str(left + right)})) "
+            "else concat(acc, array(t)) end)")
+        vocab = (vocab.withColumn("toks", F.expr(fold))
+                 .localCheckpoint(eager=True))
+
+    return spark.createDataFrame(
+        [(i + 1, l, r, l + r, n) for i, (l, r, n) in enumerate(merges)],
+        "rank int, left string, right string, merged string, "
+        "pair_count bigint").orderBy("rank")
+
+
+def _q111_oracle() -> str:
+    rounds = []
+    for r in range(1, BPE_TRAIN_ROUNDS + 1):
+        prev = f"tok{r - 1}"
+        rounds.append(f"""p{r} AS MATERIALIZED (
+  SELECT s.l, s.r, s.total FROM (
+    SELECT pr.l AS l, pr.r AS r,
+           CAST(SUM(n_uses) AS BIGINT) AS total
+    FROM (
+      SELECT n_uses, UNNEST(
+        CASE WHEN len(toks) >= 2 THEN LIST_TRANSFORM(
+          RANGE(1, len(toks)),
+          i -> {{'l': toks[i], 'r': toks[i + 1]}})
+        ELSE [] END) AS pr
+      FROM {prev})
+    GROUP BY pr.l, pr.r
+    ORDER BY total DESC, l ASC, r ASC LIMIT 1) s),
+tok{r} AS MATERIALIZED (
+  SELECT word, n_uses,
+    CASE WHEN p.l IS NULL THEN toks
+    ELSE list_reduce(
+      list_transform(toks, t -> [t]),
+      (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = p.l
+                        AND x[1] = p.r
+                  THEN acc[1:len(acc) - 1] || [p.l || p.r]
+                  ELSE acc || x END)
+    END AS toks
+  FROM {prev} LEFT JOIN p{r} p ON TRUE)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT {r} AS rank, l, r, l || r AS merged, total FROM p{r}"
+        for r in range(1, BPE_TRAIN_ROUNDS + 1))
+    return f"""
+WITH tok0 AS (
+  SELECT word, n_uses,
+         list_transform(range(1, len(word) + 1), i -> word[i:i]) AS toks
+  FROM (
+    SELECT word, COUNT(*) AS n_uses
+    FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+    WHERE word <> '' GROUP BY word
+    ORDER BY n_uses DESC, word ASC LIMIT {BPE_TRAIN_VOCAB})),
+{",".join(rounds)}
+SELECT CAST(rank AS INTEGER) AS rank, l AS left, r AS right, merged,
+       total AS pair_count
+FROM ({picks})
+ORDER BY rank
+"""
+
+
 def q76_charlm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram coverage against a reference corpus — the
     integer-exact core of LM-based quality scoring.
@@ -997,6 +1128,7 @@ QUERIES = {
     "q59_tfidf_topterms": q59_tfidf_topterms,
     "q68_bpe_pairs": q68_bpe_pairs,
     "q102_bpe_tokenize": q102_bpe_tokenize,
+    "q111_bpe_train": q111_bpe_train,
     "q76_charlm_coverage": q76_charlm_coverage,
     "q79_pii_redact": q79_pii_redact,
     "q84_chunk_overlap": q84_chunk_overlap,
@@ -1015,6 +1147,7 @@ ORACLES = {
     "q59_tfidf_topterms": _Q59_ORACLE,
     "q68_bpe_pairs": _Q68_ORACLE,
     "q102_bpe_tokenize": _Q102_ORACLE,
+    "q111_bpe_train": _q111_oracle(),
     "q76_charlm_coverage": _Q76_ORACLE,
     "q79_pii_redact": _Q79_ORACLE,
     "q84_chunk_overlap": _Q84_ORACLE,
