@@ -595,7 +595,10 @@ def q102_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair ASC), become the merge list — a one-round-trained tokenizer,
     which keeps the table oracle-recomputable in SQL while exercising
     the full APPLY machinery (greedy left-to-right merge per rank, new
-    adjacencies from earlier merges feeding later ones).
+    adjacencies from earlier merges feeding later ones). The TRUE
+    iterative trainer — per-round stat recomputation over the
+    re-tokenized vocabulary — is q111_bpe_train; its merges plug into
+    the same ``bpe_apply_expr`` fold.
 
     Application is a pure fold, identical in both engines: a word's
     character sequence is folded over the ranked merges; each merge is
