@@ -244,10 +244,13 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str,
                                F.col("cleaned").alias("text")),
                        "doc_id"))
 
-    # 2. scrub + quality gate (tags, then one filter)
+    # 2. scrub + quality gate (tags, then one filter). Materialized:
+    # three consumers downstream (count, dedup, tokenize) must not
+    # re-run the span-removal lineage per action.
     tagged = scrub_quality_tags(despanned)
-    quality = tagged.filter(F.col("q_ok")) \
-        .select("doc_id", "source", F.col("clean").alias("text"))
+    quality = (tagged.filter(F.col("q_ok"))
+               .select("doc_id", "source", F.col("clean").alias("text"))
+               .localCheckpoint(eager=True))
     n_quality = quality.count()
 
     # 3. exact dedup on the scrubbed text
@@ -256,7 +259,8 @@ def corpus_to_training_shards(spark: SparkSession, sf_dir: str,
             .withColumn("fp", F.md5(F.col("text").cast("binary")))
             .withColumn("keeper", F.min("doc_id").over(w))
             .filter(F.col("doc_id") == F.col("keeper"))
-            .drop("fp", "keeper"))
+            .drop("fp", "keeper")
+            .localCheckpoint(eager=True))
     n_unique = kept.count()
 
     # 4. tokenize (merges trained on the raw corpus — the tokenizer is
