@@ -72,6 +72,12 @@ REGISTRY_ORDER = (
     "q109_idle_customers",      # new: Q22-shaped scalar+anti composition
     "q110_key_skew_profile",    # new: shuffle-key skew diagnostic
     "q111_bpe_train",           # new: TRUE iterative BPE training loop
+    "q112_order_priority",      # new: Q4-shaped EXISTS->semi priority census
+    "q113_priority_shipping",   # new: Q12-shaped dual conditional count
+    "q114_promo_revenue",       # new: Q14-shaped promo revenue share
+    "q115_top_supplier",        # new: Q15-shaped agg + join-back-on-max
+    "q116_parts_supplier_relation",  # new: Q16-shaped distinct census + NOT IN
+    "q117_disjunctive_revenue", # new: Q19-shaped OR-of-conjuncts pushdown
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

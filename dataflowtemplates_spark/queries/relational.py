@@ -1479,6 +1479,292 @@ ORDER BY window_start, event_type
 """
 
 
+def q112_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped order-priority check: count orders per priority
+    class in one quarter where at least one of the order's lines was
+    returned — the EXISTS-against-the-fact shape whose point is that
+    the subquery becomes a SEMI join (each order contributes once no
+    matter how many lines match), never an inner join + distinct.
+
+    (Canonical Q4's predicate is l_commitdate < l_receiptdate; this
+    corpus carries neither column, so the returnflag marks the
+    "problem" line — same plan, same semantics.)
+
+    Scale shape: the quarter filter reaches the orders parquet scan
+    (partition/row-group pruning on o_orderdate at real layouts); the
+    semi join shuffles both facts on the order key once; the final
+    aggregate is 5 groups, map-side combined.
+    """
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    li = spark.table("lineitem")
+    window = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp")))
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (window
+            .join(flagged, window.o_orderkey == flagged.l_orderkey,
+                  "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+_Q112_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q113_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped dual conditional count: per ship quarter of
+    1997, how many lines belong to critical-priority orders (1-URGENT
+    / 2-HIGH) vs the rest — the two-CASE-sums-in-one-pass shape that
+    replaces two filtered scans with one.
+
+    (Canonical Q12 groups by l_shipmode, which this corpus lacks; the
+    ship quarter is the grouping stand-in — the aggregate shape, a
+    fact-fact join feeding conditional counts, is the point.)
+
+    Scale shape: one lineitem-orders shuffle join on the order key;
+    the CASE expressions are codegen'd into the aggregate so the fact
+    is read once; four output groups.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    joined = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey")))
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (joined
+            .groupBy(F.quarter("l_shipdate").alias("ship_quarter"))
+            .agg(F.sum(F.when(crit, 1).otherwise(0)).cast("bigint")
+                 .alias("high_line_count"),
+                 F.sum(F.when(crit, 0).otherwise(1)).cast("bigint")
+                 .alias("low_line_count"))
+            .orderBy("ship_quarter"))
+
+
+_Q113_ORACLE = """
+SELECT CAST(QUARTER(l_shipdate) AS INTEGER) AS ship_quarter,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1 ORDER BY ship_quarter
+"""
+
+
+def q114_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped promotion effect: the percentage of one
+    month's gross discounted revenue that came from PROMO-type parts —
+    a conditional-sum over a fact-dim join collapsing to ONE row.
+
+    Determinism: both sums are exact decimals; only the final ratio is
+    a double division, and it is the SAME two exact doubles divided in
+    both engines, so the quotient is bit-identical (IEEE division is
+    correctly rounded).
+
+    Scale shape: month filter pushed to the lineitem scan; part is a
+    broadcast dim (grows with SF but stays ~1e-3 of the fact — pinned
+    broadcast like q05's dims); aggregate is map-only after the
+    broadcast join, no shuffle of the fact at all.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    rev = _dec("l_extendedprice") * (_one() - _rate("l_discount"))
+    joined = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp")))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)
+              .otherwise(F.lit(0).cast("decimal(12,2)")))
+        .cast("double").alias("promo_revenue"),
+        F.sum(rev).cast("double").alias("total_revenue"))
+    return agg.select(
+        "promo_revenue", "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"))
+        .alias("promo_pct"))
+
+
+_Q114_ORACLE = """
+WITH agg AS (
+  SELECT
+    CAST(SUM(CASE WHEN p_type = 'PROMO'
+             THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS promo_revenue,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      AS DOUBLE) AS total_revenue
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01')
+SELECT promo_revenue, total_revenue,
+       100.0 * promo_revenue / total_revenue AS promo_pct
+FROM agg
+"""
+
+
+def q115_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped top supplier: per-supplier revenue over one
+    quarter, then the supplier(s) achieving the maximum — the
+    aggregate-then-join-back-on-its-own-max shape (canonical Q15's
+    revenue view + scalar MAX subquery).
+
+    Equality on the revenue double is sound here because both sides of
+    the comparison come from the SAME exact-decimal aggregate: the max
+    is max over exactly-represented sums, so `rev = max_rev` is an
+    exact-value match, not a float tolerance.
+
+    Scale shape: the revenue aggregate shuffles the fact once on
+    l_suppkey; the MAX is a 1-row broadcast back onto that SAME
+    aggregated (already small) frame — no second scan of the fact;
+    supplier join is size-based.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    sup = spark.table("supplier")
+    # The explicit isnotnull mirrors the constraint the later inner
+    # join infers on the main branch: with it, the revenue aggregate's
+    # two consumers (the join input and the MAX side) are IDENTICAL
+    # subtrees, so ReuseExchange computes the fact scan + shuffle once.
+    rev = (li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        & F.col("l_suppkey").isNotNull())
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+             .cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .filter(F.col("total_revenue") == F.col("max_revenue"))
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue")
+            .orderBy("s_suppkey"))
+
+
+_Q115_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+           AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q116_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shaped part/supplier relationship census: how many
+    DISTINCT suppliers ship each (brand, type) combination, excluding
+    a computed supplier denylist (negative account balance — canonical
+    Q16 excludes complaint suppliers via NOT IN) — the
+    count-distinct-after-exclusion shape.
+
+    (No partsupp table in this corpus; the lineitem fact IS the
+    observed part-supplier relation, which is the same census at
+    bigger input size — a harder, more realistic plan.)
+
+    Scale shape: the denylist is a tiny aggregate broadcast as an ANTI
+    join (never a NOT IN against an unindexed subquery at runtime);
+    part is a broadcast dim; the exact COUNT(DISTINCT suppkey) is the
+    one necessary shuffle, on the (brand,type) group key after
+    map-side partial dedup.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    sup = spark.table("supplier")
+    deny = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li
+            .join(F.broadcast(deny),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+            .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+            .filter(F.col("p_brand") != "Brand#9")
+            .groupBy("p_brand", "p_type")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+            .orderBy(F.desc("supplier_cnt"), F.asc("p_brand"),
+                     F.asc("p_type")))
+
+
+_Q116_ORACLE = """
+SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
+"""
+
+
+def q117_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped disjunctive-predicate revenue: an OR of three
+    brand/size/quantity conjunct groups across the lineitem-part join
+    — the classic test that the optimizer (a) extracts the common
+    join key so the OR never degrades to a cartesian filter and (b)
+    factors the part-only disjuncts (brand IN (...)) down to the dim
+    scan as a pushed filter.
+
+    Scale shape: part side pre-filtered by the extracted brand IN
+    list at the scan, then broadcast; the residual OR is a codegen'd
+    row predicate after the hash join — the fact is scanned once,
+    never joined more than once.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    part = spark.table("part")
+    joined = li.join(F.broadcast(part),
+                     F.col("l_partkey") == F.col("p_partkey"))
+    case1 = ((F.col("p_brand") == "Brand#1")
+             & F.col("p_size").between(1, 15)
+             & F.col("l_quantity").between(1, 20))
+    case2 = ((F.col("p_brand") == "Brand#11")
+             & F.col("p_size").between(10, 30)
+             & F.col("l_quantity").between(10, 30))
+    case3 = ((F.col("p_brand") == "Brand#22")
+             & F.col("p_size").between(20, 50)
+             & F.col("l_quantity").between(20, 40))
+    return (joined.filter(case1 | case2 | case3)
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
+_Q117_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+         AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
+       AND l_quantity BETWEEN 1  AND 20)
+   OR (p_brand = 'Brand#11' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 40)
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_unshipped": q03_top_unshipped,
@@ -1517,6 +1803,12 @@ QUERIES = {
     "q106_dominant_supplier": q106_dominant_supplier,
     "q109_idle_customers": q109_idle_customers,
     "q110_key_skew_profile": q110_key_skew_profile,
+    "q112_order_priority": q112_order_priority,
+    "q113_priority_shipping": q113_priority_shipping,
+    "q114_promo_revenue": q114_promo_revenue,
+    "q115_top_supplier": q115_top_supplier,
+    "q116_parts_supplier_relation": q116_parts_supplier_relation,
+    "q117_disjunctive_revenue": q117_disjunctive_revenue,
 }
 
 ORACLES = {
@@ -1557,4 +1849,10 @@ ORACLES = {
     "q106_dominant_supplier": _Q106_ORACLE,
     "q109_idle_customers": _Q109_ORACLE,
     "q110_key_skew_profile": _Q110_ORACLE,
+    "q112_order_priority": _Q112_ORACLE,
+    "q113_priority_shipping": _Q113_ORACLE,
+    "q114_promo_revenue": _Q114_ORACLE,
+    "q115_top_supplier": _Q115_ORACLE,
+    "q116_parts_supplier_relation": _Q116_ORACLE,
+    "q117_disjunctive_revenue": _Q117_ORACLE,
 }

@@ -109,6 +109,64 @@ def test_q104_anchor_cap_limits_join_input(spark):
     assert "Cartesian" not in plan
 
 
+def test_q112_exists_plans_as_semi_join(spark):
+    """The Q4-shaped EXISTS must lower to a LeftSemi join (each order
+    counted once regardless of matching lines), never an inner join
+    feeding a distinct."""
+    from dataflowtemplates_spark.queries.relational import (
+        q112_order_priority)
+    df = q112_order_priority(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    # the quarter window must reach the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q114_fact_never_shuffles(spark):
+    """The promo-share join must build on the broadcast part dim: the
+    lineitem fact flows scan -> broadcast join -> partial agg with no
+    hash-partitioned exchange of fact rows (the only exchange is the
+    1-partition merge of partial aggregates)."""
+    from dataflowtemplates_spark.queries.relational import (
+        q114_promo_revenue)
+    df = q114_promo_revenue(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_q115_max_reuses_revenue_exchange(spark):
+    """The join-back-on-max shape must compute the per-supplier revenue
+    aggregate ONCE: the MAX side reuses the revenue exchange instead of
+    re-scanning and re-shuffling the fact (the explicit isnotnull in
+    the query exists to keep the two subtrees identical)."""
+    from dataflowtemplates_spark.queries.relational import (
+        q115_top_supplier)
+    df = q115_top_supplier(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
+def test_q117_part_disjuncts_pushed_to_dim_scan(spark):
+    """Q19's OR-of-conjuncts: the part-only predicate residue (brand +
+    size conjuncts OR'd) must be extracted and pushed to the part scan,
+    and the join must stay a single hash join on the extracted common
+    key — no cartesian."""
+    from dataflowtemplates_spark.queries.relational import (
+        q117_disjunctive_revenue)
+    df = q117_disjunctive_revenue(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    part_scans = [ln for ln in plan.splitlines()
+                  if "part.parquet" in ln and "FileScan" in ln]
+    assert part_scans
+    assert all("EqualTo(p_brand,Brand#1)" in ln for ln in part_scans)
+
+
 def test_q108_tokenization_runs_on_distinct_words(spark):
     """BPE packing must apply the merge fold to the DISTINCT word
     table, not the exploded corpus: the fold expression (aggregate
