@@ -78,6 +78,8 @@ REGISTRY_ORDER = (
     "q115_top_supplier",        # new: Q15-shaped agg + join-back-on-max
     "q116_parts_supplier_relation",  # new: Q16-shaped distinct census + NOT IN
     "q117_disjunctive_revenue", # new: Q19-shaped OR-of-conjuncts pushdown
+    "q118_cms_heavy_hitters",   # new: count-min frequency sketch + guarantee
+    "q119_bpe_lang_compression",  # new: per-lang tokenizer compression audit
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

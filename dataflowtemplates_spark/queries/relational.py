@@ -1378,6 +1378,99 @@ ORDER BY rank
 """
 
 
+#: Count-min sketch geometry: d independent hash rows x w counters.
+#: Width 512 bounds overcount by ~2N/w with d=4 rows taking the min;
+#: the hash family is arithmetic ((a*k + b) mod P mod w, P = 2^31-1)
+#: so BOTH engines can recompute it bit-identically — the same reason
+#: q51's minhash uses explicit integer hashing.
+CMS_D_PARAMS = ((0, 131, 7), (1, 137, 11), (2, 139, 13), (3, 149, 17))
+CMS_W = 512
+CMS_P = 2147483647
+
+
+def q118_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: build a d x w CMS over
+    the events fact's user_id, then report the top-N exact heavy
+    hitters alongside their CMS estimates and overcounts — proving the
+    sketch's one-sided guarantee (estimate >= exact, asserted as a
+    literal boolean both engines compute).
+
+    This is the mergeable FREQUENCY sketch companion to q89's
+    cardinality (HLL) rollup: per-partition CMS grids merge by plain
+    counter addition — here that merge IS the map-side partial
+    aggregate of the (row, bucket) groupBy, so the shuffle carries at
+    most d*w rows per map partition no matter how many events flow in.
+    At 100 TB the d*w = 2048-cell grid replaces a full per-key count
+    when only approximate frequencies (top-k candidates, skew
+    detection feeding q37/q110) are needed.
+
+    The exact per-key counts appear here only as the verification
+    yardstick — they are the expensive plan the sketch replaces.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+
+    def buckets(key: F.Column) -> F.Column:
+        return F.array(*[
+            ((F.lit(a) * key + F.lit(b)) % CMS_P % CMS_W).cast("bigint")
+            for _, a, b in CMS_D_PARAMS])
+
+    counters = (ev.select(F.posexplode(buckets(F.col("user_id")))
+                          .alias("row_i", "bucket"))
+                .groupBy("row_i", "bucket")
+                .agg(F.count(F.lit(1)).alias("c")))
+    per_key = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = (per_key
+           .orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+           .limit(SKEW_TOP))
+    probes = top.select(
+        "user_id", "exact_cnt",
+        F.posexplode(buckets(F.col("user_id"))).alias("row_i", "bucket"))
+    est = (probes
+           .join(F.broadcast(counters), ["row_i", "bucket"])
+           .groupBy("user_id", "exact_cnt")
+           .agg(F.min("c").alias("cms_est")))
+    w = W.orderBy(F.col("exact_cnt").desc(), F.col("user_id").asc())
+    return (est
+            .select(F.row_number().over(w).alias("rank"),
+                    "user_id", "exact_cnt", "cms_est",
+                    (F.col("cms_est") - F.col("exact_cnt"))
+                    .alias("overcount"),
+                    (F.col("cms_est") >= F.col("exact_cnt"))
+                    .alias("never_undercounts"))
+            .orderBy("rank"))
+
+
+_CMS_HASH_ROWS = ", ".join(f"({i}, {a}, {b})" for i, a, b in CMS_D_PARAMS)
+
+_Q118_ORACLE = f"""
+WITH hashes(row_i, a, b) AS (VALUES {_CMS_HASH_ROWS}),
+counters AS (
+  SELECT row_i, ((a * user_id + b) % {CMS_P}) % {CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM events CROSS JOIN hashes
+  GROUP BY 1, 2),
+per_key AS (
+  SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+top AS (
+  SELECT user_id, exact_cnt FROM per_key
+  ORDER BY exact_cnt DESC, user_id ASC LIMIT {SKEW_TOP}),
+est AS (
+  SELECT t.user_id, t.exact_cnt, MIN(c.c) AS cms_est
+  FROM top t CROSS JOIN hashes h
+  JOIN counters c
+    ON c.row_i = h.row_i
+   AND c.bucket = ((h.a * t.user_id + h.b) % {CMS_P}) % {CMS_W}
+  GROUP BY 1, 2)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY exact_cnt DESC, user_id ASC)
+            AS INTEGER) AS rank,
+       user_id, exact_cnt, cms_est,
+       cms_est - exact_cnt AS overcount,
+       cms_est >= exact_cnt AS never_undercounts
+FROM est ORDER BY rank
+"""
+
+
 def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
     supplier, count multi-supplier orders where THIS supplier's line
@@ -1809,6 +1902,7 @@ QUERIES = {
     "q115_top_supplier": q115_top_supplier,
     "q116_parts_supplier_relation": q116_parts_supplier_relation,
     "q117_disjunctive_revenue": q117_disjunctive_revenue,
+    "q118_cms_heavy_hitters": q118_cms_heavy_hitters,
 }
 
 ORACLES = {
@@ -1855,4 +1949,5 @@ ORACLES = {
     "q115_top_supplier": _Q115_ORACLE,
     "q116_parts_supplier_relation": _Q116_ORACLE,
     "q117_disjunctive_revenue": _Q117_ORACLE,
+    "q118_cms_heavy_hitters": _Q118_ORACLE,
 }

@@ -1119,6 +1119,88 @@ LIMIT {BM25_TOPK}
 """
 
 
+def q119_bpe_lang_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality audit: per-language compression of the
+    corpus under the q102-trained merges — characters per BPE token
+    and the share of token occurrences that are merged (multi-char)
+    tokens. This is the fairness metric a real pretraining build runs
+    before committing to a tokenizer: a vocabulary trained on the
+    pooled corpus compresses dominant languages better, and this
+    query quantifies that spread (languages the merges underserve
+    show chars_per_token near 1.0 — pure character fallback).
+
+    Determinism: all aggregates are exact BIGINT sums; the two ratios
+    are single IEEE divisions of the same exact values in both
+    engines.
+
+    Scale shape: the merge fold runs once per DISTINCT word (the
+    vocabulary trick shared with q102/q108 — Catalyst collapses the
+    distinct + fold into one per-word Aggregate); per-(lang, word) use
+    counts join back on the word key; the final aggregate is one tiny
+    per-lang group. The merges table is driver-held O(model) state.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    merges = trained_merges(spark, sf_dir)
+    words_all = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+    lang_vocab = (words_all.filter(F.col("word") != "")
+                  .groupBy("lang", "word")
+                  .agg(F.count(F.lit(1)).alias("n_uses")))
+    word_tok = (lang_vocab.select("word").distinct()
+                .select("word",
+                        F.expr(bpe_apply_expr("word", merges))
+                        .alias("toks"))
+                .select("word",
+                        F.size("toks").alias("n_tok"),
+                        F.size(F.filter("toks",
+                                        lambda t: F.length(t) > 1))
+                        .alias("n_merged")))
+    agg = (lang_vocab.join(word_tok, "word")
+           .groupBy("lang")
+           .agg(F.sum("n_uses").cast("bigint").alias("n_words"),
+                F.sum(F.length("word") * F.col("n_uses")).cast("bigint")
+                .alias("n_chars"),
+                F.sum(F.col("n_tok") * F.col("n_uses")).cast("bigint")
+                .alias("n_bpe"),
+                F.sum(F.col("n_merged") * F.col("n_uses")).cast("bigint")
+                .alias("n_merged_tok")))
+    return (agg.select(
+        "lang", "n_words", "n_chars", "n_bpe", "n_merged_tok",
+        (F.col("n_chars").cast("double") / F.col("n_bpe").cast("double"))
+        .alias("chars_per_token"),
+        (F.col("n_merged_tok").cast("double")
+         / F.col("n_bpe").cast("double")).alias("merged_share"))
+        .orderBy("lang"))
+
+
+_Q119_ORACLE = f"""
+WITH {_BPE_TOK_CTES},
+lang_vocab AS (
+  SELECT lang, word, COUNT(*) AS n_uses FROM (
+    SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2),
+word_tok AS (
+  SELECT word, LEN(toks) AS n_tok,
+         LEN(LIST_FILTER(toks, t -> LEN(t) > 1)) AS n_merged
+  FROM tok),
+agg AS (
+  SELECT lang,
+         CAST(SUM(lv.n_uses) AS BIGINT) AS n_words,
+         CAST(SUM(LEN(lv.word) * lv.n_uses) AS BIGINT) AS n_chars,
+         CAST(SUM(wt.n_tok * lv.n_uses) AS BIGINT) AS n_bpe,
+         CAST(SUM(wt.n_merged * lv.n_uses) AS BIGINT) AS n_merged_tok
+  FROM lang_vocab lv JOIN word_tok wt USING (word)
+  GROUP BY lang)
+SELECT lang, n_words, n_chars, n_bpe, n_merged_tok,
+       CAST(n_chars AS DOUBLE) / CAST(n_bpe AS DOUBLE)
+         AS chars_per_token,
+       CAST(n_merged_tok AS DOUBLE) / CAST(n_bpe AS DOUBLE)
+         AS merged_share
+FROM agg ORDER BY lang
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -1132,6 +1214,7 @@ QUERIES = {
     "q68_bpe_pairs": q68_bpe_pairs,
     "q102_bpe_tokenize": q102_bpe_tokenize,
     "q111_bpe_train": q111_bpe_train,
+    "q119_bpe_lang_compression": q119_bpe_lang_compression,
     "q76_charlm_coverage": q76_charlm_coverage,
     "q79_pii_redact": q79_pii_redact,
     "q84_chunk_overlap": q84_chunk_overlap,
@@ -1151,6 +1234,7 @@ ORACLES = {
     "q68_bpe_pairs": _Q68_ORACLE,
     "q102_bpe_tokenize": _Q102_ORACLE,
     "q111_bpe_train": _q111_oracle(),
+    "q119_bpe_lang_compression": _Q119_ORACLE,
     "q76_charlm_coverage": _Q76_ORACLE,
     "q79_pii_redact": _Q79_ORACLE,
     "q84_chunk_overlap": _Q84_ORACLE,
