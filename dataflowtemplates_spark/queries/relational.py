@@ -1471,6 +1471,119 @@ FROM est ORDER BY rank
 """
 
 
+#: Equi-width histogram resolution for the quantile sketch (q120).
+HIST_BINS = 256
+
+
+def q120_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-histogram quantile estimation: a fixed 256-bin
+    equi-width histogram over l_extendedprice, quantiles read off the
+    cumulative bin counts, verified against the exact interpolated
+    percentiles with a 2-bin-width bound both engines assert as
+    literal booleans.
+
+    Completes the mergeable-sketch trio: q89 (HLL, cardinality), q118
+    (count-min, frequency), and this (histogram, quantiles). Bin
+    counts merge by addition, so the map-side partial aggregate IS the
+    sketch merge — at 100 TB the 256-cell grid replaces the full sort
+    that exact percentiles (q38) require, at bounded error.
+
+    Determinism: bin indexing is pure double arithmetic (subtract,
+    divide, multiply, floor) on identical inputs — every step IEEE
+    correctly-rounded, hence bit-identical across engines. Estimates
+    are bin LOWER EDGES (no interpolation), so they are exact
+    functions of the bin counts. The exact percentiles appear only
+    inside the tolerance booleans (the 2-bin bound absorbs the
+    engines' interpolation-formula differences AND the off-by-one
+    between the histogram's ceil(p*n) rank rule and the interpolated
+    rank p*(n-1)+1).
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("ex_p50"),
+        F.expr("percentile(l_extendedprice, 0.9)").alias("ex_p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("ex_p99"))
+    binned = (li.crossJoin(F.broadcast(stats))
+              .select(F.least(
+                  F.floor((F.col("l_extendedprice") - F.col("mn"))
+                          / (F.col("mx") - F.col("mn")) * HIST_BINS),
+                  F.lit(HIST_BINS - 1)).alias("bin")))
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
+    cum = hist.select(
+        "bin", "c",
+        F.sum("c").over(W.orderBy("bin")
+                        .rowsBetween(W.unboundedPreceding, 0))
+        .alias("cum"))
+
+    def est(p: float) -> F.Column:
+        # lower edge of the first bin whose cumulative count reaches
+        # the ceil(p*n) rank
+        thresh = F.ceil(F.lit(p) * F.col("n")).cast("bigint")
+        idx = F.min(F.when(F.col("cum") >= thresh, F.col("bin")))
+        return (F.col("mn") + (F.col("mx") - F.col("mn"))
+                * idx.cast("double") / HIST_BINS)
+
+    agg = (cum.crossJoin(F.broadcast(stats))
+           .groupBy("mn", "mx", "n", "ex_p50", "ex_p90", "ex_p99")
+           .agg(F.count(F.lit(1)).alias("n_bins_used"),
+                est(0.5).alias("est_p50"),
+                est(0.9).alias("est_p90"),
+                est(0.99).alias("est_p99")))
+    width = (F.col("mx") - F.col("mn")) / HIST_BINS
+    return agg.select(
+        "n", "n_bins_used", "est_p50", "est_p90", "est_p99",
+        (F.abs(F.col("est_p50") - F.col("ex_p50")) <= 2 * width)
+        .alias("p50_within_2bins"),
+        (F.abs(F.col("est_p90") - F.col("ex_p90")) <= 2 * width)
+        .alias("p90_within_2bins"),
+        (F.abs(F.col("est_p99") - F.col("ex_p99")) <= 2 * width)
+        .alias("p99_within_2bins"))
+
+
+_Q120_ORACLE = f"""
+WITH stats AS (
+  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx,
+         COUNT(*) AS n,
+         QUANTILE_CONT(l_extendedprice, 0.5) AS ex_p50,
+         QUANTILE_CONT(l_extendedprice, 0.9) AS ex_p90,
+         QUANTILE_CONT(l_extendedprice, 0.99) AS ex_p99
+  FROM lineitem),
+hist AS (
+  SELECT LEAST(FLOOR((l_extendedprice - mn) / (mx - mn) * {HIST_BINS}),
+               {HIST_BINS - 1}) AS bin, COUNT(*) AS c
+  FROM lineitem CROSS JOIN stats
+  GROUP BY 1),
+cum AS (
+  SELECT bin, c, SUM(c) OVER (ORDER BY bin
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist),
+agg AS (
+  SELECT mn, mx, n, ex_p50, ex_p90, ex_p99,
+         COUNT(*) AS n_bins_used,
+         mn + (mx - mn) * CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.5 * n) AS BIGINT)
+                                        THEN bin END) AS DOUBLE) / {HIST_BINS}
+           AS est_p50,
+         mn + (mx - mn) * CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.9 * n) AS BIGINT)
+                                        THEN bin END) AS DOUBLE) / {HIST_BINS}
+           AS est_p90,
+         mn + (mx - mn) * CAST(MIN(CASE WHEN cum >= CAST(CEIL(0.99 * n) AS BIGINT)
+                                        THEN bin END) AS DOUBLE) / {HIST_BINS}
+           AS est_p99
+  FROM cum CROSS JOIN stats
+  GROUP BY mn, mx, n, ex_p50, ex_p90, ex_p99)
+SELECT n, CAST(n_bins_used AS BIGINT) AS n_bins_used,
+       est_p50, est_p90, est_p99,
+       ABS(est_p50 - ex_p50) <= 2 * (mx - mn) / {HIST_BINS} AS p50_within_2bins,
+       ABS(est_p90 - ex_p90) <= 2 * (mx - mn) / {HIST_BINS} AS p90_within_2bins,
+       ABS(est_p99 - ex_p99) <= 2 * (mx - mn) / {HIST_BINS} AS p99_within_2bins
+FROM agg
+"""
+
+
 def q100_blocking_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21-shaped suppliers-who-kept-orders-waiting: for each
     supplier, count multi-supplier orders where THIS supplier's line
@@ -1903,6 +2016,7 @@ QUERIES = {
     "q116_parts_supplier_relation": q116_parts_supplier_relation,
     "q117_disjunctive_revenue": q117_disjunctive_revenue,
     "q118_cms_heavy_hitters": q118_cms_heavy_hitters,
+    "q120_histogram_quantiles": q120_histogram_quantiles,
 }
 
 ORACLES = {
@@ -1950,4 +2064,5 @@ ORACLES = {
     "q116_parts_supplier_relation": _Q116_ORACLE,
     "q117_disjunctive_revenue": _Q117_ORACLE,
     "q118_cms_heavy_hitters": _Q118_ORACLE,
+    "q120_histogram_quantiles": _Q120_ORACLE,
 }
