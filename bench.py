@@ -67,7 +67,16 @@ HEADLINE = (
     "q05_regional_revenue",
     "q06_revenue_delta",
     "q09_agg_stats",
+    "q112_order_priority",
+    "q113_priority_shipping",
+    "q114_promo_revenue",
+    "q115_top_supplier",
+    "q116_parts_supplier_relation",
+    "q117_disjunctive_revenue",
     "q89_sketch_rollup",
+    "q118_cms_heavy_hitters",
+    "q120_histogram_quantiles",
+    "q119_bpe_lang_compression",
     "q97_scd2_intervals",
     "q99_snapshot_audit",
     "q101_small_quantity_revenue",

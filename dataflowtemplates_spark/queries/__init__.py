@@ -81,6 +81,7 @@ REGISTRY_ORDER = (
     "q118_cms_heavy_hitters",   # new: count-min frequency sketch + guarantee
     "q119_bpe_lang_compression",  # new: per-lang tokenizer compression audit
     "q120_histogram_quantiles", # new: mergeable-histogram quantile sketch
+    "q121_stream_approx_distinct",  # new: sketch inside streaming state
     "q78_mutation_audit",       # mutation store: commit-time monotonicity
     "q89_sketch_rollup",        # NULL-group parity fix (both engines)
     "q99_snapshot_audit",       # per-version collect loop -> one unioned job

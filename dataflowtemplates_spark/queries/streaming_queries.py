@@ -482,6 +482,63 @@ FROM tagged GROUP BY source ORDER BY source
 """
 
 
+def q121_stream_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches inside streaming state: watermarked tumbling windows
+    with per-window approximate user cardinality
+    (``approx_count_distinct``, HLL++ rsd 2 %) — the streaming twin of
+    q89's batch sketch rollup, and the ONLY way to count distincts in
+    an unbounded aggregation (exact ``countDistinct`` is unsupported in
+    streaming precisely because its state is O(distinct keys); the
+    sketch's state is fixed-size registers that merge across
+    micro-batches by register max, order-independent and therefore
+    deterministic under any batch split).
+
+    Gate surface: the HLL++ estimate itself is engine-specific, so it
+    stays OUT of the output; what is emitted is the exact per-window
+    cardinality (batch-recomputed yardstick, as in q89) and the
+    accuracy boolean |approx - exact| <= max(5 %, 5 users), which the
+    oracle asserts as literal TRUE.
+
+    Scale shape: streaming state per (window, type) group is one
+    fixed-size sketch + one count — O(groups), never O(users); the
+    batch exact recompute exists only as the verification yardstick.
+    """
+    ev = _stream_events(spark, sf_dir)
+    agg = (ev.withWatermark("ts", "2 hours")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.approx_count_distinct("user_id", 0.02)
+                .alias("approx_users"),
+                F.count(F.lit(1)).alias("n"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "n", "approx_users"))
+    _run_bounded(agg, "q121_sketch_sink")
+    est = spark.table("q121_sketch_sink")
+    exact = (spark.table("events")
+             .groupBy(F.date_trunc("hour", F.col("ts"))
+                      .alias("window_start"),
+                      F.col("event_type").alias("et"))
+             .agg(F.countDistinct("user_id").alias("exact_users")))
+    return (est.join(exact,
+                     (est.window_start == exact.window_start)
+                     & est.event_type.eqNullSafe(F.col("et")))
+            .select(est.window_start, "event_type", "n", "exact_users",
+                    (F.abs(F.col("approx_users") - F.col("exact_users"))
+                     <= F.greatest(0.05 * F.col("exact_users"), F.lit(5.0)))
+                    .alias("within_bound"))
+            .orderBy("window_start", "event_type"))
+
+
+_Q121_ORACLE = """
+SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS within_bound
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -491,6 +548,7 @@ QUERIES = {
     "q95_stream_neardup_candidates": q95_stream_neardup_candidates,
     "q96_stream_stream_join": q96_stream_stream_join,
     "q98_stream_corpus_scrub": q98_stream_corpus_scrub,
+    "q121_stream_approx_distinct": q121_stream_approx_distinct,
 }
 
 ORACLES = {
@@ -502,4 +560,5 @@ ORACLES = {
     "q94_stream_enrich": _Q94_ORACLE,
     "q96_stream_stream_join": _Q96_ORACLE,
     "q98_stream_corpus_scrub": _q98_oracle(),
+    "q121_stream_approx_distinct": _Q121_ORACLE,
 }
