@@ -53,6 +53,10 @@ def test_committed_docs_state_the_real_registry_count():
     m = re.search(r"for all (\d+)\s+registry queries", scale)
     assert m and int(m.group(1)) == n, f"SCALE.md says {m and m.group(1)}"
 
+    readme = open(os.path.join(repo, "README.md")).read()
+    m = re.search(r"the (\d+)-query registry", readme)
+    assert m and int(m.group(1)) == n, f"README.md says {m and m.group(1)}"
+
 
 def test_registry_order_covers_registered_set_exactly():
     from dataflowtemplates_spark.queries import REGISTRY_ORDER, _registered
