@@ -33,7 +33,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["compact", "write_sorted", "CompactResult"]
+__all__ = ["compact", "write_sorted", "write_zordered", "zorder_key",
+           "CompactResult"]
 
 
 @dataclass
@@ -123,3 +124,66 @@ def write_sorted(df: DataFrame, path: str, order_cols: list[str],
     (df.repartitionByRange(n, *order_cols)
        .sortWithinPartitions(*order_cols)
        .write.mode("overwrite").format(fmt).save(path))
+
+
+def zorder_key(bucketed, bits: int = 8):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    already-bucketed column expression into one integer sort key.
+
+    ``write_sorted`` clusters ONE dimension perfectly and leaves every
+    other column spanning the full range in every file; the interleaved
+    key trades a little per-dimension locality for locality in ALL
+    dimensions at once, so footer min/max statistics prune selective
+    predicates on ANY of the keyed columns. Pure bit arithmetic
+    (shift/and/or) — whole-stage-codegen'd, map-only.
+    """
+    from pyspark.sql import functions as F
+
+    ndim = len(bucketed)
+    key = F.lit(0)
+    for d, b in enumerate(bucketed):
+        for i in range(bits):
+            key = key.bitwiseOR(
+                F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)),
+                            i * ndim + d))
+    return key
+
+
+def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
+                   bits: int = 8, n_files: int | None = None,
+                   fmt: str = "parquet") -> None:
+    """Write ``df`` clustered on a Z-order curve over ``zorder_cols``
+    (numeric): each column is linearly bucketed into ``2**bits`` bins
+    between its global min and max (one tiny aggregate — 2 scalars per
+    column of driver-held state, O(model) like every codebook here),
+    the bucket bits are interleaved into a Morton key, and the frame is
+    range-partitioned + sorted on that key.
+
+    The result: every output file covers a small hyper-rectangle of the
+    key space, so min/max footer statistics prune scans filtering on
+    ANY subset of ``zorder_cols`` — the multi-column complement of
+    ``write_sorted``'s single-axis clustering. Linear (min/max)
+    bucketing keeps the bucket assignment a pure map-side expression;
+    under heavy value skew, pre-bucket with quantile boundaries and
+    pass the bucket columns through ``zorder_key`` directly.
+    """
+    from pyspark.sql import functions as F
+
+    stats = df.agg(*[f(c).alias(f"{p}_{c}")
+                     for c in zorder_cols
+                     for p, f in (("mn", F.min), ("mx", F.max))]
+                   ).collect()[0]
+    nb = 1 << bits
+    bucketed = []
+    for c in zorder_cols:
+        mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
+        span = (mx - mn) or 1.0
+        bucketed.append(
+            F.least(F.floor((F.col(c) - mn) / span * nb),
+                    F.lit(nb - 1)).cast("long"))
+    keyed = df.withColumn("_zkey", zorder_key(bucketed, bits))
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (keyed.repartitionByRange(n, "_zkey")
+          .sortWithinPartitions("_zkey")
+          .drop("_zkey")
+          .write.mode("overwrite").format(fmt).save(path))

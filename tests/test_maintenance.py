@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from dataflowtemplates_spark.operators.maintenance import (
     compact,
     write_sorted,
+    write_zordered,
 )
 
 
@@ -64,3 +65,50 @@ def test_write_sorted_produces_disjoint_file_ranges(spark, tmp_path):
         assert hi <= lo  # disjoint: file N's max <= file N+1's min
     # multiset preserved
     assert spark.read.parquet(path).count() == 50_000
+
+
+def _file_spans(path, col_idx):
+    """Per-file (max - min) footer span of one column."""
+    spans = []
+    for fn in sorted(os.listdir(path)):
+        if not fn.endswith(".parquet"):
+            continue
+        md = pq.read_metadata(os.path.join(path, fn))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append(max(maxs) - min(mins))
+    return spans
+
+
+def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
+    """Two independent uniform keys: a single-axis sort leaves the
+    second column spanning ~the full range in every file; the Z-order
+    write must bound BOTH columns' per-file spans well below it."""
+    n = 50_000
+    df = (spark.range(0, n)
+          .select((F.col("id") * 2654435761 % n).alias("x"),
+                  (F.col("id") * 40503 % n).alias("y")))
+
+    lin, zed = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    write_sorted(df, lin, ["x"], n_files=16)
+    write_zordered(df, zed, ["x", "y"], bits=8, n_files=16)
+
+    # single-axis sort: y unclustered — full-range spans
+    lin_y = _file_spans(lin, 1)
+    assert min(lin_y) > 0.8 * n
+    # z-order: most files are small hyper-rectangles, but files whose
+    # z-range crosses a high-order curve seam span the range in one
+    # dimension — inherent to Morton ordering, so the clustering
+    # guarantee (and the pruning win) is about the AVERAGE span
+    for idx in (0, 1):
+        spans = _file_spans(zed, idx)
+        assert sum(spans) / len(spans) <= 0.5 * n, (idx, spans)
+        # and the typical file is far tighter than the seam files
+        assert sorted(spans)[len(spans) // 2] <= 0.4 * n, (idx, spans)
+    # multiset preserved
+    got = {(r["x"], r["y"]) for r in spark.read.parquet(zed).collect()}
+    want = {(r["x"], r["y"]) for r in df.collect()}
+    assert got == want
