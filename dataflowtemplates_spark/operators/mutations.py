@@ -28,18 +28,42 @@ Duplicate keys within one batch mirror Spanner's "multiple mutations
 for the same row in one commit" error: one row (deterministically the
 first by batch order hash) applies, the rest quarantine.
 
-Every call returns a MutationResult carrying the applied count and the
-quarantine DataFrame (K8); `write_failure_count` renders K10's count
-notification file.
+STORAGE LAYOUT — hash-bucketed, rewrite-pruned. The table directory is
+Hive-partitioned on ``kb = pmod(xxhash64(key cols), n_buckets)``::
+
+    table/
+      kb=0/part-*.parquet      # bucket 0, current version
+      kb=7/part-*.parquet
+      _meta.json               # n_buckets, key cols, schema, retention
+      _commits.json            # [{version, time, buckets: [..]}, ...]
+      _history/v-00003/kb=7/   # bucket 7's files as they stood at v3
+                               #   (i.e. commit 4 touched bucket 7)
+
+A key's bucket is a pure function of its value, so a mutation batch
+can only ever touch the buckets its keys hash into: conflict detection
+reads ONLY those buckets (partition-pruned scan), and the commit
+rewrites ONLY those buckets — every other bucket's data files are left
+byte-identical on disk. A 1-row upsert into a 100 TB table therefore
+costs O(table / n_buckets), not O(table) — the same economics as the
+reference's batched Spanner mutations (SpannerToSpanner.java:109-114
+never rewrites the table) and as a Delta/Iceberg MERGE, whose commit
+log is this seam hardened. Superseded bucket directories move (never
+delete) into ``_history/v-NNNNN/``, so `read_at` timestamp bounds stay
+honest; `vacuum(keep_last=N)` reclaims history beyond a retention
+window with an explicit floor recorded in `_meta.json`.
+
+Every mutation call returns a MutationResult carrying the applied count
+and the quarantine DataFrame (K8); `write_failure_count` renders K10's
+count notification file.
 
 Scale: conflict detection is one shuffle join on the key columns (AQE
-handles skew); the rewrite writes only new files and swaps the
-directory atomically. At real scale the same logic is a Delta MERGE —
-the public `apply_mutations` signature is the seam.
+handles skew) against the pruned bucket slice. Single-writer contract,
+same as the reference's per-template batch writes.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import tempfile
@@ -48,10 +72,12 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 VALID_OPS = ("INSERT", "UPDATE", "REPLACE", "INSERT_OR_UPDATE", "DELETE")
 
 _ERR_COL = "_error"
+_BUCKET_COL = "kb"  # no underscore: Spark's file index hides _-prefixed dirs
 
 
 @dataclass
@@ -66,30 +92,123 @@ class MutationResult:
 
 
 class KeyedTable:
-    """Parquet-directory-backed keyed table (local Spanner stand-in)."""
+    """Hash-bucketed parquet keyed table (local Spanner stand-in).
 
-    def __init__(self, spark: SparkSession, path: str, key_fields: list[str]):
+    ``n_buckets`` sizes the rewrite granularity: a mutation commit
+    rewrites only the buckets its keys hash into, so at scale pick
+    n_buckets ~ table_bytes / desired_rewrite_bytes (thousands for a
+    100 TB table). The value is fixed at table creation and recorded in
+    ``_meta.json``; readers always use the stored value.
+    """
+
+    def __init__(self, spark: SparkSession, path: str,
+                 key_fields: list[str], n_buckets: int = 16):
         if not key_fields:
             raise ValueError("key_fields must be non-empty")
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
         self.spark = spark
         self.path = path
         self.keys = list(key_fields)
+        self._default_n_buckets = int(n_buckets)
+
+    # -- metadata --------------------------------------------------------
+    def _meta_path(self) -> str:
+        return os.path.join(self.path, "_meta.json")
+
+    def _meta(self) -> dict:
+        with open(self._meta_path()) as fh:
+            return json.load(fh)
+
+    def _write_meta(self, meta: dict) -> None:
+        tmp = os.path.join(self.path, "._meta.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, self._meta_path())
+
+    def _schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._meta()["schema"]))
+
+    def _bucket_expr(self, n_buckets: int):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
+                      F.lit(n_buckets)).cast("int")
+
+    def _commits(self) -> list[dict]:
+        log = os.path.join(self.path, "_commits.json")
+        if not os.path.isfile(log):
+            return []
+        with open(log) as fh:
+            return json.load(fh)
+
+    def _append_commit(self, buckets: list[int]) -> None:
+        """Append a commit entry with a strictly monotonic timestamp.
+
+        Commit times are the read_at contract's key: two commits landing
+        in the same microsecond would make both bounds resolve to the
+        later version, so a non-advancing clock is bumped 1µs past the
+        prior commit."""
+        from datetime import datetime, timedelta, timezone
+        commits = self._commits()
+        now = datetime.now(timezone.utc)
+        if commits:
+            prev = datetime.fromisoformat(commits[-1]["time"])
+            if now <= prev:
+                now = prev + timedelta(microseconds=1)
+        commits.append(
+            {"version": (commits[-1]["version"] + 1) if commits else 1,
+             "time": now.isoformat(),
+             "buckets": sorted(int(b) for b in buckets)})
+        tmp_log = os.path.join(self.path, "._commits.tmp")
+        with open(tmp_log, "w") as fh:
+            json.dump(commits, fh)
+        os.replace(tmp_log, os.path.join(self.path, "_commits.json"))
 
     # -- read ------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isdir(self.path) and bool(
-            [f for f in os.listdir(self.path) if f.endswith(".parquet")])
+        return os.path.isfile(self._meta_path())
+
+    def _bucket_dirs(self) -> list[str]:
+        if not os.path.isdir(self.path):
+            return []
+        return [fn for fn in os.listdir(self.path)
+                if fn.startswith(f"{_BUCKET_COL}=")]
 
     def read(self) -> DataFrame:
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        return self.spark.read.parquet(self.path)
+        schema = self._schema()
+        if not self._bucket_dirs():
+            return self.spark.createDataFrame([], schema)
+        full = T.StructType(
+            list(schema.fields)
+            + [T.StructField(_BUCKET_COL, T.IntegerType())])
+        return (self.spark.read.schema(full).parquet(self.path)
+                .drop(_BUCKET_COL))
+
+    def _read_buckets(self, buckets: list[int]) -> DataFrame:
+        """Current state of the given buckets only — the partition-
+        pruned slice a mutation batch joins against."""
+        schema = self._schema()
+        if not buckets or not self._bucket_dirs():
+            return self.spark.createDataFrame([], schema)
+        full = T.StructType(
+            list(schema.fields)
+            + [T.StructField(_BUCKET_COL, T.IntegerType())])
+        return (self.spark.read.schema(full).parquet(self.path)
+                .filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
+                .drop(_BUCKET_COL))
 
     def read_at(self, timestamp_bound: str) -> DataFrame:
         """Snapshot read at an exact-staleness timestamp bound — the
         reference's TimestampBound.ofReadTimestamp semantics
         (SpannerQueryIO.java:129-136): the state produced by the last
         commit at or before the bound, regardless of later mutations.
+
+        Resolution is commit-log metadata only: bucket ``k``'s content
+        at version N was written by the last commit T <= N that touched
+        k; those files sit in the current directory if no later commit
+        touched k, else in ``_history/v-{T'-1}`` where T' is the first
+        touch after N. No data is scanned to resolve a snapshot.
         """
         ts = _parse_bound(timestamp_bound)
         commits = self._commits()
@@ -103,22 +222,41 @@ class KeyedTable:
         version = visible[-1]["version"]
         if version == commits[-1]["version"]:
             return self.read()
-        return self.spark.read.parquet(
-            os.path.join(self.path, "_history", f"v-{version:05d}"))
+        meta = self._meta()
+        floor = int(meta.get("min_retained_version", 1))
+        if version < floor:
+            raise ValueError(
+                f"timestamp bound {timestamp_bound!r} resolves to "
+                f"version {version}, which was vacuumed (retention "
+                f"floor: version {floor})")
+        # per-bucket touch lists from the commit log
+        touches: dict[int, list[int]] = {}
+        for c in commits:
+            for b in c.get("buckets", []):
+                touches.setdefault(int(b), []).append(c["version"])
+        leaf_dirs = []
+        for b, ts_list in touches.items():
+            if not any(v <= version for v in ts_list):
+                continue  # bucket did not exist yet at this version
+            later = [v for v in ts_list if v > version]
+            if later:
+                d = os.path.join(self.path, "_history",
+                                 f"v-{min(later) - 1:05d}",
+                                 f"{_BUCKET_COL}={b}")
+            else:
+                d = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+            if os.path.isdir(d):
+                leaf_dirs.append(d)
+        schema = self._schema()
+        if not leaf_dirs:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*leaf_dirs)
 
     def register(self, name: str,
                  timestamp_bound: str | None = None) -> None:
         """Expose the table (optionally a snapshot) to spark.sql."""
         df = self.read_at(timestamp_bound) if timestamp_bound else self.read()
         df.createOrReplaceTempView(name)
-
-    def _commits(self) -> list[dict]:
-        log = os.path.join(self.path, "_commits.json")
-        if not os.path.isfile(log):
-            return []
-        import json
-        with open(log) as fh:
-            return json.load(fh)
 
     # -- DDL -------------------------------------------------------------
     def create(self, df_schema_source: DataFrame) -> None:
@@ -127,7 +265,18 @@ class KeyedTable:
         SpannerTablePrepareDoFn.java:44-159)."""
         if self.exists():
             return
-        self._swap_in(df_schema_source.limit(0))
+        src = df_schema_source
+        skipped = self._unstorable_columns(src)
+        if skipped:
+            src = src.drop(*skipped)
+        os.makedirs(self.path, exist_ok=True)
+        self._write_meta({
+            "n_buckets": self._default_n_buckets,
+            "keys": self.keys,
+            "schema": src.schema.json(),
+            "min_retained_version": 1,
+        })
+        self._append_commit([])
 
     # -- mutations -------------------------------------------------------
     def apply_mutations(self, batch: DataFrame, op: str) -> MutationResult:
@@ -169,7 +318,6 @@ class KeyedTable:
         ARRAY<ARRAY>/ARRAY<STRUCT> are rejected — the reference's
         converter silently skips them when building mutations
         (StructToMutationConverter.java:59-62,89-96)."""
-        from pyspark.sql import types as T
         out = []
         for f in batch.schema.fields:
             dt = f.dataType
@@ -179,6 +327,14 @@ class KeyedTable:
                     dt.elementType, (T.ArrayType, T.StructType)):
                 out.append(f.name)
         return out
+
+    def _touched_buckets(self, keyed: DataFrame, n_buckets: int) -> list[int]:
+        """Distinct buckets a batch's keys hash into — bounded by
+        n_buckets, so the collect is O(bucket count) driver state, never
+        O(rows)."""
+        rows = (keyed.select(self._bucket_expr(n_buckets).alias("b"))
+                .distinct().collect())
+        return sorted(int(r["b"]) for r in rows)
 
     def _write(self, batch: DataFrame, op: str) -> MutationResult:
         skipped = self._unstorable_columns(batch)
@@ -190,10 +346,15 @@ class KeyedTable:
                 skipped)
             batch = batch.drop(*skipped)
         self.create(batch)
-        target = self.read()
-        batch = batch.select(*[c for c in batch.columns])  # stable projection
+        n_buckets = int(self._meta()["n_buckets"])
         good, null_q = self._null_key_split(batch)
         keep, dup_q = self._dedupe_batch(good)
+        # materialize once: the window over monotonically_increasing_id
+        # is nondeterministic under re-evaluation, and `keep` feeds both
+        # the bucket collect and the merge
+        keep = keep.localCheckpoint(eager=True)
+        touched = self._touched_buckets(keep.select(*self.keys), n_buckets)
+        target = self._read_buckets(touched)
 
         key_cols = [F.col(k) for k in self.keys]
         existing_keys = target.select(*key_cols).distinct()
@@ -202,28 +363,28 @@ class KeyedTable:
             conflicts = (keep.join(existing_keys, self.keys, "left_semi")
                          .withColumn(_ERR_COL, F.lit("ALREADY_EXISTS")))
             applies = keep.join(existing_keys, self.keys, "left_anti")
-            new_target = target.unionByName(
+            new_slice = target.unionByName(
                 _conform(applies, target), allowMissingColumns=False)
         elif op == "UPDATE":
             conflicts = (keep.join(existing_keys, self.keys, "left_anti")
                          .withColumn(_ERR_COL, F.lit("NOT_FOUND")))
             applies = keep.join(existing_keys, self.keys, "left_semi")
-            new_target = self._merge(target, applies, keep_unspecified=True)
+            new_slice = self._merge(target, applies, keep_unspecified=True)
         elif op == "REPLACE":
             conflicts = _empty_with_error(keep)
             applies = keep
-            new_target = self._merge(target, applies, keep_unspecified=False)
+            new_slice = self._merge(target, applies, keep_unspecified=False)
         else:  # INSERT_OR_UPDATE
             conflicts = _empty_with_error(keep)
             applies = keep
-            new_target = self._merge(target, applies, keep_unspecified=True)
+            new_slice = self._merge(target, applies, keep_unspecified=True)
 
         applied_n = applies.count()
-        # Materialize the quarantine BEFORE the swap: its lineage reads
-        # the pre-mutation table files, which the swap deletes.
+        # Materialize the quarantine BEFORE the commit: its lineage reads
+        # the pre-mutation bucket files, which the commit moves aside.
         quarantine = (null_q.unionByName(dup_q).unionByName(conflicts)
                       .localCheckpoint(eager=True))
-        self._swap_in(new_target)
+        self._commit_buckets(new_slice, touched, n_buckets)
         return MutationResult(applied=applied_n, quarantine=quarantine)
 
     def _merge(self, target: DataFrame, batch: DataFrame,
@@ -248,14 +409,23 @@ class KeyedTable:
         """K6: delete by composite key, key fields in the given order
         (reference: templates/SpannerToSpannerDelete.java:78-91).
 
-        One pass over the target: matched-key rows are flagged by a
-        left join and the applied count rides the rewrite job via
-        Observation metrics (the earlier form cost two extra full
-        scans: target.count() - survivors.count())."""
+        One pass over the touched-bucket slice: matched-key rows are
+        flagged by a left join and the applied count rides the rewrite
+        job via Observation metrics — untouched buckets are never read
+        or written."""
         from pyspark.sql import Observation
-        target = self.read()
+        if not self.exists():
+            raise FileNotFoundError(f"table not initialized: {self.path}")
+        n_buckets = int(self._meta()["n_buckets"])
         keyed = batch.select(*self.keys)
         good, null_q = self._null_key_split(keyed)
+        touched = self._touched_buckets(good, n_buckets)
+        if not touched:  # nothing to delete: no write job would run to
+            # populate the Observation, so short-circuit the commit
+            null_q = null_q.localCheckpoint(eager=True)
+            self._commit_buckets(self._read_buckets([]), [], n_buckets)
+            return MutationResult(applied=0, quarantine=null_q)
+        target = self._read_buckets(touched)
         hits = good.distinct().withColumn("_hit", F.lit(1))
         marked = target.join(hits, self.keys, "left")
         obs = Observation()
@@ -263,71 +433,81 @@ class KeyedTable:
             obs, F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("applied"))
         survivors = marked.filter(F.col("_hit").isNull()).drop("_hit")
         null_q = null_q.localCheckpoint(eager=True)  # lineage may read old files
-        self._swap_in(survivors)
+        self._commit_buckets(survivors, touched, n_buckets)
         return MutationResult(applied=int(obs.get["applied"] or 0),
                               quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
-    def _swap_in(self, df: DataFrame) -> None:
-        """Write-new-then-swap with VERSIONED history: the parquet
-        stand-in for a transactional commit. Superseded data files move
-        (not delete) into `_history/v-NNNNN/` and every commit appends
-        to `_commits.json`, which is what makes `read_at` timestamp
-        bounds honest against a mutating table. Underscore-prefixed
-        entries are invisible to the plain parquet reader, so `read()`
-        still sees only the current version. At real scale this seam is
-        a Delta/Iceberg commit (their logs ARE this, hardened)."""
-        from datetime import datetime, timezone
+    def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
+                        n_buckets: int) -> None:
+        """Commit the rewritten slice: stage the new files for the
+        touched buckets, move the superseded bucket directories into
+        ``_history/v-{prev}/`` (never delete — `read_at`'s contract),
+        swap the staged directories in, append the commit-log entry.
+        Buckets outside ``touched`` are not read, moved, or rewritten —
+        their files stay byte-identical (`tests/test_mutations.py`
+        pins this). At real scale this seam is a Delta/Iceberg commit."""
+        if not touched:
+            self._append_commit([])
+            return
         staging = tempfile.mkdtemp(
             prefix=f".staging-{uuid.uuid4().hex[:8]}-",
             dir=os.path.dirname(self.path) or ".")
         try:
-            df.write.mode("overwrite").parquet(staging)
-            commits = self._commits() if os.path.isdir(self.path) else []
-            if os.path.isdir(self.path):
-                keep = {"_history", "_commits.json"}
-                current = [fn for fn in os.listdir(self.path)
-                           if fn not in keep]
-                if commits:
-                    vdir = os.path.join(
-                        self.path, "_history",
-                        f"v-{commits[-1]['version']:05d}")
-                    os.makedirs(vdir, exist_ok=True)
-                    for fn in current:
-                        os.replace(os.path.join(self.path, fn),
-                                   os.path.join(vdir, fn))
-                else:  # legacy unversioned files: overwrite in place
-                    for fn in current:
-                        fp = os.path.join(self.path, fn)
-                        shutil.rmtree(fp) if os.path.isdir(fp) \
-                            else os.remove(fp)
-            else:
-                os.makedirs(self.path)
+            (new_slice
+             .withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
+             .repartition(len(touched), F.col(_BUCKET_COL))
+             .write.mode("overwrite")
+             .partitionBy(_BUCKET_COL).parquet(staging))
+            commits = self._commits()
+            prev_version = commits[-1]["version"]
+            hist = os.path.join(self.path, "_history",
+                                f"v-{prev_version:05d}")
+            for b in touched:
+                cur = os.path.join(self.path, f"{_BUCKET_COL}={b}")
+                if os.path.isdir(cur):
+                    os.makedirs(hist, exist_ok=True)
+                    os.replace(cur, os.path.join(hist, f"{_BUCKET_COL}={b}"))
             for fn in os.listdir(staging):
-                os.replace(os.path.join(staging, fn),
-                           os.path.join(self.path, fn))
-            os.rmdir(staging)
-            # Commit times are the read_at contract's key: two commits
-            # landing in the same microsecond would make both bounds
-            # resolve to the later version. Enforce strict monotonicity
-            # by bumping a non-advancing clock 1µs past the prior commit.
-            now = datetime.now(timezone.utc)
-            if commits:
-                prev = datetime.fromisoformat(commits[-1]["time"])
-                if now <= prev:
-                    from datetime import timedelta
-                    now = prev + timedelta(microseconds=1)
-            commits.append(
-                {"version": (commits[-1]["version"] + 1) if commits else 1,
-                 "time": now.isoformat()})
-            import json
-            tmp_log = os.path.join(self.path, "._commits.tmp")
-            with open(tmp_log, "w") as fh:
-                json.dump(commits, fh)
-            os.replace(tmp_log, os.path.join(self.path, "_commits.json"))
-        except BaseException:
+                if fn.startswith(f"{_BUCKET_COL}="):
+                    os.replace(os.path.join(staging, fn),
+                               os.path.join(self.path, fn))
+            self._append_commit(touched)
+        finally:
             shutil.rmtree(staging, ignore_errors=True)
-            raise
+
+    # -- maintenance -----------------------------------------------------
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Reclaim history older than the last ``keep_last`` versions
+        (the current version always counts as one of them), mirroring
+        Delta's VACUUM retention contract: ``read_at`` bounds resolving
+        to a retained version keep working bit-exactly; earlier bounds
+        raise with the recorded retention floor instead of silently
+        reading a half-present snapshot. Returns the number of history
+        version directories removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        commits = self._commits()
+        if not commits:
+            raise FileNotFoundError(f"table not initialized: {self.path}")
+        meta = self._meta()
+        floor = max(int(meta.get("min_retained_version", 1)),
+                    commits[-1]["version"] - keep_last + 1)
+        hist_root = os.path.join(self.path, "_history")
+        removed = 0
+        if os.path.isdir(hist_root):
+            for fn in sorted(os.listdir(hist_root)):
+                if not fn.startswith("v-"):
+                    continue
+                # _history/v-W is only needed by snapshots at version
+                # N <= W (see read_at resolution); W < floor can no
+                # longer be resolved, so the directory is dead.
+                if int(fn[2:]) < floor:
+                    shutil.rmtree(os.path.join(hist_root, fn))
+                    removed += 1
+        meta["min_retained_version"] = floor
+        self._write_meta(meta)
+        return removed
 
 
 def _parse_bound(s: str):
