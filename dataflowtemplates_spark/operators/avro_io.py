@@ -44,6 +44,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dataflowtemplates_spark.operators.fsio import (
+    list_files as _list_files,
+    resolve_fs as _resolve_fs,
+)
 from dataflowtemplates_spark.functions.avroschema import (
     avro_schema_from_spark,
     spark_schema_from_avro,
@@ -480,7 +484,8 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
         codec_name = "null"
     if codec_name not in ("null", "deflate", "snappy"):
         raise ValueError(f"unsupported Avro codec {codec!r}")
-    os.makedirs(path, exist_ok=True)
+    fs0, base0 = _resolve_fs(path)
+    fs0.create_dir(base0, recursive=True)
 
     if split_field is not None:
         data_cols = list(df.columns)
@@ -504,7 +509,19 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
         import io as _io
         import json as _json
         import os as _os
+        import posixpath as _pp
         import zlib as _zlib
+
+        import pyarrow.fs as _pafs
+
+        # executor-side scheme resolution: file://, hdfs://, s3://,
+        # gs:// all stream from the task (same stance as the K3 writer)
+        if "://" in path:
+            fs, base = _pafs.FileSystem.from_uri(path)
+            spfx = path.split("://", 1)[0] + "://"
+        else:
+            fs, base = _pafs.LocalFileSystem(), path
+            spfx = ""
 
         if codec_name == "deflate":
             def compress(b):
@@ -539,11 +556,12 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
             by_key.setdefault(key, []).append(r)
         written = []
         for key, krows in by_key.items():
-            subdir = path if key == "" else _os.path.join(path, key)
-            _os.makedirs(subdir, exist_ok=True)
-            target = _os.path.join(subdir, f"{prefix}-{idx:05d}.avro")
+            subdir = base if key == "" else _pp.join(base, key)
+            if key != "":
+                fs.create_dir(subdir, recursive=True)
+            target = _pp.join(subdir, f"{prefix}-{idx:05d}.avro")
             total = 0
-            with open(target, "wb") as fh:
+            with fs.open_output_stream(target, compression=None) as fh:
                 fh.write(header)
                 buf, count = _io.BytesIO(), 0
                 for r in krows:
@@ -557,7 +575,7 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
                         buf, count = _io.BytesIO(), 0
                 if count:
                     flush(fh, buf, count)
-            written.append((target, total))
+            written.append((spfx + target, total))
         return iter(written)
 
     stats = work.rdd.mapPartitionsWithIndex(per_part).collect()
@@ -570,19 +588,20 @@ _decode = _decoder_factory()
 
 def read_avro_rows(path: str):
     """Driver-side decode of one .avro file -> (schema_dict, rows)."""
-    with open(path, "rb") as fh:
+    fs, base = _resolve_fs(path)
+    with fs.open_input_stream(base) as fh:
         return _decode(fh.read())
 
 
 def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Distributed read: one decode task per container file (S5)."""
-    if os.path.isdir(path):
-        files = sorted(
-            os.path.join(dp, fn)
-            for dp, _dirs, fns in os.walk(path)
-            for fn in fns if fn.endswith(".avro"))
-    else:
-        files = [path]
+    """Distributed read: one decode task per container file (S5).
+
+    Listing and the per-file open both resolve through ``pyarrow.fs``,
+    so any scheme the writer can target reads back the same way."""
+    try:
+        files = _list_files(path, suffix=".avro")
+    except FileNotFoundError:
+        files = []
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     schema, _ = read_avro_rows(files[0])
@@ -591,7 +610,12 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     decode = _decode
 
     def load(p):
-        with open(p, "rb") as fh:
+        import pyarrow.fs as _pafs
+        if "://" in p:
+            fs, lp = _pafs.FileSystem.from_uri(p)
+        else:
+            fs, lp = _pafs.LocalFileSystem(), p
+        with fs.open_input_stream(lp) as fh:
             _schema, rows = decode(fh.read())
         return [tuple(r[n] for n in names) for r in rows]
 

@@ -1,0 +1,63 @@
+"""Python-side filesystem resolution for the pure-Python sinks/sources.
+
+The repo's JVM-side ``_HadoopFS`` wrapper (sources/writers.py) covers
+driver-side finalization (rename/list/delete) for everything written
+through Spark datasources. The pure-Python writers (TFRecord K3,
+avro-py K2 fallback) instead stream bytes from EXECUTOR tasks, where
+py4j access to the JVM Hadoop FileSystem does not exist — so they
+resolve the destination through ``pyarrow.fs``, Arrow's C++ filesystem
+layer, which handles ``file://``, ``hdfs://`` (libhdfs), ``s3://`` and
+``gs://`` natively from Python and ships in the pyarrow build every
+executor already carries for pandas UDFs.
+
+Driver-side code imports :func:`resolve_fs` from here; executor
+closures inline the same three lines (a closure that referenced this
+module by name would require the package on the worker's import path,
+which the self-containment contract of those closures avoids).
+"""
+
+from __future__ import annotations
+
+
+def resolve_fs(path: str):
+    """Return ``(pyarrow FileSystem, fs-local path)`` for ``path``.
+
+    Paths with a scheme go through ``FileSystem.from_uri``; bare paths
+    map to the local filesystem unchanged (relative paths resolve
+    against the driver's cwd, same as ``open``).
+    """
+    import pyarrow.fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def list_files(path: str, suffix: str | None = None) -> list[str]:
+    """Recursive data-file listing via pyarrow (scheme-general).
+
+    Hidden ``_``/``.`` entries are skipped like Spark's file index
+    does; ``path`` may be a single file. Results keep the input's
+    scheme prefix (``s3://…``) so they resolve back through
+    :func:`resolve_fs` unchanged.
+    """
+    import pyarrow.fs as pafs
+
+    scheme = path.split("://", 1)[0] + "://" if "://" in path else ""
+    fs, base = resolve_fs(path)
+    info = fs.get_file_info(base)
+    if info.type == pafs.FileType.NotFound:
+        raise FileNotFoundError(path)
+    if info.type == pafs.FileType.File:
+        return [scheme + base if scheme else base]
+    out = []
+    for fi in fs.get_file_info(pafs.FileSelector(base, recursive=True)):
+        if fi.type != pafs.FileType.File:
+            continue
+        name = fi.path.rsplit("/", 1)[-1]
+        if name.startswith(("_", ".")):
+            continue
+        if suffix and not name.endswith(suffix):
+            continue
+        out.append(scheme + fi.path if scheme else fi.path)
+    return sorted(out)

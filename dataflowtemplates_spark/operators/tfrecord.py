@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from dataflowtemplates_spark.functions.convert import flatten_for_tfrecord
+from dataflowtemplates_spark.operators.fsio import resolve_fs as _resolve_fs
 
 # ---------------------------------------------------------------------------
 # Minimal protobuf writers (wire format is public and stable)
@@ -295,16 +296,33 @@ def write_tfrecords(df: DataFrame, path: str, split_field: str | None = None,
     Each partition writes one file (the reference shards per key group;
     `split_field` routes rows to per-key subdirectories first). Paths
     are returned driver-side (small), the data never leaves executors.
+
+    All file I/O goes through ``pyarrow.fs`` resolved from the path's
+    scheme, ON THE EXECUTOR — so ``file://``, ``hdfs://``, ``s3://``
+    and ``gs://`` destinations all stream directly from the task that
+    produced the bytes (the JVM-side Hadoop FS wrapper is driver-only;
+    Arrow's C++ filesystems are the Python-side equivalent and ship in
+    the pyarrow every executor already has for pandas UDFs).
     """
-    os.makedirs(path, exist_ok=True)
+    fs0, base0 = _resolve_fs(path)
+    fs0.create_dir(base0, recursive=True)
     suffix = ".tfrecord.gz" if compress else ".tfrecord"
 
     # Self-contained for executors (see encode_batches note): framing +
     # crc32c defined inside so nothing references this module by name.
     def write_partition(split_value: str | None, idx: int, payloads) -> list[str]:
         import gzip as _gzip
-        import os as _os
+        import posixpath as _pp
         import struct as _struct
+
+        import pyarrow.fs as _pafs
+
+        if "://" in path:
+            fs, base = _pafs.FileSystem.from_uri(path)
+            spfx = path.split("://", 1)[0] + "://"
+        else:
+            fs, base = _pafs.LocalFileSystem(), path
+            spfx = ""
 
         poly = 0x82F63B78
         table = []
@@ -329,19 +347,28 @@ def write_tfrecords(df: DataFrame, path: str, split_field: str | None = None,
             return (header + _struct.pack("<I", masked(header))
                     + payload + _struct.pack("<I", masked(payload)))
 
-        subdir = path if split_value is None else _os.path.join(path, split_value)
-        _os.makedirs(subdir, exist_ok=True)
-        target = _os.path.join(subdir, f"{prefix}-{idx:05d}{suffix}")
-        opener = _gzip.open if compress else open
+        subdir = base if split_value is None else _pp.join(base, split_value)
+        if split_value is not None:
+            fs.create_dir(subdir, recursive=True)
+        target = _pp.join(subdir, f"{prefix}-{idx:05d}{suffix}")
+        # compression=None: disable arrow's extension sniffing — the
+        # .gz framing is ours (gzip around the record stream), applied
+        # explicitly below
+        raw = fs.open_output_stream(target, compression=None)
+        fh = _gzip.GzipFile(fileobj=raw, mode="wb") if compress else raw
         wrote = False
-        with opener(target, "wb") as fh:
+        try:
             for p in payloads:
                 fh.write(frame(p))
                 wrote = True
+        finally:
+            fh.close()
+            if fh is not raw:
+                raw.close()
         if not wrote:
-            _os.remove(target)
+            fs.delete_file(target)
             return []
-        return [target]
+        return [spfx + target]
 
     if split_field is None:
         encoded = encode_examples(df)

@@ -252,12 +252,12 @@ def write_columnar_dynamic(df: DataFrame, path: str,
     spark-avro datasource when the jar is present, else the pure-Python
     container writer (operators/avro_io.py — including a hand-rolled
     snappy codec, so the reference's pinned snappy+CRC block format is
-    honored even jar-less). The pure-Python fallback is LOCAL-FS-ONLY
-    (it collects partition streams through the driver's file API);
-    `hdfs://`/`s3a://`/`gs://` destinations raise rather than silently
-    writing to a driver-local path, and its pre-write cleanup goes
-    through the Hadoop FS like every other finalization step. Other
-    formats go through the native datasource with a parquet fallback.
+    honored even jar-less). The pure-Python fallback streams from
+    executor tasks through ``pyarrow.fs`` (operators/fsio.py), so
+    `file://`/`hdfs://`/`s3://`/`gs://` destinations all work; the
+    pre-write cleanup goes through the Hadoop FS like every other
+    finalization step. Other formats go through the native datasource
+    with a parquet fallback.
     (Schema handling needs none of the reference's per-key sampling:
     `df.schema` is static.)
     """
@@ -267,15 +267,7 @@ def write_columnar_dynamic(df: DataFrame, path: str,
     except Exception:
         actual = "parquet" if fmt != "avro" else "avro-py"
     if actual == "avro-py":
-        from urllib.parse import urlparse
-
         from dataflowtemplates_spark.operators.avro_io import write_avro
-        scheme = urlparse(path).scheme
-        if scheme not in ("", "file"):
-            raise NotImplementedError(
-                f"avro fallback writer is local-FS-only, got scheme "
-                f"{scheme!r} — install the spark-avro jar for "
-                "object-store destinations")
         _HadoopFS(df, path).delete(path, recursive=True)
         r = write_avro(df, path, split_field=split_field, codec=compression)
         result = WriteResult(files=r.files, row_count=r.row_count,
