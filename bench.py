@@ -34,7 +34,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Comparability contract: the set HAS changed across rounds (r6 added
 #: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
-#: the new q102–q111), so headline_total is only comparable between runs whose
+#: the new q102–q111; r9 added q121 so every streaming sketch query is
+#: timed), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -75,8 +76,8 @@ HEADLINE = (
     "q117_disjunctive_revenue",
     "q89_sketch_rollup",
     "q118_cms_heavy_hitters",
-    "q120_histogram_quantiles",
     "q119_bpe_lang_compression",
+    "q120_histogram_quantiles",
     "q97_scd2_intervals",
     "q99_snapshot_audit",
     "q101_small_quantity_revenue",
@@ -92,6 +93,7 @@ HEADLINE = (
     "q36_range_join",
     "q90_stream_tumbling",
     "q96_stream_stream_join",
+    "q121_stream_approx_distinct",
 )
 
 

@@ -140,6 +140,12 @@ def zorder_key(bucketed, bits: int = 8):
     from pyspark.sql import functions as F
 
     ndim = len(bucketed)
+    if bits * ndim > 63:
+        raise ValueError(
+            f"zorder_key: {bits} bits x {ndim} columns = "
+            f"{bits * ndim} interleaved bits overflows the signed "
+            "64-bit key — lower bits (e.g. bits=63//ndim) or cluster "
+            "fewer columns")
     key = F.lit(0)
     for d, b in enumerate(bucketed):
         for i in range(bits):
@@ -176,6 +182,11 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
     nb = 1 << bits
     bucketed = []
     for c in zorder_cols:
+        if stats[f"mn_{c}"] is None:  # empty or all-NULL input: no
+            # stats to bucket against — write unclustered rather than
+            # crash on float(None)
+            (df.write.mode("overwrite").format(fmt).save(path))
+            return
         mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
         span = (mx - mn) or 1.0
         bucketed.append(

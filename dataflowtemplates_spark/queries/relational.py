@@ -1507,10 +1507,14 @@ def q120_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.5)").alias("ex_p50"),
         F.expr("percentile(l_extendedprice, 0.9)").alias("ex_p90"),
         F.expr("percentile(l_extendedprice, 0.99)").alias("ex_p99"))
+    # span guarded against a constant column (mx == mn): GREATEST with
+    # a tiny literal keeps the divisor non-zero without changing any
+    # real span's bits (both engines' GREATEST are identical here)
+    span = F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-300))
     binned = (li.crossJoin(F.broadcast(stats))
               .select(F.least(
                   F.floor((F.col("l_extendedprice") - F.col("mn"))
-                          / (F.col("mx") - F.col("mn")) * HIST_BINS),
+                          / span * HIST_BINS),
                   F.lit(HIST_BINS - 1)).alias("bin")))
     hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("c"))
     cum = hist.select(
@@ -1553,7 +1557,8 @@ WITH stats AS (
          QUANTILE_CONT(l_extendedprice, 0.99) AS ex_p99
   FROM lineitem),
 hist AS (
-  SELECT LEAST(FLOOR((l_extendedprice - mn) / (mx - mn) * {HIST_BINS}),
+  SELECT LEAST(FLOOR((l_extendedprice - mn)
+                     / GREATEST(mx - mn, 1e-300) * {HIST_BINS}),
                {HIST_BINS - 1}) AS bin, COUNT(*) AS c
   FROM lineitem CROSS JOIN stats
   GROUP BY 1),
@@ -1901,8 +1906,14 @@ def q116_parts_supplier_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.table("lineitem")
     part = spark.table("part")
     sup = spark.table("supplier")
-    deny = sup.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    # explicit NULL guards on both sides: SQL NOT IN filters a NULL
+    # l_suppkey (and empties entirely on a NULL in the denylist) while
+    # a left_anti join keeps it — the data has no NULL keys, but the
+    # semantics must not depend on that
+    deny = sup.filter(F.col("s_acctbal") < 0) \
+              .filter(F.col("s_suppkey").isNotNull()).select("s_suppkey")
     return (li
+            .filter(F.col("l_suppkey").isNotNull())
             .join(F.broadcast(deny),
                   F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
             .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
@@ -1917,7 +1928,9 @@ _Q116_ORACLE = """
 SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE p_brand <> 'Brand#9'
-  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+  AND l_suppkey IS NOT NULL
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
 GROUP BY p_brand, p_type
 ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC
 """
