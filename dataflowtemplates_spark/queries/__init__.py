@@ -63,59 +63,17 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r8): must be inside any scored prefix -----
-    "q102_bpe_tokenize",        # new: BPE merge-table application
-    "q103_ann_recall",          # new: recall@k gate for q65/q88 vs exact truth
-    "q104_span_dedup",          # new: repeated-span removal lists
-    "q107_span_scrub",          # new: span removal APPLIED (rewrite docs)
-    "q108_bpe_packing",         # new: packing under BPE token counts
-    "q109_idle_customers",      # new: Q22-shaped scalar+anti composition
-    "q110_key_skew_profile",    # new: shuffle-key skew diagnostic
-    "q111_bpe_train",           # new: TRUE iterative BPE training loop
-    "q112_order_priority",      # new: Q4-shaped EXISTS->semi priority census
-    "q113_priority_shipping",   # new: Q12-shaped dual conditional count
-    "q114_promo_revenue",       # new: Q14-shaped promo revenue share
-    "q115_top_supplier",        # new: Q15-shaped agg + join-back-on-max
-    "q116_parts_supplier_relation",  # new: Q16-shaped distinct census + NOT IN
-    "q117_disjunctive_revenue", # new: Q19-shaped OR-of-conjuncts pushdown
-    "q118_cms_heavy_hitters",   # new: count-min frequency sketch + guarantee
-    "q119_bpe_lang_compression",  # new: per-lang tokenizer compression audit
-    "q120_histogram_quantiles", # new: mergeable-histogram quantile sketch
-    "q121_stream_approx_distinct",  # new: sketch inside streaming state
-    "q78_mutation_audit",       # mutation store: commit-time monotonicity
-    "q89_sketch_rollup",        # NULL-group parity fix (both engines)
-    "q99_snapshot_audit",       # per-version collect loop -> one unioned job
-    "q96_stream_stream_join",   # join factored into attribution_join (tested)
-    "q105_min_cost_supplier",   # new: Q2-shaped correlated-min join-back
-    "q106_dominant_supplier",   # new: Q20-shaped two-level majority agg
-    # -- last driver-scored in r6 (oldest evidence; r7 evidence is the
-    #    committed LOCALVERIFY_r07.json + judge re-verification) -------
-    "q39_approx_sketches",
-    "q40_token_stats",
-    "q41_lang_id",
-    "q42_quality_score",
-    "q43_fingerprint",
-    "q44_source_profile",
-    "q45_corpus_filter",
-    "q46_text_normalize",
-    "q47_hash_sample",
-    "q48_sequence_packing",
-    "q49_domain_cap",
-    "q50_dedup_exact",
-    "q51_minhash_signature",
-    "q52_lsh_pairs",
-    "q53_ngram_jaccard",
-    "q54_simhash",
-    "q55_dedup_pipeline",
-    "q56_dup_groups",
-    "q57_decontaminate",
-    "q58_repetition_stats",
-    "q59_tfidf_topterms",
-    "q60_vector_norms",
-    "q61_ann_bruteforce",
-    "q62_ann_lsh_bucketed",
-    "q63_embedding_neardup",
-    "q64_label_centroids",
+    # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q78_mutation_audit",       # bucketed keyed-table storage rewrite
+    "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
+    "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides
+    "q120_histogram_quantiles", # zero-span bin-divisor guard (both engines)
+    "q80_media_metadata",       # real PNG/JPEG codec behind real=True seam
+    "q81_frame_sample",
+    "q82_media_features",
+    "q83_media_resize",
+    # -- last driver-scored in r6 (oldest evidence; r7/r8 evidence is
+    #    committed LOCALVERIFY sweeps + judge re-verification) ---------
     "q66_embedding_neardup_lsh",
     "q68_bpe_pairs",
     "q69_ngram_containment",
@@ -125,16 +83,12 @@ REGISTRY_ORDER = (
     "q75_stratified_split",
     "q76_charlm_coverage",
     "q77_embedding_dup_groups",
-    "q80_media_metadata",
-    "q81_frame_sample",
-    "q82_media_features",
-    "q83_media_resize",
     "q90_stream_tumbling",
     "q91_stream_sessionize",
     "q92_stream_dedup",
     "q93_stream_user_stats",
     "q94_stream_enrich",
-    # -- driver-scored green in r7, unchanged since (name order) -------
+    # -- last driver-scored in r7, unchanged since -----------------------
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_regional_revenue",
@@ -181,6 +135,53 @@ REGISTRY_ORDER = (
     "q98_stream_corpus_scrub",
     "q100_blocking_supplier",
     "q101_small_quantity_revenue",
+    # -- driver-scored green in r8, unchanged since ----------------------
+    "q102_bpe_tokenize",
+    "q103_ann_recall",
+    "q104_span_dedup",
+    "q107_span_scrub",
+    "q108_bpe_packing",
+    "q109_idle_customers",
+    "q110_key_skew_profile",
+    "q111_bpe_train",
+    "q112_order_priority",
+    "q113_priority_shipping",
+    "q114_promo_revenue",
+    "q115_top_supplier",
+    "q117_disjunctive_revenue",
+    "q118_cms_heavy_hitters",
+    "q119_bpe_lang_compression",
+    "q121_stream_approx_distinct",
+    "q89_sketch_rollup",
+    "q96_stream_stream_join",
+    "q105_min_cost_supplier",
+    "q106_dominant_supplier",
+    "q39_approx_sketches",
+    "q40_token_stats",
+    "q41_lang_id",
+    "q42_quality_score",
+    "q43_fingerprint",
+    "q44_source_profile",
+    "q45_corpus_filter",
+    "q46_text_normalize",
+    "q47_hash_sample",
+    "q48_sequence_packing",
+    "q49_domain_cap",
+    "q50_dedup_exact",
+    "q51_minhash_signature",
+    "q52_lsh_pairs",
+    "q53_ngram_jaccard",
+    "q54_simhash",
+    "q55_dedup_pipeline",
+    "q56_dup_groups",
+    "q57_decontaminate",
+    "q58_repetition_stats",
+    "q59_tfidf_topterms",
+    "q60_vector_norms",
+    "q61_ann_bruteforce",
+    "q62_ann_lsh_bucketed",
+    "q63_embedding_neardup",
+    "q64_label_centroids",
 )
 
 

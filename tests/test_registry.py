@@ -114,3 +114,28 @@ def test_bogus_sf_dir_raises_not_stale(spark):
         register_tables(spark, "/no/such/dir")
     # prior registration still intact after the failed switch
     assert spark.table("documents").count() > 0
+
+
+def test_latest_localverify_sweep_covers_full_registry():
+    """The committed LOCALVERIFY_r*.json with the highest round number
+    must contain one entry per registry query (the r8 artifact omitted
+    q121 — full-surface evidence means FULL surface), and every entry
+    must be a pass. Adding a query without re-running the sweep fails
+    here by design."""
+    import glob
+    import json
+    import re
+
+    from dataflowtemplates_spark.queries import all_queries
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    artifacts = sorted(
+        glob.glob(os.path.join(repo, "LOCALVERIFY_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)))
+    assert artifacts, "no LOCALVERIFY artifact committed"
+    latest = artifacts[-1]
+    data = json.load(open(latest))
+    entries = data["queries"] if isinstance(data.get("queries"), dict) else data
+    missing = set(all_queries()) - set(entries)
+    extra = set(entries) - set(all_queries())
+    assert not missing, f"{os.path.basename(latest)} missing {sorted(missing)}"
+    assert not extra, f"{os.path.basename(latest)} has stale {sorted(extra)}"
