@@ -18,12 +18,16 @@ Scale stance:
   per-row pickling. Batch size is bounded by
   ``spark.sql.execution.arrow.maxRecordsPerBatch`` (wide rows -> set it
   low, e.g. 64, when payloads are MB-scale).
-* The real decoders (PIL / libsndfile / ffmpeg) are NOT in this
-  container. `decode_image` / `decode_audio` therefore ship a
-  clearly-marked stub path: `real=True` raises NotImplementedError;
-  the default is a DETERMINISTIC fake (bytes tiled into the target
-  shape) so the Spark-side plumbing — schema, partitioning, UDF
-  signature, Arrow batch shape — is real and tested end to end.
+* `decode_image` / `decode_audio` carry two paths. The default is a
+  DETERMINISTIC fake (bytes tiled into the target shape) so the
+  oracle-gated queries (q80–q83) are reproducible with zero codec
+  dependencies. ``real=True`` decodes actual payloads via the
+  pure-Python codecs in operators/imagecodec.py (PNG, baseline JPEG,
+  RIFF PCM WAV — stdlib+numpy only); a C-backed codec (PIL /
+  turbojpeg / libsndfile) slots into the same seam for production
+  throughput. Either way the Spark-side plumbing — schema,
+  partitioning, UDF signature, Arrow batch shape — is identical and
+  tested end to end.
 
 Reference parity note: mercari/DataflowTemplates has no media handling;
 this module is a first-class extension (see SURVEY.md §7.2 M7 /
@@ -103,15 +107,18 @@ def decode_image(data: bytes, width: int, height: int, *,
                  real: bool = False) -> np.ndarray:
     """Decode an image payload to an HxWx3 uint8 array.
 
-    real=True is the seam for an actual codec (PIL/turbojpeg) — not
-    available in this container, so it raises. The default path is the
-    deterministic fake: the payload bytes tiled/truncated into the
-    target shape, so every downstream statistic is reproducible.
+    real=True decodes an actual PNG or baseline JPEG payload via the
+    pure-Python codec (operators/imagecodec.py — zlib+numpy, no
+    external libs); dimensions then come from the file itself, and the
+    width/height arguments are ignored. The default path is the
+    deterministic fake (payload bytes tiled/truncated into the target
+    shape) that the oracle-gated queries q80–q83 pin — reproducible
+    without any codec. A C-backed codec (PIL/turbojpeg) slots into the
+    same seam for 100 TB throughput.
     """
     if real:
-        raise NotImplementedError(
-            "real image decode requires PIL/libjpeg — not installed; "
-            "deterministic fake decode is the supported path here")
+        from dataflowtemplates_spark.operators import imagecodec
+        return imagecodec.decode(bytes(data))
     need = height * width * 3
     buf = np.frombuffer(data, dtype=np.uint8)
     if buf.size == 0:
@@ -124,12 +131,17 @@ def decode_audio(data: bytes, sample_rate: int, *,
                  real: bool = False) -> np.ndarray:
     """Decode an audio payload to a float32 waveform in [-1, 1).
 
-    Same stub contract as decode_image: bytes reinterpreted as uint8
-    samples, centered and scaled — deterministic, codec-free.
+    real=True parses an actual RIFF/WAVE PCM payload (8/16/24/32-bit
+    int or float32) via operators/imagecodec.decode_wav — the given
+    sample_rate argument is ignored in favor of the file's. The
+    default path is the stub contract the oracles pin: bytes
+    reinterpreted as uint8 samples, centered and scaled —
+    deterministic, codec-free. Compressed codecs (mp3/opus) stay
+    behind the same seam for a C-backed decoder.
     """
     if real:
-        raise NotImplementedError(
-            "real audio decode requires soundfile/ffmpeg — not installed")
+        from dataflowtemplates_spark.operators.imagecodec import decode_wav
+        return decode_wav(bytes(data))[0]
     buf = np.frombuffer(data, dtype=np.uint8)
     return (buf.astype(np.float32) - 128.0) / 128.0
 

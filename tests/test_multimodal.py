@@ -31,10 +31,13 @@ def media(spark):
     return attach_media(spark.table("documents"))
 
 
-def test_decode_stubs_raise_on_real():
-    with pytest.raises(NotImplementedError):
+def test_decode_real_rejects_non_media_payloads():
+    """real=True decodes actual PNG/JPEG/WAV (tests/test_imagecodec.py
+    covers the codecs); a payload that is NOT one of those formats must
+    fail loudly, never fall back to the stub silently."""
+    with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"xy", 4, 4, real=True)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_audio(b"xy", 8000, real=True)
 
 
