@@ -33,6 +33,73 @@ def resolve_fs(path: str):
     return pafs.LocalFileSystem(), path
 
 
+def read_bytes(path: str) -> bytes:
+    """Whole-file read through pyarrow.fs (scheme-general)."""
+    fs, base = resolve_fs(path)
+    with fs.open_input_stream(base) as fh:
+        return fh.read()
+
+
+def write_bytes(path: str, data: bytes) -> None:
+    """Whole-file write through pyarrow.fs. NOT atomic on its own —
+    callers needing atomic metadata swaps write a temp name and
+    :func:`move` over (rename-capable filesystems), per their own
+    single-writer contract."""
+    fs, base = resolve_fs(path)
+    with fs.open_output_stream(base, compression=None) as fh:
+        fh.write(data)
+
+
+def exists(path: str) -> bool:
+    import pyarrow.fs as pafs
+
+    fs, base = resolve_fs(path)
+    return fs.get_file_info(base).type != pafs.FileType.NotFound
+
+
+def is_dir(path: str) -> bool:
+    import pyarrow.fs as pafs
+
+    fs, base = resolve_fs(path)
+    return fs.get_file_info(base).type == pafs.FileType.Directory
+
+
+def mkdirs(path: str) -> None:
+    fs, base = resolve_fs(path)
+    fs.create_dir(base, recursive=True)
+
+
+def move(src: str, dst: str) -> None:
+    """Rename src -> dst (file or directory), replacing a same-type
+    dst where the underlying FS allows it. A metadata-only rename on
+    local/HDFS; object stores emulate directory moves per object —
+    commit protocols that rely on directory renames (the KeyedTable)
+    should use a log-based table format there instead (the documented
+    Delta/Iceberg seam)."""
+    fs, sbase = resolve_fs(src)
+    _fs2, dbase = resolve_fs(dst)
+    import pyarrow.fs as pafs
+    info = fs.get_file_info(dbase)
+    if info.type == pafs.FileType.File:
+        fs.delete_file(dbase)
+    fs.move(sbase, dbase)
+
+
+def delete_dir(path: str) -> None:
+    fs, base = resolve_fs(path)
+    fs.delete_dir(base)
+
+
+def list_dir(path: str) -> list[str]:
+    """Immediate child names (files and dirs) of a directory."""
+    import pyarrow.fs as pafs
+
+    fs, base = resolve_fs(path)
+    return sorted(
+        fi.path.rsplit("/", 1)[-1]
+        for fi in fs.get_file_info(pafs.FileSelector(base, recursive=False)))
+
+
 def list_files(path: str, suffix: str | None = None) -> list[str]:
     """Recursive data-file listing via pyarrow (scheme-general).
 

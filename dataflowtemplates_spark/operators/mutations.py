@@ -64,15 +64,15 @@ same as the reference's per-template batch writes.
 from __future__ import annotations
 
 import json
-import os
-import shutil
-import tempfile
+import posixpath
 import uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from dataflowtemplates_spark.operators import fsio
 
 VALID_OPS = ("INSERT", "UPDATE", "REPLACE", "INSERT_OR_UPDATE", "DELETE")
 
@@ -113,18 +113,21 @@ class KeyedTable:
         self._default_n_buckets = int(n_buckets)
 
     # -- metadata --------------------------------------------------------
+    # All metadata and directory commits go through pyarrow.fs
+    # (operators/fsio.py), so the table works on any rename-capable
+    # filesystem (local, file://, hdfs://). Object stores lack atomic
+    # directory rename — there the same public API commits through a
+    # log-based table format (the documented Delta/Iceberg seam).
     def _meta_path(self) -> str:
-        return os.path.join(self.path, "_meta.json")
+        return posixpath.join(self.path, "_meta.json")
 
     def _meta(self) -> dict:
-        with open(self._meta_path()) as fh:
-            return json.load(fh)
+        return json.loads(fsio.read_bytes(self._meta_path()))
 
     def _write_meta(self, meta: dict) -> None:
-        tmp = os.path.join(self.path, "._meta.tmp")
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-        os.replace(tmp, self._meta_path())
+        tmp = posixpath.join(self.path, "._meta.tmp")
+        fsio.write_bytes(tmp, json.dumps(meta).encode())
+        fsio.move(tmp, self._meta_path())
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._meta()["schema"]))
@@ -134,11 +137,10 @@ class KeyedTable:
                       F.lit(n_buckets)).cast("int")
 
     def _commits(self) -> list[dict]:
-        log = os.path.join(self.path, "_commits.json")
-        if not os.path.isfile(log):
+        log = posixpath.join(self.path, "_commits.json")
+        if not fsio.exists(log):
             return []
-        with open(log) as fh:
-            return json.load(fh)
+        return json.loads(fsio.read_bytes(log))
 
     def _append_commit(self, buckets: list[int]) -> None:
         """Append a commit entry with a strictly monotonic timestamp.
@@ -158,19 +160,18 @@ class KeyedTable:
             {"version": (commits[-1]["version"] + 1) if commits else 1,
              "time": now.isoformat(),
              "buckets": sorted(int(b) for b in buckets)})
-        tmp_log = os.path.join(self.path, "._commits.tmp")
-        with open(tmp_log, "w") as fh:
-            json.dump(commits, fh)
-        os.replace(tmp_log, os.path.join(self.path, "_commits.json"))
+        tmp_log = posixpath.join(self.path, "._commits.tmp")
+        fsio.write_bytes(tmp_log, json.dumps(commits).encode())
+        fsio.move(tmp_log, posixpath.join(self.path, "_commits.json"))
 
     # -- read ------------------------------------------------------------
     def exists(self) -> bool:
-        return os.path.isfile(self._meta_path())
+        return fsio.exists(self._meta_path())
 
     def _bucket_dirs(self) -> list[str]:
-        if not os.path.isdir(self.path):
+        if not fsio.is_dir(self.path):
             return []
-        return [fn for fn in os.listdir(self.path)
+        return [fn for fn in fsio.list_dir(self.path)
                 if fn.startswith(f"{_BUCKET_COL}=")]
 
     def read(self) -> DataFrame:
@@ -240,12 +241,12 @@ class KeyedTable:
                 continue  # bucket did not exist yet at this version
             later = [v for v in ts_list if v > version]
             if later:
-                d = os.path.join(self.path, "_history",
-                                 f"v-{min(later) - 1:05d}",
-                                 f"{_BUCKET_COL}={b}")
+                d = posixpath.join(self.path, "_history",
+                                   f"v-{min(later) - 1:05d}",
+                                   f"{_BUCKET_COL}={b}")
             else:
-                d = os.path.join(self.path, f"{_BUCKET_COL}={b}")
-            if os.path.isdir(d):
+                d = posixpath.join(self.path, f"{_BUCKET_COL}={b}")
+            if fsio.is_dir(d):
                 leaf_dirs.append(d)
         schema = self._schema()
         if not leaf_dirs:
@@ -269,7 +270,7 @@ class KeyedTable:
         skipped = self._unstorable_columns(src)
         if skipped:
             src = src.drop(*skipped)
-        os.makedirs(self.path, exist_ok=True)
+        fsio.mkdirs(self.path)
         self._write_meta({
             "n_buckets": self._default_n_buckets,
             "keys": self.keys,
@@ -450,9 +451,9 @@ class KeyedTable:
         if not touched:
             self._append_commit([])
             return
-        staging = tempfile.mkdtemp(
-            prefix=f".staging-{uuid.uuid4().hex[:8]}-",
-            dir=os.path.dirname(self.path) or ".")
+        staging = posixpath.join(
+            posixpath.dirname(self.path) or ".",
+            f".staging-{uuid.uuid4().hex[:8]}")
         try:
             (new_slice
              .withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
@@ -461,20 +462,22 @@ class KeyedTable:
              .partitionBy(_BUCKET_COL).parquet(staging))
             commits = self._commits()
             prev_version = commits[-1]["version"]
-            hist = os.path.join(self.path, "_history",
-                                f"v-{prev_version:05d}")
+            hist = posixpath.join(self.path, "_history",
+                                  f"v-{prev_version:05d}")
             for b in touched:
-                cur = os.path.join(self.path, f"{_BUCKET_COL}={b}")
-                if os.path.isdir(cur):
-                    os.makedirs(hist, exist_ok=True)
-                    os.replace(cur, os.path.join(hist, f"{_BUCKET_COL}={b}"))
-            for fn in os.listdir(staging):
+                cur = posixpath.join(self.path, f"{_BUCKET_COL}={b}")
+                if fsio.is_dir(cur):
+                    fsio.mkdirs(hist)
+                    fsio.move(cur, posixpath.join(
+                        hist, f"{_BUCKET_COL}={b}"))
+            for fn in fsio.list_dir(staging):
                 if fn.startswith(f"{_BUCKET_COL}="):
-                    os.replace(os.path.join(staging, fn),
-                               os.path.join(self.path, fn))
+                    fsio.move(posixpath.join(staging, fn),
+                              posixpath.join(self.path, fn))
             self._append_commit(touched)
         finally:
-            shutil.rmtree(staging, ignore_errors=True)
+            if fsio.exists(staging):
+                fsio.delete_dir(staging)
 
     # -- maintenance -----------------------------------------------------
     def vacuum(self, keep_last: int = 1) -> int:
@@ -493,17 +496,17 @@ class KeyedTable:
         meta = self._meta()
         floor = max(int(meta.get("min_retained_version", 1)),
                     commits[-1]["version"] - keep_last + 1)
-        hist_root = os.path.join(self.path, "_history")
+        hist_root = posixpath.join(self.path, "_history")
         removed = 0
-        if os.path.isdir(hist_root):
-            for fn in sorted(os.listdir(hist_root)):
+        if fsio.is_dir(hist_root):
+            for fn in fsio.list_dir(hist_root):
                 if not fn.startswith("v-"):
                     continue
                 # _history/v-W is only needed by snapshots at version
                 # N <= W (see read_at resolution); W < floor can no
                 # longer be resolved, so the directory is dead.
                 if int(fn[2:]) < floor:
-                    shutil.rmtree(os.path.join(hist_root, fn))
+                    fsio.delete_dir(posixpath.join(hist_root, fn))
                     removed += 1
         meta["min_retained_version"] = floor
         self._write_meta(meta)
@@ -538,9 +541,10 @@ def write_failure_count(result: MutationResult, path: str) -> int:
     """K10: failed-mutation count -> text notification file
     (reference: templates/BigQueryToSpanner.java:134-145)."""
     n = result.failed
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    with open(path, "w") as fh:
-        fh.write(str(n))
+    parent = posixpath.dirname(path)
+    if parent:
+        fsio.mkdirs(parent)
+    fsio.write_bytes(path, str(n).encode())
     return n
 
 

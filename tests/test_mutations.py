@@ -261,3 +261,23 @@ def test_struct_and_nested_array_columns_skipped(spark, tmp_path):
     assert cols == {"id", "name", "plain"}  # s and aa skipped
     row = t.read().collect()[0]
     assert row.name == "ok" and row.plain == [10, 20]
+
+
+def test_keyed_table_file_uri_scheme(spark, tmp_path):
+    """All table I/O (metadata, commits, bucket moves, history) routes
+    through pyarrow.fs — a file:// URI (stand-in for any rename-capable
+    Hadoop-visible FS) behaves identically to a bare path."""
+    t = KeyedTable(spark, f"file://{tmp_path}/uri_tbl", ["id"], n_buckets=4)
+    from datetime import datetime, timezone
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")]),
+        "INSERT")
+    bound = datetime.now(timezone.utc).isoformat()
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="A")]), "INSERT_OR_UPDATE")
+    assert {(r.id, r.v) for r in t.read().collect()} == {(1, "A"), (2, "b")}
+    assert {(r.id, r.v) for r in t.read_at(bound).collect()} \
+        == {(1, "a"), (2, "b")}
+    r = t.apply_mutations(spark.createDataFrame([Row(id=2)]), "DELETE")
+    assert r.applied == 1
+    assert t.vacuum(keep_last=1) >= 1
