@@ -35,7 +35,7 @@ import zlib
 import numpy as np
 
 __all__ = ["sniff_format", "decode", "decode_png", "decode_jpeg",
-           "decode_wav"]
+           "decode_wav", "encode_png"]
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -159,6 +159,33 @@ def decode_png(data: bytes) -> np.ndarray:
     if color == 6:
         return np.ascontiguousarray(px[..., :3])
     return np.ascontiguousarray(px)
+
+
+def encode_png(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 -> PNG bytes (color type 2, filter 0, zlib-9).
+
+    The write-side twin of :func:`decode_png` — enough to materialize real
+    image payloads from array data (normalization pipelines, fixtures,
+    the q123 round-trip gate). Filter 0 everywhere: compression is
+    zlib's job here; filter search is a size optimization a C encoder
+    owns at scale.
+    """
+    if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
+        raise ValueError("encode_png expects HxWx3 uint8")
+    h, w, _ = px.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw += px[y].tobytes()
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + ctype + body
+                + struct.pack(">I", zlib.crc32(ctype + body)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + chunk(b"IEND", b""))
 
 
 # ---------------------------------------------------------------------------

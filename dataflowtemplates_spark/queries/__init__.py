@@ -64,6 +64,8 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q122_vacuum_audit",        # new: history-retention (vacuum) contract
+    "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dataflowtemplates_spark.catalog import register_tables
 from dataflowtemplates_spark.operators.multimodal import (
@@ -186,11 +187,98 @@ FROM base ORDER BY doc_id
 """
 
 
+def q123_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec gate: every visual payload through an actual PNG
+    encode→decode cycle inside an Arrow-batched stage.
+
+    Pipeline: attach → nearest-neighbor resize to 32x32 (q83's stage) →
+    per row, reinterpret the resized payload as the 32x32x3 array,
+    encode it as a real PNG (operators/imagecodec.encode_png), decode
+    it back through the ``real=True`` seam (magic-byte sniff + full PNG
+    decode), and surface (a) ``png_valid``/``roundtrip_exact`` booleans
+    the oracle asserts as literal TRUE — this is the codec correctness
+    gate riding the driver's hash compare — and (b) the md5 of the
+    DECODED bytes, which must equal the oracle's independent
+    reconstruction of the resize from raw text (so a codec that
+    "round-trips" by returning its input unread still fails).
+
+    Scale shape: one mapInPandas over visual rows only (metadata filter
+    JVM-side first), no shuffle; PNG bytes never leave the stage. The
+    pure-Python codec is the correctness tier — swap a C codec into the
+    same two calls for 100 TB throughput (operators/imagecodec.py).
+    """
+    from dataflowtemplates_spark.operators.imagecodec import (
+        decode as real_decode,
+        encode_png,
+        sniff_format,
+    )
+
+    resized = resize_media(_media(spark, sf_dir), 32, 32) \
+        .where(F.col("media_meta.modality") != "audio")
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("png_valid", T.BooleanType()),
+        T.StructField("roundtrip_exact", T.BooleanType()),
+        T.StructField("decoded_md5", T.StringType()),
+    ])
+
+    def run(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for doc_id, data in zip(pdf["doc_id"], pdf["media"]):
+                arr = np.frombuffer(bytes(data), dtype=np.uint8) \
+                    .reshape(32, 32, 3)
+                png = encode_png(arr)
+                back = real_decode(png)
+                rows.append((
+                    int(doc_id), 32, 32,
+                    sniff_format(png) == "png",
+                    bool(np.array_equal(back, arr)),
+                    hashlib.md5(back.tobytes()).hexdigest()))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "png_valid",
+                "roundtrip_exact", "decoded_md5"])
+
+    return resized.mapInPandas(run, schema=out_schema).orderBy("doc_id")
+
+
+# decoded_md5 must equal q83's independent resize reconstruction from
+# raw text; the booleans are literal TRUE — any codec defect flips one
+# or changes the md5, and the driver's value hash catches it.
+_Q123_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text, {_MODALITY} AS modality,
+         {_N} AS n,
+         16 + {_N} % 64 AS w,
+         16 + {_N} % 48 AS h
+  FROM documents
+)
+SELECT doc_id,
+       32 AS width, 32 AS height,
+       TRUE AS png_valid,
+       TRUE AS roundtrip_exact,
+       md5(array_to_string(list_transform(range(0, 3072),
+            p -> substring(text,
+                   CAST((((((p // 96) * h) // 32) * w
+                          + (((p % 96) // 3) * w) // 32) * 3 + p % 3) % n + 1
+                        AS INTEGER), 1)), '')) AS decoded_md5
+FROM base WHERE modality <> 'audio' ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q80_media_metadata": q80_media_metadata,
     "q81_frame_sample": q81_frame_sample,
     "q82_media_features": q82_media_features,
     "q83_media_resize": q83_media_resize,
+    "q123_png_roundtrip": q123_png_roundtrip,
 }
 
 ORACLES = {
@@ -198,4 +286,5 @@ ORACLES = {
     "q81_frame_sample": _Q81_ORACLE,
     "q82_media_features": _Q82_ORACLE,
     "q83_media_resize": _Q83_ORACLE,
+    "q123_png_roundtrip": _Q123_ORACLE,
 }

@@ -204,7 +204,102 @@ SELECT * FROM (
 """
 
 
+def q122_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-retention audit: the vacuum contract as an oracle row.
+
+    A keyed table takes four commits (seed INSERT + three acctbal-shift
+    upserts over the %3 keys), then ``vacuum(keep_last=2)`` reclaims
+    history. The query surfaces, for each RETAINED version, the
+    bit-exact (row count, acctbal sum) read through ``read_at`` — plus
+    the audit scalars: history versions removed, history versions kept
+    on disk, and whether a vacuumed bound now refuses (it must). The
+    DuckDB oracle recomputes the retained states set-relationally, so
+    the hash gate verifies that vacuum deleted ONLY unreachable
+    history: any over-deletion corrupts the retained snapshots' sums.
+
+    Scale note: vacuum is pure commit-log metadata + directory deletes
+    (no data scan); the retained-bound reads stay partition-pruned
+    bucket reads like every snapshot (operators/mutations.py).
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q122_vacuum_audit_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"])
+        tbl.create(cust)
+        tbl.apply_mutations(cust, "INSERT")
+        for step in (1, 2, 3):
+            tbl.apply_mutations(
+                cust.filter(k % 3 == 0)
+                .withColumn("c_acctbal",
+                            F.col("c_acctbal") + F.lit(float(step * 100))),
+                "INSERT_OR_UPDATE")
+        removed = tbl.vacuum(keep_last=2)
+        hist = os.path.join(tbl.path, "_history")
+        kept = len([d for d in os.listdir(hist)
+                    if d.startswith("v-")]) if os.path.isdir(hist) else 0
+        early = tbl._commits()[1]["time"]  # the seed INSERT: vacuumed
+        try:
+            tbl.read_at(early)
+            refused = False
+        except ValueError:
+            refused = True
+
+        # retained versions: the last two data commits (steps 2 and 3)
+        from functools import reduce
+        per_version = [
+            tbl.read_at(c["time"]).agg(
+                F.lit(i).cast("long").alias("retained_version"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("acctbal_sum"),
+                F.lit(removed).cast("long").alias("versions_removed"),
+                F.lit(kept).cast("long").alias("versions_kept"),
+                F.lit(refused).alias("early_bound_refused"))
+            for i, c in enumerate(tbl._commits()[-2:], start=1)]
+        out = reduce(DataFrame.unionByName, per_version) \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("retained_version")
+
+
+# commit history: v1 CREATE (empty), v2 INSERT all, v3/v4/v5 upserts
+# shifting the %3 keys by +100 each. keep_last=2 retains v4 and v5 and
+# removes history versions below v4; v4's state = base + 200 on the %3
+# keys, v5's = base + 300. History dirs: v2..v4 existed (3), v2/v3
+# removed (2), v4 kept (1).
+_Q122_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal, c_custkey % 3 = 0 AS s3
+  FROM customer),
+v4 AS (
+  SELECT CASE WHEN s3 THEN c_acctbal + 200.0 ELSE c_acctbal END AS b
+  FROM f),
+v5 AS (
+  SELECT CASE WHEN s3 THEN c_acctbal + 300.0 ELSE c_acctbal END AS b
+  FROM f)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS retained_version,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+         CAST(2 AS BIGINT) AS versions_removed,
+         CAST(1 AS BIGINT) AS versions_kept,
+         TRUE AS early_bound_refused
+  FROM v4
+  UNION ALL
+  SELECT 2, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE),
+         2, 1, TRUE
+  FROM v5
+) ORDER BY retained_version
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
-           "q99_snapshot_audit": q99_snapshot_audit}
+           "q99_snapshot_audit": q99_snapshot_audit,
+           "q122_vacuum_audit": q122_vacuum_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
-           "q99_snapshot_audit": _Q99_ORACLE}
+           "q99_snapshot_audit": _Q99_ORACLE,
+           "q122_vacuum_audit": _Q122_ORACLE}
