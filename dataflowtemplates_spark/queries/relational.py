@@ -1984,6 +1984,179 @@ WHERE (p_brand = 'Brand#1'  AND p_size BETWEEN 1  AND 15
 """
 
 
+def q124_big_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped large-volume-order customers: orders whose
+    TOTAL lineitem quantity exceeds a threshold, joined back to
+    customer and re-aggregated — the canonical IN-over-grouped-HAVING
+    shape (the one Q-shape the registry lacked).
+
+    Scale shape: the grouped HAVING runs as a partial+final agg on
+    l_orderkey (map-side combine takes most of the reduction), and the
+    qualifying-key set joins the fact as a SEMI join on the SAME key —
+    Catalyst reuses the exchange, so the fact shuffles once. Customer
+    attaches as a broadcast dim at the end, after the data has shrunk
+    to qualifying orders.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+           .filter(F.col("total_qty") > F.lit(150)))
+    return (li.join(big.select("l_orderkey"), "l_orderkey", "left_semi")
+            .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+                                "o_totalprice"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust.select("c_custkey", "c_name")),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                     "o_totalprice")
+            .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+            .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+            .limit(50))
+
+
+_Q124_ORACLE = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+def q125_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped bilateral trade volume: revenue flowing between
+    two chosen nations (supplier nation ≠ customer nation, BOTH
+    directions), split by year — the two-sided dimension join where the
+    same tiny table (nation) attaches twice under different roles.
+
+    Scale shape: both nation joins and both key bridges (supplier,
+    customer) are broadcasts; the only shuffle is the final
+    (supp_nation, cust_nation, year) aggregate over a fact already cut
+    by the pushed date filter. The asymmetric-pair OR predicate sits on
+    broadcast-joined columns, so it never blocks the broadcast plan.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    sup = spark.table("supplier")
+    nation = spark.table("nation").select("n_nationkey", "n_name")
+    supp_n = (sup.join(F.broadcast(nation),
+                       F.col("s_nationkey") == F.col("n_nationkey"))
+              .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust_n = (cust.join(F.broadcast(nation),
+                        F.col("c_nationkey") == F.col("n_nationkey"))
+              .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    pair = ((F.col("supp_nation") == "NATION_3")
+            & (F.col("cust_nation") == "NATION_7")) | \
+           ((F.col("supp_nation") == "NATION_7")
+            & (F.col("cust_nation") == "NATION_3"))
+    return (li
+            .filter(F.col("l_shipdate").between(
+                F.lit("1996-01-01 00:00:00").cast("timestamp"),
+                F.lit("1997-12-31 23:59:59").cast("timestamp")))
+            .join(orders.select("o_orderkey", "o_custkey"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(supp_n),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(F.broadcast(cust_n),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+                 .cast("double").alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("supp_nation", "cust_nation", "l_year"))
+
+
+_Q125_ORACLE = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1997-12-31 23:59:59'
+    AND ((ns.n_name = 'NATION_3' AND nc.n_name = 'NATION_7')
+      OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_3')))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q126_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-shaped value-concentration census: parts whose shipped
+    value exceeds a FIXED FRACTION of the corpus-wide total — the
+    grouped-aggregate-vs-global-scalar-threshold shape (q23 is the
+    global scalar alone; q101 the per-key correlated form; this is the
+    group-vs-global hybrid Q11 pins).
+
+    Scale shape: one partial+final agg on l_partkey produces the group
+    sums; the global total is the SAME aggregate re-reduced (tiny), and
+    joins back as a broadcast 1-row cross — no second fact scan in
+    Spark (the grouped frame is reused for both), no shuffle beyond the
+    one group-by. Exact DECIMAL sums make the 0.1% threshold
+    bit-deterministic in both engines.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    per_part = (li.groupBy("l_partkey")
+                .agg(F.sum(_dec("l_extendedprice")).alias("part_value")))
+    total = per_part.agg(
+        F.sum("part_value").alias("total_value"),
+        F.count(F.lit(1)).alias("n_parts"))
+    # threshold relative to the MEAN part value (1.2x) so the census
+    # yields a stable fraction of parts at every scale factor; the
+    # boundary is one double division + multiply in both engines, on
+    # exact decimal inputs — bit-identical comparisons
+    thresh = (F.col("total_value").cast("double")
+              / F.col("n_parts").cast("double")) * F.lit(1.2)
+    return (per_part.crossJoin(F.broadcast(total))
+            .filter(F.col("part_value").cast("double") > thresh)
+            .select("l_partkey",
+                    F.col("part_value").cast("double").alias("part_value"),
+                    (F.col("part_value").cast("double")
+                     / F.col("total_value").cast("double")).alias("share"))
+            .orderBy(F.desc("part_value"), F.asc("l_partkey")))
+
+
+_Q126_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+  FROM lineitem GROUP BY l_partkey),
+total AS (SELECT SUM(part_value) AS total_value,
+                 COUNT(*) AS n_parts FROM per_part)
+SELECT l_partkey,
+       CAST(part_value AS DOUBLE) AS part_value,
+       CAST(part_value AS DOUBLE) / CAST(total_value AS DOUBLE) AS share
+FROM per_part CROSS JOIN total
+WHERE CAST(part_value AS DOUBLE)
+      > CAST(total_value AS DOUBLE) / CAST(n_parts AS DOUBLE) * 1.2
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_unshipped": q03_top_unshipped,
@@ -2030,6 +2203,9 @@ QUERIES = {
     "q117_disjunctive_revenue": q117_disjunctive_revenue,
     "q118_cms_heavy_hitters": q118_cms_heavy_hitters,
     "q120_histogram_quantiles": q120_histogram_quantiles,
+"q124_big_order_customers": q124_big_order_customers,
+    "q125_nation_trade_volume": q125_nation_trade_volume,
+    "q126_part_value_share": q126_part_value_share,
 }
 
 ORACLES = {
@@ -2078,4 +2254,7 @@ ORACLES = {
     "q117_disjunctive_revenue": _Q117_ORACLE,
     "q118_cms_heavy_hitters": _Q118_ORACLE,
     "q120_histogram_quantiles": _Q120_ORACLE,
+"q124_big_order_customers": _Q124_ORACLE,
+    "q125_nation_trade_volume": _Q125_ORACLE,
+    "q126_part_value_share": _Q126_ORACLE,
 }
