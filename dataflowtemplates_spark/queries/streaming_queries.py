@@ -539,6 +539,97 @@ ORDER BY window_start, event_type
 """
 
 
+def q127_stream_outer_attribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every view emits, the
+    unmatched ones with NULL purchase columns — the outer-emission
+    path q96's inner join never exercises. Outer rows can only emit
+    once the OPPOSITE side's watermark proves no future match exists
+    (Spark buffers the left row until purchase-watermark >
+    view_ts + 1 hour), so this query pins the eviction-driven emission
+    machinery, not just the match path.
+
+    Determinism device: a batch availableNow drain ends when input is
+    exhausted, and views near the stream's end would never see the
+    watermark pass their match window — their outer rows would be
+    LOST, making the result depend on the final watermark. Two
+    far-future SENTINEL events (one per side, user_id = -1, filtered
+    from the output) ride a second file source union'd into each
+    input: they land in the same first micro-batch as the real data
+    (so nothing is late-dropped), push both sides' watermarks past
+    every real window at batch end, and the no-data flush batch then
+    emits every pending outer row. The drained result is therefore
+    EXACTLY the batch left interval join — the DuckDB oracle.
+
+    Scale shape: state is O(watermark horizon) on both sides, same as
+    q96; the sentinel trick is test-harness determinism, not topology
+    (a production stream's watermark advances on its own).
+    """
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from dataflowtemplates_spark.streaming.pipelines import EVENTS_SCHEMA
+
+    tmp = tempfile.mkdtemp(prefix="q127_sentinel_")
+    out = None
+    try:
+        far = datetime(2030, 1, 1)
+        sent = spark.createDataFrame(
+            [(-901, -1, far, "view", 0.0, "{}"),
+             (-902, -1, far, "purchase", 0.0, "{}")], EVENTS_SCHEMA)
+        sent.write.mode("overwrite").parquet(tmp)
+        sentinels = spark.readStream.schema(EVENTS_SCHEMA).parquet(tmp)
+
+        views_raw = _stream_events(spark, sf_dir).unionByName(sentinels)
+        purchases_raw = _stream_events(spark, sf_dir).unionByName(
+            spark.readStream.schema(EVENTS_SCHEMA).parquet(tmp))
+
+        views = (views_raw
+                 .filter(F.col("event_type") == "view")
+                 .select(F.col("event_id").alias("view_id"),
+                         F.col("user_id"),
+                         F.col("ts").alias("view_ts"))
+                 .withWatermark("view_ts", "2 hours"))
+        purchases = (purchases_raw
+                     .filter(F.col("event_type") == "purchase")
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("user_id").alias("p_user_id"),
+                             F.col("ts").alias("purchase_ts"))
+                     .withWatermark("purchase_ts", "2 hours"))
+        joined = (views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts")
+               + F.expr("INTERVAL 1 HOUR")),
+            "left_outer")
+            .select("view_id", "user_id", "purchase_id",
+                    (F.unix_micros("purchase_ts")
+                     - F.unix_micros("view_ts")).alias("gap_us")))
+        q = (joined.writeStream.outputMode("append").format("memory")
+             .queryName("q127_outer_sink")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (spark.table("q127_outer_sink")
+               .filter(F.col("user_id") != -1)
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("view_id", "purchase_id")
+
+
+_Q127_ORACLE = """
+SELECT v.event_id AS view_id, v.user_id, p.event_id AS purchase_id,
+       EPOCH_US(p.ts) - EPOCH_US(v.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -549,6 +640,7 @@ QUERIES = {
     "q96_stream_stream_join": q96_stream_stream_join,
     "q98_stream_corpus_scrub": q98_stream_corpus_scrub,
     "q121_stream_approx_distinct": q121_stream_approx_distinct,
+    "q127_stream_outer_attribution": q127_stream_outer_attribution,
 }
 
 ORACLES = {
@@ -561,4 +653,5 @@ ORACLES = {
     "q96_stream_stream_join": _Q96_ORACLE,
     "q98_stream_corpus_scrub": _q98_oracle(),
     "q121_stream_approx_distinct": _Q121_ORACLE,
+    "q127_stream_outer_attribution": _Q127_ORACLE,
 }
