@@ -102,7 +102,8 @@ class KeyedTable:
     """
 
     def __init__(self, spark: SparkSession, path: str,
-                 key_fields: list[str], n_buckets: int = 16):
+                 key_fields: list[str], n_buckets: int = 16,
+                 schema_evolution: bool = False):
         if not key_fields:
             raise ValueError("key_fields must be non-empty")
         if n_buckets < 1:
@@ -111,6 +112,12 @@ class KeyedTable:
         self.path = path
         self.keys = list(key_fields)
         self._default_n_buckets = int(n_buckets)
+        #: Delta mergeSchema-style opt-in: with it on, storable batch
+        #: columns the table lacks EXTEND the stored schema (existing
+        #: rows read NULL for them — parquet's missing-column
+        #: semantics); with it off (default) they are dropped at the
+        #: boundary, mirroring the STRUCT/nested-array skip.
+        self.schema_evolution = bool(schema_evolution)
 
     # -- metadata --------------------------------------------------------
     # All metadata and directory commits go through pyarrow.fs
@@ -199,18 +206,9 @@ class KeyedTable:
                 .filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
                 .drop(_BUCKET_COL))
 
-    def read_at(self, timestamp_bound: str) -> DataFrame:
-        """Snapshot read at an exact-staleness timestamp bound — the
-        reference's TimestampBound.ofReadTimestamp semantics
-        (SpannerQueryIO.java:129-136): the state produced by the last
-        commit at or before the bound, regardless of later mutations.
-
-        Resolution is commit-log metadata only: bucket ``k``'s content
-        at version N was written by the last commit T <= N that touched
-        k; those files sit in the current directory if no later commit
-        touched k, else in ``_history/v-{T'-1}`` where T' is the first
-        touch after N. No data is scanned to resolve a snapshot.
-        """
+    def _resolve_version(self, timestamp_bound: str) -> int:
+        """Timestamp bound -> version id (last commit at or before the
+        bound), with the first-commit and vacuum-floor guards."""
         ts = _parse_bound(timestamp_bound)
         commits = self._commits()
         if not commits:
@@ -221,22 +219,38 @@ class KeyedTable:
                 f"timestamp bound {timestamp_bound!r} precedes the "
                 f"table's first commit at {commits[0]['time']}")
         version = visible[-1]["version"]
+        if version < commits[-1]["version"]:
+            floor = int(self._meta().get("min_retained_version", 1))
+            if version < floor:
+                raise ValueError(
+                    f"timestamp bound {timestamp_bound!r} resolves to "
+                    f"version {version}, which was vacuumed (retention "
+                    f"floor: version {floor})")
+        return version
+
+    def _snapshot(self, version: int,
+                  only_buckets: list[int] | None = None) -> DataFrame:
+        """The table state at ``version``, optionally restricted to a
+        bucket subset. Resolution is commit-log metadata only: bucket
+        ``k``'s content at version N was written by the last commit
+        T <= N that touched k; those files sit in the current directory
+        if no later commit touched k, else in ``_history/v-{T'-1}``
+        where T' is the first touch after N. No data is scanned to
+        resolve a snapshot."""
+        commits = self._commits()
         if version == commits[-1]["version"]:
-            return self.read()
-        meta = self._meta()
-        floor = int(meta.get("min_retained_version", 1))
-        if version < floor:
-            raise ValueError(
-                f"timestamp bound {timestamp_bound!r} resolves to "
-                f"version {version}, which was vacuumed (retention "
-                f"floor: version {floor})")
-        # per-bucket touch lists from the commit log
+            return (self.read() if only_buckets is None
+                    else self._read_buckets(only_buckets))
+        only = None if only_buckets is None else {int(b)
+                                                 for b in only_buckets}
         touches: dict[int, list[int]] = {}
         for c in commits:
             for b in c.get("buckets", []):
                 touches.setdefault(int(b), []).append(c["version"])
         leaf_dirs = []
         for b, ts_list in touches.items():
+            if only is not None and b not in only:
+                continue
             if not any(v <= version for v in ts_list):
                 continue  # bucket did not exist yet at this version
             later = [v for v in ts_list if v > version]
@@ -252,6 +266,74 @@ class KeyedTable:
         if not leaf_dirs:
             return self.spark.createDataFrame([], schema)
         return self.spark.read.schema(schema).parquet(*leaf_dirs)
+
+    def read_at(self, timestamp_bound: str) -> DataFrame:
+        """Snapshot read at an exact-staleness timestamp bound — the
+        reference's TimestampBound.ofReadTimestamp semantics
+        (SpannerQueryIO.java:129-136): the state produced by the last
+        commit at or before the bound, regardless of later mutations.
+        """
+        return self._snapshot(self._resolve_version(timestamp_bound))
+
+    def changes_between(self, bound_from: str, bound_to: str) -> DataFrame:
+        """Change-data-feed between two timestamp bounds: every row
+        inserted, deleted, or updated in ``(from, to]``, tagged with a
+        ``_change_type`` column in Delta CDF's convention (``insert`` /
+        ``delete`` / ``update_preimage`` / ``update_postimage``).
+        Semantics are NET row differences between the two snapshots: an
+        upsert that leaves a row value-identical is not a change.
+
+        Scale shape: the commit log names the buckets touched between
+        the two versions, so BOTH snapshots are read partition-pruned
+        to that subset — a CDC pull after a small mutation window reads
+        O(changed buckets), never O(table). The diff itself is one
+        full-outer key join between the two pruned slices (AQE handles
+        skew); the four change classes are selects over that single
+        join (Catalyst reuses the exchange across the union branches).
+        """
+        v0 = self._resolve_version(bound_from)
+        v1 = self._resolve_version(bound_to)
+        if v1 < v0:
+            raise ValueError(
+                f"bound_to resolves to version {v1}, before bound_from "
+                f"(version {v0})")
+        touched = sorted({int(b)
+                          for c in self._commits()
+                          if v0 < c["version"] <= v1
+                          for b in c.get("buckets", [])})
+        schema = self._schema()
+        data_cols = [f.name for f in schema.fields]
+        if not touched or v0 == v1:
+            return (self.spark.createDataFrame([], schema)
+                    .withColumn("_change_type", F.lit(None).cast("string")))
+        old = self._snapshot(v0, touched)
+        new = self._snapshot(v1, touched)
+        o = old.select(*[F.col(c).alias(f"_o_{c}") for c in data_cols])
+        n = new.select(*[F.col(c).alias(f"_n_{c}") for c in data_cols])
+        cond = None
+        for k in self.keys:
+            p = F.col(f"_o_{k}") == F.col(f"_n_{k}")
+            cond = p if cond is None else (cond & p)
+        j = o.join(n, cond, "full_outer")
+        ok = F.col(f"_o_{self.keys[0]}")
+        nk = F.col(f"_n_{self.keys[0]}")
+        non_keys = [c for c in data_cols if c not in self.keys]
+        differs = F.lit(False)
+        for c in non_keys:
+            differs = differs | ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+
+        def project(frame: DataFrame, prefix: str, tag: str) -> DataFrame:
+            return frame.select(
+                *[F.col(f"{prefix}{c}").alias(c) for c in data_cols],
+                F.lit(tag).alias("_change_type"))
+
+        inserts = project(j.filter(ok.isNull()), "_n_", "insert")
+        deletes = project(j.filter(nk.isNull()), "_o_", "delete")
+        upd = j.filter(ok.isNotNull() & nk.isNotNull() & differs)
+        pre = project(upd, "_o_", "update_preimage")
+        post = project(upd, "_n_", "update_postimage")
+        return inserts.unionByName(deletes).unionByName(pre) \
+            .unionByName(post)
 
     def register(self, name: str,
                  timestamp_bound: str | None = None) -> None:
@@ -278,6 +360,21 @@ class KeyedTable:
             "min_retained_version": 1,
         })
         self._append_commit([])
+
+    def _evolve_schema(self, batch: DataFrame) -> None:
+        """Extend the stored schema with storable batch columns it
+        lacks (schema_evolution=True). Metadata-only: no data files are
+        rewritten — existing files simply read NULL for the new columns
+        under the explicit read schema, exactly Delta's mergeSchema
+        economics."""
+        stored = self._schema()
+        have = {f.name for f in stored.fields}
+        new = [f for f in batch.schema.fields if f.name not in have]
+        if not new:
+            return
+        meta = self._meta()
+        meta["schema"] = T.StructType(list(stored.fields) + new).json()
+        self._write_meta(meta)
 
     # -- mutations -------------------------------------------------------
     def apply_mutations(self, batch: DataFrame, op: str) -> MutationResult:
@@ -347,6 +444,8 @@ class KeyedTable:
                 skipped)
             batch = batch.drop(*skipped)
         self.create(batch)
+        if self.schema_evolution:
+            self._evolve_schema(batch)
         n_buckets = int(self._meta()["n_buckets"])
         good, null_q = self._null_key_split(batch)
         keep, dup_q = self._dedupe_batch(good)

@@ -297,9 +297,83 @@ SELECT * FROM (
 """
 
 
+def q128_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed audit: ``changes_between`` two commit bounds as
+    an oracle row set.
+
+    A keyed table seeds the even-key customers, then one mutation
+    window applies an upsert (%3 keys, acctbal+500 — updates where the
+    key existed, inserts where it did not) and a delete (%7 keys that
+    were present). ``changes_between`` over that window must emit
+    exactly the net row diff in Delta CDF convention; the DuckDB
+    oracle derives every change class from the key residues, so the
+    hash gate verifies the diff itself — insert/delete/update split,
+    preimage vs postimage values, and silence for untouched keys.
+
+    Scale note: both snapshots read partition-pruned to the buckets
+    the window's commits touched (commit-log metadata); the diff is
+    one full-outer key join over those slices.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_name", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q128_cdc_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"])
+        tbl.apply_mutations(cust.filter(k % 2 == 0), "INSERT")
+        b0 = tbl._commits()[-1]["time"]
+        tbl.apply_mutations(
+            cust.filter(k % 3 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0)),
+            "INSERT_OR_UPDATE")
+        tbl.apply_mutations(
+            cust.filter((k % 7 == 0) & (k % 2 == 0) & ~(k % 3 == 0))
+            .select("c_custkey"), "DELETE")
+        b1 = tbl._commits()[-1]["time"]
+        out = (tbl.changes_between(b0, b1)
+               .select("c_custkey", "c_name",
+                       F.col("c_acctbal").cast("double").alias("c_acctbal"),
+                       "_change_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("c_custkey", "_change_type")
+
+
+# window (b0, b1]: upsert %3 keys at +500 (update where %2, insert
+# where odd %3), then delete keys %7 that were present as of the seed
+# and NOT re-upserted (%2 and not %3 — the upserted %21 keys would
+# have been deleted AFTER their update, so they are excluded from the
+# delete batch to keep each key in exactly one change class).
+_Q128_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_name, c_acctbal,
+         c_custkey % 2 = 0 AS s2, c_custkey % 3 = 0 AS s3,
+         c_custkey % 7 = 0 AS s7
+  FROM customer)
+SELECT * FROM (
+  SELECT k AS c_custkey, c_name, CAST(c_acctbal + 500.0 AS DOUBLE)
+           AS c_acctbal, 'insert' AS _change_type
+  FROM f WHERE s3 AND NOT s2
+  UNION ALL
+  SELECT k, c_name, CAST(c_acctbal AS DOUBLE), 'delete'
+  FROM f WHERE s2 AND s7 AND NOT s3
+  UNION ALL
+  SELECT k, c_name, CAST(c_acctbal AS DOUBLE), 'update_preimage'
+  FROM f WHERE s2 AND s3
+  UNION ALL
+  SELECT k, c_name, CAST(c_acctbal + 500.0 AS DOUBLE), 'update_postimage'
+  FROM f WHERE s2 AND s3
+) ORDER BY c_custkey, _change_type
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q99_snapshot_audit": q99_snapshot_audit,
-           "q122_vacuum_audit": q122_vacuum_audit}
+           "q122_vacuum_audit": q122_vacuum_audit,
+           "q128_change_data_feed": q128_change_data_feed}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
-           "q122_vacuum_audit": _Q122_ORACLE}
+           "q122_vacuum_audit": _Q122_ORACLE,
+           "q128_change_data_feed": _Q128_ORACLE}

@@ -281,3 +281,72 @@ def test_keyed_table_file_uri_scheme(spark, tmp_path):
     r = t.apply_mutations(spark.createDataFrame([Row(id=2)]), "DELETE")
     assert r.applied == 1
     assert t.vacuum(keep_last=1) >= 1
+
+
+def test_mutation_read_is_partition_pruned(spark, tmp_path):
+    """Scale contract in the PLAN, not just the files: the bucket-slice
+    read a mutation joins against must carry a partition filter on the
+    bucket column, so the scan never lists or reads untouched buckets."""
+    from pyspark.sql import functions as F
+    t = KeyedTable(spark, str(tmp_path / "pp"), ["id"], n_buckets=16)
+    t.apply_mutations(
+        spark.range(0, 500).select("id", F.lit("x").alias("v")), "INSERT")
+    plan = t._read_buckets([3, 7])._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "PartitionFilters" in plan and "kb" in plan
+    # the pruned slice only contains rows from the requested buckets
+    got = t._read_buckets([3, 7])
+    bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(16)).cast("int")
+    assert got.withColumn("b", bucket) \
+        .filter(~F.col("b").isin([3, 7])).count() == 0
+
+
+def test_changes_between_cdc(spark, tmp_path):
+    """Change-data-feed: insert/delete/update pre+post rows between two
+    bounds, Delta CDF tagging; untouched-key rows never appear."""
+    from datetime import datetime, timezone
+    t = KeyedTable(spark, str(tmp_path / "cdc"), ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=1, v="a"), Row(id=2, v="b"), Row(id=3, v="c")]), "INSERT")
+    b0 = datetime.now(timezone.utc).isoformat()
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=2, v="B"), Row(id=4, v="d")]), "INSERT_OR_UPDATE")
+    t.apply_mutations(spark.createDataFrame([Row(id=3)]), "DELETE")
+    b1 = datetime.now(timezone.utc).isoformat()
+
+    rows = {(r.id, r.v, r._change_type)
+            for r in t.changes_between(b0, b1).collect()}
+    assert rows == {
+        (4, "d", "insert"),
+        (3, "c", "delete"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+    }
+    # id=1 untouched: absent. Same-bound diff: empty.
+    assert t.changes_between(b1, b1).count() == 0
+    with pytest.raises(ValueError, match="before bound_from"):
+        t.changes_between(b1, b0)
+
+
+def test_schema_evolution_opt_in(spark, tmp_path):
+    """schema_evolution=True: new storable batch columns extend the
+    table metadata-only (old rows read NULL, no file rewrite); the
+    default still drops them at the boundary."""
+    t = KeyedTable(spark, str(tmp_path / "evo"), ["id"],
+                   n_buckets=4, schema_evolution=True)
+    t.apply_mutations(spark.createDataFrame([Row(id=1, a="x")]), "INSERT")
+    files_before = _data_files(str(tmp_path / "evo"))
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=2, a="y", b=7)]), "INSERT")
+    got = {r.id: (r.a, r.b) for r in t.read().collect()}
+    assert got == {1: ("x", None), 2: ("y", 7)}
+    # bucket 1's files untouched unless id=2 hashed there
+    files_after = _data_files(str(tmp_path / "evo"))
+    assert all(files_after.get(p) == b for p, b in files_before.items()
+               if p in files_after)
+
+    t2 = KeyedTable(spark, str(tmp_path / "noevo"), ["id"], n_buckets=4)
+    t2.apply_mutations(spark.createDataFrame([Row(id=1, a="x")]), "INSERT")
+    t2.apply_mutations(
+        spark.createDataFrame([Row(id=2, a="y", b=7)]), "INSERT")
+    assert set(t2.read().columns) == {"id", "a"}
