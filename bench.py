@@ -34,8 +34,9 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Comparability contract: the set HAS changed across rounds (r6 added
 #: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
-#: the new q102–q111; r9 added q121 so every streaming sketch query is
-#: timed), so headline_total is only comparable between runs whose
+#: the new q102–q111; r9 added q121/q124–q126, moved the streaming
+#: family early, and left q127 untimed by design — see the inline
+#: notes), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -46,6 +47,13 @@ HEADLINE = (
     "q103_ann_recall",
     "q66_embedding_neardup_lsh",
     "q67_kmeans",
+    # streaming family second: state-store queries showed the same
+    # late-session code-cache sensitivity as the ANN chains (q96
+    # measured 6s early/55s late pre-fix) — time them while the JIT
+    # is still fully warm, not after 40 codegen-heavy queries
+    "q90_stream_tumbling",
+    "q96_stream_stream_join",
+    "q121_stream_approx_distinct",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
     "q56_dup_groups",
@@ -74,6 +82,9 @@ HEADLINE = (
     "q115_top_supplier",
     "q116_parts_supplier_relation",
     "q117_disjunctive_revenue",
+    "q124_big_order_customers",
+    "q125_nation_trade_volume",
+    "q126_part_value_share",
     "q89_sketch_rollup",
     "q118_cms_heavy_hitters",
     "q119_bpe_lang_compression",
@@ -91,9 +102,10 @@ HEADLINE = (
     "q34_events_tumbling",
     "q35_asof_join",
     "q36_range_join",
-    "q90_stream_tumbling",
-    "q96_stream_stream_join",
-    "q121_stream_approx_distinct",
+    # q127 (left-outer variant of q96) is deliberately NOT timed: its
+    # sentinel-watermark determinism device doubles the drain with
+    # no-data flush batches, so its wall-clock measures the test
+    # harness, not the join; q96 times the family's state machinery.
 )
 
 

@@ -58,11 +58,15 @@ def build_session(app_name: str = "dataflowtemplates_spark",
         # HotSpot disables the JIT and hot codegen methods (notably the
         # unrolled vector-math chains in queries/similarity.py) drop to
         # the interpreter — measured 3s -> 130s+ on identical plans.
-        # 512 MB + flushing keeps the JIT alive for the whole session.
-        # (Driver-only conf works because local mode runs executors in
-        # the driver JVM; on a cluster set the executor equivalent.)
+        # A generous reserve + flushing keeps the JIT alive for the
+        # whole session; 512m sufficed for ~100 queries, but late
+        # bench entries (the q96 stream-stream join after 50+ queries)
+        # still degraded ~9x once the registry grew past that, so the
+        # reserve scales with the surface. (Driver-only conf works
+        # because local mode runs executors in the driver JVM; on a
+        # cluster set the executor equivalent.)
         b = b.config("spark.driver.extraJavaOptions",
-                     "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing")
+                     "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing")
     for k, v in (extra_confs or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

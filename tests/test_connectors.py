@@ -74,3 +74,45 @@ def test_spec_validation(spark):
         resolve(spark, SourceSpec(kind="parquet"))
     with pytest.raises(ValueError, match="unknown source kind"):
         resolve(spark, SourceSpec(kind="pubsub"))
+
+
+def _spark_avro_jar_present() -> bool:
+    import glob
+    import os
+
+    import pyspark
+    roots = [os.path.join(os.path.dirname(pyspark.__file__), "jars")]
+    if os.environ.get("SPARK_HOME"):
+        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
+    return (any(glob.glob(os.path.join(r, "spark-avro*.jar"))
+                for r in roots)
+            or "spark-avro" in extra)
+
+
+@pytest.mark.skipif(not _spark_avro_jar_present(),
+                    reason="spark-avro datasource jar not on classpath")
+def test_native_avro_datasource_roundtrip(spark, tmp_path):
+    """Jar-present integration for S5: the pure-Python container writer's
+    output must be readable by the NATIVE spark-avro datasource (format
+    parity), and the dynamic columnar writer must select the native
+    datasource instead of the avro-py fallback when the jar is there.
+    Skips in jar-less environments — the fallback path is covered by
+    test_avro.py either way."""
+    from pyspark.sql import Row
+
+    from dataflowtemplates_spark.operators.avro_io import write_avro
+    from dataflowtemplates_spark.sources.writers import write_columnar_dynamic
+
+    df = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    out = str(tmp_path / "pyavro")
+    write_avro(df, out, codec="snappy")
+    back = spark.read.format("avro").load(out)
+    assert {(r.id, r.v) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+    out2 = str(tmp_path / "native")
+    result = write_columnar_dynamic(df, out2, fmt="avro")
+    assert result.format == "avro" and result.row_count == 2
+    assert {(r.id, r.v)
+            for r in spark.read.format("avro").load(out2).collect()} \
+        == {(1, "a"), (2, "b")}

@@ -317,6 +317,27 @@ def test_jpeg_420_subsampled_quadrants():
     assert np.all(img[8:, 8:] == 158)     # Y block (1,1), dc 120
 
 
+def test_jpeg_restart_markers_reset_dc_prediction():
+    """DRI=1: an RST marker lands between the two MCUs; the entropy
+    stream re-byte-aligns and the DC predictor resets, so the second
+    block's DC is ABSOLUTE, not a diff."""
+    hb = _huff_bits()
+    w1 = _BitWriter()
+    _encode_dc_only_block(w1, hb, 40)   # block 1: DC 40 -> pixel 138
+    w2 = _BitWriter()
+    _encode_dc_only_block(w2, hb, 16)   # block 2: DC 16 absolute -> 132
+    sof = _seg(0xC0, struct.pack(">BHHB", 8, 8, 16, 1) + bytes([1, 0x11, 0]))
+    sos = _seg(0xDA, bytes([1, 1, 0x00]) + bytes([0, 63, 0]))
+    dri = _seg(0xDD, struct.pack(">H", 1))
+    data = (b"\xff\xd8" + _dqt(0, 2) + _dht(0, 0) + _dht(1, 0) + dri
+            + sof + sos + w1.tobytes() + b"\xff\xd0" + w2.tobytes()
+            + b"\xff\xd9")
+    img = decode_jpeg(data)
+    assert img.shape == (8, 16, 3)
+    assert np.all(img[:, :8] == 138)
+    assert np.all(img[:, 8:] == 132)
+
+
 def test_jpeg_progressive_rejected():
     data = (b"\xff\xd8"
             + _seg(0xC2, struct.pack(">BHHB", 8, 8, 8, 1)
@@ -401,3 +422,23 @@ def test_decode_image_real_seam():
     # stub path: unchanged contract (tiling, deterministic)
     stub = decode_image(b"\x01\x02", 4, 4)
     assert stub.shape == (4, 4, 3) and stub[0, 0, 0] == 1
+
+
+def test_png_roundtrip_property():
+    """Property: encode_png(decode) is the identity for arbitrary RGB
+    arrays (the product encoder against the product decoder)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflowtemplates_spark.operators.imagecodec import (
+        encode_png as product_encode,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**32 - 1))
+    def roundtrip(h, w, seed):
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_png(product_encode(px)), px)
+
+    roundtrip()
