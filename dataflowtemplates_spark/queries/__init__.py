@@ -66,6 +66,11 @@ REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
     "q122_vacuum_audit",        # new: history-retention (vacuum) contract
     "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
+    "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING
+    "q125_nation_trade_volume", # new: Q7-shaped bilateral two-role dim join
+    "q126_part_value_share",    # new: Q11-shaped group-vs-global threshold
+    "q127_stream_outer_attribution",  # new: left-outer interval join flush
+    "q128_change_data_feed",    # new: CDC diff over the versioned table
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides
