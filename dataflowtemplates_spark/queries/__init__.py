@@ -71,6 +71,8 @@ REGISTRY_ORDER = (
     "q126_part_value_share",    # new: Q11-shaped group-vs-global threshold
     "q127_stream_outer_attribution",  # new: left-outer interval join flush
     "q128_change_data_feed",    # new: CDC diff over the versioned table
+    "q129_funnel_conversion",   # new: ordered-funnel state machine
+    "q130_time_range_window",   # new: event-time RANGE window frame
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

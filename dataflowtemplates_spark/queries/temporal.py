@@ -221,14 +221,118 @@ ORDER BY user_id, seq
 """
 
 
+def q129_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis: how far each user progresses through
+    view -> click -> purchase IN TIMESTAMP ORDER — the event-sequence
+    pattern query (a "did A happen, then B, then C" state machine, not
+    a mere co-occurrence count).
+
+    Scalable one-pass form: per user, the event types sorted by
+    (ts, event_id) fold through a 4-state machine with
+    ``F.aggregate`` — one shuffle on user_id, no self-joins (the
+    textbook 3-way-EXISTS formulation is an O(n^3)-per-user join
+    explosion). The same fold runs in DuckDB via LIST(... ORDER BY) +
+    list_reduce, so stage_reached is bit-deterministic: the state is a
+    pure integer function of the ordered type sequence.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    ordered = (ev.select("user_id",
+                         F.struct(F.col("ts"), F.col("event_id"),
+                                  F.col("event_type")).alias("e")))
+    per_user = (ordered.groupBy("user_id")
+                .agg(F.sort_array(F.collect_list("e")).alias("seq"),
+                     F.count(F.lit(1)).alias("n_events")))
+    codes = F.transform(
+        F.col("seq"),
+        lambda s: F.when(s["event_type"] == "view", F.lit(1))
+                   .when(s["event_type"] == "click", F.lit(2))
+                   .when(s["event_type"] == "purchase", F.lit(3))
+                   .otherwise(F.lit(0)))
+    stage = F.aggregate(
+        codes, F.lit(0),
+        lambda acc, x: F.when((acc == 0) & (x == 1), F.lit(1))
+                        .when((acc == 1) & (x == 2), F.lit(2))
+                        .when((acc == 2) & (x == 3), F.lit(3))
+                        .otherwise(acc))
+    return (per_user.select("user_id", "n_events",
+                            stage.alias("stage_reached"),
+                            (stage == 3).alias("converted"))
+            .orderBy("user_id"))
+
+
+_Q129_ORACLE = """
+SELECT user_id, n_events, stage_reached, stage_reached = 3 AS converted
+FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         list_reduce(
+           list_prepend(0, list_transform(
+             LIST(event_type ORDER BY ts, event_id),
+             t -> CASE t WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                         WHEN 'purchase' THEN 3 ELSE 0 END)),
+           (acc, x) -> CASE WHEN acc = 0 AND x = 1 THEN 1
+                            WHEN acc = 1 AND x = 2 THEN 2
+                            WHEN acc = 2 AND x = 3 THEN 3
+                            ELSE acc END) AS stage_reached
+  FROM events GROUP BY user_id)
+ORDER BY user_id
+"""
+
+
+def q130_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window as a RANGE frame: for every event, the
+    count and exact value-sum of the SAME user's events in the
+    preceding hour (inclusive) — the time-based window frame (q14/q15
+    cover ROWS frames; RANGE over event time is a different physical
+    frame: peers enter by VALUE distance, not row position, so
+    irregular event spacing changes the frame size per row).
+
+    Spark orders the frame on integer microseconds
+    (``rangeBetween(-3600s in µs, 0)``), DuckDB on the timestamp with
+    ``RANGE INTERVAL 1 HOUR PRECEDING`` — identical inclusive frames
+    on µs-precision data. The rolling sum goes through exact DECIMAL,
+    so irregular accumulation order cannot produce float drift.
+    One shuffle on user_id; the frame scan is partition-local.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    # ts arrives TIMESTAMP_NTZ; the cast to TIMESTAMP shifts by the
+    # session zone, which cancels in the RANGE frame (membership
+    # depends only on µs DIFFERENCES — constant offsets drop out)
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3_600_000_000, 0))
+    return (ev.select(
+        "user_id", "event_id", "ts",
+        F.count(F.lit(1)).over(w).alias("events_1h"),
+        F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+         .cast("double").alias("value_1h"))
+        .orderBy("user_id", "ts", "event_id"))
+
+
+_Q130_ORACLE = """
+SELECT user_id, event_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS events_1h,
+       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY user_id, ts, event_id
+"""
+
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
     "q97_scd2_intervals": q97_scd2_intervals,
+    "q129_funnel_conversion": q129_funnel_conversion,
+    "q130_time_range_window": q130_time_range_window,
 }
 
 ORACLES = {
     "q35_asof_join": _Q35_ORACLE,
     "q36_range_join": _Q36_ORACLE,
     "q97_scd2_intervals": _Q97_ORACLE,
+    "q129_funnel_conversion": _Q129_ORACLE,
+    "q130_time_range_window": _Q130_ORACLE,
 }
