@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from dataflowtemplates_spark.queries import (
     corpus_pipeline,
     dedup,
+    entity_queries,
     generator_queries,
     multimodal_queries,
     mutation_queries,
@@ -57,7 +58,7 @@ from dataflowtemplates_spark.queries import (
 
 _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
             mutation_queries, streaming_queries, sampling, text, temporal,
-            relational, corpus_pipeline)
+            relational, corpus_pipeline, entity_queries)
 
 #: The committed registry order. Edited by hand each development cycle
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
@@ -73,6 +74,7 @@ REGISTRY_ORDER = (
     "q128_change_data_feed",    # new: CDC diff over the versioned table
     "q129_funnel_conversion",   # new: ordered-funnel state machine
     "q130_time_range_window",   # new: event-time RANGE window frame
+    "q131_entity_index_audit",  # new: K7 entity lowering oracle row
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides
