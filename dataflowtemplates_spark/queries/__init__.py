@@ -75,6 +75,8 @@ REGISTRY_ORDER = (
     "q129_funnel_conversion",   # new: ordered-funnel state machine
     "q130_time_range_window",   # new: event-time RANGE window frame
     "q131_entity_index_audit",  # new: K7 entity lowering oracle row
+    "q132_market_share",        # new: Q8-shaped share-of-aggregate
+    "q133_nation_profit",       # new: Q9-shaped star-join profit measure
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

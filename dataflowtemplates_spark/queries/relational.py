@@ -2157,6 +2157,149 @@ ORDER BY part_value DESC, l_partkey ASC
 """
 
 
+def q132_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within ASIA customers'
+    ECONOMY-part order volume, the revenue fraction supplied by
+    NATION_3, per year — the share-of-aggregate pattern where the
+    numerator is a conditional sum INSIDE the same group (never a
+    second scan or self-join).
+
+    Scale shape: five dimension attachments, all broadcast (region and
+    nation are schema-bounded; supplier/customer bridges pre-projected
+    to key+nation); the fact shuffles once for the final year group.
+    The share is exact-decimal numerator/denominator with one double
+    division at the end — bit-deterministic in both engines.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    sup = spark.table("supplier")
+    part = spark.table("part")
+    nation = spark.table("nation").select("n_nationkey", "n_name",
+                                          "n_regionkey")
+    region = spark.table("region").filter(F.col("r_name") == "ASIA")
+    cust_in_region = (cust
+                      .join(F.broadcast(nation),
+                            F.col("c_nationkey") == F.col("n_nationkey"))
+                      .join(F.broadcast(region),
+                            F.col("n_regionkey") == F.col("r_regionkey"))
+                      .select("c_custkey"))
+    supp_nation = (sup.join(F.broadcast(
+        nation.select(F.col("n_nationkey").alias("sn_key"),
+                      F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation"))
+    vol = _dec("l_extendedprice") * (_one() - _rate("l_discount"))
+    return (li
+            .join(F.broadcast(part.filter(F.col("p_type") == "ECONOMY")
+                              .select("p_partkey")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(F.broadcast(cust_in_region),
+                  F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .join(F.broadcast(supp_nation),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy(F.year("o_orderdate").alias("o_year"))
+            .agg(
+                (F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                       .otherwise(F.lit(0).cast("decimal(12,2)")))
+                 .cast("double")
+                 / F.sum(vol).cast("double")).alias("mkt_share"),
+                F.sum(vol).cast("double").alias("total_volume"),
+                F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("o_year"))
+
+
+_Q132_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol
+                     ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+       CAST(SUM(vol) AS DOUBLE) AS total_volume,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         ns.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           AS vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  JOIN region   ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey)
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q133_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shaped profit by supplier nation and year: revenue
+    minus a part-derived cost proxy (1% of retail price per unit — the
+    corpus has no partsupp table), for STANDARD-type parts — the
+    five-way star join with a two-term measure, grouped on a derived
+    (dimension, year) pair.
+
+    Scale shape: part and the supplier→nation bridge broadcast; orders
+    attaches on the fact's order key; the single shuffle is the final
+    (nation, year) aggregate. The measure is computed entirely in
+    DECIMAL (retailprice is exact 2-decimal, quantity integral) so the
+    profit sums are bit-identical across engines.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    sup = spark.table("supplier")
+    part = spark.table("part")
+    nation = spark.table("nation").select("n_nationkey", "n_name")
+    supp_nation = (sup.join(F.broadcast(nation),
+                            F.col("s_nationkey") == F.col("n_nationkey"))
+                   .select("s_suppkey", F.col("n_name").alias("nation")))
+    amount = (_dec("l_extendedprice") * (_one() - _rate("l_discount"))
+              - F.col("p_retailprice").cast("decimal(12,2)")
+              * F.lit(0.01).cast("decimal(4,2)")
+              * _dec("l_quantity"))
+    return (li
+            .join(F.broadcast(part.filter(F.col("p_type") == "STANDARD")
+                              .select("p_partkey", "p_retailprice")),
+                  F.col("l_partkey") == F.col("p_partkey"))
+            .join(F.broadcast(supp_nation),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(orders.select("o_orderkey", "o_orderdate"),
+                  F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+            .agg(F.sum(amount).cast("double").alias("sum_profit"),
+                 F.count(F.lit(1)).alias("n_lines"))
+            .orderBy("nation", F.desc("o_year")))
+
+
+_Q133_ORACLE = """
+SELECT nation, o_year,
+       CAST(SUM(amount) AS DOUBLE) AS sum_profit,
+       COUNT(*) AS n_lines
+FROM (
+  SELECT ns.n_name AS nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+           - CAST(p_retailprice AS DECIMAL(12,2))
+             * CAST(0.01 AS DECIMAL(4,2))
+             * CAST(l_quantity AS DECIMAL(12,2)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey AND p_type = 'STANDARD'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey)
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_unshipped": q03_top_unshipped,
@@ -2206,6 +2349,8 @@ QUERIES = {
 "q124_big_order_customers": q124_big_order_customers,
     "q125_nation_trade_volume": q125_nation_trade_volume,
     "q126_part_value_share": q126_part_value_share,
+"q132_market_share": q132_market_share,
+    "q133_nation_profit": q133_nation_profit,
 }
 
 ORACLES = {
@@ -2257,4 +2402,6 @@ ORACLES = {
 "q124_big_order_customers": _Q124_ORACLE,
     "q125_nation_trade_volume": _Q125_ORACLE,
     "q126_part_value_share": _Q126_ORACLE,
+"q132_market_share": _Q132_ORACLE,
+    "q133_nation_profit": _Q133_ORACLE,
 }
