@@ -350,3 +350,44 @@ def test_schema_evolution_opt_in(spark, tmp_path):
     t2.apply_mutations(
         spark.createDataFrame([Row(id=2, a="y", b=7)]), "INSERT")
     assert set(t2.read().columns) == {"id", "a"}
+
+
+def test_changes_between_reconciles_snapshots(spark, tmp_path):
+    """CDC soundness property: for ANY mutation sequence and any bound
+    pair, applying the change feed to the older snapshot reproduces
+    the newer snapshot exactly (deletes+update_preimages removed,
+    inserts+update_postimages added)."""
+    import random
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+    rng = random.Random(20240814)
+    t = KeyedTable(spark, str(tmp_path / "recon"), ["id"], n_buckets=4)
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, v=rng.randrange(100))
+                               for i in range(30)]), "INSERT")
+    bounds = [datetime.now(timezone.utc).isoformat()]
+    for _ in range(4):
+        op = rng.choice(["INSERT_OR_UPDATE", "REPLACE", "DELETE"])
+        keys = rng.sample(range(50), rng.randrange(1, 12))
+        if op == "DELETE":
+            batch = spark.createDataFrame([Row(id=k) for k in keys])
+        else:
+            batch = spark.createDataFrame(
+                [Row(id=k, v=rng.randrange(100)) for k in keys])
+        t.apply_mutations(batch, op)
+        bounds.append(datetime.now(timezone.utc).isoformat())
+
+    def state(bound):
+        return {(r.id, r.v) for r in t.read_at(bound).collect()}
+
+    for i in range(len(bounds)):
+        for j in range(i, len(bounds)):
+            changes = t.changes_between(bounds[i], bounds[j]).collect()
+            removed = {(r.id, r.v) for r in changes
+                       if r._change_type in ("delete", "update_preimage")}
+            added = {(r.id, r.v) for r in changes
+                     if r._change_type in ("insert", "update_postimage")}
+            old, new = state(bounds[i]), state(bounds[j])
+            assert (old - removed) | added == new, (i, j)
+            assert removed <= old and not (added & old - removed), (i, j)
