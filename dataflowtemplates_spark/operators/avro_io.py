@@ -586,6 +586,98 @@ def write_avro(df: DataFrame, path: str, split_field: str | None = None,
 _decode = _decoder_factory()
 
 
+def _resolver_factory():
+    """Build the Avro schema-resolution adapter (spec §Schema
+    Resolution, the subset real pipelines hit): reader/writer fields
+    matched by name or reader-declared aliases; writer-only fields
+    dropped; reader-only fields filled from their ``default`` (error
+    if none); numeric promotions int->long/float/double,
+    long->float/double, float->double and string<->bytes; null-unions
+    unnested on both sides; records/arrays/maps resolved recursively.
+
+    Returned as a self-contained closure (same executor-pickling
+    stance as the encoder/decoder factories): ``build(writer, reader)``
+    -> row-adapting callable, constructed per file so directories whose
+    files carry DIFFERENT writer schemas (real schema evolution) read
+    under one reader schema.
+    """
+    def unnest(s):
+        if isinstance(s, list):
+            branches = [b for b in s if b != "null"]
+            if len(branches) != 1:
+                raise ValueError(f"non-null-union not supported: {s}")
+            return branches[0], True
+        return s, False
+
+    def type_name(s):
+        return s.get("type") if isinstance(s, dict) else s
+
+    _PROMOTE = {("int", "long"), ("int", "float"), ("int", "double"),
+                ("long", "float"), ("long", "double"),
+                ("float", "double"), ("string", "bytes"),
+                ("bytes", "string")}
+
+    def value_adapter(w, r):
+        w, _ = unnest(w)
+        r, _ = unnest(r)
+        wt, rt = type_name(w), type_name(r)
+        if wt == "record" and rt == "record":
+            inner = build(w, r)
+            return lambda v: None if v is None else inner(v)
+        if wt == "array" and rt == "array":
+            el = value_adapter(w["items"], r["items"])
+            return lambda v: None if v is None else [el(x) for x in v]
+        if wt == "map" and rt == "map":
+            el = value_adapter(w["values"], r["values"])
+            return (lambda v: None if v is None
+                    else {k: el(x) for k, x in v.items()})
+        if wt == rt:
+            return lambda v: v
+        if (wt, rt) in _PROMOTE:
+            if rt in ("float", "double"):
+                return lambda v: None if v is None else float(v)
+            if rt == "long":
+                return lambda v: None if v is None else int(v)
+            if rt == "bytes":
+                return (lambda v: None if v is None
+                        else v.encode() if isinstance(v, str) else v)
+            return (lambda v: None if v is None
+                    else v.decode() if isinstance(v, (bytes, bytearray))
+                    else v)
+        raise ValueError(
+            f"cannot resolve writer type {wt!r} to reader type {rt!r}")
+
+    _MISSING = object()
+
+    def build(writer: dict, reader: dict):
+        wfields = {f["name"]: f for f in writer.get("fields", [])}
+        plan = []
+        for rf in reader.get("fields", []):
+            names = [rf["name"], *rf.get("aliases", [])]
+            wf = next((wfields[n] for n in names if n in wfields), None)
+            if wf is not None:
+                plan.append((rf["name"], wf["name"],
+                             value_adapter(wf["type"], rf["type"]),
+                             _MISSING))
+            elif "default" in rf:
+                plan.append((rf["name"], None, None, rf["default"]))
+            else:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer "
+                    "schema and declares no default")
+
+        def adapt(row: dict) -> dict:
+            return {rname: (default if wname is None
+                            else conv(row.get(wname)))
+                    for rname, wname, conv, default in plan}
+        return adapt
+
+    return build
+
+
+_build_resolver = _resolver_factory()
+
+
 def read_avro_rows(path: str):
     """Driver-side decode of one .avro file -> (schema_dict, rows)."""
     fs, base = _resolve_fs(path)
@@ -593,30 +685,52 @@ def read_avro_rows(path: str):
         return _decode(fh.read())
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(spark: SparkSession, path: str,
+              reader_schema: dict | None = None) -> DataFrame:
     """Distributed read: one decode task per container file (S5).
 
     Listing and the per-file open both resolve through ``pyarrow.fs``,
-    so any scheme the writer can target reads back the same way."""
+    so any scheme the writer can target reads back the same way.
+
+    With ``reader_schema`` (an Avro record schema dict) each file is
+    decoded under ITS OWN embedded writer schema and then resolved to
+    the reader schema per the Avro spec (name/alias matching, defaults
+    for reader-only fields, numeric/string promotions, writer-only
+    fields dropped) — so a directory whose files were written across a
+    schema migration reads back as ONE uniform frame. Without it, the
+    first file's schema is the frame schema (homogeneous directories,
+    the reference's behavior — AvroToSpanner reads the embedded schema
+    only)."""
     try:
         files = _list_files(path, suffix=".avro")
     except FileNotFoundError:
         files = []
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
-    schema, _ = read_avro_rows(files[0])
-    spark_schema = spark_schema_from_avro(schema)
+    if reader_schema is None:
+        target_avro, _ = read_avro_rows(files[0])
+    else:
+        target_avro = reader_schema
+    spark_schema = spark_schema_from_avro(target_avro)
     names = [f.name for f in spark_schema.fields]
     decode = _decode
+    build_resolver = _build_resolver if reader_schema is not None else None
+    reader_json = json.dumps(target_avro) if reader_schema is not None \
+        else None
 
     def load(p):
+        import json as _json
+
         import pyarrow.fs as _pafs
         if "://" in p:
             fs, lp = _pafs.FileSystem.from_uri(p)
         else:
             fs, lp = _pafs.LocalFileSystem(), p
         with fs.open_input_stream(lp) as fh:
-            _schema, rows = decode(fh.read())
+            wschema, rows = decode(fh.read())
+        if build_resolver is not None:
+            adapt = build_resolver(wschema, _json.loads(reader_json))
+            rows = [adapt(r) for r in rows]
         return [tuple(r[n] for n in names) for r in rows]
 
     rdd = spark.sparkContext.parallelize(files, len(files)).flatMap(load)

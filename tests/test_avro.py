@@ -218,3 +218,38 @@ def test_write_avro_file_uri_scheme(spark, tmp_path):
     assert {f["name"] for f in schema["fields"]} == {"id", "v"}
     back = read_avro(spark, out)
     assert {(x.id, x.v) for x in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_reader_schema_resolution_across_files(spark, tmp_path):
+    """Avro spec schema resolution: files written under DIFFERENT
+    writer schemas read back as one frame under a reader schema —
+    defaults for reader-only fields, int->long promotion, writer-only
+    fields dropped, alias matching."""
+    v1 = spark.createDataFrame([(1, "a")], "id int, name string")
+    v2 = spark.createDataFrame(
+        [(2, "b", 9.5, "x")], "id int, name string, score double, junk string")
+    write_avro(v1, str(tmp_path / "evo" / "batch1"))
+    write_avro(v2, str(tmp_path / "evo" / "batch2"))
+    reader = {
+        "type": "record", "name": "doc",
+        "fields": [
+            {"name": "id", "type": "long"},                      # promoted
+            {"name": "label", "type": ["null", "string"],        # alias
+             "aliases": ["name"], "default": None},
+            {"name": "score", "type": ["null", "double"],        # default
+             "default": None},
+        ]}
+    got = {(r.id, r.label, r.score)
+           for r in read_avro(spark, str(tmp_path / "evo"),
+                              reader_schema=reader).collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    df = read_avro(spark, str(tmp_path / "evo"), reader_schema=reader)
+    assert [f.dataType.simpleString() for f in df.schema.fields] == \
+        ["bigint", "string", "double"]
+    # "junk" was dropped; a reader field with no default and no writer
+    # match refuses instead of fabricating NULLs
+    import pytest as _pytest
+    bad = {"type": "record", "name": "doc",
+           "fields": [{"name": "missing", "type": "string"}]}
+    with _pytest.raises(Exception, match="declares no default"):
+        read_avro(spark, str(tmp_path / "evo"), reader_schema=bad).collect()
