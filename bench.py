@@ -87,6 +87,8 @@ HEADLINE = (
     "q126_part_value_share",
     "q132_market_share",
     "q133_nation_profit",
+    "q134_returned_revenue",
+    "q135_order_count_distribution",
     "q89_sketch_rollup",
     "q118_cms_heavy_hitters",
     "q119_bpe_lang_compression",

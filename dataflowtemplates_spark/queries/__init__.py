@@ -77,6 +77,8 @@ REGISTRY_ORDER = (
     "q131_entity_index_audit",  # new: K7 entity lowering oracle row
     "q132_market_share",        # new: Q8-shaped share-of-aggregate
     "q133_nation_profit",       # new: Q9-shaped star-join profit measure
+    "q134_returned_revenue",    # new: Q10-shaped pre-agg-then-dim-join
+    "q135_order_count_distribution",  # new: Q13-shaped zero-including dist
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

@@ -2300,6 +2300,106 @@ ORDER BY nation, o_year DESC
 """
 
 
+def q134_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped returned-item reporting: the 20 customers who
+    lost the most revenue to returns (``l_returnflag = 'R'``) for
+    orders placed in one quarter, with their nation and balance.
+
+    Scale shape: the fact side (lineitem ⋈ orders) is reduced to one
+    row per customer key FIRST — a single shuffle on ``o_custkey`` with
+    map-side partial aggregation — and only then joined to the customer
+    dimension, so the wide customer attributes never ride through the
+    fact shuffle. Nation broadcasts. The top-20 is a global
+    TakeOrdered, not a sort of the full aggregate.
+
+    Reference: ``SpannerQueryIO`` executes arbitrary such SQL
+    (``SpannerQueryIO.java:41``); shape from TPC-H Q10.
+    """
+    register_tables(spark, sf_dir)
+    li = spark.table("lineitem")
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    nation = spark.table("nation").select("n_nationkey", "n_name")
+    rev = (li.filter(F.col("l_returnflag") == "R")
+           .join(orders.filter(
+                     (F.col("o_orderdate") >= "1996-01-01")
+                     & (F.col("o_orderdate") < "1996-04-01"))
+                 .select("o_orderkey", "o_custkey"),
+                 F.col("l_orderkey") == F.col("o_orderkey"))
+           .groupBy("o_custkey")
+           .agg(F.sum(_dec("l_extendedprice") * (_one() - _rate("l_discount")))
+                .cast("double").alias("revenue")))
+    return (rev.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(nation),
+                  F.col("c_nationkey") == F.col("n_nationkey"))
+            .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+            .orderBy(F.desc("revenue"), "c_custkey")
+            .limit(20))
+
+
+_Q134_ORACLE = """
+SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+FROM (
+  SELECT o_custkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+              AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_returnflag = 'R'
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate <  TIMESTAMP '1996-04-01'
+  GROUP BY o_custkey)
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def q135_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shaped customer order-count distribution: how many
+    customers placed exactly N qualifying orders (non-URGENT here —
+    the corpus has no o_comment), INCLUDING the zero-order customers
+    the left join exists for.
+
+    Scale shape: orders is pre-aggregated to (custkey, count) — one
+    shuffle with map-side combine — then LEFT-joined to the customer
+    key column only, so no row ever widens past two ints;
+    ``coalesce(count, 0)`` materializes the zero bucket. The second
+    aggregate groups ~tens of distinct counts: trivially small.
+
+    Reference shape: TPC-H Q13 via the delegated-SQL source (S1).
+    """
+    register_tables(spark, sf_dir)
+    orders = spark.table("orders")
+    cust = spark.table("customer")
+    per_cust = (orders.filter(F.col("o_orderpriority") != "1-URGENT")
+                .groupBy("o_custkey")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (cust.select("c_custkey")
+            .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+            .select(F.coalesce(F.col("n_orders"), F.lit(0))
+                    .cast("bigint").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+_Q135_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_unshipped": q03_top_unshipped,
@@ -2351,6 +2451,8 @@ QUERIES = {
     "q126_part_value_share": q126_part_value_share,
 "q132_market_share": q132_market_share,
     "q133_nation_profit": q133_nation_profit,
+    "q134_returned_revenue": q134_returned_revenue,
+    "q135_order_count_distribution": q135_order_count_distribution,
 }
 
 ORACLES = {
@@ -2404,4 +2506,6 @@ ORACLES = {
     "q126_part_value_share": _Q126_ORACLE,
 "q132_market_share": _Q132_ORACLE,
     "q133_nation_profit": _Q133_ORACLE,
+    "q134_returned_revenue": _Q134_ORACLE,
+    "q135_order_count_distribution": _Q135_ORACLE,
 }
