@@ -79,6 +79,8 @@ REGISTRY_ORDER = (
     "q133_nation_profit",       # new: Q9-shaped star-join profit measure
     "q134_returned_revenue",    # new: Q10-shaped pre-agg-then-dim-join
     "q135_order_count_distribution",  # new: Q13-shaped zero-including dist
+    "q136_nb_langid",           # new: NB classifier train + map-only apply
+    "q137_hybrid_retrieval",    # new: BM25 shortlist + cosine re-rank + RRF
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

@@ -28,7 +28,7 @@ driver's value hash matches with no tolerance.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
@@ -1086,6 +1086,127 @@ ORDER BY index_kind, q_id
 """
 
 
+# --------------------------------------------------------------------------
+# q137: hybrid retrieval — BM25 shortlist + vector re-rank, RRF fusion
+# --------------------------------------------------------------------------
+
+#: Lexical shortlist depth, fused result depth, and the standard
+#: reciprocal-rank-fusion constant (Cormack et al.'s k=60).
+HYBRID_SHORTLIST = 50
+HYBRID_TOPK = 10
+HYBRID_RRF_K = 60
+#: The query's dense representation: the embedding of this vec_id
+#: (the corpus is its own query set, the q61/q88 convention).
+HYBRID_QVEC_ID = 0
+
+
+def q137_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval — the production search shape: a
+    cheap LEXICAL pass (BM25 over the inverted term postings) cuts
+    the corpus to a small shortlist, the expensive DENSE pass (exact
+    cosine against the query embedding) scores ONLY that shortlist,
+    and reciprocal-rank fusion merges the two rankings. Documents
+    without an embedding row (the corpus has partial vector coverage
+    at sf0.1, as real crawls do) keep their lexical rank and simply
+    contribute no dense term.
+
+    Scale shape: stage 1 is q85's postings aggregation (term-filtered
+    map-side, never |corpus| rows); the shortlist is a global
+    TakeOrdered of depth 50. Stage 2 scans embeddings ONCE, filtered
+    by a BROADCAST join on the shortlist keys — no shuffle, and the
+    64-term cosine chain runs for <= |shortlist| survivors, not the
+    table. All windows/joins after that touch <= 50 rows (driver-
+    scale, documented single-partition). At 100 TB only the stage-1
+    aggregation and the stage-2 scan see data-scale rows.
+
+    Determinism: BM25 totals are the bit-exact q85 fold; cosine is
+    the unrolled fixed-order chain over IEEE doubles with sqrt (the
+    one exactly-rounded libm-free root); RRF terms are single
+    divisions of exact integers summed in a fixed order; every rank
+    breaks ties on doc_id.
+
+    Reference: extension beyond DataflowTemplates (north-star scope);
+    composition of the q85 + q61 machinery.
+    """
+    from dataflowtemplates_spark.queries.text import bm25_per_doc
+    register_tables(spark, sf_dir)
+    per_doc = bm25_per_doc(spark.table("documents"))
+    w_lex = Window.orderBy(F.col("score_total").desc(), F.col("doc_id"))
+    shortlist = (per_doc.orderBy(F.col("score_total").desc(), "doc_id")
+                 .limit(HYBRID_SHORTLIST)
+                 .select("doc_id",
+                         F.row_number().over(w_lex).cast("int")
+                         .alias("r_lex")))
+
+    emb = spark.table("embeddings")
+    q = (emb.filter(F.col("vec_id") == HYBRID_QVEC_ID)
+         .select(F.col("embedding").alias("q_vec")))
+    cand = (emb.join(F.broadcast(shortlist
+                                 .select(F.col("doc_id").alias("vec_id"))),
+                     "vec_id")
+            .select(F.col("vec_id").alias("doc_id"),
+                    F.col("embedding").alias("c_vec")))
+    cos = F.expr(f"({_dot_sql('q_vec', 'c_vec')})"
+                 f" / ({_norm_sql('q_vec')} * {_norm_sql('c_vec')})")
+    scored = (cand.crossJoin(F.broadcast(q))
+              .select("doc_id", cos.alias("cosine")))
+    w_vec = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    vr = scored.select(
+        "doc_id", "cosine",
+        F.row_number().over(w_vec).cast("int").alias("r_vec"))
+
+    k = F.lit(HYBRID_RRF_K)
+    rrf = (F.lit(1.0) / (k + F.col("r_lex"))
+           + F.coalesce(F.lit(1.0) / (k + F.col("r_vec")), F.lit(0.0)))
+    fused = (shortlist.join(vr, "doc_id", "left")
+             .select("doc_id", "r_lex", "r_vec", "cosine",
+                     rrf.alias("rrf")))
+    w_f = Window.orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return (fused.orderBy(F.col("rrf").desc(), "doc_id")
+            .limit(HYBRID_TOPK)
+            .withColumn("rk", F.row_number().over(w_f).cast("int"))
+            .select("rk", "doc_id", "r_lex", "r_vec", "cosine", "rrf")
+            .orderBy("rk"))
+
+
+def _q137_oracle() -> str:
+    from dataflowtemplates_spark.queries.text import BM25_PER_DOC_CTES
+    cos = _cosine_dd("q_vec", "embedding",
+                     _norm_dd("q_vec"), _norm_dd("embedding"))
+    k = HYBRID_RRF_K
+    return f"""
+WITH {BM25_PER_DOC_CTES},
+shortlist AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY score_total DESC, doc_id ASC)
+              AS INTEGER) AS r_lex
+  FROM per_doc ORDER BY score_total DESC, doc_id ASC
+  LIMIT {HYBRID_SHORTLIST}),
+qv AS (SELECT embedding AS q_vec FROM embeddings
+       WHERE vec_id = {HYBRID_QVEC_ID}),
+vr AS (
+  SELECT doc_id, cosine,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC)
+              AS INTEGER) AS r_vec
+  FROM (
+    SELECT s.doc_id, {cos} AS cosine
+    FROM shortlist s
+    JOIN embeddings e ON e.vec_id = s.doc_id
+    CROSS JOIN qv)),
+fused AS (
+  SELECT s.doc_id, s.r_lex, vr.r_vec, vr.cosine,
+         CAST(1 AS DOUBLE) / ({k} + s.r_lex)
+           + COALESCE(CAST(1 AS DOUBLE) / ({k} + vr.r_vec),
+                      CAST(0 AS DOUBLE)) AS rrf
+  FROM shortlist s LEFT JOIN vr USING (doc_id))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id ASC)
+            AS INTEGER) AS rk,
+       doc_id, r_lex, r_vec, cosine, rrf
+FROM fused ORDER BY rrf DESC, doc_id ASC
+LIMIT {HYBRID_TOPK}
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -1099,6 +1220,7 @@ QUERIES = {
     "q72_embedding_quantize": q72_embedding_quantize,
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
     "q103_ann_recall": q103_ann_recall,
+    "q137_hybrid_retrieval": q137_hybrid_retrieval,
 }
 
 ORACLES = {
@@ -1114,4 +1236,5 @@ ORACLES = {
     "q72_embedding_quantize": _Q72_ORACLE,
     "q77_embedding_dup_groups": _Q77_ORACLE,
     "q103_ann_recall": _q103_oracle(),
+    "q137_hybrid_retrieval": _q137_oracle(),
 }

@@ -1037,27 +1037,24 @@ _BM25_SCORE_EXPR = (
     " * (CAST(dl AS DOUBLE) / (CAST(t_tokens AS DOUBLE) / n_corpus)))))")
 
 
-def q85_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 keyword retrieval: top-k documents for a fixed term set.
+def bm25_per_doc(docs: DataFrame) -> DataFrame:
+    """Shared BM25 scorer over BM25_TERMS: per-document matched-term
+    count and bit-exact summed score (term-sorted fold). Consumed by
+    q85 (top-k retrieval) and q137 (hybrid-retrieval shortlist).
 
-    The classic sparse-retrieval scorer a data pipeline uses to mine
-    domain-relevant documents from a crawl. Per-term scores are plain
-    double arithmetic on exact integer inputs (tf, dl, df, N, T) via
-    the shared expression above; the per-document TOTAL folds the
-    term-sorted score list left-to-right in BOTH engines
-    (aggregate(sort_array(...)) vs LIST_REDUCE(LIST(... ORDER BY
-    term))), so the sum is bit-exact despite float addition being
-    non-associative.
+    Per-term scores are plain double arithmetic on exact integer
+    inputs (tf, dl, df, N, T) via the shared expression above; the
+    per-document TOTAL folds the term-sorted score list left-to-right
+    in BOTH engines (aggregate(sort_array(...)) vs
+    LIST_REDUCE(LIST(... ORDER BY term))), so the sum is bit-exact
+    despite float addition being non-associative.
 
     Scale shape: one shuffle on (doc_id, term) for tf — but only over
     rows matching the term list, which the explode-side filter prunes
-    map-side; df and the corpus stats are tiny broadcast sides; the
-    final top-k is TakeOrderedAndProject (per-partition partial top-k,
-    single small merge), never a global sort. At 100 TB the scored
-    candidate set is |docs containing a query term|, not |corpus|.
+    map-side; df and the corpus stats are tiny broadcast sides. At
+    100 TB the scored candidate set is |docs containing a query
+    term|, not |corpus|.
     """
-    register_tables(spark, sf_dir)
-    docs = spark.table("documents")
     stats = docs.select(F.split(F.col("text"), " ").alias("toks")).agg(
         F.count(F.lit(1)).alias("n_corpus"),
         F.sum(F.size("toks")).alias("t_tokens"))
@@ -1072,11 +1069,24 @@ def q85_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (tf.join(F.broadcast(df_docs), "term")
               .crossJoin(F.broadcast(stats))
               .withColumn("score", F.expr(_BM25_SCORE_EXPR)))
-    per_doc = (scored.groupBy("doc_id").agg(
+    return (scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.expr("aggregate(sort_array(collect_list(struct(term, score))), "
                "CAST(0 AS DOUBLE), (a, x) -> a + x.score)")
          .alias("score_total")))
+
+
+def q85_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval: top-k documents for a fixed term set.
+
+    The classic sparse-retrieval scorer a data pipeline uses to mine
+    domain-relevant documents from a crawl; scoring machinery (and
+    its determinism/scale rationale) in ``bm25_per_doc``. The final
+    top-k is TakeOrderedAndProject (per-partition partial top-k,
+    single small merge), never a global sort.
+    """
+    register_tables(spark, sf_dir)
+    per_doc = bm25_per_doc(spark.table("documents"))
     top = (per_doc
            .orderBy(F.col("score_total").desc(), F.col("doc_id").asc())
            .limit(BM25_TOPK))
@@ -1086,8 +1096,9 @@ def q85_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("rk"))
 
 
-_Q85_ORACLE = f"""
-WITH tf AS (
+#: The bm25_per_doc twin as DuckDB CTEs (ends with ``per_doc``);
+#: shared by _Q85_ORACLE and q137's hybrid-retrieval oracle.
+BM25_PER_DOC_CTES = f"""tf AS (
   SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS dl,
          UNNEST(STRING_SPLIT(text, ' ')) AS term
   FROM documents),
@@ -1109,7 +1120,11 @@ per_doc AS (
          COUNT(*) AS n_terms_matched,
          LIST_REDUCE(LIST(score ORDER BY term), (a, b) -> a + b)
            AS score_total
-  FROM scored GROUP BY doc_id)
+  FROM scored GROUP BY doc_id)"""
+
+
+_Q85_ORACLE = f"""
+WITH {BM25_PER_DOC_CTES}
 SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_total DESC, doc_id ASC)
             AS INTEGER) AS rk,
        doc_id, n_terms_matched, score_total
@@ -1201,6 +1216,193 @@ FROM agg ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# q136: multinomial Naive-Bayes language classifier (train + map-only apply)
+# --------------------------------------------------------------------------
+
+#: Class domain for the corpus (all SFs carry exactly these five).
+#: Training filters to this set in BOTH engines so an out-of-domain
+#: lang can never silently skew the model.
+NB_LANGS = ("de", "en", "es", "fr", "zh")
+
+#: Likelihood scale factor — a power of two, so scaling is an EXACT
+#: float multiplication: it re-centres per-token likelihoods near 1.0
+#: and keeps 100-token products comfortably inside double range
+#: without changing the argmax.
+NB_SCALE = 64.0
+
+
+def _nb_train(spark: SparkSession, sf_dir: str):
+    """Distributed NB training: one explode + (lang, token) groupBy
+    shuffle with map-side combine; the result (token-class counts,
+    per-class token totals, class document priors) is O(vocab x K)
+    driver-held model state — the codebook pattern shared with IVF/PQ
+    (`similarity.py`) and the BPE merge table.
+
+    Returns ``(probs, priors)`` where ``probs[token]`` is the
+    NB_LANGS-ordered list of add-one-smoothed scaled likelihoods and
+    ``priors`` the NB_LANGS-ordered document priors. All arithmetic
+    is one IEEE division of exact integers (optionally after one
+    exact power-of-two multiply), so DuckDB recomputing the same
+    formula lands on the identical double.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    train = docs.filter((F.col("doc_id") % 5 != 0)
+                        & F.col("lang").isin(*NB_LANGS))
+    toks = (train.select("lang",
+                         F.explode(F.split(F.col("text"), " "))
+                         .alias("token"))
+            .filter(F.col("token") != ""))
+    count_rows = (toks.groupBy("lang", "token")
+                  .agg(F.count(F.lit(1)).alias("c")).collect())
+    ndoc_rows = (train.groupBy("lang")
+                 .agg(F.count(F.lit(1)).alias("nd")).collect())
+
+    counts = {(r["lang"], r["token"]): r["c"] for r in count_rows}
+    vocab = sorted({t for (_, t) in counts})
+    v = len(vocab)
+    n_tok = {k: sum(c for (lg, _), c in counts.items() if lg == k)
+             for k in NB_LANGS}
+    ndocs = {r["lang"]: r["nd"] for r in ndoc_rows}
+    n_train = sum(ndocs.get(k, 0) for k in NB_LANGS)
+    probs = {t: [NB_SCALE * (counts.get((k, t), 0) + 1) / (n_tok[k] + v)
+                 for k in NB_LANGS] for t in vocab}
+    priors = [ndocs.get(k, 0) / n_train for k in NB_LANGS]
+    return probs, priors
+
+
+def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language identification — the
+    fastText-shaped train-then-filter classifier real pretraining
+    pipelines run (CCNet-style): train on an 80% hash split of the
+    corpus, score the held-out 20%, and report the confusion matrix.
+
+    Scale shape: training is ONE (lang, token) aggregation (map-side
+    combine, vocab x K result); scoring is MAP-ONLY — the weight
+    table rides into the executors as a literal map (at real vocab
+    sizes this becomes a hashed feature table behind a broadcast
+    join, same plan shape), each document folds its own sorted token
+    array through the per-class product, and the only scoring shuffle
+    is the final K x K confusion aggregate. No join, no explode, no
+    Python on the scoring path.
+
+    Determinism (the bit-exact gate): likelihoods are single IEEE
+    divisions of exact integers scaled by a power of two — no libm.
+    Per-document scores fold the likelihoods in sorted-token order
+    (the shared-fold-order rule, see SKILL verify notes), multiply
+    the class prior LAST, and break argmax ties by the fixed
+    NB_LANGS order — every operation is identically rounded in Spark,
+    CPython, and DuckDB. A production build at uncapped document
+    length would score in the log domain instead (sum of logs); the
+    scaled product keeps the oracle exact at this corpus's <=100
+    tokens/doc.
+
+    Reference: extension beyond DataflowTemplates (north-star scope:
+    training-data pipeline ops); delegated-SQL seam per
+    ``SpannerQueryIO.java:41``.
+    """
+    probs, priors = _nb_train(spark, sf_dir)
+    lit_entries = []
+    for t in sorted(probs):
+        lit_entries.append(F.lit(t))
+        lit_entries.append(F.array(*[F.lit(p) for p in probs[t]]))
+    model = F.create_map(*lit_entries)
+
+    docs = spark.table("documents")
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    toks = F.array_sort(F.filter(F.split(F.col("text"), " "),
+                                 lambda t: t != ""))
+    plist = F.filter(F.transform(toks, lambda t: model[t]),
+                     lambda x: x.isNotNull())
+    def _fold(i):
+        # merge lambda must be exactly binary for F.aggregate
+        return lambda acc, x: acc * F.element_at(x, i + 1)
+
+    scores = [
+        (F.aggregate(plist, F.lit(1.0), _fold(i))
+         * F.lit(priors[i])).alias(f"s_{k}")
+        for i, k in enumerate(NB_LANGS)]
+    scored = test.select(F.col("lang").alias("true_lang"), *scores)
+    best = F.greatest(*[F.col(f"s_{k}") for k in NB_LANGS])
+    pred = F.lit(None).cast("string")
+    for k in reversed(NB_LANGS):
+        pred = F.when(F.col(f"s_{k}") == best, F.lit(k)).otherwise(pred)
+    return (scored.select("true_lang", pred.alias("pred_lang"))
+            .groupBy("true_lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .orderBy("true_lang", "pred_lang"))
+
+
+def _nb_langs_sql() -> str:
+    return "(" + ", ".join(f"'{k}'" for k in NB_LANGS) + ")"
+
+
+def _q136_oracle() -> str:
+    """DuckDB twin: re-derives the identical model (same splits, same
+    smoothing formula, same scaled-likelihood expression) and folds
+    per-document products in the same sorted-token order."""
+    langs_in = _nb_langs_sql()
+    langs_list = "[" + ", ".join(f"'{k}'" for k in NB_LANGS) + "]"
+    pcols = ", ".join(
+        f"MAX(CASE WHEN lang = '{k}' THEN p END) AS p_{k}"
+        for k in NB_LANGS)
+    lcols = ", ".join(
+        f"LIST(p_{k} ORDER BY token) AS l_{k}" for k in NB_LANGS)
+    scols = ", ".join(
+        f"LIST_REDUCE(LIST_PREPEND(1.0, COALESCE(li.l_{k}, "
+        f"CAST([] AS DOUBLE[]))), (a, b) -> a * b)"
+        f" * (SELECT pr FROM prior WHERE lang = '{k}') AS s_{k}"
+        for k in NB_LANGS)
+    best = "GREATEST(" + ", ".join(f"s_{k}" for k in NB_LANGS) + ")"
+    pred = ("CASE " + " ".join(
+        f"WHEN s_{k} = best THEN '{k}'" for k in NB_LANGS) + " END")
+    return f"""
+WITH train AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM documents
+  WHERE doc_id % 5 <> 0 AND lang IN {langs_in}),
+ttok AS MATERIALIZED (
+  SELECT lang, token FROM (
+    SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM train)
+  WHERE token <> ''),
+counts AS (SELECT lang, token, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+nk AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY 1),
+vocab AS (SELECT DISTINCT token FROM ttok),
+vsize AS (SELECT COUNT(*) AS v FROM vocab),
+model AS MATERIALIZED (
+  SELECT vv.token, ll.lang,
+         {NB_SCALE!r} * (COALESCE(cc.c, 0) + 1) / (nk.n_tok + vs.v) AS p
+  FROM vocab vv
+  CROSS JOIN (SELECT UNNEST({langs_list}) AS lang) ll
+  JOIN nk ON nk.lang = ll.lang
+  CROSS JOIN vsize vs
+  LEFT JOIN counts cc ON cc.token = vv.token AND cc.lang = ll.lang),
+modelw AS (SELECT token, {pcols} FROM model GROUP BY token),
+ndocs AS (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1),
+prior AS (
+  SELECT lang, nd / (SELECT CAST(SUM(nd) AS BIGINT) FROM ndocs) AS pr
+  FROM ndocs),
+test AS MATERIALIZED (
+  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+matched AS (
+  SELECT tt.doc_id, mw.* FROM (
+    SELECT doc_id, token FROM (
+      SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
+      FROM test)
+    WHERE token <> '') tt
+  JOIN modelw mw USING (token)),
+lists AS (SELECT doc_id, {lcols} FROM matched GROUP BY doc_id),
+scored AS (
+  SELECT te.lang AS true_lang, {scols}
+  FROM test te LEFT JOIN lists li USING (doc_id)),
+pred AS (
+  SELECT true_lang, {pred} AS pred_lang
+  FROM (SELECT *, {best} AS best FROM scored))
+SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -1215,6 +1417,7 @@ QUERIES = {
     "q102_bpe_tokenize": q102_bpe_tokenize,
     "q111_bpe_train": q111_bpe_train,
     "q119_bpe_lang_compression": q119_bpe_lang_compression,
+    "q136_nb_langid": q136_nb_langid,
     "q76_charlm_coverage": q76_charlm_coverage,
     "q79_pii_redact": q79_pii_redact,
     "q84_chunk_overlap": q84_chunk_overlap,
@@ -1235,6 +1438,7 @@ ORACLES = {
     "q102_bpe_tokenize": _Q102_ORACLE,
     "q111_bpe_train": _q111_oracle(),
     "q119_bpe_lang_compression": _Q119_ORACLE,
+    "q136_nb_langid": _q136_oracle(),
     "q76_charlm_coverage": _Q76_ORACLE,
     "q79_pii_redact": _Q79_ORACLE,
     "q84_chunk_overlap": _Q84_ORACLE,

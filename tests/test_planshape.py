@@ -182,3 +182,56 @@ def test_q108_tokenization_runs_on_distinct_words(spark):
     # Aggregate whose result expressions evaluate the fold — i.e. the
     # fold line IS the word-grouped aggregate, once per distinct word
     assert any("Aggregate [word" in ln for ln in fold_lines), fold_lines
+
+
+def test_q136_scoring_is_map_only(spark):
+    """NB scoring must be a pure projection over the test scan — the
+    weight table rides as a literal map, so the executed plan carries
+    NO join and only the final K x K confusion aggregate's exchange
+    (plus AQE's read), and zero Python stages."""
+    from dataflowtemplates_spark.queries.text import q136_nb_langid
+    df = q136_nb_langid(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Python" not in plan
+    # AQE's toString repeats the plan (initial + final); count the
+    # final section only: confusion agg + 25-row result sort.
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 2
+
+
+def test_q136_prediction_covers_every_test_doc(spark):
+    """Every held-out document classifies to exactly one in-domain
+    lang (the fold's empty-token fallback still yields the prior
+    argmax, never NULL)."""
+    import pyspark.sql.functions as F
+    from dataflowtemplates_spark.queries.text import NB_LANGS, q136_nb_langid
+    from dataflowtemplates_spark.catalog import register_tables
+    df = q136_nb_langid(spark, SF_DIR)
+    rows = df.collect()
+    assert all(r["pred_lang"] in NB_LANGS for r in rows)
+    register_tables(spark, SF_DIR)
+    n_test = (spark.table("documents")
+              .filter(F.col("doc_id") % 5 == 0).count())
+    assert sum(r["n_docs"] for r in rows) == n_test
+
+
+def test_q137_rerank_joins_embeddings_by_broadcast(spark):
+    """The dense re-rank must prune the embeddings scan with a
+    BROADCAST join on the 50-key shortlist — a shuffle of the vector
+    table to co-locate 50 keys would be the 100 TB scale-killer. The
+    64-term cosine chain must also sit ABOVE that join (scored for
+    survivors only), which the broadcast-hash-join plan guarantees."""
+    from dataflowtemplates_spark.queries.similarity import (
+        q137_hybrid_retrieval)
+    df = q137_hybrid_retrieval(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # no SortMergeJoin / ShuffledHashJoin anywhere in the final plan:
+    # every join is either broadcast (shortlist, query row, df/stats
+    # sides) or a tiny fused-rank join
+    for ln in final.splitlines():
+        assert "SortMergeJoin" not in ln and "ShuffledHashJoin" not in ln
