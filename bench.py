@@ -55,6 +55,7 @@ HEADLINE = (
     "q90_stream_tumbling",
     "q96_stream_stream_join",
     "q121_stream_approx_distinct",
+    "q138_stream_classify",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
     "q56_dup_groups",

@@ -630,6 +630,68 @@ ORDER BY view_id, purchase_id
 """
 
 
+def q138_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online model serving: the q136-trained NB language classifier
+    applied to a document STREAM, reported as a per-source drift
+    monitor (how often the live prediction agrees with the stored
+    label) — the offline-train / online-score split every production
+    classifier deployment runs.
+
+    Scale shape: training happens in BATCH up front (one bounded
+    aggregation, `_nb_train`); the stream side is the SAME
+    ``nb_classified`` stateless projection the batch query uses — a
+    streaming DataFrame is a DataFrame, no code fork — so scoring
+    adds zero state and the only stateful op is the tiny per-source
+    counting aggregate. An unbounded deploy swaps availableNow for a
+    real trigger and periodically swaps in a retrained weight map;
+    the plan is unchanged.
+
+    Determinism: stateless projection + order-insensitive counting
+    aggregate drained with availableNow == the batch equivalent
+    bit-for-bit; agree_rate is one exact-int IEEE division.
+    """
+    from dataflowtemplates_spark.queries.text import (
+        _nb_train, nb_classified)
+
+    probs, priors = _nb_train(spark, sf_dir)
+
+    register_tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
+    else:
+        src, opts = path, {}
+    docs = (spark.readStream.schema(_DOCS_SCHEMA)
+            .options(**opts).parquet(src))
+
+    out = nb_classified(docs, probs, priors,
+                        [F.col("source"), F.col("lang")])
+    agg = (out.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum((F.col("pred_lang") == F.col("lang")).cast("int"))
+                 .cast("bigint").alias("n_agree")))
+    _run_bounded(agg, "q138_classify_sink")
+    return (spark.table("q138_classify_sink")
+            .select("source", "n_docs", "n_agree",
+                    (F.col("n_agree").cast("double")
+                     / F.col("n_docs").cast("double")).alias("agree_rate"))
+            .orderBy("source"))
+
+
+def _q138_oracle() -> str:
+    from dataflowtemplates_spark.queries.text import nb_scored_ctes
+    return f"""
+WITH {nb_scored_ctes("TRUE", "source, lang")}
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       CAST(SUM(CASE WHEN pred_lang = lang THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(COUNT(*) AS DOUBLE) AS agree_rate
+FROM predicted GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -641,6 +703,7 @@ QUERIES = {
     "q98_stream_corpus_scrub": q98_stream_corpus_scrub,
     "q121_stream_approx_distinct": q121_stream_approx_distinct,
     "q127_stream_outer_attribution": q127_stream_outer_attribution,
+    "q138_stream_classify": q138_stream_classify,
 }
 
 ORACLES = {
@@ -654,4 +717,5 @@ ORACLES = {
     "q98_stream_corpus_scrub": _q98_oracle(),
     "q121_stream_approx_distinct": _Q121_ORACLE,
     "q127_stream_outer_attribution": _Q127_ORACLE,
+    "q138_stream_classify": _q138_oracle(),
 }

@@ -1272,20 +1272,16 @@ def _nb_train(spark: SparkSession, sf_dir: str):
     return probs, priors
 
 
-def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multinomial Naive-Bayes language identification — the
-    fastText-shaped train-then-filter classifier real pretraining
-    pipelines run (CCNet-style): train on an 80% hash split of the
-    corpus, score the held-out 20%, and report the confusion matrix.
-
-    Scale shape: training is ONE (lang, token) aggregation (map-side
-    combine, vocab x K result); scoring is MAP-ONLY — the weight
-    table rides into the executors as a literal map (at real vocab
-    sizes this becomes a hashed feature table behind a broadcast
-    join, same plan shape), each document folds its own sorted token
-    array through the per-class product, and the only scoring shuffle
-    is the final K x K confusion aggregate. No join, no explode, no
-    Python on the scoring path.
+def nb_classified(df: DataFrame, probs, priors,
+                  keep: list) -> DataFrame:
+    """Append ``pred_lang`` to a (batch OR streaming) document frame
+    via the trained NB model — a stateless MAP-ONLY projection: the
+    weight table rides into the executors as a literal map (at real
+    vocab sizes this becomes a hashed feature table behind a
+    broadcast join, same plan shape), each document folds its own
+    sorted token array through the per-class product. No join, no
+    explode, no Python, no state — a streaming DataFrame needs no
+    code fork (q138 proves it).
 
     Determinism (the bit-exact gate): likelihoods are single IEEE
     divisions of exact integers scaled by a power of two — no libm.
@@ -1297,24 +1293,18 @@ def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     length would score in the log domain instead (sum of logs); the
     scaled product keeps the oracle exact at this corpus's <=100
     tokens/doc.
-
-    Reference: extension beyond DataflowTemplates (north-star scope:
-    training-data pipeline ops); delegated-SQL seam per
-    ``SpannerQueryIO.java:41``.
     """
-    probs, priors = _nb_train(spark, sf_dir)
     lit_entries = []
     for t in sorted(probs):
         lit_entries.append(F.lit(t))
         lit_entries.append(F.array(*[F.lit(p) for p in probs[t]]))
     model = F.create_map(*lit_entries)
 
-    docs = spark.table("documents")
-    test = docs.filter(F.col("doc_id") % 5 == 0)
     toks = F.array_sort(F.filter(F.split(F.col("text"), " "),
                                  lambda t: t != ""))
     plist = F.filter(F.transform(toks, lambda t: model[t]),
                      lambda x: x.isNotNull())
+
     def _fold(i):
         # merge lambda must be exactly binary for F.aggregate
         return lambda acc, x: acc * F.element_at(x, i + 1)
@@ -1323,13 +1313,37 @@ def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.aggregate(plist, F.lit(1.0), _fold(i))
          * F.lit(priors[i])).alias(f"s_{k}")
         for i, k in enumerate(NB_LANGS)]
-    scored = test.select(F.col("lang").alias("true_lang"), *scores)
+    scored = df.select(*keep, *scores)
     best = F.greatest(*[F.col(f"s_{k}") for k in NB_LANGS])
     pred = F.lit(None).cast("string")
     for k in reversed(NB_LANGS):
         pred = F.when(F.col(f"s_{k}") == best, F.lit(k)).otherwise(pred)
-    return (scored.select("true_lang", pred.alias("pred_lang"))
-            .groupBy("true_lang", "pred_lang")
+    out_cols = [c for c in scored.columns if not c.startswith("s_")]
+    return scored.select(*out_cols, pred.alias("pred_lang"))
+
+
+def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive-Bayes language identification — the
+    fastText-shaped train-then-filter classifier real pretraining
+    pipelines run (CCNet-style): train on an 80% hash split of the
+    corpus, score the held-out 20%, and report the confusion matrix.
+
+    Scale shape: training is ONE (lang, token) aggregation (map-side
+    combine, vocab x K result); scoring is the MAP-ONLY
+    ``nb_classified`` projection (determinism rationale there), so
+    the only scoring shuffle is the final K x K confusion aggregate.
+    q138 applies the SAME model/projection to a document STREAM.
+
+    Reference: extension beyond DataflowTemplates (north-star scope:
+    training-data pipeline ops); delegated-SQL seam per
+    ``SpannerQueryIO.java:41``.
+    """
+    probs, priors = _nb_train(spark, sf_dir)
+    docs = spark.table("documents")
+    test = docs.filter(F.col("doc_id") % 5 == 0)
+    out = nb_classified(test, probs, priors,
+                        [F.col("lang").alias("true_lang")])
+    return (out.groupBy("true_lang", "pred_lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
             .orderBy("true_lang", "pred_lang"))
 
@@ -1338,10 +1352,15 @@ def _nb_langs_sql() -> str:
     return "(" + ", ".join(f"'{k}'" for k in NB_LANGS) + ")"
 
 
-def _q136_oracle() -> str:
-    """DuckDB twin: re-derives the identical model (same splits, same
-    smoothing formula, same scaled-likelihood expression) and folds
-    per-document products in the same sorted-token order."""
+def nb_scored_ctes(score_filter: str, keep_cols: str) -> str:
+    """DuckDB twin of ``_nb_train`` + ``nb_classified``: a WITH-body
+    (no leading WITH) that re-derives the identical model — same
+    splits, same smoothing formula, same scaled-likelihood
+    expression — and folds per-document products in the same
+    sorted-token order, ending in CTE ``predicted`` with columns
+    ``{keep_cols}, pred_lang``. ``score_filter`` selects which
+    documents get scored; shared by q136 (holdout confusion) and
+    q138 (streamed drift monitor)."""
     langs_in = _nb_langs_sql()
     langs_list = "[" + ", ".join(f"'{k}'" for k in NB_LANGS) + "]"
     pcols = ", ".join(
@@ -1357,8 +1376,7 @@ def _q136_oracle() -> str:
     best = "GREATEST(" + ", ".join(f"s_{k}" for k in NB_LANGS) + ")"
     pred = ("CASE " + " ".join(
         f"WHEN s_{k} = best THEN '{k}'" for k in NB_LANGS) + " END")
-    return f"""
-WITH train AS MATERIALIZED (
+    return f"""train AS MATERIALIZED (
   SELECT doc_id, lang, text FROM documents
   WHERE doc_id % 5 <> 0 AND lang IN {langs_in}),
 ttok AS MATERIALIZED (
@@ -1383,7 +1401,8 @@ prior AS (
   SELECT lang, nd / (SELECT CAST(SUM(nd) AS BIGINT) FROM ndocs) AS pr
   FROM ndocs),
 test AS MATERIALIZED (
-  SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+  SELECT doc_id, {keep_cols}, text FROM documents
+  WHERE {score_filter}),
 matched AS (
   SELECT tt.doc_id, mw.* FROM (
     SELECT doc_id, token FROM (
@@ -1393,13 +1412,19 @@ matched AS (
   JOIN modelw mw USING (token)),
 lists AS (SELECT doc_id, {lcols} FROM matched GROUP BY doc_id),
 scored AS (
-  SELECT te.lang AS true_lang, {scols}
+  SELECT {', '.join('te.' + c.strip() for c in keep_cols.split(','))},
+         {scols}
   FROM test te LEFT JOIN lists li USING (doc_id)),
-pred AS (
-  SELECT true_lang, {pred} AS pred_lang
-  FROM (SELECT *, {best} AS best FROM scored))
-SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
-FROM pred GROUP BY 1, 2 ORDER BY 1, 2
+predicted AS (
+  SELECT {keep_cols}, {pred} AS pred_lang
+  FROM (SELECT *, {best} AS best FROM scored))"""
+
+
+def _q136_oracle() -> str:
+    return f"""
+WITH {nb_scored_ctes("doc_id % 5 = 0", "lang")}
+SELECT lang AS true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM predicted GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 

@@ -211,3 +211,42 @@ def test_span_island_merge_matches_python(spark, data):
              .agg(F.min("s").alias("ss"), F.max("e").alias("ee"))
              .orderBy("ss").collect())
     assert [(r["ss"], r["ee"]) for r in spans] == _py_merge_intervals(ivs)
+
+
+# -- NB classifier scoring kernel ------------------------------------------
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+                min_size=0, max_size=40))
+@settings(max_examples=20, deadline=None)
+def test_nb_fold_matches_python_sorted_product(spark, tokens):
+    """The q136 scoring kernel — sorted-token left-fold product of
+    per-class likelihoods times a trailing prior, argmax with
+    NB_LANGS-order tie-break — must agree with the same fold computed
+    in CPython for any token multiset in any arrival order
+    (array_sort makes row layout irrelevant; since the CPython fold
+    uses the identical operation order, agreement holds even at exact
+    score ties). Bit-equality of the underlying doubles is what the
+    q136/q138 DuckDB gate checks end-to-end."""
+    from dataflowtemplates_spark.queries.text import NB_LANGS, nb_classified
+
+    K = len(NB_LANGS)
+    probs = {"alpha": [0.5, 2.0, 1.5, 0.3, 1.1],
+             "beta": [1.25, 0.75, 0.9, 2.2, 0.4],
+             "gamma": [3.0, 0.1, 1.0, 0.6, 1.7],
+             "delta": [0.7, 1.9, 0.2, 1.3, 2.5]}
+    priors = [0.15, 0.3, 0.2, 0.25, 0.1]
+
+    text = " ".join(tokens)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    out = nb_classified(df, probs, priors, [df.doc_id]).collect()[0]
+
+    want = [1.0] * K
+    for t in sorted(tokens):
+        for i in range(K):
+            want[i] = want[i] * probs[t][i]
+    want = [want[i] * priors[i] for i in range(K)]
+    # deterministic argmax: first class (NB_LANGS order) reaching max
+    best = max(want)
+    pred_idx = next(i for i in range(K) if want[i] == best)
+    assert out.pred_lang == NB_LANGS[pred_idx]
