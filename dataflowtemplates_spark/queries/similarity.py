@@ -1146,8 +1146,8 @@ def q137_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "vec_id")
             .select(F.col("vec_id").alias("doc_id"),
                     F.col("embedding").alias("c_vec")))
-    cos = F.expr(f"({_dot_sql('q_vec', 'c_vec')})"
-                 f" / ({_norm_sql('q_vec')} * {_norm_sql('c_vec')})")
+    cos = _cosine("q_vec", "c_vec",
+                  _norm_sql("q_vec"), _norm_sql("c_vec"))
     scored = (cand.crossJoin(F.broadcast(q))
               .select("doc_id", cos.alias("cosine")))
     w_vec = Window.orderBy(F.col("cosine").desc(), F.col("doc_id"))

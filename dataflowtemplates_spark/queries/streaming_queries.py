@@ -78,6 +78,21 @@ def _run_bounded(agg: DataFrame, name: str) -> None:
     q.awaitTermination()
 
 
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents table — the docs twin of
+    ``_stream_events`` (file sources stream DIRECTORIES; a single-file
+    table streams from its parent with a glob filter). Shared by
+    q95/q98/q138."""
+    register_tables(spark, sf_dir)
+    path = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(path):
+        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
+    else:
+        src, opts = path, {}
+    return (spark.readStream.schema(_DOCS_SCHEMA)
+            .options(**opts).parquet(src))
+
+
 def q90_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling 1-hour counts per event type, streamed.
 
@@ -324,14 +339,7 @@ def q95_stream_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame
     buckets holding >= 2 docs — deterministic and order-independent,
     so the bounded drain equals the batch oracle bit-for-bit.
     """
-    register_tables(spark, sf_dir)
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
-    else:
-        src, opts = path, {}
-    docs = (spark.readStream.schema(_DOCS_SCHEMA)
-            .options(**opts).parquet(src))
+    docs = _stream_docs(spark, sf_dir)
     _run_bounded(neardup_bucket_stream(docs), "q95_neardup_sink")
     return (spark.table("q95_neardup_sink")
             .filter(F.size("_ids") >= 2)
@@ -448,14 +456,7 @@ def q98_stream_corpus_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrub_quality_tags,
     )
 
-    register_tables(spark, sf_dir)
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
-    else:
-        src, opts = path, {}
-    docs = (spark.readStream.schema(_DOCS_SCHEMA)
-            .options(**opts).parquet(src))
+    docs = _stream_docs(spark, sf_dir)
 
     # the SAME tagging pass the batch funnel (q87) runs — a streaming
     # DataFrame is a DataFrame; stateless projections need no fork
@@ -655,14 +656,7 @@ def q138_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probs, priors = _nb_train(spark, sf_dir)
 
-    register_tables(spark, sf_dir)
-    path = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(path):
-        src, opts = sf_dir, {"pathGlobFilter": "documents.parquet"}
-    else:
-        src, opts = path, {}
-    docs = (spark.readStream.schema(_DOCS_SCHEMA)
-            .options(**opts).parquet(src))
+    docs = _stream_docs(spark, sf_dir)
 
     out = nb_classified(docs, probs, priors,
                         [F.col("source"), F.col("lang")])
