@@ -98,6 +98,7 @@ HEADLINE = (
     "q120_histogram_quantiles",
     "q97_scd2_intervals",
     "q99_snapshot_audit",
+    "q139_incremental_rollup",
     "q101_small_quantity_revenue",
     "q105_min_cost_supplier",
     "q106_dominant_supplier",

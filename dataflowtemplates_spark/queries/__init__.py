@@ -82,6 +82,7 @@ REGISTRY_ORDER = (
     "q136_nb_langid",           # new: NB classifier train + map-only apply
     "q137_hybrid_retrieval",    # new: BM25 shortlist + cosine re-rank + RRF
     "q138_stream_classify",     # new: streamed NB model apply (drift monitor)
+    "q139_incremental_rollup",  # new: CDF-driven incremental view maintenance
     "q78_mutation_audit",       # bucketed keyed-table storage rewrite
     "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
     "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides

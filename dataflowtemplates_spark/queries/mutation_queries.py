@@ -369,11 +369,127 @@ SELECT * FROM (
 """
 
 
+def q139_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed: a per-nation
+    (count, balance-sum) rollup is maintained from ``changes_between``
+    DELTAS — old rollup + signed change rows — instead of rescanning
+    the table, and the query itself proves the maintained rollup equals
+    a full recompute of the post-window snapshot.
+
+    This is the materialized-view economics a 100 TB keyed table
+    needs: the rollup refresh touches O(changes) rows (partition-
+    pruned to the buckets the window's commits wrote — the q128 scale
+    note) plus the O(groups) old rollup, never the table. Each CDF
+    row carries its pre/postimage, so the delta aggregation is one
+    signed pass: +1/+bal for insert and update_postimage, -1/-bal for
+    delete and update_preimage; updates cancel in the count and net
+    in the sum by construction.
+
+    Determinism: balances aggregate as DECIMAL(18,2) (exact, order-
+    insensitive — the q90 convention) and cast to double only at the
+    output edge, so incremental-vs-full equality is exact, not
+    approximate; the oracle recomputes the post-window rollup from
+    the same key-residue classes as q128 and asserts the match
+    boolean as literal TRUE.
+
+    Reference seam: mutation window semantics per
+    ``StructToMutationConverter.java:152-167`` dispatch; the CDF and
+    rollup maintenance are extensions (north-star scope).
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q139_ivm_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"])
+        tbl.apply_mutations(cust.filter(k % 2 == 0), "INSERT")
+        b0 = tbl._commits()[-1]["time"]
+        tbl.apply_mutations(
+            cust.filter(k % 3 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0)),
+            "INSERT_OR_UPDATE")
+        tbl.apply_mutations(
+            cust.filter((k % 7 == 0) & (k % 2 == 0) & ~(k % 3 == 0))
+            .select("c_custkey"), "DELETE")
+        b1 = tbl._commits()[-1]["time"]
+
+        def _rollup(df: DataFrame) -> DataFrame:
+            return (df.groupBy("c_nationkey")
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                         F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                         .alias("s")))
+
+        old = _rollup(tbl.read_at(b0))
+        sign = (F.when(F.col("_change_type")
+                       .isin("insert", "update_postimage"), F.lit(1))
+                .otherwise(F.lit(-1)))
+        delta = (tbl.changes_between(b0, b1)
+                 .select("c_nationkey",
+                         sign.alias("sg"),
+                         F.col("c_acctbal").cast("decimal(18,2)")
+                         .alias("bal"))
+                 .groupBy("c_nationkey")
+                 .agg(F.sum("sg").cast("bigint").alias("dn"),
+                      F.sum(F.col("sg") * F.col("bal")).alias("ds")))
+        incr = (old.join(delta, "c_nationkey", "full_outer")
+                .select("c_nationkey",
+                        (F.coalesce(F.col("n"), F.lit(0))
+                         + F.coalesce(F.col("dn"), F.lit(0)))
+                        .cast("bigint").alias("n_custs"),
+                        (F.coalesce(F.col("s"),
+                                    F.lit(0).cast("decimal(18,2)"))
+                         + F.coalesce(F.col("ds"),
+                                      F.lit(0).cast("decimal(18,2)")))
+                        .alias("sum_bal"))
+                .filter(F.col("n_custs") > 0))
+        full = (_rollup(tbl.read_at(b1))
+                .select("c_nationkey", F.col("n").alias("fn"),
+                        F.col("s").alias("fs")))
+        out = (incr.join(full, "c_nationkey", "full_outer")
+               .select("c_nationkey",
+                       F.col("n_custs"),
+                       F.col("sum_bal").cast("double").alias("sum_acctbal"),
+                       ((F.col("n_custs") == F.col("fn"))
+                        & (F.col("sum_bal") == F.col("fs")))
+                       .alias("incremental_matches_full"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("c_nationkey")
+
+
+#: post-window state from the q128 residue classes: evens seeded;
+#: %3 upserted at +500 (insert where odd); %7-and-even-and-not-%3
+#: deleted. The oracle recomputes the rollup from that closed form —
+#: the gate therefore checks the INCREMENTAL result against
+#: first-principles truth, and the in-query boolean (asserted literal
+#: TRUE) separately pins incremental == full-recompute inside Spark.
+_Q139_ORACLE = """
+WITH snap AS (
+  SELECT c_custkey, c_nationkey,
+         CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 500.0
+              ELSE c_acctbal END AS bal
+  FROM customer
+  WHERE (c_custkey % 2 = 0 OR c_custkey % 3 = 0)
+    AND NOT (c_custkey % 7 = 0 AND c_custkey % 2 = 0
+             AND c_custkey % 3 <> 0))
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_custs,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+       TRUE AS incremental_matches_full
+FROM snap GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
-           "q128_change_data_feed": q128_change_data_feed}
+           "q128_change_data_feed": q128_change_data_feed,
+           "q139_incremental_rollup": q139_incremental_rollup}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
-           "q128_change_data_feed": _Q128_ORACLE}
+           "q128_change_data_feed": _Q128_ORACLE,
+           "q139_incremental_rollup": _Q139_ORACLE}
