@@ -65,6 +65,7 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q140_training_shards",     # new: balanced training-shard manifest
     "q122_vacuum_audit",        # new: history-retention (vacuum) contract
     "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
     "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING

@@ -394,6 +394,90 @@ GROUP BY 1, 2 ORDER BY source, seq_id
 """
 
 
+#: Training-shard fan-out and the seed for the placement hash. The
+#: shard id is a 32-bit md5 prefix mod N — uniform by construction, so
+#: shard sizes concentrate tightly around n/N (see the balance gate).
+N_SHARDS = 16
+SHARD_SEED = "shard9"
+
+#: Relative size-deviation tolerance for the balance gate. At 100 TB a
+#: shard more than 35% off the mean means a broken placement hash (or a
+#: pathological doc-size distribution) — the audit is the alarm.
+SHARD_TOLERANCE = 0.35
+
+
+def q140_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + balanced training-shard manifest.
+
+    The last step of every pretraining data build: scatter the corpus
+    into N shards in a pseudorandom but REPRODUCIBLE order, and ship a
+    manifest proving the shards are balanced. Placement is a seeded
+    32-bit md5 prefix mod ``N_SHARDS`` — a pure map-side expression, so
+    at 100 TB the "global shuffle" costs exactly one exchange keyed by
+    an unskewable uniform hash (and in a real write, ``shard_id``
+    becomes the partition directory — `operators/partitioning.py`).
+    A ``rand()``-based scatter would be none of reproducible, stable
+    under corpus growth, or re-derivable by a reader.
+
+    Output is the shard manifest: per-shard doc count, exact byte/char
+    payload, doc-id fences, and the balance-gate boolean
+    (|n - mean| <= tolerance * mean; counts are exact ints and mean is
+    an exactly-representable division, so both engines agree bitwise).
+
+    Reference analogue: the partition fan-out of the dynamic writers
+    (`io/DynamicTextIO.java` sharded sinks); the balance audit is the
+    extension a training pipeline needs on top.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    key = F.md5(F.concat(F.lit(SHARD_SEED), F.col("doc_id").cast("string")))
+    shard = F.pmod(F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"),
+                   F.lit(N_SHARDS))
+    tagged = docs.select(
+        F.col("doc_id"), F.col("n_chars"), shard.alias("shard_id"))
+    manifest = tagged.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"))
+    # The corpus total comes from the manifest itself (an N_SHARDS-row
+    # unpartitioned window), NOT a second docs.count() scan — one pass
+    # over the data no matter the SF.
+    total = F.sum("n_docs").over(Window.partitionBy())
+    mean = total.cast("double") / F.lit(float(N_SHARDS))
+    return (manifest
+            .withColumn("frac",
+                        F.col("n_docs").cast("double") / total.cast("double"))
+            .withColumn(
+                "balanced",
+                (F.abs(F.col("n_docs").cast("double") - mean)
+                 <= F.lit(SHARD_TOLERANCE) * mean))
+            .orderBy("shard_id"))
+
+
+_Q140_ORACLE = f"""
+WITH tagged AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || SUBSTRING(
+             MD5('{SHARD_SEED}' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % {N_SHARDS} AS shard_id
+  FROM documents),
+tot AS (SELECT COUNT(*) AS n FROM documents)
+SELECT shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc,
+       CAST(COUNT(*) AS DOUBLE) / MAX(tot.n) AS frac,
+       ABS(CAST(COUNT(*) AS DOUBLE) - CAST(MAX(tot.n) AS DOUBLE) / {N_SHARDS})
+         <= {SHARD_TOLERANCE} * (CAST(MAX(tot.n) AS DOUBLE) / {N_SHARDS})
+         AS balanced
+FROM tagged CROSS JOIN tot
+GROUP BY shard_id
+ORDER BY shard_id
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
@@ -401,6 +485,7 @@ QUERIES = {
     "q75_stratified_split": q75_stratified_split,
     "q86_source_mixture": q86_source_mixture,
     "q108_bpe_packing": q108_bpe_packing,
+    "q140_training_shards": q140_training_shards,
 }
 
 ORACLES = {
@@ -410,4 +495,5 @@ ORACLES = {
     "q75_stratified_split": _Q75_ORACLE,
     "q86_source_mixture": _Q86_ORACLE,
     "q108_bpe_packing": _q108_oracle(),
+    "q140_training_shards": _Q140_ORACLE,
 }
