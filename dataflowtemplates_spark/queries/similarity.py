@@ -1207,6 +1207,122 @@ LIMIT {HYBRID_TOPK}
 """
 
 
+#: SemDeDup configuration: cluster count (seed centroids = first K
+#: vectors, like q67), the within-cluster cosine above which the
+#: higher-id member is pruned, and the cluster-size cap that bounds the
+#: in-cluster pair join (mirrored in the oracle, same contract as
+#: Q66_MAX_BUCKET). K here is test-scale; production SemDeDup uses
+#: K ~ sqrt(n) clusters so the expected in-cluster pair count stays
+#: linear in n.
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = 0.3
+SEMDEDUP_MAX_CLUSTER = 4096
+
+
+def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = cluster the
+    embedding space, then prune near-duplicate pairs WITHIN clusters
+    only — the trick that turns O(n^2) corpus-wide semantic dedup into
+    K independent in-cluster problems.
+
+    Stage shapes, in order: (1) assignment is the MAP-ONLY
+    ``assign_cells`` pass against the driver-held seed codebook (no
+    vector shuffle); (2) over-cap clusters are excluded by a broadcast
+    semi-join on the K-row size table BEFORE any pairing, so a
+    degenerate cluster (boilerplate embeddings) can never go quadratic;
+    (3) the pair join shuffles each vector ONCE keyed by cell; (4) a
+    member is pruned when ANY lower-id in-cluster neighbor exceeds the
+    cosine threshold — deterministic keep-lowest-id, no iteration.
+    Output is the per-cluster dedup manifest (sizes, pruned counts,
+    keep fraction).
+
+    The oracle replays assignment, cap, and prune rule in DuckDB with
+    the shared fixed-fold cosine, so the gate covers the whole
+    pipeline, cap included. Reference analogue: none — this extends
+    the dedup family (SURVEY §2 extension block) with the
+    embedding-space equivalent of q52's LSH banding.
+    """
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    seeds = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < SEMDEDUP_K)
+                    .select("vec_id", "embedding").collect())
+    vecs = _with_norm(emb, "vec_id", "v", "nrm")
+    assigned = (assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
+                .localCheckpoint(eager=True))
+
+    sizes = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vecs"))
+    capped = sizes.filter(F.col("n_vecs") <= SEMDEDUP_MAX_CLUSTER)
+    in_scope = assigned.join(
+        F.broadcast(capped.select("cell")), "cell", "semi")
+
+    a = in_scope.select("cell", F.col("vec_id").alias("id_a"),
+                        F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = in_scope.select("cell", F.col("vec_id").alias("id_b"),
+                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pruned = (a.join(b, "cell")
+              .where(F.col("id_a") < F.col("id_b"))
+              .where(_cosine("va", "vb", "na", "nb")
+                     >= SEMDEDUP_THRESHOLD)
+              .select("cell", F.col("id_b").alias("vec_id"))
+              .distinct())
+    pruned_stats = pruned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pruned"),
+        F.min("vec_id").alias("first_pruned"))
+    n_kept = F.col("n_vecs") - F.col("n_pruned")
+    return (capped.join(pruned_stats, "cell", "left")
+            .withColumn("n_pruned",
+                        F.coalesce("n_pruned", F.lit(0).cast("long")))
+            .select("cell", "n_vecs", "n_pruned", "first_pruned",
+                    (n_kept.cast("double") / F.col("n_vecs").cast("double"))
+                    .alias("keep_frac"))
+            .orderBy("cell"))
+
+
+_Q141_ORACLE = f"""
+WITH seeds AS (
+  SELECT vec_id AS s_id, embedding AS s_vec, {_norm_dd('embedding')} AS s_nrm
+  FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+vecs AS (
+  SELECT vec_id, embedding AS v, {_norm_dd('embedding')} AS nrm
+  FROM embeddings),
+s1 AS (
+  SELECT vec_id, v, nrm, s_id,
+         {_cosine_dd('v', 's_vec', 'nrm', 's_nrm')} AS s_cos
+  FROM vecs CROSS JOIN seeds),
+asg AS MATERIALIZED (
+  SELECT vec_id, v, nrm, s_id AS cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        ORDER BY s_cos DESC, s_id ASC) AS rk
+    FROM s1) WHERE rk = 1),
+sizes AS MATERIALIZED (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+  FROM asg GROUP BY cell
+  HAVING COUNT(*) <= {SEMDEDUP_MAX_CLUSTER}),
+scoped AS MATERIALIZED (
+  SELECT a.* FROM asg a SEMI JOIN sizes s ON a.cell = s.cell),
+pruned AS (
+  SELECT DISTINCT a.cell, b.vec_id
+  FROM scoped a JOIN scoped b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {_cosine_dd('a.v', 'b.v', 'a.nrm', 'b.nrm')}
+        >= {SEMDEDUP_THRESHOLD}),
+ps AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_pruned,
+         MIN(vec_id) AS first_pruned
+  FROM pruned GROUP BY cell)
+SELECT s.cell, s.n_vecs,
+       COALESCE(ps.n_pruned, CAST(0 AS BIGINT)) AS n_pruned,
+       ps.first_pruned,
+       CAST(s.n_vecs - COALESCE(ps.n_pruned, CAST(0 AS BIGINT)) AS DOUBLE)
+         / CAST(s.n_vecs AS DOUBLE) AS keep_frac
+FROM sizes s LEFT JOIN ps ON s.cell = ps.cell
+ORDER BY s.cell
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -1221,6 +1337,7 @@ QUERIES = {
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
     "q103_ann_recall": q103_ann_recall,
     "q137_hybrid_retrieval": q137_hybrid_retrieval,
+    "q141_semdedup": q141_semdedup,
 }
 
 ORACLES = {
@@ -1237,4 +1354,5 @@ ORACLES = {
     "q77_embedding_dup_groups": _Q77_ORACLE,
     "q103_ann_recall": _q103_oracle(),
     "q137_hybrid_retrieval": _q137_oracle(),
+    "q141_semdedup": _Q141_ORACLE,
 }
