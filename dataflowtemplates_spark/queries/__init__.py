@@ -67,6 +67,8 @@ REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
     "q140_training_shards",     # new: balanced training-shard manifest
     "q141_semdedup",            # new: cluster-then-prune semantic dedup
+    "q142_cdc_chunking",        # new: content-defined chunking manifest
+    "q143_fuzzy_match",         # new: SymSpell-blocked record linkage
     "q122_vacuum_audit",        # new: history-retention (vacuum) contract
     "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
     "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING

@@ -1269,6 +1269,81 @@ ORDER BY w.doc_id
 """
 
 
+def q143_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked fuzzy join: find same-nation
+    customer-record pairs whose names are within edit distance 1 —
+    the record-linkage / near-duplicate-record operator of a data
+    cleaning pipeline.
+
+    The blocking is SymSpell's deletion neighborhood, which is EXACT
+    for lev <= 1 (not a recall-lossy prefix block): every record emits
+    itself plus each single-character deletion as candidate keys; two
+    strings within one edit ALWAYS share a key (substitution -> the
+    deletion at the edited position; insert/delete -> the shorter
+    string is itself a deletion of the longer), so the equi-join on
+    (deletion_key, nation) finds every true pair and ``levenshtein``
+    only has to REJECT hash-collision false candidates. Plan shape at
+    100 TB: a 1->(len+1) map-only Generate, ONE shuffle keyed by the
+    high-cardinality deletion key (unskewable — key count scales with
+    the name space), and the edit-distance check runs on candidates
+    only, never all pairs. The nation equality rides the same join as
+    the domain block every real linkage pipeline adds.
+
+    Oracle: identical neighborhood + join + threshold in DuckDB
+    (``levenshtein`` agrees exactly between the engines).
+    Reference analogue: none — dedup-family extension (SURVEY §2
+    extension block, record-linkage counterpart of doc-level q53).
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    keyed = cust.selectExpr(
+        "c_custkey", "c_nationkey", "c_name",
+        """explode(concat(
+             array(c_name),
+             transform(sequence(0, length(c_name) - 1),
+               i -> concat(substring(c_name, 1, i),
+                           substring(c_name, i + 2, length(c_name))))))
+           AS k""")
+    a = keyed.select(F.col("c_nationkey").alias("nation"),
+                     F.col("c_custkey").alias("id_a"),
+                     F.col("c_name").alias("name_a"), "k")
+    b = keyed.select(F.col("c_nationkey").alias("nation"),
+                     F.col("c_custkey").alias("id_b"),
+                     F.col("c_name").alias("name_b"), "k")
+    return (a.join(b, ["k", "nation"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("nation", "id_a", "id_b", "name_a", "name_b")
+            .distinct()
+            .where(F.levenshtein("name_a", "name_b") <= 1)
+            .withColumn("lev",
+                        F.levenshtein("name_a", "name_b").cast("int"))
+            .orderBy("nation", "id_a", "id_b"))
+
+
+_Q143_ORACLE = """
+WITH keyed AS MATERIALIZED (
+  SELECT c_custkey, c_nationkey, c_name,
+         UNNEST(LIST_CONCAT(
+           [c_name],
+           LIST_TRANSFORM(RANGE(0, LEN(c_name)),
+             i -> SUBSTRING(c_name, 1, i) || SUBSTRING(c_name, i + 2))))
+           AS k
+  FROM customer),
+cand AS (
+  SELECT DISTINCT a.c_nationkey AS nation,
+         a.c_custkey AS id_a, b.c_custkey AS id_b,
+         a.c_name AS name_a, b.c_name AS name_b
+  FROM keyed a JOIN keyed b
+    ON a.k = b.k AND a.c_nationkey = b.c_nationkey
+   AND a.c_custkey < b.c_custkey)
+SELECT nation, id_a, id_b, name_a, name_b,
+       CAST(LEVENSHTEIN(name_a, name_b) AS INTEGER) AS lev
+FROM cand
+WHERE LEVENSHTEIN(name_a, name_b) <= 1
+ORDER BY nation, id_a, id_b
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -1283,6 +1358,7 @@ QUERIES = {
     "q74_incremental_dedup": q74_incremental_dedup,
     "q104_span_dedup": q104_span_dedup,
     "q107_span_scrub": q107_span_scrub,
+    "q143_fuzzy_match": q143_fuzzy_match,
 }
 
 ORACLES = {
@@ -1299,4 +1375,5 @@ ORACLES = {
     "q74_incremental_dedup": _Q74_ORACLE,
     "q104_span_dedup": _Q104_ORACLE,
     "q107_span_scrub": _Q107_ORACLE,
+    "q143_fuzzy_match": _Q143_ORACLE,
 }

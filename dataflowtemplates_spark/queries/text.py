@@ -1428,6 +1428,98 @@ FROM predicted GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+#: Content-defined chunking: a token is a cut point when its seeded
+#: md5 prefix falls under CDC_PREFIX_MAX ('1f' = 32/256 = 1/8 of the
+#: keyspace), giving a mean chunk of ~8 tokens. The decision depends
+#: only on the token's own bytes — not its position — which is the
+#: CDC property: an insertion re-chunks O(1) neighboring chunks, not
+#: the whole document (fixed-size chunking shifts every later chunk).
+CDC_SEED = "cdc9"
+CDC_PREFIX_MAX = "1f"
+
+
+def q142_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of each document (FastCDC/rsync
+    family): boundaries fall where a token's content hash dips under a
+    threshold, so chunk edges survive edits — the chunking used for
+    dedup-friendly storage and for stable RAG/dedup units over a
+    drifting corpus (vs q84's fixed-size windows, which shift wholesale
+    on any insertion).
+
+    MAP-ONLY: the entire chunker is one projected expression chain per
+    document (split -> per-token hash -> boundary filter -> fence
+    diffs) — no explode, no shuffle, no Python. At 100 TB this is a
+    single scan-stage pass like the q40-q46 scorers. Per-document
+    output: chunk count, min/max/mean chunk length (tokens), and the
+    md5 fingerprint of the first chunk — the piece a downstream
+    dedup store would key on.
+
+    The oracle rebuilds the same chain with DuckDB list functions;
+    both engines guard the single-token case explicitly (Spark's
+    ``sequence(1, 0)`` counts DOWN, DuckDB's is empty).
+    Reference analogue: none — dedup-family extension (SURVEY §2
+    extension block).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    chunked = docs.selectExpr(
+        "doc_id", "source",
+        "split(text, ' ') AS toks").selectExpr(
+        "doc_id", "source", "size(toks) AS n_tokens",
+        f"""concat(
+              array(0),
+              CASE WHEN size(toks) >= 2 THEN
+                filter(sequence(1, size(toks) - 1),
+                       i -> substring(md5(cast(concat('{CDC_SEED}',
+                                element_at(toks, i)) as binary)), 1, 2)
+                            <= '{CDC_PREFIX_MAX}')
+              ELSE array() END,
+              array(size(toks))) AS fences""",
+        "toks")
+    return (chunked.selectExpr(
+        "doc_id", "source", "n_tokens",
+        "cast(size(fences) - 1 AS int) AS n_chunks",
+        """array_min(transform(sequence(1, size(fences) - 1),
+             k -> element_at(fences, k + 1) - element_at(fences, k)))
+           AS min_chunk""",
+        """array_max(transform(sequence(1, size(fences) - 1),
+             k -> element_at(fences, k + 1) - element_at(fences, k)))
+           AS max_chunk""",
+        """cast(n_tokens AS double) / cast(size(fences) - 1 AS double)
+           AS mean_chunk""",
+        """md5(cast(array_join(slice(toks, 1, element_at(fences, 2)), ' ')
+                    as binary)) AS first_chunk_fp""")
+        .orderBy("doc_id"))
+
+
+_Q142_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id, source, STRING_SPLIT(text, ' ') AS toks
+  FROM documents),
+fenced AS (
+  SELECT doc_id, source, toks, LEN(toks) AS n_tokens,
+         LIST_CONCAT(LIST_CONCAT(
+           [0],
+           CASE WHEN LEN(toks) >= 2 THEN
+             LIST_FILTER(RANGE(1, LEN(toks)),
+               i -> SUBSTRING(MD5('{CDC_SEED}' || toks[i]), 1, 2)
+                    <= '{CDC_PREFIX_MAX}')
+           ELSE [] END),
+           [LEN(toks)]) AS fences
+  FROM toked)
+SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(LEN(fences) - 1 AS INTEGER) AS n_chunks,
+       CAST(LIST_MIN(LIST_TRANSFORM(RANGE(1, LEN(fences)),
+            k -> fences[k + 1] - fences[k])) AS INTEGER) AS min_chunk,
+       CAST(LIST_MAX(LIST_TRANSFORM(RANGE(1, LEN(fences)),
+            k -> fences[k + 1] - fences[k])) AS INTEGER) AS max_chunk,
+       CAST(n_tokens AS DOUBLE) / CAST(LEN(fences) - 1 AS DOUBLE)
+         AS mean_chunk,
+       MD5(ARRAY_TO_STRING(toks[1:fences[2]], ' ')) AS first_chunk_fp
+FROM fenced ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -1447,6 +1539,7 @@ QUERIES = {
     "q79_pii_redact": q79_pii_redact,
     "q84_chunk_overlap": q84_chunk_overlap,
     "q85_bm25_topk": q85_bm25_topk,
+    "q142_cdc_chunking": q142_cdc_chunking,
 }
 
 ORACLES = {
@@ -1468,4 +1561,5 @@ ORACLES = {
     "q79_pii_redact": _Q79_ORACLE,
     "q84_chunk_overlap": _Q84_ORACLE,
     "q85_bm25_topk": _Q85_ORACLE,
+    "q142_cdc_chunking": _Q142_ORACLE,
 }
