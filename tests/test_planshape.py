@@ -235,3 +235,52 @@ def test_q137_rerank_joins_embeddings_by_broadcast(spark):
     # sides) or a tiny fused-rank join
     for ln in final.splitlines():
         assert "SortMergeJoin" not in ln and "ShuffledHashJoin" not in ln
+
+
+def test_q140_single_scan_no_second_count_pass(spark):
+    """The shard manifest derives the corpus total from the manifest
+    itself (N-row window), not a second docs.count() scan — the plan
+    must contain exactly ONE parquet scan of documents."""
+    from dataflowtemplates_spark.queries.sampling import q140_training_shards
+    plan = (q140_training_shards(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+
+
+def test_q142_chunker_is_map_only(spark):
+    """The CDC chunker is one projected expression chain per document:
+    no join, no Generate/explode, and no exchange other than the final
+    presentation sort."""
+    from dataflowtemplates_spark.queries.text import q142_cdc_chunking
+    plan = (q142_cdc_chunking(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Join" not in plan
+    assert "Generate" not in plan
+    # rangepartitioning for the orderBy is the only exchange
+    import re
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e == "rangepartitioning" for e in exchanges), exchanges
+
+
+def test_q143_lev_runs_on_candidates_not_pairs(spark):
+    """levenshtein must appear ABOVE the deletion-key equi-join (on
+    candidates), and the join itself must be an equi-join — no
+    cartesian/broadcast-nested-loop anywhere."""
+    from dataflowtemplates_spark.queries.dedup import q143_fuzzy_match
+    df = q143_fuzzy_match(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_q141_cap_filters_before_pair_join_no_cartesian(spark):
+    """SemDeDup's cluster-size cap must exclude over-cap cells via a
+    broadcast semi-join BEFORE the in-cluster pair join, and the pair
+    join must be an equi-join on cell (no cartesian)."""
+    from dataflowtemplates_spark.queries.similarity import q141_semdedup
+    df = q141_semdedup(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
