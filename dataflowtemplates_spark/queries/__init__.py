@@ -69,6 +69,7 @@ REGISTRY_ORDER = (
     "q141_semdedup",            # new: cluster-then-prune semantic dedup
     "q142_cdc_chunking",        # new: content-defined chunking manifest
     "q143_fuzzy_match",         # new: SymSpell-blocked record linkage
+    "q144_stream_heavy_hitters",  # new: Misra-Gries stream sketch gate
     "q122_vacuum_audit",        # new: history-retention (vacuum) contract
     "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
     "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING

@@ -686,6 +686,79 @@ FROM predicted GROUP BY source ORDER BY source
 """
 
 
+#: Exact top-k depth the heavy-hitter gate checks per event type.
+HH_TOPK = 3
+
+
+def q144_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: a Misra-Gries frequent-items summary
+    per event_type held in custom stream state (fixed O(capacity)
+    counters — the only state budget an unbounded key space allows),
+    gated against the exact batch top-k.
+
+    The MG candidate SET depends on micro-batch boundaries, so raw
+    estimates stay OUT of the output (same discipline as q121's HLL
+    estimates). What is emitted per exact top-k user is the sketch's
+    THEOREM bound, which holds under any arrival order / batch split:
+    est <= true_count and (true_count - est) * capacity <= n_type —
+    checked in exact integer arithmetic and asserted TRUE by the
+    oracle. At 100 TB the same summary costs 32 counters per group
+    while an exact per-key count would hold state for every user ever
+    seen.
+    """
+    from dataflowtemplates_spark.streaming.pipelines import (
+        MG_CAPACITY, heavy_hitters_stateful)
+    ev = _stream_events(spark, sf_dir)
+    summary = heavy_hitters_stateful(ev)
+    q = (summary.writeStream.outputMode("update").format("memory")
+         .queryName("q144_hh_sink").trigger(availableNow=True).start())
+    q.awaitTermination()
+    sink = spark.table("q144_hh_sink")
+    final_stamp = sink.groupBy("event_type").agg(
+        F.max("n_processed").alias("final_n"))
+    final = (sink.join(final_stamp, "event_type")
+             .where(F.col("n_processed") == F.col("final_n"))
+             .select(F.col("event_type").alias("f_et"),
+                     F.col("user_id").alias("f_uid"), "est"))
+
+    counts = (spark.table("events")
+              .groupBy(F.col("event_type").alias("et"), "user_id")
+              .agg(F.count(F.lit(1)).alias("true_count")))
+    w = Window.partitionBy("et").orderBy(
+        F.col("true_count").desc(), F.col("user_id").asc())
+    topk = (counts.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= HH_TOPK))
+    joined = (topk
+              .join(final_stamp,
+                    topk.et == final_stamp.event_type)
+              .join(final, (topk.et == final.f_et)
+                    & (topk.user_id == final.f_uid), "left"))
+    est0 = F.coalesce(F.col("est"), F.lit(0).cast("long"))
+    return (joined
+            .select(F.col("et").alias("event_type"),
+                    F.col("rk").cast("int").alias("rk"),
+                    topk.user_id.alias("user_id"), "true_count",
+                    ((est0 <= F.col("true_count"))
+                     & ((F.col("true_count") - est0) * MG_CAPACITY
+                        <= F.col("final_n"))).alias("mg_within_bound"))
+            .orderBy("event_type", "rk"))
+
+
+_Q144_ORACLE = f"""
+WITH counts AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS true_count
+  FROM events GROUP BY 1, 2),
+topk AS (
+  SELECT event_type, user_id, true_count,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY true_count DESC, user_id ASC) AS INTEGER) AS rk
+  FROM counts)
+SELECT event_type, rk, user_id, true_count, TRUE AS mg_within_bound
+FROM topk WHERE rk <= {HH_TOPK}
+ORDER BY event_type, rk
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -698,6 +771,7 @@ QUERIES = {
     "q121_stream_approx_distinct": q121_stream_approx_distinct,
     "q127_stream_outer_attribution": q127_stream_outer_attribution,
     "q138_stream_classify": q138_stream_classify,
+    "q144_stream_heavy_hitters": q144_stream_heavy_hitters,
 }
 
 ORACLES = {
@@ -712,4 +786,5 @@ ORACLES = {
     "q121_stream_approx_distinct": _Q121_ORACLE,
     "q127_stream_outer_attribution": _Q127_ORACLE,
     "q138_stream_classify": _q138_oracle(),
+    "q144_stream_heavy_hitters": _Q144_ORACLE,
 }

@@ -151,6 +151,74 @@ def user_stats_stateful(events: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+#: Misra-Gries summary capacity: state per group is at most this many
+#: (key, count) pairs regardless of stream length — the O(1)-state
+#: frequent-items sketch. The estimate guarantee for ANY key is
+#: true_count - n/capacity <= est <= true_count, independent of
+#: arrival order or micro-batch splits.
+MG_CAPACITY = 32
+
+MG_OUTPUT = ("event_type string, user_id long, est long, n_processed long")
+_MG_STATE = "keys array<long>, counts array<long>, n_processed long"
+
+
+def heavy_hitters_stateful(events: DataFrame,
+                           capacity: int = MG_CAPACITY) -> DataFrame:
+    """Streaming frequent-items (heavy hitters) per event_type via a
+    Misra-Gries summary in ``applyInPandasWithState`` state — the
+    fixed-size streaming counterpart of the batch count-min pass
+    (q118). State per group is <= ``capacity`` counters + one long, so
+    an unbounded stream of any cardinality holds O(capacity) state.
+
+    Each micro-batch folds its keys (sorted for within-batch
+    determinism) into the summary: increment if tracked, insert if
+    there is room, otherwise decrement ALL counters and drop zeros —
+    the classic MG step that charges one arrival against ``capacity``
+    tracked keys at once. The surviving candidate SET depends on batch
+    boundaries, but the MG bound (est >= true - n/capacity, est <=
+    true) holds for EVERY key under ANY order — that bound, not the
+    raw estimates, is what q144 gates on.
+
+    Every batch emits the full summary stamped with ``n_processed``;
+    the bounded drain recovers the FINAL summary by keeping each
+    group's rows at the maximum stamp (same monotone-drain idiom as
+    q93).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            keys, counts, n_proc = state.get
+            d = dict(zip(keys, counts))
+        else:
+            d, n_proc = {}, 0
+        for pdf in pdfs:
+            for uid in pdf["user_id"].sort_values():
+                uid = int(uid)
+                n_proc += 1
+                if uid in d:
+                    d[uid] += 1
+                elif len(d) < capacity:
+                    d[uid] = 1
+                else:
+                    d = {k: c - 1 for k, c in d.items() if c > 1}
+        items = sorted(d.items())
+        state.update(([k for k, _ in items], [c for _, c in items],
+                      n_proc))
+        yield pd.DataFrame({
+            "event_type": [key[0]] * len(items),
+            "user_id": [k for k, _ in items],
+            "est": [c for _, c in items],
+            "n_processed": [n_proc] * len(items),
+        })
+
+    return (events
+            .groupBy("event_type")
+            .applyInPandasWithState(fold, MG_OUTPUT, _MG_STATE, "update",
+                                    GroupStateTimeout.NoTimeout))
+
+
 def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
                           checkpoint: str, mode: str = "update"):
     """foreachBatch sink into the mutation-disposition keyed table —
