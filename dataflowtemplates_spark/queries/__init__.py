@@ -65,11 +65,12 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q145_stream_keyed_upsert", # new: foreachBatch CDC apply into KeyedTable
+    "q144_stream_heavy_hitters",  # fixed this cycle: MemoryPlan self-join
     "q140_training_shards",     # new: balanced training-shard manifest
     "q141_semdedup",            # new: cluster-then-prune semantic dedup
     "q142_cdc_chunking",        # new: content-defined chunking manifest
     "q143_fuzzy_match",         # new: SymSpell-blocked record linkage
-    "q144_stream_heavy_hitters",  # new: Misra-Gries stream sketch gate
     "q122_vacuum_audit",        # new: history-retention (vacuum) contract
     "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
     "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING

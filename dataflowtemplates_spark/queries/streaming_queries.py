@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -713,7 +713,13 @@ def q144_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = (summary.writeStream.outputMode("update").format("memory")
          .queryName("q144_hh_sink").trigger(availableNow=True).start())
     q.awaitTermination()
-    sink = spark.table("q144_hh_sink")
+    # localCheckpoint breaks the MemoryPlan lineage: the sink view is
+    # referenced three times below (final_stamp + final + the join),
+    # and Spark's analyzer cannot dedupe MemoryPlan attributes in a
+    # self-join (INTERNAL_ERROR: conflicting references). The sink is
+    # O(sketch) rows (<= capacity x batches per event type), so the
+    # checkpoint is a few KB regardless of input scale.
+    sink = spark.table("q144_hh_sink").localCheckpoint(eager=True)
     final_stamp = sink.groupBy("event_type").agg(
         F.max("n_processed").alias("final_n"))
     final = (sink.join(final_stamp, "event_type")
@@ -759,6 +765,118 @@ ORDER BY event_type, rk
 """
 
 
+def q145_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed CDC apply into the keyed table: ``foreachBatch`` folds
+    each micro-batch into a :class:`KeyedTable` with a version-guarded
+    upsert — the streaming end of the reference's mutation templates
+    (SpannerToSpanner.java:109-114 applies batched mutations to a keyed
+    store; here the batches arrive from a stream instead of a bounded
+    query).
+
+    Per user the table holds ``n_seen`` (additive counter) and the
+    ``last_*`` image of the MAX-``(ts, event_id)`` event (version
+    guard: an out-of-order batch can never clobber a newer image with
+    an older one).  Both folds are ASSOCIATIVE — count is a sum,
+    version-guard is a max — so the final table state is independent
+    of how the stream is split into micro-batches.  The input is
+    deliberately staged into 8 files and streamed with
+    ``maxFilesPerTrigger=1`` so the fold really crosses batch
+    boundaries (one-shot availableNow would make the guard dead code).
+
+    Scale shape: each batch's read-modify-write touches only the
+    buckets its keys hash into (``_read_buckets`` over
+    ``_touched_buckets`` — the same partition-pruned slice the
+    mutation commit rewrites), so per-batch cost is O(batch +
+    table/n_buckets × touched), never O(table).  The per-batch
+    ``groupBy`` pre-aggregates map-side before the table join.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.operators.mutations import KeyedTable
+
+    register_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q145_upsert_")
+    try:
+        stage = os.path.join(tmp, "stage")
+        (spark.table("events")
+         .select("event_id", "ts", "user_id", "event_type", "value")
+         .repartitionByRange(8, "ts")
+         .write.parquet(stage))
+        tbl_path = os.path.join(tmp, "tbl")
+        seed = spark.createDataFrame([], T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("last_ts", spark.read.parquet(stage)
+                          .schema["ts"].dataType),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]))
+        KeyedTable(spark, tbl_path, ["user_id"]).create(seed)
+
+        def fold(batch: DataFrame, _bid: int) -> None:
+            # re-bind the table to the micro-batch's session clone so
+            # every frame in the per-batch plan shares one session
+            t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
+            agg = (batch.groupBy("user_id")
+                   .agg(F.count(F.lit(1)).alias("n_b"),
+                        F.max(F.struct("ts", "event_id", "value",
+                                       "event_type")).alias("s")))
+            nb = int(t._meta()["n_buckets"])
+            cur = (t._read_buckets(t._touched_buckets(agg, nb))
+                   .select("user_id", "n_seen",
+                           F.struct(
+                               F.col("last_ts").alias("ts"),
+                               F.col("last_event_id").alias("event_id"),
+                               F.col("last_value").alias("value"),
+                               F.col("last_event_type").alias("event_type"),
+                           ).alias("cs")))
+            m = agg.join(cur, "user_id", "left")
+            ns = F.greatest("s", "cs")  # greatest skips NULL (new key)
+            t.apply_mutations(
+                m.select(
+                    "user_id",
+                    (F.coalesce(F.col("n_seen"), F.lit(0))
+                     + F.col("n_b")).alias("n_seen"),
+                    ns["ts"].alias("last_ts"),
+                    ns["event_id"].alias("last_event_id"),
+                    ns["value"].alias("last_value"),
+                    ns["event_type"].alias("last_event_type")),
+                "INSERT_OR_UPDATE")
+
+        src = (spark.readStream.schema(spark.read.parquet(stage).schema)
+               .option("maxFilesPerTrigger", 1).parquet(stage))
+        q = (src.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        out = (KeyedTable(spark, tbl_path, ["user_id"]).read()
+               .select("user_id", "n_seen", "last_ts", "last_event_id",
+                       "last_value", "last_event_type")
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+_Q145_ORACLE = """
+WITH last AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rk
+  FROM events),
+cnt AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_seen
+  FROM events GROUP BY user_id)
+SELECT c.user_id, c.n_seen, l.ts AS last_ts,
+       l.event_id AS last_event_id, l.value AS last_value,
+       l.event_type AS last_event_type
+FROM cnt c JOIN last l ON c.user_id = l.user_id AND l.rk = 1
+ORDER BY c.user_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -772,6 +890,7 @@ QUERIES = {
     "q127_stream_outer_attribution": q127_stream_outer_attribution,
     "q138_stream_classify": q138_stream_classify,
     "q144_stream_heavy_hitters": q144_stream_heavy_hitters,
+    "q145_stream_keyed_upsert": q145_stream_keyed_upsert,
 }
 
 ORACLES = {
@@ -787,4 +906,5 @@ ORACLES = {
     "q127_stream_outer_attribution": _Q127_ORACLE,
     "q138_stream_classify": _q138_oracle(),
     "q144_stream_heavy_hitters": _Q144_ORACLE,
+    "q145_stream_keyed_upsert": _Q145_ORACLE,
 }
