@@ -1520,6 +1520,119 @@ FROM fenced ORDER BY doc_id
 """
 
 
+#: DSIR target slice and selection depth (importance-resampled top-k).
+DSIR_TARGET_LANG = "en"
+DSIR_TOPK = 40
+
+
+def _dsir_train(spark: SparkSession, sf_dir: str) -> dict:
+    """DSIR feature-ratio model (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): one (token) aggregate
+    over the corpus yields, per token, its raw-corpus count and its
+    target-slice count; the importance ratio is the smoothed target
+    unigram probability over the smoothed raw one. The paper hashes
+    n-grams into a fixed bucket space; here the corpus vocabulary IS
+    the feature space (same O(model) driver-held codebook economics as
+    `_nb_train` — at open-vocabulary scale both become a hashed feature
+    table behind a broadcast join, identical plan shape).
+
+    Determinism: each ratio is two IEEE divisions of exact integers
+    then one division — DuckDB's INT/INT division produces the
+    identical double, so the oracle re-derives the model bit-exactly.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = (docs.select("lang",
+                        F.explode(F.split(F.col("text"), " "))
+                        .alias("token"))
+            .filter(F.col("token") != ""))
+    rows = (toks.groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cr"),
+                 F.sum((F.col("lang") == DSIR_TARGET_LANG)
+                       .cast("long")).alias("ct"))
+            .collect())
+    v = len(rows)
+    r_n = sum(r["cr"] for r in rows)
+    t_n = sum(r["ct"] for r in rows)
+    return {r["token"]: ((r["ct"] + 1) / (t_n + v))
+            / ((r["cr"] + 1) / (r_n + v)) for r in rows}
+
+
+def q146_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance reweighting for training-data selection: score
+    every document by the product of its tokens' target/raw unigram
+    probability ratios and keep the top-k — the data-mixture operator
+    that tilts a raw crawl toward a target domain without training a
+    classifier (the classifier-based sibling is q136/q138).
+
+    Scale shape: training is ONE token aggregate (map-side combine);
+    scoring is MAP-ONLY (the ratio table rides to executors as a
+    literal map, each doc folds its own sorted token array — no join,
+    no explode); selection is a global top-k
+    (TakeOrderedAndProject, never a full sort). The fold multiplies
+    in sorted-token order so Spark, CPython, and DuckDB land on the
+    identical double (the shared-fold-order rule; ratios centre on 1
+    so a <=100-token product stays far inside double range — an
+    unbounded-length build would sum logs instead and drop to a
+    bounded-error gate).
+    """
+    w = _dsir_train(spark, sf_dir)
+    lit_entries = []
+    for t in sorted(w):
+        lit_entries.append(F.lit(t))
+        lit_entries.append(F.lit(w[t]))
+    model = F.create_map(*lit_entries)
+
+    docs = spark.table("documents")
+    toks = F.array_sort(F.filter(F.split(F.col("text"), " "),
+                                 lambda t: t != ""))
+    weight = F.aggregate(F.transform(toks, lambda t: model[t]),
+                         F.lit(1.0), lambda a, x: a * x)
+    top = (docs.select("doc_id", "lang", "source",
+                       weight.alias("weight"))
+           .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
+           .limit(DSIR_TOPK))
+    # rank window runs over the already-selected DSIR_TOPK rows only
+    rk = F.row_number().over(
+        Window.orderBy(F.col("weight").desc(), F.col("doc_id").asc()))
+    return top.select(rk.cast("int").alias("rk"), "doc_id", "lang",
+                      "source", "weight").orderBy("rk")
+
+
+_Q146_ORACLE = f"""
+WITH tok AS MATERIALIZED (
+  SELECT doc_id, lang, token FROM (
+    SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
+    FROM documents)
+  WHERE token <> ''),
+stats AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS cr,
+         CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0
+                  END) AS BIGINT) AS ct
+  FROM tok GROUP BY token),
+tot AS (
+  SELECT CAST(SUM(cr) AS BIGINT) AS r_n, CAST(SUM(ct) AS BIGINT) AS t_n,
+         COUNT(*) AS v
+  FROM stats),
+model AS MATERIALIZED (
+  SELECT token, ((ct + 1) / (t_n + v)) / ((cr + 1) / (r_n + v)) AS w
+  FROM stats CROSS JOIN tot),
+lists AS (
+  SELECT t.doc_id, LIST(m.w ORDER BY m.token) AS ws
+  FROM tok t JOIN model m USING (token) GROUP BY t.doc_id),
+scored AS (
+  SELECT d.doc_id, d.lang, d.source,
+         LIST_REDUCE(LIST_PREPEND(CAST(1 AS DOUBLE),
+                                  COALESCE(l.ws, CAST([] AS DOUBLE[]))),
+                     (a, b) -> a * b) AS weight
+  FROM documents d LEFT JOIN lists l USING (doc_id))
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY weight DESC, doc_id) AS INTEGER)
+         AS rk,
+       doc_id, lang, source, weight
+FROM scored ORDER BY weight DESC, doc_id LIMIT {DSIR_TOPK}
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
     "q41_lang_id": q41_lang_id,
@@ -1540,6 +1653,7 @@ QUERIES = {
     "q84_chunk_overlap": q84_chunk_overlap,
     "q85_bm25_topk": q85_bm25_topk,
     "q142_cdc_chunking": q142_cdc_chunking,
+    "q146_dsir_reweight": q146_dsir_reweight,
 }
 
 ORACLES = {
@@ -1562,4 +1676,5 @@ ORACLES = {
     "q84_chunk_overlap": _Q84_ORACLE,
     "q85_bm25_topk": _Q85_ORACLE,
     "q142_cdc_chunking": _Q142_ORACLE,
+    "q146_dsir_reweight": _Q146_ORACLE,
 }
