@@ -784,16 +784,19 @@ def q145_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries (one-shot availableNow would make the guard dead code).
 
     Scale shape: each batch's read-modify-write touches only the
-    buckets its keys hash into (``_read_buckets`` over
-    ``_touched_buckets`` — the same partition-pruned slice the
+    buckets its keys hash into (the same partition-pruned slice the
     mutation commit rewrites), so per-batch cost is O(batch +
-    table/n_buckets × touched), never O(table).  The per-batch
-    ``groupBy`` pre-aggregates map-side before the table join.
+    table/n_buckets × touched), never O(table).  The fold itself is
+    ``streaming/pipelines.versioned_upsert_fold`` — directly callable
+    on batch DataFrames, which is how the batch-split-invariance
+    property is tested without the streaming engine.
     """
     import shutil
     import tempfile
 
     from dataflowtemplates_spark.operators.mutations import KeyedTable
+    from dataflowtemplates_spark.streaming.pipelines import (
+        versioned_upsert_fold)
 
     register_tables(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="q145_upsert_")
@@ -815,36 +818,7 @@ def q145_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
         KeyedTable(spark, tbl_path, ["user_id"]).create(seed)
 
-        def fold(batch: DataFrame, _bid: int) -> None:
-            # re-bind the table to the micro-batch's session clone so
-            # every frame in the per-batch plan shares one session
-            t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
-            agg = (batch.groupBy("user_id")
-                   .agg(F.count(F.lit(1)).alias("n_b"),
-                        F.max(F.struct("ts", "event_id", "value",
-                                       "event_type")).alias("s")))
-            nb = int(t._meta()["n_buckets"])
-            cur = (t._read_buckets(t._touched_buckets(agg, nb))
-                   .select("user_id", "n_seen",
-                           F.struct(
-                               F.col("last_ts").alias("ts"),
-                               F.col("last_event_id").alias("event_id"),
-                               F.col("last_value").alias("value"),
-                               F.col("last_event_type").alias("event_type"),
-                           ).alias("cs")))
-            m = agg.join(cur, "user_id", "left")
-            ns = F.greatest("s", "cs")  # greatest skips NULL (new key)
-            t.apply_mutations(
-                m.select(
-                    "user_id",
-                    (F.coalesce(F.col("n_seen"), F.lit(0))
-                     + F.col("n_b")).alias("n_seen"),
-                    ns["ts"].alias("last_ts"),
-                    ns["event_id"].alias("last_event_id"),
-                    ns["value"].alias("last_value"),
-                    ns["event_type"].alias("last_event_type")),
-                "INSERT_OR_UPDATE")
-
+        fold = versioned_upsert_fold(tbl_path)
         src = (spark.readStream.schema(spark.read.parquet(stage).schema)
                .option("maxFilesPerTrigger", 1).parquet(stage))
         q = (src.writeStream.foreachBatch(fold)

@@ -162,6 +162,26 @@ MG_OUTPUT = ("event_type string, user_id long, est long, n_processed long")
 _MG_STATE = "keys array<long>, counts array<long>, n_processed long"
 
 
+def mg_fold(d: dict, keys, capacity: int) -> dict:
+    """Fold a sequence of keys into a Misra-Gries summary ``d`` (key ->
+    counter, at most ``capacity`` entries): increment if tracked,
+    insert if there is room, otherwise decrement ALL counters and drop
+    zeros — charging one arrival against ``capacity`` tracked keys at
+    once. Pure function (mutates/replaces and returns ``d``) so the
+    theorem bound — for EVERY key, true - n/capacity <= est <= true
+    under ANY arrival order or batch split — is property-testable
+    without the streaming engine (tests/test_streaming.py)."""
+    for k in keys:
+        k = int(k)
+        if k in d:
+            d[k] += 1
+        elif len(d) < capacity:
+            d[k] = 1
+        else:
+            d = {kk: c - 1 for kk, c in d.items() if c > 1}
+    return d
+
+
 def heavy_hitters_stateful(events: DataFrame,
                            capacity: int = MG_CAPACITY) -> DataFrame:
     """Streaming frequent-items (heavy hitters) per event_type via a
@@ -194,15 +214,9 @@ def heavy_hitters_stateful(events: DataFrame,
         else:
             d, n_proc = {}, 0
         for pdf in pdfs:
-            for uid in pdf["user_id"].sort_values():
-                uid = int(uid)
-                n_proc += 1
-                if uid in d:
-                    d[uid] += 1
-                elif len(d) < capacity:
-                    d[uid] = 1
-                else:
-                    d = {k: c - 1 for k, c in d.items() if c > 1}
+            uids = pdf["user_id"].sort_values()
+            d = mg_fold(d, uids, capacity)
+            n_proc += len(uids)
         items = sorted(d.items())
         state.update(([k for k, _ in items], [c for _, c in items],
                       n_proc))
@@ -235,3 +249,58 @@ def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
             .outputMode(mode)
             .option("checkpointLocation", checkpoint)
             .foreachBatch(apply_batch))
+
+
+def versioned_upsert_fold(tbl_path: str):
+    """foreachBatch callable that folds event micro-batches
+    (event_id, ts, user_id, event_type, value) into the KeyedTable at
+    ``tbl_path`` — per user an additive ``n_seen`` counter plus the
+    ``last_*`` image of the MAX-(ts, event_id) event. Both folds are
+    ASSOCIATIVE (sum / max), so the final table state is independent
+    of how the stream is split into batches — the version guard means
+    an out-of-order batch can never clobber a newer image with an
+    older one (the CDC-apply discipline; blind last-write-wins is
+    ``stream_to_keyed_table``). The table must already exist with
+    columns (user_id, n_seen, last_ts, last_event_id, last_value,
+    last_event_type).
+
+    Per batch: one map-side-combined groupBy, then a read-modify-write
+    that reads ONLY the buckets the batch keys hash into (the same
+    partition-pruned slice the commit rewrites) — O(batch +
+    table/n_buckets x touched) per batch, never O(table).
+    """
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.operators.mutations import KeyedTable
+
+    def fold(batch, _bid: int) -> None:
+        # re-bind the table to the micro-batch's session clone so
+        # every frame in the per-batch plan shares one session
+        t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
+        agg = (batch.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n_b"),
+                    F.max(F.struct("ts", "event_id", "value",
+                                   "event_type")).alias("s")))
+        nb = int(t._meta()["n_buckets"])
+        cur = (t._read_buckets(t._touched_buckets(agg, nb))
+               .select("user_id", "n_seen",
+                       F.struct(
+                           F.col("last_ts").alias("ts"),
+                           F.col("last_event_id").alias("event_id"),
+                           F.col("last_value").alias("value"),
+                           F.col("last_event_type").alias("event_type"),
+                       ).alias("cs")))
+        m = agg.join(cur, "user_id", "left")
+        ns = F.greatest("s", "cs")  # greatest skips NULL (new key)
+        t.apply_mutations(
+            m.select(
+                "user_id",
+                (F.coalesce(F.col("n_seen"), F.lit(0))
+                 + F.col("n_b")).alias("n_seen"),
+                ns["ts"].alias("last_ts"),
+                ns["event_id"].alias("last_event_id"),
+                ns["value"].alias("last_value"),
+                ns["event_type"].alias("last_event_type")),
+            "INSERT_OR_UPDATE")
+
+    return fold

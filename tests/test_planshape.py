@@ -284,3 +284,17 @@ def test_q141_cap_filters_before_pair_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
+
+
+def test_q146_scoring_is_map_only_topk(spark):
+    """DSIR scoring must be a pure projection (ratio table rides as a
+    literal map — no join, no Python) and selection a global top-k
+    (TakeOrderedAndProject, never a full Sort+Exchange of the scored
+    corpus); the only window runs over the already-selected TOPK rows."""
+    from dataflowtemplates_spark.queries.text import q146_dsir_reweight
+    df = q146_dsir_reweight(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Python" not in plan
+    assert "TakeOrderedAndProject" in plan

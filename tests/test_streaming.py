@@ -588,3 +588,81 @@ def test_q91_checkpoint_recovery_restores_session_state(spark, tmp_path):
     assert str(r["session_start"]).startswith("2024-01-01 10:00:00")
     assert r["n_events"] == 3
     assert str(r["session_end"]).startswith("2024-01-01 10:50:00")
+
+
+# -- q144/q145 kernel properties -------------------------------------
+
+
+def test_mg_fold_bound_holds_under_any_split():
+    """Misra-Gries theorem bound, property-style: for random multisets
+    folded under random batch splits and orders, EVERY key satisfies
+    true - n/capacity <= est <= true (est = 0 if untracked). The
+    candidate SET may differ between splits; the bound may not."""
+    import random
+
+    from dataflowtemplates_spark.streaming.pipelines import mg_fold
+
+    rng = random.Random(1449)
+    for trial in range(25):
+        n = rng.randrange(50, 400)
+        # skewed: small key space so some keys are genuinely heavy
+        keys = [rng.randrange(12) for _ in range(n)]
+        capacity = rng.choice([2, 3, 5, 8])
+        true = {}
+        for k in keys:
+            true[k] = true.get(k, 0) + 1
+        for _ in range(3):
+            perm = keys[:]
+            rng.shuffle(perm)
+            d = {}
+            i = 0
+            while i < len(perm):
+                j = min(len(perm), i + rng.randrange(1, 60))
+                d = mg_fold(d, perm[i:j], capacity)
+                i = j
+            for k, tc in true.items():
+                est = d.get(k, 0)
+                assert est <= tc
+                assert (tc - est) * capacity <= n, (
+                    f"bound broken: key {k} true {tc} est {est} "
+                    f"n {n} cap {capacity}")
+
+
+def test_versioned_upsert_fold_is_batch_split_invariant(spark, tmp_path):
+    """q145's fold applied over two DIFFERENT manual splits of the same
+    event set must land the table in the identical final state — the
+    associativity claim (additive count + max-struct version guard)
+    tested without the streaming engine."""
+    from pyspark.sql import types as T
+
+    from dataflowtemplates_spark.catalog import load_table
+    from dataflowtemplates_spark.streaming.pipelines import (
+        versioned_upsert_fold)
+
+    ev = (load_table(spark, SF, "events")
+          .select("event_id", "ts", "user_id", "event_type", "value")
+          .localCheckpoint(eager=True))
+
+    def run(split_col_mod: int, path: str):
+        seed = spark.createDataFrame([], T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("last_ts", ev.schema["ts"].dataType),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]))
+        KeyedTable(spark, path, ["user_id"]).create(seed)
+        fold = versioned_upsert_fold(path)
+        # deterministic split by event_id residue — residue order is
+        # deliberately NOT time order, so late batches carry early rows
+        for r in range(split_col_mod):
+            fold(ev.filter(F.col("event_id") % split_col_mod == r), r)
+        return (KeyedTable(spark, path, ["user_id"]).read()
+                .orderBy("user_id").collect())
+
+    a = run(2, str(tmp_path / "t2"))
+    b = run(5, str(tmp_path / "t5"))
+    assert a == b
+    total = ev.count()
+    assert sum(r["n_seen"] for r in a) == total
