@@ -579,6 +579,44 @@ class KeyedTable:
                 fsio.delete_dir(staging)
 
     # -- maintenance -----------------------------------------------------
+    def rebucket(self, n_buckets_new: int) -> None:
+        """Change the hash-bucket layout — the grow path for a table
+        that has outgrown its creation-time ``n_buckets`` (rewrite
+        granularity sizing: n_buckets ~ table_bytes /
+        desired_rewrite_bytes, so a growing table periodically doubles
+        it). One O(table) rewrite commit — inherent for a layout
+        change and amortized over every subsequent O(table/n_buckets)
+        mutation.
+
+        Snapshot history stays resolvable across the boundary because
+        the rebucket commit records the UNION of old and new bucket
+        ids: every old id's pre-rebucket directory gets the rebucket
+        as its "first touch after", so pre-boundary ``read_at`` bounds
+        resolve into ``_history/v-{prev}`` exactly as for any other
+        commit, while old-only ids (a shrink) resolve to no current
+        directory post-boundary and drop out. ``changes_between``
+        across the boundary diffs VALUES, so a pure layout change
+        contributes no change rows (pinned in test_mutations.py).
+
+        The data commit and the ``_meta.json`` bucket-count update are
+        two steps — single-writer contract as everywhere here; under a
+        log-based table format (the documented Delta/Iceberg seam)
+        both land in one metadata commit.
+        """
+        if n_buckets_new < 1:
+            raise ValueError("n_buckets must be >= 1")
+        meta = self._meta()
+        old_n = int(meta["n_buckets"])
+        if n_buckets_new == old_n:
+            return
+        touched = sorted(set(range(old_n)) | set(range(n_buckets_new)))
+        # staging write executes the read() plan while the old bucket
+        # directories are still in place; the swap happens after
+        self._commit_buckets(self.read(), touched, n_buckets_new)
+        meta = self._meta()
+        meta["n_buckets"] = int(n_buckets_new)
+        self._write_meta(meta)
+
     def vacuum(self, keep_last: int = 1) -> int:
         """Reclaim history older than the last ``keep_last`` versions
         (the current version always counts as one of them), mirroring

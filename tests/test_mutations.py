@@ -391,3 +391,68 @@ def test_changes_between_reconciles_snapshots(spark, tmp_path):
             old, new = state(bounds[i]), state(bounds[j])
             assert (old - removed) | added == new, (i, j)
             assert removed <= old and not (added & old - removed), (i, j)
+
+
+def test_rebucket_grow_preserves_state_history_and_pruning(spark, tmp_path):
+    """rebucket (the table-growth layout change) must keep the current
+    state, pre-boundary snapshots, and CDC semantics intact: read()
+    identical, read_at a pre-rebucket bound bit-equal, changes_between
+    across the boundary empty for a pure layout change, and subsequent
+    mutations pruned by the NEW bucket count."""
+    from datetime import datetime, timezone
+    path = str(tmp_path / "grow")
+    t = KeyedTable(spark, path, ["id"], n_buckets=2)
+    rows = [Row(id=i, v=f"v{i}") for i in range(40)]
+    t.apply_mutations(spark.createDataFrame(rows), "INSERT")
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="v1b")]), "INSERT_OR_UPDATE")
+    bound = datetime.now(timezone.utc).isoformat()
+    pre_state = sorted((r.id, r.v) for r in t.read().collect())
+
+    t.rebucket(8)
+    assert int(t._meta()["n_buckets"]) == 8
+    # layout actually changed: 8 current bucket dirs
+    assert len(t._bucket_dirs()) == 8
+    # value-identical current state and pre-boundary snapshot
+    assert sorted((r.id, r.v) for r in t.read().collect()) == pre_state
+    assert sorted((r.id, r.v)
+                  for r in t.read_at(bound).collect()) == pre_state
+    # a pure layout change is NOT a data change
+    after = datetime.now(timezone.utc).isoformat()
+    assert t.changes_between(bound, after).count() == 0
+
+    # post-rebucket mutation: pruned by the new count, and only the
+    # touched bucket dirs' files change
+    import glob
+    import os
+    def snap():
+        return {p: os.path.getmtime(p)
+                for p in glob.glob(os.path.join(path, "kb=*", "*.parquet"))}
+    before_files = snap()
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=7, v="v7b")]), "INSERT_OR_UPDATE")
+    touched = t._commits()[-1]["buckets"]
+    assert len(touched) == 1 and 0 <= touched[0] < 8
+    after_files = snap()
+    untouched_same = [p for p in before_files
+                      if p in after_files
+                      and after_files[p] == before_files[p]]
+    assert len(untouched_same) >= len(before_files) * 7 // 8
+    now = {r.id: r.v for r in t.read().collect()}
+    assert now[7] == "v7b" and now[1] == "v1b" and len(now) == 40
+
+
+def test_rebucket_shrink_resolves_old_only_buckets(spark, tmp_path):
+    """Shrinking drops bucket ids that only existed in the old layout;
+    their history must still resolve for pre-boundary bounds and they
+    must vanish from post-boundary reads."""
+    from datetime import datetime, timezone
+    t = KeyedTable(spark, str(tmp_path / "shrink"), ["id"], n_buckets=8)
+    rows = [Row(id=i, v=i * 10) for i in range(60)]
+    t.apply_mutations(spark.createDataFrame(rows), "INSERT")
+    bound = datetime.now(timezone.utc).isoformat()
+    t.rebucket(3)
+    assert len(t._bucket_dirs()) == 3
+    assert sorted(r.id for r in t.read().collect()) == list(range(60))
+    assert sorted(r.id for r in t.read_at(bound).collect()) == \
+        list(range(60))
