@@ -321,12 +321,54 @@ ORDER BY user_id, ts, event_id
 """
 
 
+def q147_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially-weighted moving average of event values
+    in event-time order — the classic user-signal smoothing feature
+    (recency-weighted engagement) computed batch-side; alpha = 1/2 so
+    every fold step is one IEEE add plus one exact halving, making the
+    result bit-identical across engines when folded in the same
+    (ts, event_id) order (the shared-fold-order rule).
+
+    Scale shape: ONE aggregation keyed on user_id (map-side combined
+    collect), then a map-only fold over each user's own sorted event
+    array — no window function, no second shuffle. Per-user state is
+    that user's history; at abusive per-key cardinalities the same
+    fold runs as a segmented scan (sessionized sub-arrays folded then
+    combined via the affine-composition property of EWMA), documented
+    rather than needed at this corpus's per-user counts.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    per_user = (ev.groupBy("user_id")
+                .agg(F.sort_array(F.collect_list(
+                        F.struct("ts", "event_id", "value"))).alias("h")))
+    ewma = F.aggregate(F.col("h"), F.lit(0.0),
+                       lambda acc, e: (e["value"] + acc) / F.lit(2.0))
+    return (per_user.select(
+                "user_id",
+                F.size("h").cast("bigint").alias("n_events"),
+                ewma.alias("ewma"))
+            .orderBy("user_id"))
+
+
+_Q147_ORACLE = """
+WITH h AS (
+  SELECT user_id, LIST(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id)
+SELECT user_id,
+       CAST(LEN(vals) AS BIGINT) AS n_events,
+       LIST_REDUCE(LIST_PREPEND(CAST(0 AS DOUBLE), vals),
+                   (a, b) -> (b + a) / CAST(2 AS DOUBLE)) AS ewma
+FROM h ORDER BY user_id
+"""
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
     "q97_scd2_intervals": q97_scd2_intervals,
     "q129_funnel_conversion": q129_funnel_conversion,
     "q130_time_range_window": q130_time_range_window,
+    "q147_user_ewma": q147_user_ewma,
 }
 
 ORACLES = {
@@ -335,4 +377,5 @@ ORACLES = {
     "q97_scd2_intervals": _Q97_ORACLE,
     "q129_funnel_conversion": _Q129_ORACLE,
     "q130_time_range_window": _Q130_ORACLE,
+    "q147_user_ewma": _Q147_ORACLE,
 }
