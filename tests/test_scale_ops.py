@@ -111,3 +111,38 @@ def test_q66_hot_bucket_cap_parity_with_oracle(spark, tmp_path):
             f"COUNT(*) <= {Q66_MAX_BUCKET}", "COUNT(*) <= 20")).fetchall())
     assert got == want
     assert got == [(100, 101)]  # hot bucket dropped on BOTH engines
+
+
+def test_ivf_append_equals_full_rebuild(spark, tmp_path):
+    """Incremental index maintenance: appending a batch under a FROZEN
+    codebook must yield an index identical to a from-scratch build over
+    the union — same inverted-list rows, same search results."""
+    from dataflowtemplates_spark.catalog import register_tables
+    from dataflowtemplates_spark.operators.ivf import (
+        append_ivf_index, build_ivf_index, search_ivf_index)
+    register_tables(spark, SF)
+    emb = spark.table("embeddings")
+    codebook = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding").collect())
+    base = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") % 3 != 0))
+    incr = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") % 3 == 0))
+
+    p_incr = str(tmp_path / "ivf_incr")
+    build_ivf_index(base, codebook, p_incr)
+    append_ivf_index(incr, codebook, p_incr)
+    p_full = str(tmp_path / "ivf_full")
+    build_ivf_index(emb.filter(F.col("vec_id") >= 20), codebook, p_full)
+
+    def rows(p):
+        return sorted((r["c_id"], r["cell"]) for r in
+                      spark.read.parquet(p).select("c_id", "cell").collect())
+    assert rows(p_incr) == rows(p_full)
+
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 12))
+    a = sorted(map(tuple, search_ivf_index(
+        spark, p_incr, queries, codebook, k=3, nprobe=2).collect()))
+    b = sorted(map(tuple, search_ivf_index(
+        spark, p_full, queries, codebook, k=3, nprobe=2).collect()))
+    assert a == b
