@@ -255,16 +255,10 @@ ORDER BY doc_a, doc_b
 """
 
 
-def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-shingle Jaccard on a bounded candidate set.
-
-    At scale this runs only on LSH candidates (q52); here it sweeps
-    doc_id < 120 pairwise to exercise the exact math. Window/threshold
-    chosen so the result is NON-EMPTY at the correctness gate's sf0.01
-    (201 pairs) — a 0-row pass proves nothing about the Jaccard math.
-    """
-    register_tables(spark, sf_dir)
-    docs = spark.table("documents").filter(F.col("doc_id") < 120)
+def _exact_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact word-trigram Jaccard for every sharing pair of the given
+    (bounded) document set — the verification kernel shared by q53 and
+    the q148 recall gate. Returns doc_a, doc_b, n_shared, jaccard."""
     grams = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.expr(
@@ -279,14 +273,26 @@ def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
               .agg(F.count(F.lit(1)).alias("n_shared")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_grams").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_grams").alias("nb"))
-    return (
-        shared.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", "n_shared",
-                (F.col("n_shared").cast("double")
-                 / (F.col("na") + F.col("nb") - F.col("n_shared"))).alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.01)
-        .orderBy("doc_a", "doc_b")
-    )
+    return (shared.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "n_shared",
+                    (F.col("n_shared").cast("double")
+                     / (F.col("na") + F.col("nb") - F.col("n_shared")))
+                    .alias("jaccard")))
+
+
+def q53_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-shingle Jaccard on a bounded candidate set.
+
+    At scale this runs only on LSH candidates (q52); here it sweeps
+    doc_id < 120 pairwise to exercise the exact math. Window/threshold
+    chosen so the result is NON-EMPTY at the correctness gate's sf0.01
+    (201 pairs) — a 0-row pass proves nothing about the Jaccard math.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").filter(F.col("doc_id") < 120)
+    return (_exact_jaccard_pairs(docs)
+            .filter(F.col("jaccard") >= 0.01)
+            .orderBy("doc_a", "doc_b"))
 
 
 _Q53_ORACLE = """
@@ -308,6 +314,89 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared) >= 0.01
 ORDER BY doc_a, doc_b
 """
+
+#: q148 recall-gate knobs: truth = exact trigram-Jaccard >= TRUTH
+#: pairs inside the bounded doc_id < SLICE set (exact all-pairs there
+#: is affordable in both engines); the gate asserts the production
+#: capped-LSH pass recovers >= FLOOR of them.
+LSH_RECALL_SLICE = 600
+LSH_RECALL_TRUTH = 0.5
+LSH_RECALL_FLOOR = 0.9
+
+
+def q148_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-recall quality gate — the dedup twin of q103's ANN
+    recall gate ("measure, don't guess"): run the PRODUCTION MinHash-
+    LSH candidate pass (full corpus, hot-bucket cap and all) and score
+    its recall against exact trigram-Jaccard ground truth computed on
+    a bounded slice where all-pairs verification is affordable.
+
+    Scale shape: truth is exact only over the O(slice^2) bounded set;
+    the LSH side is the same single-pass banded pipeline q52 ships.
+    One row out: counts, recall, and the floor boolean the oracle
+    asserts — at 8 hashes x 2 bands the S-curve gives ~0.9+ hit
+    probability at Jaccard 0.9, and corpus near-dups are
+    near-identical, so the measured recall sits at 1.0 (floor 0.9
+    leaves S-curve headroom without accepting a broken pass).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    truth = (_exact_jaccard_pairs(
+                 docs.filter(F.col("doc_id") < LSH_RECALL_SLICE))
+             .filter(F.col("jaccard") >= LSH_RECALL_TRUTH)
+             .select("doc_a", "doc_b"))
+    cand = (lsh_candidate_pairs(docs)
+            .filter((F.col("doc_a") < LSH_RECALL_SLICE)
+                    & (F.col("doc_b") < LSH_RECALL_SLICE)))
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    recall = F.when(F.col("n_truth") == 0, F.lit(1.0)).otherwise(
+        F.col("n_hit").cast("double") / F.col("n_truth").cast("double"))
+    return (nt.crossJoin(nc).crossJoin(nh)
+            .select("n_truth", "n_candidates", "n_hit",
+                    recall.alias("recall"),
+                    (recall >= F.lit(LSH_RECALL_FLOOR)).alias("recall_ok")))
+
+
+_Q148_ORACLE = _HASHED_CTE + ",\n" + _capped_banded_cte() + f""",
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+  WHERE a.doc_id < {LSH_RECALL_SLICE} AND b.doc_id < {LSH_RECALL_SLICE}),
+grams AS (
+  SELECT doc_id, UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+           i -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' ')))) AS gram
+  FROM documents WHERE doc_id < {LSH_RECALL_SLICE}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM grams GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+truth AS (
+  SELECT doc_a, doc_b FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - n_shared)
+        >= {LSH_RECALL_TRUTH}),
+hit AS (SELECT t.doc_a, t.doc_b FROM truth t JOIN cand USING (doc_a, doc_b)),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM hit) AS n_hit)
+SELECT n_truth, n_candidates, n_hit,
+       CASE WHEN n_truth = 0 THEN CAST(1 AS DOUBLE)
+            ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       END AS recall,
+       CASE WHEN n_truth = 0 THEN CAST(1 AS DOUBLE)
+            ELSE CAST(n_hit AS DOUBLE) / CAST(n_truth AS DOUBLE)
+       END >= {LSH_RECALL_FLOOR} AS recall_ok
+FROM agg
+"""
+
 
 def q55_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline END TO END: one minhash pass feeds both the
@@ -1359,6 +1448,7 @@ QUERIES = {
     "q104_span_dedup": q104_span_dedup,
     "q107_span_scrub": q107_span_scrub,
     "q143_fuzzy_match": q143_fuzzy_match,
+    "q148_lsh_recall": q148_lsh_recall,
 }
 
 ORACLES = {
@@ -1376,4 +1466,5 @@ ORACLES = {
     "q104_span_dedup": _Q104_ORACLE,
     "q107_span_scrub": _Q107_ORACLE,
     "q143_fuzzy_match": _Q143_ORACLE,
+    "q148_lsh_recall": _Q148_ORACLE,
 }
