@@ -185,10 +185,99 @@ FROM sampled GROUP BY source ORDER BY source
 """
 
 
+def q149_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export integration gate: greedy-pack the corpus into
+    fixed-token-budget sequences (q48's layout), WRITE them as
+    per-source sharded gzip TFRecord Examples through the K3 writer,
+    READ the shards back through the distributed TFRecord source, and
+    aggregate per-source totals from what came off disk. The DuckDB
+    oracle recomputes the same totals purely relationally — it never
+    sees a TFRecord byte — so a value match proves the whole
+    encode -> frame -> CRC -> gzip -> decode path is an identity on
+    real data, not just on the writer's own unit fixtures.
+
+    Scale shape: packing is q48's one window + one aggregate; encoding
+    and parsing are Arrow-batched mapInPandas, one task per shard, no
+    driver data movement (paths only). Reference: K3/C12 composition
+    (StructToTFRecord + sharded sink), SURVEY §2.8.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.operators.tfrecord import (
+        read_tfrecord_df, write_tfrecords)
+    from dataflowtemplates_spark.queries.sampling import PACK_BUDGET
+
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (docs
+              .select("doc_id", "source", n_tok.alias("n_tokens"))
+              .withColumn("running", F.sum("n_tokens").over(w))
+              .withColumn("seq_id",
+                          F.floor((F.col("running") - F.col("n_tokens"))
+                                  / F.lit(PACK_BUDGET))))
+    seqs = (staged.groupBy("source", "seq_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+                 F.sort_array(F.collect_list("doc_id")).alias("doc_ids")))
+    tmp = tempfile.mkdtemp(prefix="q149_export_")
+    try:
+        # write_tfrecords encodes internally (K3's contract: plain
+        # DataFrame in, Example shards out); split_field shards one
+        # subdirectory per source
+        write_tfrecords(seqs, tmp, split_field="source")
+        back = read_tfrecord_df(
+            spark, tmp,
+            features={"source": "string", "seq_id": "int64",
+                      "n_docs": "int64", "seq_tokens": "int64",
+                      "doc_ids": "int64"},
+            list_fields=("doc_ids",))
+        out = (back.groupBy("source")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_sequences"),
+                    F.sum("n_docs").cast("bigint").alias("n_docs"),
+                    F.sum("seq_tokens").cast("bigint").alias("total_tokens"),
+                    F.sum(F.aggregate("doc_ids", F.lit(0).cast("bigint"),
+                                      lambda a, x: a + x))
+                     .cast("bigint").alias("docid_checksum"))
+               .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("source")
+
+
+def _q149_oracle() -> str:
+    from dataflowtemplates_spark.queries.sampling import PACK_BUDGET
+    return f"""
+WITH staged AS (
+  SELECT doc_id, source,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         SUM(LEN(STRING_SPLIT(text, ' '))) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+  FROM documents),
+seqs AS (
+  SELECT source, (running - n_tokens) // {PACK_BUDGET} AS seq_id,
+         COUNT(*) AS n_docs, SUM(n_tokens) AS seq_tokens,
+         SUM(doc_id) AS id_sum
+  FROM staged GROUP BY 1, 2)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_sequences,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(id_sum) AS BIGINT) AS docid_checksum
+FROM seqs GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q87_corpus_pipeline": q87_corpus_pipeline,
+    "q149_export_roundtrip": q149_export_roundtrip,
 }
 
 ORACLES = {
     "q87_corpus_pipeline": _Q87_ORACLE,
+    "q149_export_roundtrip": _q149_oracle(),
 }
