@@ -147,6 +147,96 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q150_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type second-moment statistics: Pearson correlation and
+    OLS slope/intercept of event value against hour-of-day — the
+    grouped CORR/REGR_* analytics surface, built on exact moment sums
+    rather than the engines' float accumulators (whose results are
+    partition-order-dependent and never cross-engine comparable).
+
+    Exactness: value is floored to integer MILLI-units (declared
+    fixed-point semantics, same stance as the currency casts — and
+    floor, not cast, because double->int casts truncate in Spark but
+    round in DuckDB), hour is an integer, so all five moments are
+    EXACT BIGINT sums in any order. A bigint->double conversion is a
+    SINGLE correctly-rounded IEEE operation in every engine — unlike
+    decimal->double, which Java performs as unscaled/10^scale (two
+    roundings, observed 1-ulp off DuckDB on this very query). The
+    closed forms then run in double with one fixed operation order;
+    IEEE sqrt is exactly rounded. Slope/intercept are divided back by
+    1000 at the end (one more exact-ordered op) so they read in value
+    units; corr is scale-invariant. Moment magnitude stays < 2^63
+    through sf100 (sxx <= 3.2e11/row). One aggregation, map-side
+    combined; no second pass, no window.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    base = ev.select(
+        "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("long").alias("x"),
+        F.hour(F.col("ts").cast("timestamp")).cast("long").alias("y"))
+    m = (base.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("x").alias("sx"),
+              F.sum("y").alias("sy"),
+              F.sum(F.col("x") * F.col("x")).alias("sxx"),
+              F.sum(F.col("x") * F.col("y")).alias("sxy"),
+              F.sum(F.col("y") * F.col("y")).alias("syy")))
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    sxx_d = F.col("sxx").cast("double")
+    sxy_d = F.col("sxy").cast("double")
+    syy_d = F.col("syy").cast("double")
+    cov_n = n_d * sxy_d - sx_d * sy_d
+    var_x_n = n_d * sxx_d - sx_d * sx_d
+    var_y_n = n_d * syy_d - sy_d * sy_d
+    # regress value (milli-units) on hour: value = slope*hour + icept
+    slope = cov_n / var_y_n
+    return (m.select(
+                "event_type", "n",
+                (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n)))
+                .alias("corr"),
+                (slope / F.lit(1000.0)).alias("slope"),
+                (((sx_d - slope * sy_d) / n_d) / F.lit(1000.0))
+                .alias("intercept"))
+            .orderBy("event_type"))
+
+
+_Q150_ORACLE = """
+WITH base AS (
+  SELECT event_type,
+         CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT) AS x,
+         CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM base GROUP BY event_type),
+d AS (
+  SELECT event_type, n,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS var_x_n,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS var_y_n,
+         CAST(sx AS DOUBLE) AS sx_d, CAST(sy AS DOUBLE) AS sy_d,
+         CAST(n AS DOUBLE) AS n_d
+  FROM m)
+SELECT event_type, n,
+       cov_n / (SQRT(var_x_n) * SQRT(var_y_n)) AS corr,
+       (cov_n / var_y_n) / CAST(1000 AS DOUBLE) AS slope,
+       ((sx_d - (cov_n / var_y_n) * sy_d) / n_d)
+         / CAST(1000 AS DOUBLE) AS intercept
+FROM d ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # Joins
 # --------------------------------------------------------------------------
@@ -2452,7 +2542,7 @@ QUERIES = {
 "q132_market_share": q132_market_share,
     "q133_nation_profit": q133_nation_profit,
     "q134_returned_revenue": q134_returned_revenue,
-    "q135_order_count_distribution": q135_order_count_distribution,
+    "q135_order_count_distribution": q135_order_count_distribution,    "q150_grouped_regression": q150_grouped_regression,
 }
 
 ORACLES = {
@@ -2507,5 +2597,5 @@ ORACLES = {
 "q132_market_share": _Q132_ORACLE,
     "q133_nation_profit": _Q133_ORACLE,
     "q134_returned_revenue": _Q134_ORACLE,
-    "q135_order_count_distribution": _Q135_ORACLE,
+    "q135_order_count_distribution": _Q135_ORACLE,    "q150_grouped_regression": _Q150_ORACLE,
 }
