@@ -65,6 +65,7 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q151_gap_fill",            # new: hourly resample + LOCF forward fill
     "q150_grouped_regression",  # new: grouped corr/regr via exact moments
     "q149_export_roundtrip",    # new: pack->TFRecord->read-back identity
     "q148_lsh_recall",          # new: LSH dedup recall quality gate

@@ -362,6 +362,71 @@ SELECT user_id,
 FROM h ORDER BY user_id
 """
 
+def q151_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with gap fill and forward fill — the dense
+    time-series view analytics expect from sparse event data: every
+    (event_type, hour) cell of the full span exists, empty hours carry
+    n=0, and the per-hour average forward-fills from the last observed
+    hour (LOCF). Exactness: sums aggregate as DECIMAL, the carried
+    average is one double division replayed identically in both
+    engines, and the fill itself copies bits (no arithmetic).
+
+    Scale shape: one groupBy to hourly cells, a per-type spine built
+    with ``sequence`` over the observed min/max (O(hours) rows —
+    spine size is time-span-bound, not data-bound), a left join keyed
+    (event_type, hour), and one LOCF window per type ordered by hour —
+    partitioned by event_type, so window state is O(types x hours).
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    hr = F.date_trunc("hour", F.col("ts"))
+    cells = (ev.groupBy(F.col("event_type"), hr.alias("hour"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col("value").cast("decimal(18,6)")).alias("vs")))
+    spine = (cells.groupBy("event_type")
+             .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+             .select("event_type",
+                     F.explode(F.expr(
+                         "sequence(h0, h1, interval 1 hour)"))
+                     .alias("hour")))
+    joined = spine.join(cells, ["event_type", "hour"], "left")
+    avg_v = (F.col("vs").cast("double")
+             / F.col("n").cast("double"))
+    w = (W.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (joined.select(
+                "event_type", "hour",
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+                F.last(avg_v, ignorenulls=True).over(w)
+                 .alias("carried_avg"))
+            .orderBy("event_type", "hour"))
+
+
+_Q151_ORACLE = """
+WITH cells AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         COUNT(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,6))) AS vs
+  FROM events GROUP BY 1, 2),
+spine AS (
+  SELECT event_type, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR))
+           AS hour
+  FROM (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+        FROM cells GROUP BY event_type)),
+joined AS (
+  SELECT s.event_type, s.hour,
+         COALESCE(c.n, 0) AS n,
+         CAST(c.vs AS DOUBLE) / CAST(c.n AS DOUBLE) AS avg_v
+  FROM spine s LEFT JOIN cells c
+    ON c.event_type = s.event_type AND c.hour = s.hour)
+SELECT event_type, hour, CAST(n AS BIGINT) AS n,
+       LAST_VALUE(avg_v IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS carried_avg
+FROM joined ORDER BY event_type, hour
+"""
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
@@ -369,6 +434,7 @@ QUERIES = {
     "q129_funnel_conversion": q129_funnel_conversion,
     "q130_time_range_window": q130_time_range_window,
     "q147_user_ewma": q147_user_ewma,
+    "q151_gap_fill": q151_gap_fill,
 }
 
 ORACLES = {
@@ -378,4 +444,5 @@ ORACLES = {
     "q129_funnel_conversion": _Q129_ORACLE,
     "q130_time_range_window": _Q130_ORACLE,
     "q147_user_ewma": _Q147_ORACLE,
+    "q151_gap_fill": _Q151_ORACLE,
 }
