@@ -367,15 +367,21 @@ def test_changes_between_reconciles_snapshots(spark, tmp_path):
         spark.createDataFrame([Row(id=i, v=rng.randrange(100))
                                for i in range(30)]), "INSERT")
     bounds = [datetime.now(timezone.utc).isoformat()]
-    for _ in range(4):
-        op = rng.choice(["INSERT_OR_UPDATE", "REPLACE", "DELETE"])
-        keys = rng.sample(range(50), rng.randrange(1, 12))
-        if op == "DELETE":
-            batch = spark.createDataFrame([Row(id=k) for k in keys])
+    # REBUCKET is in the op mix: a layout change must be invisible to
+    # every snapshot/CDC assertion below (it contributes no change
+    # rows and resolves across the boundary in both directions)
+    for op in ["INSERT_OR_UPDATE", "REBUCKET", "REPLACE", "DELETE",
+               rng.choice(["INSERT_OR_UPDATE", "DELETE"])]:
+        if op == "REBUCKET":
+            t.rebucket(7)
         else:
-            batch = spark.createDataFrame(
-                [Row(id=k, v=rng.randrange(100)) for k in keys])
-        t.apply_mutations(batch, op)
+            keys = rng.sample(range(50), rng.randrange(1, 12))
+            if op == "DELETE":
+                batch = spark.createDataFrame([Row(id=k) for k in keys])
+            else:
+                batch = spark.createDataFrame(
+                    [Row(id=k, v=rng.randrange(100)) for k in keys])
+            t.apply_mutations(batch, op)
         bounds.append(datetime.now(timezone.utc).isoformat())
 
     def state(bound):
