@@ -94,6 +94,81 @@ FROM embeddings ORDER BY vec_id
 """
 
 
+def q153_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: per-label L2-norm outlier detection — the
+    pre-indexing hygiene pass that catches broken encoders (zero or
+    exploding vectors) before they poison an ANN index or a cosine
+    dedup threshold. A vector is an outlier when its norm falls
+    outside mean +/- 2 sigma of its OWN label (per-group moments, not
+    one global band — labels with legitimately different norm scales
+    keep their own baseline).
+
+    Exactness: the norm's squared-sum folds the unrolled per-dimension
+    chain (q60's kernel); the norm is then FLOORED to integer
+    micro-units so the per-label first/second moments are exact BIGINT
+    sums (the q150 discipline — bigint->double converts identically
+    everywhere, decimal->double does not), and the 2-sigma band is
+    computed in double with one fixed op order; IEEE sqrt is exact.
+    One map-only scoring pass + one per-label aggregate + a broadcast
+    join of the O(labels) band table — the corpus never shuffles.
+    """
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    nm = F.floor(norm_col("embedding") * F.lit(1e6)).cast("long")
+    scored = emb.select("vec_id", "label", nm.alias("nm"))
+    m = (scored.groupBy("label")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("nm").alias("s1"),
+              F.sum(F.col("nm") * F.col("nm")).alias("s2")))
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    mean = s1_d / n_d
+    sd = F.sqrt(s2_d / n_d - (s1_d / n_d) * (s1_d / n_d))
+    bands = m.select("label", "n", mean.alias("mu"), sd.alias("sd"))
+    joined = scored.join(F.broadcast(bands), "label")
+    is_out = ((F.col("nm").cast("double") < F.col("mu")
+               - F.lit(2.0) * F.col("sd"))
+              | (F.col("nm").cast("double") > F.col("mu")
+                 + F.lit(2.0) * F.col("sd")))
+    return (joined.groupBy("label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+                 F.sum(is_out.cast("int")).cast("bigint")
+                  .alias("n_outliers"),
+                 (F.min("mu") / F.lit(1e6)).alias("mean_norm"),
+                 (F.min("sd") / F.lit(1e6)).alias("sd_norm"))
+            .orderBy("label"))
+
+
+_Q153_ORACLE = f"""
+WITH scored AS (
+  SELECT vec_id, label,
+         CAST(FLOOR({_norm_dd('embedding')} * 1e6) AS BIGINT) AS nm
+  FROM embeddings),
+m AS (
+  SELECT label, COUNT(*) AS n,
+         CAST(SUM(nm) AS BIGINT) AS s1,
+         CAST(SUM(nm * nm) AS BIGINT) AS s2
+  FROM scored GROUP BY label),
+bands AS (
+  SELECT label, n,
+         CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+         SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+  FROM m)
+SELECT s.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN CAST(s.nm AS DOUBLE) < b.mu - 2.0 * b.sd
+                       OR CAST(s.nm AS DOUBLE) > b.mu + 2.0 * b.sd
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       MIN(b.mu) / 1e6 AS mean_norm,
+       MIN(b.sd) / 1e6 AS sd_norm
+FROM scored s JOIN bands b USING (label)
+GROUP BY s.label ORDER BY s.label
+"""
+
+
 def _with_norm(df: DataFrame, id_alias: str, vec_alias: str, nrm_alias: str,
                extra: dict[str, str] | None = None,
                spread: bool = True) -> DataFrame:
@@ -1337,7 +1412,7 @@ QUERIES = {
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
     "q103_ann_recall": q103_ann_recall,
     "q137_hybrid_retrieval": q137_hybrid_retrieval,
-    "q141_semdedup": q141_semdedup,
+    "q141_semdedup": q141_semdedup,    "q153_norm_outliers": q153_norm_outliers,
 }
 
 ORACLES = {
@@ -1354,5 +1429,5 @@ ORACLES = {
     "q77_embedding_dup_groups": _Q77_ORACLE,
     "q103_ann_recall": _q103_oracle(),
     "q137_hybrid_retrieval": _q137_oracle(),
-    "q141_semdedup": _Q141_ORACLE,
+    "q141_semdedup": _Q141_ORACLE,    "q153_norm_outliers": _Q153_ORACLE,
 }

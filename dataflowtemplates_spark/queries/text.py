@@ -1520,6 +1520,59 @@ FROM fenced ORDER BY doc_id
 """
 
 
+def q152_adaptive_quality_filter(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Per-source adaptive quality filtering (the FineWeb-style
+    refinement of q42's global gate): each source keeps documents
+    above its OWN quality quantile, so a noisy source is trimmed
+    aggressively while a clean one is left intact — one global cutoff
+    either starves clean sources or admits junk from noisy ones. The
+    score is the distinct-token ratio (a single exact division); the
+    per-source threshold is the exact p25 (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``, the q38-proven mapping).
+
+    Scale shape: one scoring projection (map-only), one per-source
+    exact-percentile aggregate (at production scale the declared swap
+    is the mergeable histogram sketch, q120's machinery), and a
+    broadcast join of the O(sources) threshold table back onto the
+    scores — the second pass never shuffles the corpus.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = tokens_col()
+    score = (F.size(F.array_distinct(toks)).cast("double")
+             / F.size(toks).cast("double"))
+    scored = docs.select("doc_id", "source", score.alias("score"))
+    th = (scored.groupBy("source")
+          .agg(F.expr("percentile(score, 0.25)").alias("p25")))
+    return (scored.join(F.broadcast(th), "source")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum((F.col("score") >= F.col("p25")).cast("int"))
+                  .cast("bigint").alias("n_kept"),
+                 F.min("p25").alias("threshold"))
+            .orderBy("source"))
+
+
+_Q152_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' '))) AS DOUBLE)
+           / CAST(LEN(STRING_SPLIT(text, ' ')) AS DOUBLE) AS score
+  FROM documents),
+th AS (
+  SELECT source, QUANTILE_CONT(score, 0.25) AS p25
+  FROM scored GROUP BY source)
+SELECT s.source,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN s.score >= t.p25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       MIN(t.p25) AS threshold
+FROM scored s JOIN th t USING (source)
+GROUP BY s.source ORDER BY source
+"""
+
+
 #: DSIR target slice and selection depth (importance-resampled top-k).
 DSIR_TARGET_LANG = "en"
 DSIR_TOPK = 40
@@ -1654,6 +1707,7 @@ QUERIES = {
     "q85_bm25_topk": q85_bm25_topk,
     "q142_cdc_chunking": q142_cdc_chunking,
     "q146_dsir_reweight": q146_dsir_reweight,
+    "q152_adaptive_quality_filter": q152_adaptive_quality_filter,
 }
 
 ORACLES = {
@@ -1677,4 +1731,5 @@ ORACLES = {
     "q85_bm25_topk": _Q85_ORACLE,
     "q142_cdc_chunking": _Q142_ORACLE,
     "q146_dsir_reweight": _Q146_ORACLE,
+    "q152_adaptive_quality_filter": _Q152_ORACLE,
 }
