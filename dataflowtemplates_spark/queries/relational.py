@@ -191,15 +191,23 @@ def q150_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov_n = n_d * sxy_d - sx_d * sy_d
     var_x_n = n_d * sxx_d - sx_d * sx_d
     var_y_n = n_d * syy_d - sy_d * sy_d
-    # regress value (milli-units) on hour: value = slope*hour + icept
+    # regress value (milli-units) on hour: value = slope*hour + icept.
+    # Zero-variance guard: a constant column makes the denominator 0,
+    # which ANSI Spark raises on (hypothesis found this; the sibling
+    # q120 span guard exists for the same reason) — both engines
+    # declare the degenerate statistics NULL instead.
+    degenerate = (var_x_n == F.lit(0.0)) | (var_y_n == F.lit(0.0))
     slope = cov_n / var_y_n
     return (m.select(
                 "event_type", "n",
-                (cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n)))
-                .alias("corr"),
-                (slope / F.lit(1000.0)).alias("slope"),
-                (((sx_d - slope * sy_d) / n_d) / F.lit(1000.0))
-                .alias("intercept"))
+                F.when(degenerate, F.lit(None).cast("double"))
+                 .otherwise(cov_n / (F.sqrt(var_x_n) * F.sqrt(var_y_n)))
+                 .alias("corr"),
+                F.when(degenerate, F.lit(None).cast("double"))
+                 .otherwise(slope / F.lit(1000.0)).alias("slope"),
+                F.when(degenerate, F.lit(None).cast("double"))
+                 .otherwise(((sx_d - slope * sy_d) / n_d)
+                            / F.lit(1000.0)).alias("intercept"))
             .orderBy("event_type"))
 
 
@@ -229,10 +237,13 @@ d AS (
          CAST(n AS DOUBLE) AS n_d
   FROM m)
 SELECT event_type, n,
-       cov_n / (SQRT(var_x_n) * SQRT(var_y_n)) AS corr,
-       (cov_n / var_y_n) / CAST(1000 AS DOUBLE) AS slope,
-       ((sx_d - (cov_n / var_y_n) * sy_d) / n_d)
-         / CAST(1000 AS DOUBLE) AS intercept
+       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+            ELSE cov_n / (SQRT(var_x_n) * SQRT(var_y_n)) END AS corr,
+       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+            ELSE (cov_n / var_y_n) / CAST(1000 AS DOUBLE) END AS slope,
+       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+            ELSE ((sx_d - (cov_n / var_y_n) * sy_d) / n_d)
+                   / CAST(1000 AS DOUBLE) END AS intercept
 FROM d ORDER BY event_type
 """
 

