@@ -298,3 +298,30 @@ def test_q146_scoring_is_map_only_topk(spark):
     assert "Join" not in plan
     assert "Python" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q152_threshold_join_is_broadcast(spark):
+    """q152's per-source threshold table is O(sources) and must ride a
+    broadcast join back onto the scores — a sort-merge join here would
+    shuffle the corpus a second time."""
+    from dataflowtemplates_spark.queries.text import (
+        q152_adaptive_quality_filter)
+    df = q152_adaptive_quality_filter(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
+
+
+def test_q153_band_join_is_broadcast(spark):
+    """q153's per-label band table likewise broadcasts; the corpus of
+    vectors never shuffles for the outlier comparison."""
+    from dataflowtemplates_spark.queries.similarity import (
+        q153_norm_outliers)
+    df = q153_norm_outliers(spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Python" not in plan
