@@ -21,15 +21,22 @@ from pyspark.sql import functions as F
 __all__ = ["append_ivf_index", "build_ivf_index", "search_ivf_index"]
 
 
-def build_ivf_index(emb: DataFrame, codebook: list[tuple[int, list[float]]],
-                    path: str) -> None:
-    """Assign every vector to its nearest codebook cell (map-only) and
-    persist the inverted lists partitioned by cell."""
+def _write_cells(emb: DataFrame, codebook: list[tuple[int, list[float]]],
+                 path: str, mode: str) -> None:
+    """Shared assign-and-persist body for build/append: one map-only
+    nearest-cell assignment, one cell-partitioned parquet write."""
     from dataflowtemplates_spark.queries.similarity import (
         _with_norm, assign_cells)
     n = _with_norm(emb, "c_id", "c_vec", "c_nrm")
     cells = assign_cells(n, "c_vec", "c_nrm", codebook, nprobe=1)
-    (cells.write.mode("overwrite").partitionBy("cell").parquet(path))
+    (cells.write.mode(mode).partitionBy("cell").parquet(path))
+
+
+def build_ivf_index(emb: DataFrame, codebook: list[tuple[int, list[float]]],
+                    path: str) -> None:
+    """Assign every vector to its nearest codebook cell (map-only) and
+    persist the inverted lists partitioned by cell."""
+    _write_cells(emb, codebook, path, "overwrite")
 
 
 def append_ivf_index(emb_new: DataFrame,
@@ -39,15 +46,11 @@ def append_ivf_index(emb_new: DataFrame,
     (map-only, O(batch)) and append their inverted-list rows — the
     codebook is frozen, so assignment is a pure function of the vector
     and the appended index is IDENTICAL to a from-scratch rebuild over
-    the union (pinned by tests/test_new_ops.py). This is how a 100 TB
+    the union (pinned by tests/test_scale_ops.py). This is how a 100 TB
     index absorbs a daily increment without re-touching the corpus;
     codebook refresh (drifted centroids) is the declared O(table)
     rebuild, exactly like rebucket for the keyed table."""
-    from dataflowtemplates_spark.queries.similarity import (
-        _with_norm, assign_cells)
-    n = _with_norm(emb_new, "c_id", "c_vec", "c_nrm")
-    cells = assign_cells(n, "c_vec", "c_nrm", codebook, nprobe=1)
-    (cells.write.mode("append").partitionBy("cell").parquet(path))
+    _write_cells(emb_new, codebook, path, "append")
 
 
 def search_ivf_index(spark: SparkSession, path: str, queries: DataFrame,

@@ -206,19 +206,10 @@ def q149_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from dataflowtemplates_spark.operators.tfrecord import (
         read_tfrecord_df, write_tfrecords)
-    from dataflowtemplates_spark.queries.sampling import PACK_BUDGET
+    from dataflowtemplates_spark.queries.sampling import greedy_pack_staged
 
     register_tables(spark, sf_dir)
-    docs = spark.table("documents")
-    n_tok = F.size(F.split(F.col("text"), " "))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    staged = (docs
-              .select("doc_id", "source", n_tok.alias("n_tokens"))
-              .withColumn("running", F.sum("n_tokens").over(w))
-              .withColumn("seq_id",
-                          F.floor((F.col("running") - F.col("n_tokens"))
-                                  / F.lit(PACK_BUDGET))))
+    staged = greedy_pack_staged(spark.table("documents"))
     seqs = (staged.groupBy("source", "seq_id")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
                  F.sum("n_tokens").cast("bigint").alias("seq_tokens"),

@@ -196,7 +196,11 @@ def q150_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     # which ANSI Spark raises on (hypothesis found this; the sibling
     # q120 span guard exists for the same reason) — both engines
     # declare the degenerate statistics NULL instead.
-    degenerate = (var_x_n == F.lit(0.0)) | (var_y_n == F.lit(0.0))
+    # <= 0, not == 0: once moments exceed 2^53 the computed variance
+    # of a constant column rounds to a small NEGATIVE double (review
+    # finding, verified at n=20001 of constant 999.999), which would
+    # slip an == 0 guard straight into sqrt(negative)
+    degenerate = (var_x_n <= F.lit(0.0)) | (var_y_n <= F.lit(0.0))
     slope = cov_n / var_y_n
     return (m.select(
                 "event_type", "n",
@@ -237,11 +241,11 @@ d AS (
          CAST(n AS DOUBLE) AS n_d
   FROM m)
 SELECT event_type, n,
-       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+       CASE WHEN var_x_n <= 0 OR var_y_n <= 0 THEN NULL
             ELSE cov_n / (SQRT(var_x_n) * SQRT(var_y_n)) END AS corr,
-       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+       CASE WHEN var_x_n <= 0 OR var_y_n <= 0 THEN NULL
             ELSE (cov_n / var_y_n) / CAST(1000 AS DOUBLE) END AS slope,
-       CASE WHEN var_x_n = 0 OR var_y_n = 0 THEN NULL
+       CASE WHEN var_x_n <= 0 OR var_y_n <= 0 THEN NULL
             ELSE ((sx_d - (cov_n / var_y_n) * sy_d) / n_d)
                    / CAST(1000 AS DOUBLE) END AS intercept
 FROM d ORDER BY event_type
@@ -2553,7 +2557,8 @@ QUERIES = {
 "q132_market_share": q132_market_share,
     "q133_nation_profit": q133_nation_profit,
     "q134_returned_revenue": q134_returned_revenue,
-    "q135_order_count_distribution": q135_order_count_distribution,    "q150_grouped_regression": q150_grouped_regression,
+    "q135_order_count_distribution": q135_order_count_distribution,
+    "q150_grouped_regression": q150_grouped_regression,
 }
 
 ORACLES = {
@@ -2608,5 +2613,6 @@ ORACLES = {
 "q132_market_share": _Q132_ORACLE,
     "q133_nation_profit": _Q133_ORACLE,
     "q134_returned_revenue": _Q134_ORACLE,
-    "q135_order_count_distribution": _Q135_ORACLE,    "q150_grouped_regression": _Q150_ORACLE,
+    "q135_order_count_distribution": _Q135_ORACLE,
+    "q150_grouped_regression": _Q150_ORACLE,
 }

@@ -77,6 +77,22 @@ FROM kept ORDER BY source, kept_rank
 """
 
 
+def greedy_pack_staged(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """The greedy sequential packing stage shared by q48 and the q149
+    export gate: documents in (source, doc_id) order accumulate a
+    running token sum; seq_id = (running_before_doc) DIV budget.
+    Returns doc_id, source, n_tokens, running, seq_id."""
+    n_tok = F.size(F.split(F.col("text"), " "))
+    w = (Window.partitionBy("source").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (docs
+            .select("doc_id", "source", n_tok.alias("n_tokens"))
+            .withColumn("running", F.sum("n_tokens").over(w))
+            .withColumn("seq_id",
+                        F.floor((F.col("running") - F.col("n_tokens"))
+                                / F.lit(budget))))
+
+
 def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: assign documents, in shard
     order, to fixed token-budget training sequences; report per-sequence
@@ -88,16 +104,7 @@ def q48_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     running-sum window per source shard, then one aggregate shuffle.
     """
     register_tables(spark, sf_dir)
-    docs = spark.table("documents")
-    n_tok = F.size(F.split(F.col("text"), " "))
-    w = (Window.partitionBy("source").orderBy("doc_id")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    staged = (docs
-              .select("doc_id", "source", n_tok.alias("n_tokens"))
-              .withColumn("running", F.sum("n_tokens").over(w))
-              .withColumn("seq_id",
-                          F.floor((F.col("running") - F.col("n_tokens"))
-                                  / F.lit(PACK_BUDGET))))
+    staged = greedy_pack_staged(spark.table("documents"))
     return (staged
             .groupBy("source", "seq_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),

@@ -124,7 +124,13 @@ def q153_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1_d = F.col("s1").cast("double")
     s2_d = F.col("s2").cast("double")
     mean = s1_d / n_d
-    sd = F.sqrt(s2_d / n_d - (s1_d / n_d) * (s1_d / n_d))
+    # clamp: float rounding can push the variance operand slightly
+    # NEGATIVE for a degenerate (all-equal-norm) label once the
+    # moments round — Spark's sqrt would return NaN silently while
+    # DuckDB RAISES on sqrt(negative), so both engines clamp to 0
+    # (sd = 0 -> a zero-width band; deterministic either way)
+    sd = F.sqrt(F.greatest(s2_d / n_d - (s1_d / n_d) * (s1_d / n_d),
+                           F.lit(0.0)))
     bands = m.select("label", "n", mean.alias("mu"), sd.alias("sd"))
     joined = scored.join(F.broadcast(bands), "label")
     is_out = ((F.col("nm").cast("double") < F.col("mu")
@@ -153,9 +159,10 @@ m AS (
 bands AS (
   SELECT label, n,
          CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
-         SQRT(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
+         SQRT(GREATEST(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)
               - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
-                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))) AS sd
+                * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)),
+              CAST(0 AS DOUBLE))) AS sd
   FROM m)
 SELECT s.label,
        CAST(COUNT(*) AS BIGINT) AS n_vectors,
@@ -1412,7 +1419,8 @@ QUERIES = {
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
     "q103_ann_recall": q103_ann_recall,
     "q137_hybrid_retrieval": q137_hybrid_retrieval,
-    "q141_semdedup": q141_semdedup,    "q153_norm_outliers": q153_norm_outliers,
+    "q141_semdedup": q141_semdedup,
+    "q153_norm_outliers": q153_norm_outliers,
 }
 
 ORACLES = {
@@ -1429,5 +1437,6 @@ ORACLES = {
     "q77_embedding_dup_groups": _Q77_ORACLE,
     "q103_ann_recall": _q103_oracle(),
     "q137_hybrid_retrieval": _q137_oracle(),
-    "q141_semdedup": _Q141_ORACLE,    "q153_norm_outliers": _Q153_ORACLE,
+    "q141_semdedup": _Q141_ORACLE,
+    "q153_norm_outliers": _Q153_ORACLE,
 }

@@ -367,9 +367,11 @@ def q151_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-series view analytics expect from sparse event data: every
     (event_type, hour) cell of the full span exists, empty hours carry
     n=0, and the per-hour average forward-fills from the last observed
-    hour (LOCF). Exactness: sums aggregate as DECIMAL, the carried
-    average is one double division replayed identically in both
-    engines, and the fill itself copies bits (no arithmetic).
+    hour (LOCF). Exactness: values floor to milli-unit BIGINT sums
+    (the q150 discipline — bigint->double converts identically
+    everywhere, decimal->double does not), the carried average is one
+    fixed-order division chain, and the fill itself copies bits (no
+    arithmetic).
 
     Scale shape: one groupBy to hourly cells, a per-type spine built
     with ``sequence`` over the observed min/max (O(hours) rows —
@@ -380,9 +382,13 @@ def q151_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_tables(spark, sf_dir)
     ev = spark.table("events")
     hr = F.date_trunc("hour", F.col("ts"))
+    # milli-unit BIGINT sum, not DECIMAL: decimal->double is a
+    # two-rounding cast in Java and can land 1 ulp off DuckDB once the
+    # unscaled sum grows (the q150 discipline; review finding)
     cells = (ev.groupBy(F.col("event_type"), hr.alias("hour"))
              .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.col("value").cast("decimal(18,6)")).alias("vs")))
+                  F.sum(F.floor(F.col("value") * F.lit(1000.0))
+                        .cast("long")).alias("vm")))
     spine = (cells.groupBy("event_type")
              .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
              .select("event_type",
@@ -390,8 +396,8 @@ def q151_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "sequence(h0, h1, interval 1 hour)"))
                      .alias("hour")))
     joined = spine.join(cells, ["event_type", "hour"], "left")
-    avg_v = (F.col("vs").cast("double")
-             / F.col("n").cast("double"))
+    avg_v = ((F.col("vm").cast("double")
+              / F.col("n").cast("double")) / F.lit(1000.0))
     w = (W.partitionBy("event_type").orderBy("hour")
          .rowsBetween(W.unboundedPreceding, W.currentRow))
     return (joined.select(
@@ -406,7 +412,8 @@ _Q151_ORACLE = """
 WITH cells AS (
   SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
          COUNT(*) AS n,
-         SUM(CAST(value AS DECIMAL(18,6))) AS vs
+         CAST(SUM(CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT))
+              AS BIGINT) AS vm
   FROM events GROUP BY 1, 2),
 spine AS (
   SELECT event_type, UNNEST(GENERATE_SERIES(h0, h1, INTERVAL 1 HOUR))
@@ -416,7 +423,8 @@ spine AS (
 joined AS (
   SELECT s.event_type, s.hour,
          COALESCE(c.n, 0) AS n,
-         CAST(c.vs AS DOUBLE) / CAST(c.n AS DOUBLE) AS avg_v
+         (CAST(c.vm AS DOUBLE) / CAST(c.n AS DOUBLE))
+           / CAST(1000 AS DOUBLE) AS avg_v
   FROM spine s LEFT JOIN cells c
     ON c.event_type = s.event_type AND c.hour = s.hour)
 SELECT event_type, hour, CAST(n AS BIGINT) AS n,

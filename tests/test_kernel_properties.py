@@ -332,7 +332,7 @@ def test_q150_moment_formulas_match_python(spark, pts):
     cov_n = n_d * F.col("sxy").cast("double") - sx_d * sy_d
     var_x = n_d * F.col("sxx").cast("double") - sx_d * sx_d
     var_y = n_d * F.col("syy").cast("double") - sy_d * sy_d
-    degenerate = (var_x == F.lit(0.0)) | (var_y == F.lit(0.0))
+    degenerate = (var_x <= F.lit(0.0)) | (var_y <= F.lit(0.0))
     got = m.select(
         F.when(degenerate, F.lit(None).cast("double"))
          .otherwise(cov_n / (F.sqrt(var_x) * F.sqrt(var_y)))
@@ -346,7 +346,7 @@ def test_q150_moment_formulas_match_python(spark, pts):
     cov = float(n) * float(sxy) - float(sx) * float(sy)
     vx = float(n) * float(sxx) - float(sx) * float(sx)
     vy = float(n) * float(syy) - float(sy) * float(sy)
-    if vx == 0.0 or vy == 0.0:
+    if vx <= 0.0 or vy <= 0.0:
         assert got is None  # the q150 zero-variance guard
     else:
         want = cov / (math.sqrt(vx) * math.sqrt(vy))
