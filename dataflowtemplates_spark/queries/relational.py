@@ -499,6 +499,48 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q154_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): per-nation exact aggregates of three
+    customer measures melted into (nation, measure, value) rows — the
+    inverse of q19's pivot, closing the reshape surface. Spark's
+    ``unpivot`` lowers to Expand (one pass, rows x measures, no
+    shuffle beyond the aggregate); the oracle uses DuckDB's UNPIVOT.
+
+    Exactness: the measures are a count, an exact DECIMAL sum cast to
+    double, and a min — all order-insensitive; the melt itself moves
+    values without arithmetic.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    wide = (cust.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).cast("double").alias("n_customers"),
+                 F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                  .cast("double").alias("balance_sum"),
+                 F.min(F.col("c_acctbal").cast("decimal(12,2)"))
+                  .cast("double").alias("balance_min")))
+    return (wide.unpivot(
+                ["c_nationkey"],
+                ["n_customers", "balance_sum", "balance_min"],
+                "measure", "value")
+            .orderBy("c_nationkey", "measure"))
+
+
+_Q154_ORACLE = """
+WITH wide AS (
+  SELECT c_nationkey,
+         CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           AS balance_sum,
+         CAST(MIN(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+           AS balance_min
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, measure, value
+FROM wide
+UNPIVOT (value FOR measure IN (n_customers, balance_sum, balance_min))
+ORDER BY c_nationkey, measure
+"""
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -2559,6 +2601,7 @@ QUERIES = {
     "q134_returned_revenue": q134_returned_revenue,
     "q135_order_count_distribution": q135_order_count_distribution,
     "q150_grouped_regression": q150_grouped_regression,
+    "q154_unpivot": q154_unpivot,
 }
 
 ORACLES = {
@@ -2615,4 +2658,5 @@ ORACLES = {
     "q134_returned_revenue": _Q134_ORACLE,
     "q135_order_count_distribution": _Q135_ORACLE,
     "q150_grouped_regression": _Q150_ORACLE,
+    "q154_unpivot": _Q154_ORACLE,
 }
