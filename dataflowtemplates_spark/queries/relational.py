@@ -541,6 +541,41 @@ ORDER BY c_nationkey, measure
 """
 
 
+def q155_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET siblings of q17's set
+    ops: per duplicated key the bag semantics keep min(count_a,
+    count_b) copies (intersect) and count_a - count_b copies (except),
+    which the set forms erase. Both lower to a counted aggregate +
+    generate, one shuffle each; the oracle uses DuckDB's ALL variants
+    directly.
+    """
+    register_tables(spark, sf_dir)
+    cn = (spark.table("customer")
+          .select(F.col("c_nationkey").alias("nationkey")))
+    sn = (spark.table("supplier")
+          .select(F.col("s_nationkey").alias("nationkey")))
+    both = cn.intersectAll(sn).withColumn("bucket", F.lit("both_all"))
+    cust_extra = (cn.exceptAll(sn)
+                  .withColumn("bucket", F.lit("customer_extra")))
+    return (both.unionAll(cust_extra)
+            .select("bucket", "nationkey")
+            .orderBy("bucket", "nationkey"))
+
+
+_Q155_ORACLE = """
+SELECT 'both_all' AS bucket, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT ALL
+  SELECT s_nationkey FROM supplier)
+UNION ALL
+SELECT 'customer_extra' AS bucket, nationkey FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT ALL
+  SELECT s_nationkey FROM supplier)
+ORDER BY bucket, nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Window functions
 # --------------------------------------------------------------------------
@@ -2602,6 +2637,7 @@ QUERIES = {
     "q135_order_count_distribution": q135_order_count_distribution,
     "q150_grouped_regression": q150_grouped_regression,
     "q154_unpivot": q154_unpivot,
+    "q155_set_ops_all": q155_set_ops_all,
 }
 
 ORACLES = {
@@ -2659,4 +2695,5 @@ ORACLES = {
     "q135_order_count_distribution": _Q135_ORACLE,
     "q150_grouped_regression": _Q150_ORACLE,
     "q154_unpivot": _Q154_ORACLE,
+    "q155_set_ops_all": _Q155_ORACLE,
 }
