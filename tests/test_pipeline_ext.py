@@ -304,3 +304,31 @@ def test_q104_q107_span_semantics_on_crafted_corpus(spark, tmp_path):
           for r in q107_span_scrub(spark, sf_dir).collect()}
     assert fp[0] == hashlib.md5(b"alpha beta gamma").hexdigest()
     assert fp[1] == hashlib.md5(b"prefix words tail").hexdigest()
+
+
+def test_q151_spine_is_dense_and_fill_is_locf(spark):
+    """The gap-fill contract: per event_type every hour between its
+    observed min and max appears EXACTLY once; empty hours carry n=0;
+    carried_avg is non-null from the first observed hour on and equals
+    the last observed hour's average (LOCF, no interpolation)."""
+    from dataflowtemplates_spark.queries.temporal import q151_gap_fill
+    rows = q151_gap_fill(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    for et, rs in by_type.items():
+        hours = [r["hour"] for r in rs]
+        assert hours == sorted(hours)
+        assert len(set(hours)) == len(hours)
+        # dense: count matches span in hours
+        span = int((hours[-1] - hours[0]).total_seconds() // 3600) + 1
+        assert len(hours) == span, (et, len(hours), span)
+        # first row is an observed hour by construction (min bound)
+        assert rs[0]["n"] > 0 and rs[0]["carried_avg"] is not None
+        last_avg = None
+        for r in rs:
+            if r["n"] > 0:
+                last_avg = r["carried_avg"]
+            else:
+                assert r["carried_avg"] == last_avg  # LOCF copies bits
