@@ -129,6 +129,7 @@ HEADLINE = (
     "q153_norm_outliers",
     "q154_unpivot",
     "q155_set_ops_all",
+    "q156_cohort_retention",
     # q127 (left-outer variant of q96) is deliberately NOT timed: its
     # sentinel-watermark determinism device doubles the drain with
     # no-data flush batches, so its wall-clock measures the test

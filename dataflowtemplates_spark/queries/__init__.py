@@ -65,6 +65,7 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q156_cohort_retention",    # new: hourly cohort retention matrix
     "q155_set_ops_all",         # new: INTERSECT ALL / EXCEPT ALL multiset
     "q154_unpivot",             # new: UNPIVOT wide->long reshape
     "q153_norm_outliers",       # new: per-label embedding norm QA bands

@@ -435,6 +435,60 @@ SELECT event_type, hour, CAST(n AS BIGINT) AS n,
 FROM joined ORDER BY event_type, hour
 """
 
+#: Retention horizon (hours after the cohort hour) q156 reports.
+RETENTION_HORIZON = 5
+
+
+def q156_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly cohort retention — the canonical activation analytics
+    shape: users are bucketed into the hour they were FIRST seen, and
+    each cohort reports how many of its users are active 0..N hours
+    later. All-integer outputs (distinct-user counts), so the gate is
+    exact with no float discipline needed.
+
+    Scale shape: one min-aggregate per user (map-side combined), one
+    (user, hour) distinct, one join keyed on user_id (both sides
+    already user-keyed — Catalyst reuses the partitioning), and the
+    final (cohort, offset) count-distinct aggregate. The offset is an
+    integer division of event-time DIFFERENCES, so the session-zone
+    shift on TIMESTAMP_NTZ casts cancels (verify SKILL note).
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    firsts = (ev.groupBy("user_id")
+              .agg(F.date_trunc("hour", F.min("ts")).alias("cohort")))
+    active = (ev.select("user_id",
+                        F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .distinct())
+    off = F.expr(
+        "CAST((unix_micros(CAST(hour AS TIMESTAMP)) - "
+        "unix_micros(CAST(cohort AS TIMESTAMP))) DIV 3600000000 "
+        "AS BIGINT)")
+    return (active.join(firsts, "user_id")
+            .select("user_id", "cohort", off.alias("offset_h"))
+            .filter(F.col("offset_h") <= RETENTION_HORIZON)
+            .groupBy("cohort", "offset_h")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("n_active"))
+            .orderBy("cohort", "offset_h"))
+
+
+_Q156_ORACLE = f"""
+WITH firsts AS (
+  SELECT user_id, DATE_TRUNC('hour', MIN(ts)) AS cohort
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, DATE_TRUNC('hour', ts) AS hour
+  FROM events)
+SELECT f.cohort,
+       CAST(DATE_DIFF('hour', f.cohort, a.hour) AS BIGINT) AS offset_h,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM active a JOIN firsts f USING (user_id)
+WHERE DATE_DIFF('hour', f.cohort, a.hour) <= {RETENTION_HORIZON}
+GROUP BY 1, 2 ORDER BY cohort, offset_h
+"""
+
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
@@ -443,6 +497,7 @@ QUERIES = {
     "q130_time_range_window": q130_time_range_window,
     "q147_user_ewma": q147_user_ewma,
     "q151_gap_fill": q151_gap_fill,
+    "q156_cohort_retention": q156_cohort_retention,
 }
 
 ORACLES = {
@@ -453,4 +508,5 @@ ORACLES = {
     "q130_time_range_window": _Q130_ORACLE,
     "q147_user_ewma": _Q147_ORACLE,
     "q151_gap_fill": _Q151_ORACLE,
+    "q156_cohort_retention": _Q156_ORACLE,
 }
