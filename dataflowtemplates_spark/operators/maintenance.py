@@ -33,8 +33,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["compact", "write_sorted", "write_zordered", "zorder_key",
-           "CompactResult"]
+__all__ = ["compact", "fingerprint", "write_sorted", "write_zordered",
+           "zorder_key", "CompactResult"]
 
 
 @dataclass
@@ -198,3 +198,42 @@ def write_zordered(df: DataFrame, path: str, zorder_cols: list[str],
           .sortWithinPartitions("_zkey")
           .drop("_zkey")
           .write.mode("overwrite").format(fmt).save(path))
+
+
+def fingerprint(df: DataFrame, cols: list[str] | None = None,
+                mod: int = 1_000_000_007) -> DataFrame:
+    """Order-independent content fingerprint of ``df`` over ``cols``
+    (default: every column), as ONE row ``(n_rows, fp_xor, fp_sum)`` —
+    the replication / CDC-validation primitive: two sides of a copy
+    compare one tiny row instead of shipping data (q159 is the
+    oracle-gated query form).
+
+    Each row's canonical string (``'|'``-joined, NULLs as the ``\\N``
+    sentinel so ``('a', NULL)`` and ``('a',)`` differ) is md5-hashed
+    and the first 15 hex nibbles parsed as a 60-bit int; the frame
+    fingerprint folds those with XOR plus a mod-``mod`` sum. XOR alone
+    cancels even-multiplicity duplicates; count + sum close that hole.
+
+    All three components merge associatively (XOR the XORs, add the
+    sums mod p, add the counts), so fingerprints computed per
+    partition / per day / per bucket roll up without rescanning — the
+    property that makes this viable at 100 TB. Pure map-side hash +
+    one all-combining aggregate: no shuffle of data rows.
+
+    Determinism across engines: md5 over UTF-8 bytes is identical in
+    Spark and DuckDB; callers fold doubles/timestamps only via an
+    explicit cast convention (q159 restricts itself to bigint/varchar).
+    """
+    from pyspark.sql import functions as F
+
+    use = cols or df.columns
+    canon = F.concat_ws(
+        "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+               for c in use])
+    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+    return (df.select(h.alias("h"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                 F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).cast("bigint")
+                  .alias("fp_xor"),
+                 F.coalesce(F.sum(F.col("h") % mod), F.lit(0))
+                  .cast("bigint").alias("fp_sum")))

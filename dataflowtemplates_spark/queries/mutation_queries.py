@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.operators.maintenance import fingerprint
 from dataflowtemplates_spark.operators.mutations import KeyedTable
 
 
@@ -483,13 +484,79 @@ FROM snap GROUP BY 1 ORDER BY 1
 """
 
 
+#: (table, columns folded into q159's fingerprint). Bigint/varchar
+#: only — double and timestamp string renderings are engine-specific,
+#: so fingerprinting those requires a casting convention (documented
+#: below) rather than raw concat; these columns need none.
+FINGERPRINT_COLS = (
+    ("customer", ("c_custkey", "c_nationkey", "c_mktsegment")),
+    ("documents", ("doc_id", "lang", "source", "n_chars", "text")),
+    ("orders", ("o_orderkey", "o_custkey", "o_orderstatus",
+                "o_orderpriority")),
+)
+
+#: Modulus for q159's additive checksum (keeps partial sums far from
+#: BIGINT overflow even at 100 TB row counts).
+FP_MOD = 1_000_000_007
+
+
+def q159_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table fingerprints — the replication /
+    CDC-validation primitive: two sides of a copy (or a snapshot and
+    its mutation-log replay, q128/q139) compare one tiny row per table
+    instead of shipping data. Each row's canonical string (NULL-
+    sentinel '|' join of the declared columns) is md5-hashed to a
+    60-bit int; the table fingerprint is the XOR plus a mod-p sum of
+    those ints, with the row count.
+
+    Scale shape: pure map-side hash + a single all-combining aggregate
+    per table — no shuffle of data rows at all (partial aggregates are
+    one row per task). XOR alone is blind to even-multiplicity
+    duplicates; carrying count + mod-p sum alongside closes that, and
+    all three merge associatively, so the same fingerprint can be kept
+    per-partition and rolled up incrementally at 100 TB.
+
+    Determinism across engines: md5 over UTF-8 bytes is identical in
+    Spark and DuckDB, the hex prefix is 15 nibbles (60 bits, positive
+    in a signed 64), and only bigint/varchar columns are folded so the
+    canonical rendering needs no float/timestamp formatting convention.
+    """
+    register_tables(spark, sf_dir)
+    out = None
+    for table, cols in FINGERPRINT_COLS:
+        row = (fingerprint(spark.table(table).select(*cols), mod=FP_MOD)
+               .select(F.lit(table).alias("table_name"),
+                       "n_rows", "fp_xor", "fp_sum"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("table_name")
+
+
+def _fp_table_sql(table: str, cols: tuple[str, ...]) -> str:
+    canon = " || '|' || ".join(
+        f"COALESCE(CAST({c} AS VARCHAR), '\\N')" for c in cols)
+    h = f"CAST(('0x' || SUBSTRING(MD5({canon}), 1, 15)) AS BIGINT)"
+    return f"""
+  SELECT '{table}' AS table_name,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         BIT_XOR({h}) AS fp_xor,
+         CAST(SUM({h} % {FP_MOD}) AS BIGINT) AS fp_sum
+  FROM {table}"""
+
+
+_Q159_ORACLE = ("\nUNION ALL\n".join(
+    _fp_table_sql(t, c) for t, c in FINGERPRINT_COLS)
+    + "\nORDER BY table_name")
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
-           "q139_incremental_rollup": q139_incremental_rollup}
+           "q139_incremental_rollup": q139_incremental_rollup,
+           "q159_table_fingerprint": q159_table_fingerprint}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,
-           "q139_incremental_rollup": _Q139_ORACLE}
+           "q139_incremental_rollup": _Q139_ORACLE,
+           "q159_table_fingerprint": _Q159_ORACLE}

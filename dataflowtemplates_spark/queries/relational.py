@@ -2582,6 +2582,105 @@ ORDER BY custdist DESC, c_count DESC
 """
 
 
+#: (edge label, child table, child FK column, parent table, parent key
+#: column, parent-side predicate or None). The last edge checks the
+#: child against a FILTERED roster snapshot — the orphan arithmetic is
+#: genuinely exercised (negative-balance suppliers make it nonzero).
+FK_EDGES = (
+    ("customer.c_nationkey->nation", "customer", "c_nationkey",
+     "nation", "n_nationkey", None),
+    ("embeddings.vec_id->documents", "embeddings", "vec_id",
+     "documents", "doc_id", None),
+    ("events.user_id->customer", "events", "user_id",
+     "customer", "c_custkey", None),
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+     "orders", "o_orderkey", None),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+     "part", "p_partkey", None),
+    ("lineitem.l_suppkey->supplier[acctbal>=0]", "lineitem", "l_suppkey",
+     "supplier", "s_suppkey", "s_acctbal >= 0"),
+    ("nation.n_regionkey->region", "nation", "n_regionkey",
+     "region", "r_regionkey", None),
+    ("orders.o_custkey->customer", "orders", "o_custkey",
+     "customer", "c_custkey", None),
+)
+
+
+def q157_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the data-quality sweep every
+    ingestion pipeline runs before publishing a snapshot: for each
+    declared FK edge, count child rows, distinct child keys, and
+    orphans (non-NULL child keys with no parent), plus an ``ok`` flag.
+
+    Scale shape: each edge is one aggregate over the child's FK column
+    (map-side combined to DISTINCT keys first — the anti-join then runs
+    over distinct keys, not rows) joined left-anti against the parent's
+    key column. Dimension parents (region/nation/customer/part/
+    supplier/documents) broadcast; the one fact-fact edge
+    (lineitem->orders) shuffles on the join key, which AQE handles. At
+    100 TB the distinct-keys reduction is what keeps the anti-join
+    small: orphan checking never touches full child rows. The final
+    result is 8 one-row aggregates unioned — O(edges) driver output.
+
+    Reference analogue: none directly — closest is the NOT_FOUND
+    accounting of the mutation family (SpannerToSpanner.java REPORT_
+    FAILURES), which is the same "child key missing from parent"
+    arithmetic applied at write time; this is the read-side audit.
+    """
+    register_tables(spark, sf_dir)
+    out = None
+    for label, child_t, fk, parent_t, pk, pred in FK_EDGES:
+        child = spark.table(child_t)
+        parent = spark.table(parent_t)
+        if pred is not None:
+            parent = parent.filter(F.expr(pred))
+        keys = (child.select(F.col(fk).alias("k"))
+                .filter(F.col("k").isNotNull()))
+        # distinct keys once; orphan check runs over keys, not rows
+        dk = keys.groupBy("k").agg(F.count(F.lit(1)).alias("n_rows_k"))
+        orphans = dk.join(
+            F.broadcast(parent.select(F.col(pk).alias("k")).distinct()),
+            "k", "left_anti")
+        stats = keys.agg(
+            F.count(F.lit(1)).alias("n_child"),
+            F.countDistinct("k").alias("n_keys"))
+        ostats = orphans.agg(
+            F.coalesce(F.sum("n_rows_k"), F.lit(0)).cast("bigint")
+             .alias("n_orphan_rows"),
+            F.count(F.lit(1)).alias("n_orphan_keys"))
+        row = (stats.crossJoin(ostats)
+               .select(F.lit(label).alias("edge"),
+                       F.col("n_child").cast("bigint").alias("n_child"),
+                       F.col("n_keys").cast("bigint").alias("n_keys"),
+                       "n_orphan_rows",
+                       F.col("n_orphan_keys").cast("bigint")
+                        .alias("n_orphan_keys"),
+                       (F.col("n_orphan_keys") == 0).alias("ok")))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("edge")
+
+
+def _fk_edge_sql(label, child_t, fk, parent_t, pk, pred):
+    where = f" WHERE {pred}" if pred else ""
+    return f"""
+  SELECT '{label}' AS edge,
+         CAST(COUNT(*) AS BIGINT) AS n_child,
+         CAST(COUNT(DISTINCT {fk}) AS BIGINT) AS n_keys,
+         CAST(COALESCE(SUM(CASE WHEN {fk} NOT IN
+              (SELECT {pk} FROM {parent_t}{where}) THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_orphan_rows,
+         CAST(COUNT(DISTINCT CASE WHEN {fk} NOT IN
+              (SELECT {pk} FROM {parent_t}{where}) THEN {fk} END)
+              AS BIGINT) AS n_orphan_keys,
+         COUNT(DISTINCT CASE WHEN {fk} NOT IN
+              (SELECT {pk} FROM {parent_t}{where}) THEN {fk} END) = 0 AS ok
+  FROM {child_t} WHERE {fk} IS NOT NULL"""
+
+
+_Q157_ORACLE = ("\nUNION ALL\n".join(_fk_edge_sql(*e) for e in FK_EDGES)
+                + "\nORDER BY edge")
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q03_top_unshipped": q03_top_unshipped,
@@ -2638,6 +2737,7 @@ QUERIES = {
     "q150_grouped_regression": q150_grouped_regression,
     "q154_unpivot": q154_unpivot,
     "q155_set_ops_all": q155_set_ops_all,
+    "q157_fk_integrity": q157_fk_integrity,
 }
 
 ORACLES = {
@@ -2696,4 +2796,5 @@ ORACLES = {
     "q150_grouped_regression": _Q150_ORACLE,
     "q154_unpivot": _Q154_ORACLE,
     "q155_set_ops_all": _Q155_ORACLE,
+    "q157_fk_integrity": _Q157_ORACLE,
 }

@@ -489,6 +489,249 @@ GROUP BY 1, 2 ORDER BY cohort, offset_h
 """
 
 
+#: Rolling window width (hours) for q158's sliding MAU.
+MAU_WINDOW_H = 24
+
+#: HLL sketch precision (lgk) and accepted relative error for q158.
+MAU_LGK = 12
+MAU_REL_ERR = 0.05
+
+
+def q158_rolling_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 24-hour distinct-user counts ("rolling MAU") — computed
+    the way it has to be at 100 TB: ONE pass builds a tiny per-hour
+    HLL sketch table, then each window is a union of 24 sketches, so
+    re-computing the window never re-scans events. The exact rolling
+    distinct (a 24x fan-out + count-distinct) is carried alongside as
+    the verification yardstick, exactly the q89 pattern: the oracle
+    asserts the sketch estimate lands within the declared bound.
+
+    Scale shape: sketch side is per-hour groupBy (map-side combined,
+    O(hours) rows after the first agg — everything downstream is
+    model-sized). The explode-by-offset window merge shuffles O(hours x
+    24) sketch rows, never event rows. The exact side's 24x event
+    fan-out is the plan the sketch path replaces; it appears here only
+    because the gate needs the exact number.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        F.date_trunc("hour", F.col("ts")).alias("h"), "user_id")
+    hours = ev.select("h").distinct()
+    offs = F.explode(F.sequence(F.lit(0), F.lit(MAU_WINDOW_H - 1)))
+    # sketch path: per-hour sketches, then offset-explode to the
+    # windows each hour contributes to, and union per window end
+    per_hour = ev.groupBy("h").agg(
+        F.expr(f"hll_sketch_agg(user_id, {MAU_LGK})").alias("sk"))
+    sk_win = (per_hour
+              .select("h", "sk", offs.alias("o"))
+              .select(F.expr("h + make_interval(0,0,0,0,o)")
+                      .alias("win_end"), "sk")
+              .join(hours.withColumnRenamed("h", "win_end"), "win_end")
+              .groupBy("win_end")
+              .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+                   .alias("est")))
+    # exact yardstick: same offset-explode over events, count-distinct
+    exact = (ev
+             .select("user_id", offs.alias("o"), "h")
+             .select(F.expr("h + make_interval(0,0,0,0,o)")
+                     .alias("win_end"), "user_id")
+             .join(hours.withColumnRenamed("h", "win_end"), "win_end")
+             .groupBy("win_end")
+             .agg(F.countDistinct("user_id").cast("bigint")
+                  .alias("exact_mau")))
+    return (exact.join(sk_win, "win_end")
+            .select("win_end", "exact_mau",
+                    (F.abs(F.col("est") - F.col("exact_mau"))
+                     <= MAU_REL_ERR * F.col("exact_mau"))
+                    .alias("within_bound"))
+            .orderBy("win_end"))
+
+
+_Q158_ORACLE = f"""
+WITH hours AS (
+  SELECT DISTINCT DATE_TRUNC('hour', ts) AS win_end FROM events)
+SELECT h.win_end,
+       CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS exact_mau,
+       TRUE AS within_bound
+FROM hours h
+JOIN events e
+  ON DATE_TRUNC('hour', e.ts)
+     BETWEEN h.win_end - INTERVAL {MAU_WINDOW_H - 1} HOUR AND h.win_end
+GROUP BY h.win_end ORDER BY win_end
+"""
+
+
+def q160_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix — the Markov-chain
+    counting pass behind behavior modeling and funnel mining: order
+    each user's events by time, pair each event with its successor
+    (LEAD), and count (from_type, to_type) transitions corpus-wide.
+    All-integer outputs, so the gate is exact.
+
+    Scale shape: one shuffle on user_id for the per-user window (the
+    partition key IS the window key, so there is exactly one exchange),
+    then a map-side-combined count on the tiny (from, to) key space.
+    The window's ORDER BY is (ts, event_id) — the id tiebreak makes
+    LEAD deterministic under same-timestamp events in both engines.
+    """
+    register_tables(spark, sf_dir)
+    ev = (spark.table("events")
+          .select("user_id", "ts", "event_id", "event_type")
+          .filter(F.col("ts").isNotNull()))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev
+            .withColumn("to_type", F.lead("event_type").over(w))
+            .filter(F.col("to_type").isNotNull())
+            .groupBy(F.col("event_type").alias("from_type"), "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions"))
+            .orderBy("from_type", "to_type"))
+
+
+_Q160_ORACLE = """
+WITH nxt AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events WHERE ts IS NOT NULL)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM nxt WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type
+"""
+
+
+def q162_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type hourly volume anomaly flags — the ops-monitoring
+    pass over an event firehose: an hour is anomalous for a type when
+    its count deviates from that type's mean by more than 3 sigma.
+
+    The 3-sigma test runs in EXACT integer arithmetic: with per-type
+    N (hours), S (sum of counts), SS (sum of squares),
+    ``(cnt*N - S)^2 > 9*(N*SS - S^2)`` is the threshold inequality
+    cleared of divisions — every term BIGINT, no float/libm anywhere,
+    so both engines agree bit-for-bit (the q150 exact-moments stance
+    applied to anomaly detection). Magnitude guard: exact up to
+    ~3e9 events per type-hour; beyond that promote to DECIMAL.
+
+    Scale shape: one (type, hour) count (map-side combined), one tiny
+    per-type moment aggregate joined back broadcast — the fact stream
+    shuffles once on the grouping key and never again.
+    """
+    register_tables(spark, sf_dir)
+    ev = spark.table("events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("hour"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    moments = (hourly.groupBy("event_type")
+               .agg(F.count(F.lit(1)).alias("n_hours"),
+                    F.sum("cnt").alias("s"),
+                    F.sum(F.col("cnt") * F.col("cnt")).alias("ss")))
+    dev2 = ((F.col("cnt") * F.col("n_hours") - F.col("s"))
+            * (F.col("cnt") * F.col("n_hours") - F.col("s")))
+    thr = F.lit(9) * (F.col("n_hours") * F.col("ss")
+                      - F.col("s") * F.col("s"))
+    return (hourly.join(F.broadcast(moments), "event_type")
+            .select("event_type", "hour",
+                    F.col("cnt").cast("bigint").alias("cnt"),
+                    dev2.cast("bigint").alias("dev2"),
+                    thr.cast("bigint").alias("thr"),
+                    ((F.col("n_hours") > 1) & (dev2 > thr))
+                    .alias("is_anomaly"))
+            .orderBy("event_type", "hour"))
+
+
+_Q162_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, DATE_TRUNC('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_hours,
+         CAST(SUM(cnt) AS BIGINT) AS s,
+         CAST(SUM(cnt * cnt) AS BIGINT) AS ss
+  FROM hourly GROUP BY 1)
+SELECT h.event_type, h.hour, h.cnt,
+       CAST((h.cnt * m.n_hours - m.s) * (h.cnt * m.n_hours - m.s)
+            AS BIGINT) AS dev2,
+       CAST(9 * (m.n_hours * m.ss - m.s * m.s) AS BIGINT) AS thr,
+       m.n_hours > 1 AND
+       (h.cnt * m.n_hours - m.s) * (h.cnt * m.n_hours - m.s)
+         > 9 * (m.n_hours * m.ss - m.s * m.s) AS is_anomaly
+FROM hourly h JOIN moments m USING (event_type)
+ORDER BY event_type, hour
+"""
+
+
+#: q163 session gap (seconds) and path prefix length.
+PATH_GAP_S = 1800
+PATH_LEN = 8
+
+
+def q163_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths — sessionize each user's events on a
+    30-minute inactivity gap, render each session's first 8 event
+    types as a '>'-joined path string, and count sessions per path
+    (the path-mining pass behind funnel discovery; q129 checks ONE
+    declared funnel, this finds the empirical ones).
+
+    Scale shape: one shuffle on user_id for the gap window (LAG +
+    cumulative-sum session ids ride the same exchange), the path
+    renders inside the same per-user sort via array_sort over
+    (ts, event_id, type) structs — no second shuffle until the final
+    tiny path-count aggregate. Determinism: (ts, event_id) total
+    order; gap compare on exact integer micros (the NTZ cast note).
+    """
+    register_tables(spark, sf_dir)
+    ev = (spark.table("events")
+          .select("user_id", "ts", "event_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us")))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (ev
+            .withColumn("new_sess",
+                        (F.coalesce(F.col("us") - F.lag("us").over(w),
+                                    F.lit(None))
+                         > PATH_GAP_S * 1_000_000).cast("int"))
+            .withColumn("sess_id",
+                        F.sum(F.coalesce("new_sess", F.lit(1))).over(w)))
+    paths = (sess
+             .groupBy("user_id", "sess_id")
+             .agg(F.concat_ws(
+                 ">",
+                 F.slice(F.expr(
+                     "transform(array_sort(collect_list("
+                     "struct(ts, event_id, event_type))), x -> x.event_type)"),
+                     1, PATH_LEN)).alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.desc("n_sessions"), "path"))
+
+
+_Q163_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, ts, event_id, event_type,
+         epoch_us(ts) AS us
+  FROM events),
+marked AS (
+  SELECT *, CAST(us - LAG(us) OVER w > {PATH_GAP_S} * 1000000
+                 AS INT) AS new_sess
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sess AS (
+  SELECT *, SUM(COALESCE(new_sess, 1))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS sess_id
+  FROM marked),
+paths AS (
+  SELECT user_id, sess_id,
+         ARRAY_TO_STRING((LIST(event_type ORDER BY ts, event_id))
+                         [1:{PATH_LEN}], '>') AS path
+  FROM sess GROUP BY user_id, sess_id)
+SELECT path, COUNT(*) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path
+"""
+
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
     "q36_range_join": q36_range_join,
@@ -498,6 +741,10 @@ QUERIES = {
     "q147_user_ewma": q147_user_ewma,
     "q151_gap_fill": q151_gap_fill,
     "q156_cohort_retention": q156_cohort_retention,
+    "q158_rolling_mau": q158_rolling_mau,
+    "q160_event_transitions": q160_event_transitions,
+    "q162_hourly_anomalies": q162_hourly_anomalies,
+    "q163_session_paths": q163_session_paths,
 }
 
 ORACLES = {
@@ -509,4 +756,8 @@ ORACLES = {
     "q147_user_ewma": _Q147_ORACLE,
     "q151_gap_fill": _Q151_ORACLE,
     "q156_cohort_retention": _Q156_ORACLE,
+    "q158_rolling_mau": _Q158_ORACLE,
+    "q160_event_transitions": _Q160_ORACLE,
+    "q162_hourly_anomalies": _Q162_ORACLE,
+    "q163_session_paths": _Q163_ORACLE,
 }

@@ -112,3 +112,52 @@ def test_write_zordered_clusters_both_dimensions(spark, tmp_path):
     got = {(r["x"], r["y"]) for r in spark.read.parquet(zed).collect()}
     want = {(r["x"], r["y"]) for r in df.collect()}
     assert got == want
+
+
+def _fp(df, **kw):
+    from dataflowtemplates_spark.operators.maintenance import fingerprint
+    r = fingerprint(df, **kw).collect()[0]
+    return (r["n_rows"], r["fp_xor"], r["fp_sum"])
+
+
+def test_fingerprint_is_order_and_partitioning_invariant(spark):
+    df = spark.range(0, 2_000).select(
+        F.col("id"), (F.col("id") % 7).cast("string").alias("s"))
+    base = _fp(df)
+    assert base == _fp(df.orderBy(F.desc("id")))
+    assert base == _fp(df.repartition(17, "s"))
+
+
+def test_fingerprint_detects_single_row_change_and_nulls(spark):
+    df = spark.range(0, 1_000).select(
+        F.col("id"), F.concat(F.lit("v"), F.col("id")).alias("s"))
+    base = _fp(df)
+    bumped = df.withColumn(
+        "s", F.when(F.col("id") == 500, F.lit("CHANGED"))
+              .otherwise(F.col("s")))
+    assert _fp(bumped) != base
+    # NULL is not the same as its sentinel-free neighbour: ('a', NULL)
+    # vs ('a',)-with-empty must differ
+    a = spark.createDataFrame([("a", None)], "x string, y string")
+    b = spark.createDataFrame([("a", "")], "x string, y string")
+    assert _fp(a) != _fp(b)
+
+
+def test_fingerprint_merges_associatively(spark):
+    """Per-bucket fingerprints roll up to the whole-table fingerprint
+    without rescanning — the 100 TB incremental property."""
+    df = spark.range(0, 3_000).select(
+        F.col("id"), (F.col("id") * 31 % 997).cast("string").alias("s"))
+    half1 = df.filter(F.col("id") < 1_500)
+    half2 = df.filter(F.col("id") >= 1_500)
+    n, x, s = _fp(df)
+    n1, x1, s1 = _fp(half1)
+    n2, x2, s2 = _fp(half2)
+    assert n == n1 + n2
+    assert x == x1 ^ x2
+    assert s == s1 + s2  # sums are < mod * n_rows, no overflow here
+
+
+def test_fingerprint_empty_frame(spark):
+    df = spark.range(0, 10).filter(F.col("id") < 0)
+    assert _fp(df) == (0, 0, 0)
