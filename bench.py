@@ -34,7 +34,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Comparability contract: the set HAS changed across rounds (r6 added
 #: q73/q74; r7 added q85/q87/q88/q96/q100 and made per-query numbers
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
-#: the new q102–q111; r9 added q121/q124–q126/q129–q153, moved the streaming
+#: the new q102–q111; r9 added q121/q124–q126/q129–q160, moved the streaming
 #: family early, and left q127 untimed by design — see the inline
 #: notes), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
@@ -130,6 +130,13 @@ HEADLINE = (
     "q154_unpivot",
     "q155_set_ops_all",
     "q156_cohort_retention",
+    "q157_fk_integrity",
+    "q158_rolling_mau",
+    "q159_table_fingerprint",
+    "q160_event_transitions",
+    "q161_weighted_sample",
+    "q162_hourly_anomalies",
+    "q163_session_paths",
     # q127 (left-outer variant of q96) is deliberately NOT timed: its
     # sentinel-watermark determinism device doubles the drain with
     # no-data flush batches, so its wall-clock measures the test

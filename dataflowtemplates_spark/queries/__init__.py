@@ -65,6 +65,13 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q163_session_paths",       # new: sessionized journey path mining
+    "q162_hourly_anomalies",    # new: integer-exact 3-sigma volume flags
+    "q161_weighted_sample",     # new: weight-proportional Bernoulli draw
+    "q160_event_transitions",   # new: per-user Markov transition counts
+    "q159_table_fingerprint",   # new: order-independent table fingerprint
+    "q158_rolling_mau",         # new: sliding 24h HLL distinct-user rollup
+    "q157_fk_integrity",        # new: referential-integrity audit
     "q156_cohort_retention",    # new: hourly cohort retention matrix
     "q155_set_ops_all",         # new: INTERSECT ALL / EXCEPT ALL multiset
     "q154_unpivot",             # new: UNPIVOT wide->long reshape

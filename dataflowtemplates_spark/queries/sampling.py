@@ -485,6 +485,76 @@ ORDER BY shard_id
 """
 
 
+#: q161: 2^52 — the denominator that makes the md5-13-nibble uniform an
+#: EXACT dyadic rational (13 hex nibbles = 52 bits), so the weighted
+#: keep rule never touches a rounded value.
+U_DENOM = 1 << 52
+
+#: Seed for q161's weighted draw (independent of SAMPLE_SEED's draw).
+WSAMPLE_SEED = "w7"
+
+
+def q161_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weight-proportional Bernoulli sampling — the
+    corpus-balancing primitive behind length-weighted / importance-
+    weighted subsampling: each document is kept with probability
+    ``n_chars / max(n_chars)``, reproducibly.
+
+    The keep rule is INTEGER-exact end to end: the uniform is the
+    md5-prefix 52-bit int ``u`` (never divided), and ``u < w * 2^52 /
+    w_max`` is evaluated as ``u * w_max < w * 2^52`` — two BIGINT
+    multiplies both engines compute identically (no float, no libm).
+    ``w <= 2048`` keeps ``w * 2^52`` inside a signed 64; the guard
+    raises rather than silently overflow.
+
+    Scale shape: one tiny global max aggregate (2 scalars of driver-
+    independent broadcast state), then a pure map-side filter — the
+    whole corpus never shuffles, any worker can re-derive membership,
+    and the same rule applied to a new batch extends the sample (the
+    q47 hash-Bernoulli property, weight-generalized).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    wmax = docs.agg(F.max("n_chars").alias("w_max"))
+    u = F.conv(F.substring(
+        F.md5(F.concat(F.lit(WSAMPLE_SEED),
+                       F.col("doc_id").cast("string"))), 1, 13),
+        16, 10).cast("bigint")
+    kept = (docs
+            .select("doc_id", "source",
+                    F.col("n_chars").cast("bigint").alias("w"),
+                    u.alias("u"))
+            .crossJoin(F.broadcast(wmax))
+            .filter((F.col("w_max") <= 2048)
+                    & (F.col("u") * F.col("w_max")
+                       < F.col("w") * F.lit(U_DENOM))))
+    return (kept
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_kept"),
+                 F.sum("w").cast("bigint").alias("chars_kept"),
+                 F.sum(F.col("u") % 97).cast("bigint").alias("u_check"))
+            .orderBy("source"))
+
+
+_Q161_ORACLE = f"""
+WITH m AS (SELECT MAX(n_chars) AS w_max FROM documents),
+kept AS (
+  SELECT source, CAST(n_chars AS BIGINT) AS w,
+         CAST(('0x' || SUBSTRING(MD5('{WSAMPLE_SEED}' ||
+              CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS u
+  FROM documents, m
+  WHERE m.w_max <= 2048
+    AND CAST(('0x' || SUBSTRING(MD5('{WSAMPLE_SEED}' ||
+             CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) * m.w_max
+        < CAST(n_chars AS BIGINT) * {U_DENOM})
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(w) AS BIGINT) AS chars_kept,
+       CAST(SUM(u % 97) AS BIGINT) AS u_check
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
     "q48_sequence_packing": q48_sequence_packing,
@@ -493,6 +563,7 @@ QUERIES = {
     "q86_source_mixture": q86_source_mixture,
     "q108_bpe_packing": q108_bpe_packing,
     "q140_training_shards": q140_training_shards,
+    "q161_weighted_sample": q161_weighted_sample,
 }
 
 ORACLES = {
@@ -503,4 +574,5 @@ ORACLES = {
     "q86_source_mixture": _Q86_ORACLE,
     "q108_bpe_packing": _q108_oracle(),
     "q140_training_shards": _Q140_ORACLE,
+    "q161_weighted_sample": _Q161_ORACLE,
 }
