@@ -325,3 +325,56 @@ def test_q153_band_join_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Python" not in plan
+
+
+def test_q159_fingerprint_has_no_data_shuffle(spark):
+    """The fingerprint is a map-side hash + one all-combining
+    aggregate per table: no Exchange carries data rows (the final
+    single-partition exchanges move one partial-agg row per task)."""
+    from dataflowtemplates_spark.queries.mutation_queries import (
+        q159_table_fingerprint)
+    plan = (q159_table_fingerprint(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    # no hashpartitioning of row-level data anywhere: every exchange
+    # is the SinglePartition gather of already-aggregated partials
+    # (plus the final orderBy's range partition over 3 rows)
+    assert "hashpartitioning" not in plan
+
+
+def test_q160_transitions_single_user_exchange(spark):
+    """LEAD window and nothing else shuffles on user_id; the
+    (from, to) count aggregate must ride map-side combine, adding
+    only its own tiny key exchange."""
+    from dataflowtemplates_spark.queries.temporal import (
+        q160_event_transitions)
+    plan = (q160_event_transitions(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_q161_keep_rule_is_integer_and_prefilter(spark):
+    """The weighted keep rule must stay in exact integer arithmetic
+    (no doubles — the cross-engine determinism claim) and run as a
+    filter, not a join against anything row-scaled."""
+    from dataflowtemplates_spark.queries.sampling import (
+        q161_weighted_sample)
+    plan = (q161_weighted_sample(spark, SF_DIR)
+            ._jdf.queryExecution().optimizedPlan().toString())
+    # keep rule evaluated on bigint columns — no double cast of the
+    # uniform or the weight anywhere in the optimized comparison
+    assert "cast(u#" not in plan and "cast(w#" not in plan
+    # the only join is the broadcast of the 1-row global max
+    executed = (q161_weighted_sample(spark, SF_DIR)
+                ._jdf.queryExecution().executedPlan().toString())
+    assert executed.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_q163_paths_single_user_exchange(spark):
+    """Sessionize (LAG + running sum) and the path render share ONE
+    user_id exchange; only the final tiny path-count agg adds its
+    own."""
+    from dataflowtemplates_spark.queries.temporal import (
+        q163_session_paths)
+    plan = (q163_session_paths(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("hashpartitioning(user_id") <= 2
