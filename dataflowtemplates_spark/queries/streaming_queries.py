@@ -851,6 +851,86 @@ ORDER BY c.user_id
 """
 
 
+def q164_stream_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed incremental table fingerprint: the documents table is
+    staged into 8 files and streamed one file per micro-batch into a
+    COMPLETE-mode global aggregate holding exactly the three
+    fingerprint components (count, 60-bit md5 XOR, mod-p sum) — the
+    streaming proof of ``operators/maintenance.fingerprint``'s
+    associativity claim: folding batch-by-batch lands on the SAME
+    fingerprint as one batch pass, for any split of the stream.
+
+    The emitted row is the stream's final state joined against the
+    batch fingerprint of the same table, with a ``matches_batch``
+    boolean the oracle asserts TRUE (the oracle recomputes the batch
+    fold relationally). State is O(1): three scalars, whatever the
+    table size — this is what CDC replica validation holds per table
+    at 100 TB while the stream is live.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.operators.maintenance import fingerprint
+
+    register_tables(spark, sf_dir)
+    cols = ("doc_id", "lang", "source", "n_chars", "text")
+    docs = spark.table("documents").select(*cols)
+    tmp = tempfile.mkdtemp(prefix="q164_fp_")
+    try:
+        stage = os.path.join(tmp, "stage")
+        docs.repartition(8).write.parquet(stage)
+        canon = F.concat_ws(
+            "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
+                   for c in cols])
+        h = (F.conv(F.substring(F.md5(canon), 1, 15), 16, 10)
+             .cast("bigint"))
+        stream = (spark.readStream
+                  .schema(spark.read.parquet(stage).schema)
+                  .option("maxFilesPerTrigger", 1).parquet(stage))
+        agg = (stream.select(h.alias("h"))
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                    F.expr("bit_xor(h)").cast("bigint").alias("fp_xor"),
+                    F.sum(F.col("h") % 1_000_000_007).cast("bigint")
+                     .alias("fp_sum")))
+        q = (agg.writeStream.outputMode("complete").format("memory")
+             .queryName("q164_fp_sink").trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+        streamed = (spark.table("q164_fp_sink")
+                    .localCheckpoint(eager=True))
+        batch = (fingerprint(docs)
+                 .select(F.col("n_rows").alias("b_n"),
+                         F.col("fp_xor").alias("b_x"),
+                         F.col("fp_sum").alias("b_s"))
+                 .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (streamed.crossJoin(batch)
+            .select("n_rows", "fp_xor", "fp_sum",
+                    ((F.col("n_rows") == F.col("b_n"))
+                     & (F.col("fp_xor") == F.col("b_x"))
+                     & (F.col("fp_sum") == F.col("b_s")))
+                    .alias("matches_batch")))
+
+
+_Q164_ORACLE = """
+WITH h AS (
+  SELECT CAST(('0x' || SUBSTRING(MD5(
+           COALESCE(CAST(doc_id AS VARCHAR), '\\N') || '|' ||
+           COALESCE(CAST(lang AS VARCHAR), '\\N') || '|' ||
+           COALESCE(CAST(source AS VARCHAR), '\\N') || '|' ||
+           COALESCE(CAST(n_chars AS VARCHAR), '\\N') || '|' ||
+           COALESCE(CAST(text AS VARCHAR), '\\N')), 1, 15))
+         AS BIGINT) AS h
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(BIT_XOR(h) AS BIGINT) AS fp_xor,
+       CAST(SUM(h % 1000000007) AS BIGINT) AS fp_sum,
+       TRUE AS matches_batch
+FROM h
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -865,6 +945,7 @@ QUERIES = {
     "q138_stream_classify": q138_stream_classify,
     "q144_stream_heavy_hitters": q144_stream_heavy_hitters,
     "q145_stream_keyed_upsert": q145_stream_keyed_upsert,
+    "q164_stream_fingerprint": q164_stream_fingerprint,
 }
 
 ORACLES = {
@@ -881,4 +962,5 @@ ORACLES = {
     "q138_stream_classify": _q138_oracle(),
     "q144_stream_heavy_hitters": _Q144_ORACLE,
     "q145_stream_keyed_upsert": _Q145_ORACLE,
+    "q164_stream_fingerprint": _Q164_ORACLE,
 }
