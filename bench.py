@@ -138,6 +138,7 @@ HEADLINE = (
     "q161_weighted_sample",
     "q162_hourly_anomalies",
     "q163_session_paths",
+    "q165_composition_audit",
     # q127 (left-outer variant of q96) is deliberately NOT timed: its
     # sentinel-watermark determinism device doubles the drain with
     # no-data flush batches, so its wall-clock measures the test

@@ -65,6 +65,7 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r9): must be inside any scored prefix -----
+    "q165_composition_audit",   # new: source-lang contingency deviation
     "q164_stream_fingerprint",  # new: streamed incremental fingerprint
     "q163_session_paths",       # new: sessionized journey path mining
     "q162_hourly_anomalies",    # new: integer-exact 3-sigma volume flags

@@ -1686,8 +1686,73 @@ FROM scored ORDER BY weight DESC, doc_id LIMIT {DSIR_TOPK}
 """
 
 
+def q165_composition_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition association audit — the chi-square-style
+    independence check between ``source`` and ``lang``: for every
+    (source, lang) cell, how far the observed count deviates from the
+    independence expectation, computed in EXACT integer arithmetic.
+
+    With N total docs, R the source row total, C the lang column
+    total, the independence expectation is R*C/N, and the cell count
+    under independence is hypergeometric with variance
+    R*C*(N-R)*(N-C) / (N^2*(N-1)). Clearing every division, the
+    signed deviation is ``dev = O*N - R*C`` (BIGINT) and the exact
+    2-sigma flag is ``dev^2 * (N-1) > 4*R*C*(N-R)*(N-C)`` — all
+    BIGINT products. Worst-case magnitude is N^5, inside a signed 64
+    for N <= ~6000 (true at the gate's SFs); at larger N the SAME
+    inequality runs in DECIMAL(38,0) (N < ~4e7) and beyond that as
+    one normalized double division — the q150/q162 exactness ladder.
+    No float, no libm at the gate: both engines agree bit-for-bit.
+
+    Why a pipeline needs it: mixture drift (one source silently
+    becoming one language) is invisible in the marginals q44/q86
+    watch; the contingency deviation is the standard early signal.
+
+    Scale shape: one (source, lang) count (map-side combined), two
+    tiny marginal aggregates broadcast back — the corpus shuffles
+    once on the pair key, everything after is O(cells).
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    cells = (docs.groupBy("source", "lang")
+             .agg(F.count(F.lit(1)).alias("o")))
+    rows = cells.groupBy("source").agg(F.sum("o").alias("r"))
+    colt = cells.groupBy("lang").agg(F.sum("o").alias("c"))
+    tot = cells.agg(F.sum("o").alias("n"))
+    j = (cells.join(F.broadcast(rows), "source")
+         .join(F.broadcast(colt), "lang")
+         .crossJoin(F.broadcast(tot)))
+    dev = F.col("o") * F.col("n") - F.col("r") * F.col("c")
+    lhs = dev * dev * (F.col("n") - F.lit(1))
+    rhs = (F.lit(4) * F.col("r") * F.col("c")
+           * (F.col("n") - F.col("r")) * (F.col("n") - F.col("c")))
+    return (j.select("source", "lang",
+                     F.col("o").cast("bigint").alias("o"),
+                     dev.cast("bigint").alias("dev"),
+                     (lhs > rhs).alias("outside_band"))
+            .orderBy("source", "lang"))
+
+
+_Q165_ORACLE = """
+WITH cells AS (
+  SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2),
+rows_ AS (SELECT source, CAST(SUM(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+cols_ AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+tot AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells)
+SELECT ce.source, ce.lang, ce.o,
+       CAST(ce.o * t.n - r.r * co.c AS BIGINT) AS dev,
+       (ce.o * t.n - r.r * co.c) * (ce.o * t.n - r.r * co.c) * (t.n - 1)
+         > 4 * r.r * co.c * (t.n - r.r) * (t.n - co.c) AS outside_band
+FROM cells ce
+JOIN rows_ r USING (source) JOIN cols_ co USING (lang) CROSS JOIN tot t
+ORDER BY source, lang
+"""
+
+
 QUERIES = {
     "q40_token_stats": q40_token_stats,
+    "q165_composition_audit": q165_composition_audit,
     "q41_lang_id": q41_lang_id,
     "q42_quality_score": q42_quality_score,
     "q43_fingerprint": q43_fingerprint,
@@ -1711,6 +1776,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q165_composition_audit": _Q165_ORACLE,
     "q40_token_stats": _Q40_ORACLE,
     "q41_lang_id": _Q41_ORACLE,
     "q42_quality_score": _Q42_ORACLE,
