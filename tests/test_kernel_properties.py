@@ -354,3 +354,52 @@ def test_q150_moment_formulas_match_python(spark, pts):
             assert got is None or math.isnan(got)
         else:
             assert struct.pack("<d", got) == struct.pack("<d", want)
+
+
+# -- division-free sigma bounds (q162 / q165) -------------------------------
+
+
+@given(counts=st.lists(st.integers(min_value=0, max_value=100_000),
+                       min_size=2, max_size=50))
+@settings(max_examples=120, deadline=None)
+def test_q162_integer_threesigma_matches_float_zscore(counts):
+    """The cleared-of-divisions inequality (cnt*N - S)^2 > 9*(N*SS - S^2)
+    must agree with the float z-score test |cnt - mean| > 3*sigma_pop
+    for every count in arbitrary hourly profiles (away from exact
+    ties, where float rounding is allowed to disagree)."""
+    n = len(counts)
+    s = sum(counts)
+    ss = sum(c * c for c in counts)
+    mean = s / n
+    var = (ss - s * s / n) / n
+    for c in counts:
+        lhs = (c * n - s) ** 2
+        rhs = 9 * (n * ss - s * s)
+        int_flag = lhs > rhs
+        # float reference: (c-mean)^2 > 9*var, scaled by n^2 equals the
+        # integer form exactly in real arithmetic
+        f_lhs = (c - mean) ** 2
+        f_rhs = 9.0 * var
+        if not math.isclose(f_lhs, f_rhs, rel_tol=1e-9, abs_tol=1e-9):
+            assert int_flag == (f_lhs > f_rhs)
+
+
+@given(data=st.data())
+@settings(max_examples=120, deadline=None)
+def test_q165_hypergeometric_band_matches_float_reference(data):
+    """dev^2*(N-1) > 4*R*C*(N-R)*(N-C) must agree with the float test
+    |O - R*C/N| > 2*sqrt(R*C*(N-R)*(N-C)/(N^2*(N-1))) away from ties."""
+    r = data.draw(st.integers(min_value=1, max_value=4000))
+    c = data.draw(st.integers(min_value=1, max_value=4000))
+    extra = data.draw(st.integers(min_value=0, max_value=4000))
+    n = max(r, c) + extra
+    if n < 2:
+        return
+    o = data.draw(st.integers(min_value=0, max_value=min(r, c)))
+    dev = o * n - r * c
+    int_flag = dev * dev * (n - 1) > 4 * r * c * (n - r) * (n - c)
+    var = r * c * (n - r) * (n - c) / (n * n * (n - 1))
+    f_lhs = (o - r * c / n) ** 2
+    f_rhs = 4.0 * var
+    if not math.isclose(f_lhs, f_rhs, rel_tol=1e-9, abs_tol=1e-12):
+        assert int_flag == (f_lhs > f_rhs)
