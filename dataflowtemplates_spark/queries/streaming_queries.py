@@ -654,11 +654,11 @@ def q138_stream_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dataflowtemplates_spark.queries.text import (
         _nb_train, nb_classified)
 
-    probs, priors = _nb_train(spark, sf_dir)
+    bucket_probs, default_probs, priors = _nb_train(spark, sf_dir)
 
     docs = _stream_docs(spark, sf_dir)
 
-    out = nb_classified(docs, probs, priors,
+    out = nb_classified(docs, bucket_probs, default_probs, priors,
                         [F.col("source"), F.col("lang")])
     agg = (out.groupBy("source")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),

@@ -1231,79 +1231,130 @@ NB_LANGS = ("de", "en", "es", "fr", "zh")
 #: without changing the argmax.
 NB_SCALE = 64.0
 
+#: Fixed hashed-feature width for the NB model (fastText / DSIR-paper
+#: style "hashing trick"). The model is counts per (class, bucket) —
+#: O(K x NB_BUCKETS) regardless of corpus vocabulary, so driver state
+#: is a CONSTANT: a 100 TB web corpus with billions of distinct tokens
+#: trains the same 4096-wide table as sf0.001. Power of two only for
+#: hygiene; any fixed width works.
+NB_BUCKETS = 4096
+
+
+def md5_bucket(col, n: int):
+    """Engine-portable hash bucket: the first 8 hex digits of md5 as an
+    integer, mod ``n``. Spark: ``conv(substring(md5(x),1,8),16,10) % n``;
+    DuckDB twin: ``CAST('0x'||SUBSTRING(MD5(x),1,8) AS BIGINT) % n``
+    (see `md5_bucket_sql`). The 8-digit value is < 2^32 and nonnegative,
+    so ``%`` and ``pmod`` coincide. Same convention as the q47 shard
+    hash (`sampling.py:441`) and the LSH band keys (`dedup.py`)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("bigint"),
+        F.lit(n))
+
+
+def md5_bucket_sql(expr: str, n: int) -> str:
+    """DuckDB twin of `md5_bucket` — bit-identical bucket ids."""
+    return f"CAST(('0x' || SUBSTRING(MD5({expr}), 1, 8)) AS BIGINT) % {n}"
+
 
 def _nb_train(spark: SparkSession, sf_dir: str):
-    """Distributed NB training: one explode + (lang, token) groupBy
-    shuffle with map-side combine; the result (token-class counts,
-    per-class token totals, class document priors) is O(vocab x K)
-    driver-held model state — the codebook pattern shared with IVF/PQ
-    (`similarity.py`) and the BPE merge table.
+    """Distributed NB training over a FIXED hashed feature space: one
+    explode + md5-bucket projection + (lang, bucket) groupBy shuffle
+    with map-side combine. Only the aggregated (lang, bucket) count
+    table ever reaches the driver — at most K x NB_BUCKETS rows, a
+    CONSTANT independent of corpus size (the hashing trick; vs the
+    naive per-token model whose vocabulary — and therefore driver
+    state — grows unboundedly with a web corpus).
 
-    Returns ``(probs, priors)`` where ``probs[token]`` is the
-    NB_LANGS-ordered list of add-one-smoothed scaled likelihoods and
-    ``priors`` the NB_LANGS-ordered document priors. All arithmetic
-    is one IEEE division of exact integers (optionally after one
-    exact power-of-two multiply), so DuckDB recomputing the same
-    formula lands on the identical double.
+    Returns ``(bucket_probs, default_probs, priors)``:
+    ``bucket_probs[b]`` is the NB_LANGS-ordered list of add-one-smoothed
+    scaled likelihoods for each TRAINED bucket, ``default_probs`` the
+    same formula at count 0 (tokens hashing to a bucket unseen in
+    training), ``priors`` the NB_LANGS-ordered document priors. All
+    arithmetic is one IEEE division of exact integers after one exact
+    power-of-two multiply, so DuckDB recomputing the same formula lands
+    on the identical double.
     """
     register_tables(spark, sf_dir)
-    docs = spark.table("documents")
+    return _nb_train_docs(spark.table("documents"))
+
+
+def _nb_train_docs(docs: DataFrame):
+    """Model arithmetic of `_nb_train` given any documents-shaped
+    frame (doc_id, lang, text) — the seam the bounded-driver-state
+    property test exercises with synthetic corpora of growing
+    vocabulary."""
     train = docs.filter((F.col("doc_id") % 5 != 0)
                         & F.col("lang").isin(*NB_LANGS))
     toks = (train.select("lang",
                          F.explode(F.split(F.col("text"), " "))
                          .alias("token"))
             .filter(F.col("token") != ""))
-    count_rows = (toks.groupBy("lang", "token")
+    buck = toks.select("lang",
+                       md5_bucket(F.col("token"), NB_BUCKETS).alias("b"))
+    count_rows = (buck.groupBy("lang", "b")
                   .agg(F.count(F.lit(1)).alias("c")).collect())
     ndoc_rows = (train.groupBy("lang")
                  .agg(F.count(F.lit(1)).alias("nd")).collect())
 
-    counts = {(r["lang"], r["token"]): r["c"] for r in count_rows}
-    vocab = sorted({t for (_, t) in counts})
-    v = len(vocab)
+    counts = {(r["lang"], r["b"]): r["c"] for r in count_rows}
+    buckets = sorted({b for (_, b) in counts})
     n_tok = {k: sum(c for (lg, _), c in counts.items() if lg == k)
              for k in NB_LANGS}
     ndocs = {r["lang"]: r["nd"] for r in ndoc_rows}
     n_train = sum(ndocs.get(k, 0) for k in NB_LANGS)
-    probs = {t: [NB_SCALE * (counts.get((k, t), 0) + 1) / (n_tok[k] + v)
-                 for k in NB_LANGS] for t in vocab}
+    bucket_probs = {
+        b: [NB_SCALE * (counts.get((k, b), 0) + 1) / (n_tok[k] + NB_BUCKETS)
+            for k in NB_LANGS] for b in buckets}
+    default_probs = [NB_SCALE * (0 + 1) / (n_tok[k] + NB_BUCKETS)
+                     for k in NB_LANGS]
     priors = [ndocs.get(k, 0) / n_train for k in NB_LANGS]
-    return probs, priors
+    return bucket_probs, default_probs, priors
 
 
-def nb_classified(df: DataFrame, probs, priors,
+def nb_classified(df: DataFrame, bucket_probs, default_probs, priors,
                   keep: list) -> DataFrame:
     """Append ``pred_lang`` to a (batch OR streaming) document frame
     via the trained NB model — a stateless MAP-ONLY projection: the
-    weight table rides into the executors as a literal map (at real
-    vocab sizes this becomes a hashed feature table behind a
-    broadcast join, same plan shape), each document folds its own
-    sorted token array through the per-class product. No join, no
-    explode, no Python, no state — a streaming DataFrame needs no
-    code fork (q138 proves it).
+    fixed-width hashed weight table (<= NB_BUCKETS entries, a constant
+    set by config, NOT by corpus vocabulary) rides into the executors
+    as a literal map; each document hashes its own sorted token array
+    into bucket space and folds the per-class product, with the exact
+    count-0 smoothed likelihood for buckets unseen in training. No
+    join, no explode, no Python, no state — a streaming DataFrame
+    needs no code fork (q138 proves it).
 
     Determinism (the bit-exact gate): likelihoods are single IEEE
-    divisions of exact integers scaled by a power of two — no libm.
-    Per-document scores fold the likelihoods in sorted-token order
-    (the shared-fold-order rule, see SKILL verify notes), multiply
-    the class prior LAST, and break argmax ties by the fixed
-    NB_LANGS order — every operation is identically rounded in Spark,
-    CPython, and DuckDB. A production build at uncapped document
-    length would score in the log domain instead (sum of logs); the
-    scaled product keeps the oracle exact at this corpus's <=100
-    tokens/doc.
+    divisions of exact integers scaled by a power of two — no libm;
+    bucket ids are md5-prefix integers, identical in both engines
+    (`md5_bucket` / `md5_bucket_sql`). Per-document scores fold the
+    likelihoods in sorted-token order (the shared-fold-order rule,
+    see SKILL verify notes), multiply the class prior LAST, and break
+    argmax ties by the fixed NB_LANGS order — every operation is
+    identically rounded in Spark, CPython, and DuckDB. A production
+    build at uncapped document length would score in the log domain
+    instead (sum of logs); the scaled product keeps the oracle exact
+    at this corpus's <=100 tokens/doc.
     """
-    lit_entries = []
-    for t in sorted(probs):
-        lit_entries.append(F.lit(t))
-        lit_entries.append(F.array(*[F.lit(p) for p in probs[t]]))
-    model = F.create_map(*lit_entries)
+    default_arr = F.array(*[F.lit(p) for p in default_probs])
+    if bucket_probs:
+        lit_entries = []
+        for b in sorted(bucket_probs):
+            lit_entries.append(F.lit(b))
+            lit_entries.append(
+                F.array(*[F.lit(p) for p in bucket_probs[b]]))
+        model = F.create_map(*lit_entries)
+
+        def _lookup(t):
+            return F.coalesce(model[md5_bucket(t, NB_BUCKETS)],
+                              default_arr)
+    else:  # degenerate empty training set: every token smooths to 0+1
+        def _lookup(t):
+            return default_arr
 
     toks = F.array_sort(F.filter(F.split(F.col("text"), " "),
                                  lambda t: t != ""))
-    plist = F.filter(F.transform(toks, lambda t: model[t]),
-                     lambda x: x.isNotNull())
+    plist = F.transform(toks, _lookup)
 
     def _fold(i):
         # merge lambda must be exactly binary for F.aggregate
@@ -1328,20 +1379,23 @@ def q136_nb_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines run (CCNet-style): train on an 80% hash split of the
     corpus, score the held-out 20%, and report the confusion matrix.
 
-    Scale shape: training is ONE (lang, token) aggregation (map-side
-    combine, vocab x K result); scoring is the MAP-ONLY
-    ``nb_classified`` projection (determinism rationale there), so
-    the only scoring shuffle is the final K x K confusion aggregate.
-    q138 applies the SAME model/projection to a document STREAM.
+    Scale shape: training is ONE (lang, md5-bucket) aggregation
+    (map-side combine) over a FIXED NB_BUCKETS-wide hashed feature
+    space, so the model — and the only data that ever reaches the
+    driver — is <= K x NB_BUCKETS rows no matter the corpus size;
+    scoring is the MAP-ONLY ``nb_classified`` projection (determinism
+    rationale there), so the only scoring shuffle is the final K x K
+    confusion aggregate. q138 applies the SAME model/projection to a
+    document STREAM.
 
     Reference: extension beyond DataflowTemplates (north-star scope:
     training-data pipeline ops); delegated-SQL seam per
     ``SpannerQueryIO.java:41``.
     """
-    probs, priors = _nb_train(spark, sf_dir)
+    bucket_probs, default_probs, priors = _nb_train(spark, sf_dir)
     docs = spark.table("documents")
     test = docs.filter(F.col("doc_id") % 5 == 0)
-    out = nb_classified(test, probs, priors,
+    out = nb_classified(test, bucket_probs, default_probs, priors,
                         [F.col("lang").alias("true_lang")])
     return (out.groupBy("true_lang", "pred_lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
@@ -1354,17 +1408,23 @@ def _nb_langs_sql() -> str:
 
 def nb_scored_ctes(score_filter: str, keep_cols: str) -> str:
     """DuckDB twin of ``_nb_train`` + ``nb_classified``: a WITH-body
-    (no leading WITH) that re-derives the identical model — same
-    splits, same smoothing formula, same scaled-likelihood
-    expression — and folds per-document products in the same
-    sorted-token order, ending in CTE ``predicted`` with columns
+    (no leading WITH) that re-derives the identical fixed-width hashed
+    model — same splits, same md5-prefix bucket ids, same smoothing
+    formula, same scaled-likelihood expression, same count-0 default
+    for untrained buckets — and folds per-document products in the
+    same sorted-token order, ending in CTE ``predicted`` with columns
     ``{keep_cols}, pred_lang``. ``score_filter`` selects which
     documents get scored; shared by q136 (holdout confusion) and
     q138 (streamed drift monitor)."""
     langs_in = _nb_langs_sql()
     langs_list = "[" + ", ".join(f"'{k}'" for k in NB_LANGS) + "]"
+    bexpr = md5_bucket_sql("token", NB_BUCKETS)
     pcols = ", ".join(
         f"MAX(CASE WHEN lang = '{k}' THEN p END) AS p_{k}"
+        for k in NB_LANGS)
+    mcols = ", ".join(
+        f"COALESCE(mw.p_{k}, (SELECT {NB_SCALE!r} * (0 + 1) / "
+        f"(n_tok + {NB_BUCKETS}) FROM nk WHERE lang = '{k}')) AS p_{k}"
         for k in NB_LANGS)
     lcols = ", ".join(
         f"LIST(p_{k} ORDER BY token) AS l_{k}" for k in NB_LANGS)
@@ -1380,22 +1440,21 @@ def nb_scored_ctes(score_filter: str, keep_cols: str) -> str:
   SELECT doc_id, lang, text FROM documents
   WHERE doc_id % 5 <> 0 AND lang IN {langs_in}),
 ttok AS MATERIALIZED (
-  SELECT lang, token FROM (
+  SELECT lang, {bexpr} AS b FROM (
     SELECT lang, UNNEST(STRING_SPLIT(text, ' ')) AS token FROM train)
   WHERE token <> ''),
-counts AS (SELECT lang, token, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
+counts AS (SELECT lang, b, COUNT(*) AS c FROM ttok GROUP BY 1, 2),
 nk AS (SELECT lang, COUNT(*) AS n_tok FROM ttok GROUP BY 1),
-vocab AS (SELECT DISTINCT token FROM ttok),
-vsize AS (SELECT COUNT(*) AS v FROM vocab),
+buckets AS (SELECT DISTINCT b FROM ttok),
 model AS MATERIALIZED (
-  SELECT vv.token, ll.lang,
-         {NB_SCALE!r} * (COALESCE(cc.c, 0) + 1) / (nk.n_tok + vs.v) AS p
-  FROM vocab vv
+  SELECT bb.b, ll.lang,
+         {NB_SCALE!r} * (COALESCE(cc.c, 0) + 1)
+           / (nk.n_tok + {NB_BUCKETS}) AS p
+  FROM buckets bb
   CROSS JOIN (SELECT UNNEST({langs_list}) AS lang) ll
   JOIN nk ON nk.lang = ll.lang
-  CROSS JOIN vsize vs
-  LEFT JOIN counts cc ON cc.token = vv.token AND cc.lang = ll.lang),
-modelw AS (SELECT token, {pcols} FROM model GROUP BY token),
+  LEFT JOIN counts cc ON cc.b = bb.b AND cc.lang = ll.lang),
+modelw AS (SELECT b, {pcols} FROM model GROUP BY b),
 ndocs AS (SELECT lang, COUNT(*) AS nd FROM train GROUP BY 1),
 prior AS (
   SELECT lang, nd / (SELECT CAST(SUM(nd) AS BIGINT) FROM ndocs) AS pr
@@ -1404,12 +1463,12 @@ test AS MATERIALIZED (
   SELECT doc_id, {keep_cols}, text FROM documents
   WHERE {score_filter}),
 matched AS (
-  SELECT tt.doc_id, mw.* FROM (
-    SELECT doc_id, token FROM (
+  SELECT tt.doc_id, tt.token, {mcols} FROM (
+    SELECT doc_id, token, {bexpr} AS b FROM (
       SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS token
       FROM test)
     WHERE token <> '') tt
-  JOIN modelw mw USING (token)),
+  LEFT JOIN modelw mw USING (b)),
 lists AS (SELECT doc_id, {lcols} FROM matched GROUP BY doc_id),
 scored AS (
   SELECT {', '.join('te.' + c.strip() for c in keep_cols.split(','))},
@@ -1577,38 +1636,55 @@ GROUP BY s.source ORDER BY source
 DSIR_TARGET_LANG = "en"
 DSIR_TOPK = 40
 
+#: Fixed hashed-feature width for the DSIR model — the paper's own
+#: device (it hashes n-grams into a fixed 10^4 bucket space) and the
+#: reason the model is O(DSIR_BUCKETS) driver state at ANY corpus size.
+DSIR_BUCKETS = 4096
 
-def _dsir_train(spark: SparkSession, sf_dir: str) -> dict:
+
+def _dsir_train(spark: SparkSession, sf_dir: str):
     """DSIR feature-ratio model (Xie et al. 2023, "Data Selection for
-    Language Models via Importance Resampling"): one (token) aggregate
-    over the corpus yields, per token, its raw-corpus count and its
-    target-slice count; the importance ratio is the smoothed target
-    unigram probability over the smoothed raw one. The paper hashes
-    n-grams into a fixed bucket space; here the corpus vocabulary IS
-    the feature space (same O(model) driver-held codebook economics as
-    `_nb_train` — at open-vocabulary scale both become a hashed feature
-    table behind a broadcast join, identical plan shape).
+    Language Models via Importance Resampling"): one md5-bucket
+    aggregate over the corpus yields, per hashed feature bucket, its
+    raw-corpus count and its target-slice count; the importance ratio
+    is the smoothed target bucket probability over the smoothed raw
+    one. The bucket space is FIXED at DSIR_BUCKETS — exactly the
+    paper's hashed n-gram device — so the collected model is at most
+    DSIR_BUCKETS rows no matter how large the corpus vocabulary grows
+    (same bounded-codebook economics as `_nb_train`, IVF centroids,
+    and the BPE merge table).
 
+    Returns ``(ratios, default_ratio)`` — per-trained-bucket weights
+    plus the count-0 weight for buckets never seen in training.
     Determinism: each ratio is two IEEE divisions of exact integers
     then one division — DuckDB's INT/INT division produces the
     identical double, so the oracle re-derives the model bit-exactly.
     """
     register_tables(spark, sf_dir)
-    docs = spark.table("documents")
+    return _dsir_train_docs(spark.table("documents"))
+
+
+def _dsir_train_docs(docs: DataFrame):
+    """Model arithmetic of `_dsir_train` given any documents-shaped
+    frame — the bounded-driver-state property-test seam."""
     toks = (docs.select("lang",
                         F.explode(F.split(F.col("text"), " "))
                         .alias("token"))
             .filter(F.col("token") != ""))
-    rows = (toks.groupBy("token")
+    buck = toks.select("lang",
+                       md5_bucket(F.col("token"), DSIR_BUCKETS).alias("b"))
+    rows = (buck.groupBy("b")
             .agg(F.count(F.lit(1)).alias("cr"),
                  F.sum((F.col("lang") == DSIR_TARGET_LANG)
                        .cast("long")).alias("ct"))
             .collect())
-    v = len(rows)
     r_n = sum(r["cr"] for r in rows)
     t_n = sum(r["ct"] for r in rows)
-    return {r["token"]: ((r["ct"] + 1) / (t_n + v))
-            / ((r["cr"] + 1) / (r_n + v)) for r in rows}
+    ratios = {r["b"]: ((r["ct"] + 1) / (t_n + DSIR_BUCKETS))
+              / ((r["cr"] + 1) / (r_n + DSIR_BUCKETS)) for r in rows}
+    default_ratio = ((0 + 1) / (t_n + DSIR_BUCKETS)) \
+        / ((0 + 1) / (r_n + DSIR_BUCKETS))
+    return ratios, default_ratio
 
 
 def q146_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1618,29 +1694,32 @@ def q146_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tilts a raw crawl toward a target domain without training a
     classifier (the classifier-based sibling is q136/q138).
 
-    Scale shape: training is ONE token aggregate (map-side combine);
-    scoring is MAP-ONLY (the ratio table rides to executors as a
-    literal map, each doc folds its own sorted token array — no join,
-    no explode); selection is a global top-k
-    (TakeOrderedAndProject, never a full sort). The fold multiplies
-    in sorted-token order so Spark, CPython, and DuckDB land on the
-    identical double (the shared-fold-order rule; ratios centre on 1
-    so a <=100-token product stays far inside double range — an
-    unbounded-length build would sum logs instead and drop to a
-    bounded-error gate).
+    Scale shape: training is ONE fixed-width hashed-bucket aggregate
+    (map-side combine, <= DSIR_BUCKETS rows to the driver at any
+    corpus size); scoring is MAP-ONLY (the bounded ratio table rides
+    to executors as a literal map, each doc hashes + folds its own
+    sorted token array — no join, no explode); selection is a global
+    top-k (TakeOrderedAndProject, never a full sort). The fold
+    multiplies in sorted-token order so Spark, CPython, and DuckDB
+    land on the identical double (the shared-fold-order rule; ratios
+    centre on 1 so a <=100-token product stays far inside double
+    range — an unbounded-length build would sum logs instead and drop
+    to a bounded-error gate).
     """
-    w = _dsir_train(spark, sf_dir)
+    w, default_ratio = _dsir_train(spark, sf_dir)
     lit_entries = []
-    for t in sorted(w):
-        lit_entries.append(F.lit(t))
-        lit_entries.append(F.lit(w[t]))
+    for b in sorted(w):
+        lit_entries.append(F.lit(b))
+        lit_entries.append(F.lit(w[b]))
     model = F.create_map(*lit_entries)
 
     docs = spark.table("documents")
     toks = F.array_sort(F.filter(F.split(F.col("text"), " "),
                                  lambda t: t != ""))
-    weight = F.aggregate(F.transform(toks, lambda t: model[t]),
-                         F.lit(1.0), lambda a, x: a * x)
+    weight = F.aggregate(
+        F.transform(toks, lambda t: F.coalesce(
+            model[md5_bucket(t, DSIR_BUCKETS)], F.lit(default_ratio))),
+        F.lit(1.0), lambda a, x: a * x)
     top = (docs.select("doc_id", "lang", "source",
                        weight.alias("weight"))
            .orderBy(F.col("weight").desc(), F.col("doc_id").asc())
@@ -1654,25 +1733,26 @@ def q146_dsir_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q146_ORACLE = f"""
 WITH tok AS MATERIALIZED (
-  SELECT doc_id, lang, token FROM (
+  SELECT doc_id, lang, token,
+         {md5_bucket_sql('token', DSIR_BUCKETS)} AS b FROM (
     SELECT doc_id, lang, UNNEST(STRING_SPLIT(text, ' ')) AS token
     FROM documents)
   WHERE token <> ''),
 stats AS (
-  SELECT token, CAST(COUNT(*) AS BIGINT) AS cr,
+  SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
          CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0
                   END) AS BIGINT) AS ct
-  FROM tok GROUP BY token),
+  FROM tok GROUP BY b),
 tot AS (
-  SELECT CAST(SUM(cr) AS BIGINT) AS r_n, CAST(SUM(ct) AS BIGINT) AS t_n,
-         COUNT(*) AS v
+  SELECT CAST(SUM(cr) AS BIGINT) AS r_n, CAST(SUM(ct) AS BIGINT) AS t_n
   FROM stats),
 model AS MATERIALIZED (
-  SELECT token, ((ct + 1) / (t_n + v)) / ((cr + 1) / (r_n + v)) AS w
+  SELECT b, ((ct + 1) / (t_n + {DSIR_BUCKETS}))
+           / ((cr + 1) / (r_n + {DSIR_BUCKETS})) AS w
   FROM stats CROSS JOIN tot),
 lists AS (
-  SELECT t.doc_id, LIST(m.w ORDER BY m.token) AS ws
-  FROM tok t JOIN model m USING (token) GROUP BY t.doc_id),
+  SELECT t.doc_id, LIST(m.w ORDER BY t.token) AS ws
+  FROM tok t JOIN model m USING (b) GROUP BY t.doc_id),
 scored AS (
   SELECT d.doc_id, d.lang, d.source,
          LIST_REDUCE(LIST_PREPEND(CAST(1 AS DOUBLE),

@@ -216,40 +216,103 @@ def test_span_island_merge_matches_python(spark, data):
 # -- NB classifier scoring kernel ------------------------------------------
 
 
-@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta"]),
+def _py_md5_bucket(token: str, n: int) -> int:
+    """CPython twin of `md5_bucket` / `md5_bucket_sql` — the portable
+    hash convention all three engines must agree on."""
+    import hashlib
+
+    return int(hashlib.md5(token.encode()).hexdigest()[:8], 16) % n
+
+
+@given(st.lists(st.sampled_from(["alpha", "beta", "gamma", "delta",
+                                 "epsilon", "zeta"]),
                 min_size=0, max_size=40))
 @settings(max_examples=20, deadline=None)
 def test_nb_fold_matches_python_sorted_product(spark, tokens):
     """The q136 scoring kernel — sorted-token left-fold product of
-    per-class likelihoods times a trailing prior, argmax with
+    per-class hashed-bucket likelihoods (count-0 default for buckets
+    outside the trained model) times a trailing prior, argmax with
     NB_LANGS-order tie-break — must agree with the same fold computed
     in CPython for any token multiset in any arrival order
     (array_sort makes row layout irrelevant; since the CPython fold
     uses the identical operation order, agreement holds even at exact
-    score ties). Bit-equality of the underlying doubles is what the
-    q136/q138 DuckDB gate checks end-to-end."""
-    from dataflowtemplates_spark.queries.text import NB_LANGS, nb_classified
+    score ties). This also pins Spark's md5_bucket to CPython's
+    int(md5[:8],16) % N — the convention the DuckDB oracle replays.
+    Bit-equality of the underlying doubles is what the q136/q138
+    DuckDB gate checks end-to-end."""
+    from dataflowtemplates_spark.queries.text import (
+        NB_BUCKETS, NB_LANGS, nb_classified)
 
     K = len(NB_LANGS)
-    probs = {"alpha": [0.5, 2.0, 1.5, 0.3, 1.1],
-             "beta": [1.25, 0.75, 0.9, 2.2, 0.4],
-             "gamma": [3.0, 0.1, 1.0, 0.6, 1.7],
-             "delta": [0.7, 1.9, 0.2, 1.3, 2.5]}
+    # epsilon/zeta deliberately left OUT of the trained model so the
+    # default (count-0 smoothing) path is exercised.
+    tok_probs = {"alpha": [0.5, 2.0, 1.5, 0.3, 1.1],
+                 "beta": [1.25, 0.75, 0.9, 2.2, 0.4],
+                 "gamma": [3.0, 0.1, 1.0, 0.6, 1.7],
+                 "delta": [0.7, 1.9, 0.2, 1.3, 2.5]}
+    bucket_probs = {_py_md5_bucket(t, NB_BUCKETS): p
+                    for t, p in sorted(tok_probs.items())}
+    default_probs = [0.9, 1.05, 0.85, 1.15, 0.95]
     priors = [0.15, 0.3, 0.2, 0.25, 0.1]
 
     text = " ".join(tokens)
     df = spark.createDataFrame([(1, text)], "doc_id long, text string")
-    out = nb_classified(df, probs, priors, [df.doc_id]).collect()[0]
+    out = nb_classified(df, bucket_probs, default_probs, priors,
+                        [df.doc_id]).collect()[0]
 
     want = [1.0] * K
     for t in sorted(tokens):
+        p = bucket_probs.get(_py_md5_bucket(t, NB_BUCKETS),
+                             default_probs)
         for i in range(K):
-            want[i] = want[i] * probs[t][i]
+            want[i] = want[i] * p[i]
     want = [want[i] * priors[i] for i in range(K)]
     # deterministic argmax: first class (NB_LANGS order) reaching max
     best = max(want)
     pred_idx = next(i for i in range(K) if want[i] == best)
     assert out.pred_lang == NB_LANGS[pred_idx]
+
+
+@given(st.integers(20, 400), st.integers(0, 2**31))
+@settings(max_examples=5, deadline=None)
+def test_nb_model_driver_state_bounded_by_bucket_space(spark, vocab,
+                                                       seed):
+    """Bucket-count invariance (the r9 verdict's scale gate): however
+    large the corpus vocabulary, `_nb_train_docs` hands the driver at
+    most NB_BUCKETS bucket rows — the model width is set by config,
+    not by the data. Also pins that every trained bucket id matches
+    the portable CPython hash of some training token and the default
+    likelihood is the exact count-0 smoothing formula."""
+    import random
+
+    from dataflowtemplates_spark.queries.text import (
+        NB_BUCKETS, NB_LANGS, NB_SCALE, _nb_train_docs)
+
+    rng = random.Random(seed)
+    vocab_words = [f"w{i}" for i in range(vocab)]
+    rows = [(i, rng.choice(NB_LANGS),
+             " ".join(rng.choice(vocab_words)
+                      for _ in range(rng.randint(1, 8))))
+            for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, "
+                                       "text string")
+    bucket_probs, default_probs, priors = _nb_train_docs(docs)
+
+    assert len(bucket_probs) <= NB_BUCKETS  # driver state is O(buckets)
+    assert all(0 <= b < NB_BUCKETS for b in bucket_probs)
+    train_tokens = {t for i, lg, tx in rows if i % 5 != 0
+                    for t in tx.split(" ")}
+    train_buckets = {_py_md5_bucket(t, NB_BUCKETS) for t in train_tokens}
+    assert set(bucket_probs) == train_buckets  # Spark hash == CPython
+    assert len(bucket_probs) <= len(train_tokens)
+    # count-0 default replays the exact smoothing formula
+    n_tok = {k: 0 for k in NB_LANGS}
+    for i, lg, tx in rows:
+        if i % 5 != 0:
+            n_tok[lg] += len(tx.split(" "))
+    want_default = [NB_SCALE * (0 + 1) / (n_tok[k] + NB_BUCKETS)
+                    for k in NB_LANGS]
+    assert default_probs == want_default
 
 
 # -- q147 EWMA fold ---------------------------------------------------------
