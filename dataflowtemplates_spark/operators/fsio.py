@@ -50,6 +50,38 @@ def write_bytes(path: str, data: bytes) -> None:
         fh.write(data)
 
 
+def create_exclusive(path: str, data: bytes) -> bool:
+    """Create ``path`` with ``data`` only if it does not already exist.
+    Returns True on success, False if the file was already present —
+    the primitive an optimistic commit lock needs.
+
+    Local paths get true O_EXCL atomicity from the OS. Scheme paths
+    fall back to check-then-write, which is best-effort only — object
+    stores should commit through a log-based table format with
+    conditional puts instead (the documented Delta/Iceberg seam)."""
+    if "://" not in path:
+        import os
+
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        try:
+            os.write(fd, data)
+        finally:
+            os.close(fd)
+        return True
+    if exists(path):
+        return False
+    write_bytes(path, data)
+    return True
+
+
+def delete_file(path: str) -> None:
+    fs, base = resolve_fs(path)
+    fs.delete_file(base)
+
+
 def exists(path: str) -> bool:
     import pyarrow.fs as pafs
 

@@ -274,6 +274,8 @@ def versioned_upsert_fold(tbl_path: str):
     from dataflowtemplates_spark.operators.mutations import KeyedTable
 
     def fold(batch, _bid: int) -> None:
+        from pyspark.sql import Observation
+
         # re-bind the table to the micro-batch's session clone so
         # every frame in the per-batch plan shares one session
         t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
@@ -282,7 +284,17 @@ def versioned_upsert_fold(tbl_path: str):
                     F.max(F.struct("ts", "event_id", "value",
                                    "event_type")).alias("s")))
         nb = int(t._meta()["n_buckets"])
-        cur = (t._read_buckets(t._touched_buckets(agg, nb))
+        # materialize the per-batch aggregate ONCE, with the touched-
+        # bucket set riding the same job as an Observation metric —
+        # the downstream join and the mutation's staging write then
+        # reuse the checkpointed rows instead of re-aggregating the
+        # batch twice more (the r10 per-commit constant shave)
+        obs = Observation()
+        agg = agg.observe(
+            obs, F.collect_set(t._bucket_expr(nb)).alias("bks"))
+        agg = agg.localCheckpoint(eager=True)
+        touched = sorted(int(b) for b in obs.get["bks"])
+        cur = (t._read_buckets(touched)
                .select("user_id", "n_seen",
                        F.struct(
                            F.col("last_ts").alias("ts"),

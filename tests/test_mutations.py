@@ -462,3 +462,113 @@ def test_rebucket_shrink_resolves_old_only_buckets(spark, tmp_path):
     assert sorted(r.id for r in t.read().collect()) == list(range(60))
     assert sorted(r.id for r in t.read_at(bound).collect()) == \
         list(range(60))
+
+
+def test_concurrent_writer_loses_cleanly(spark, tmp_path):
+    """Optimistic-concurrency contract: of two interleaved
+    apply_mutations, exactly one commits; the loser raises
+    ConcurrentWriteError BEFORE touching the table directories, and
+    the winner's commit is fully intact (no lost update, no
+    interleaved history moves)."""
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError)
+    path = str(tmp_path / "race")
+    t_winner = KeyedTable(spark, path, ["id"])
+
+    class Interleaved(KeyedTable):
+        """Simulates the race: a rival commit lands in the window
+        between this writer computing its merge (against the base
+        version) and taking the commit lock."""
+        def _acquire_commit_lock(self):
+            t_winner.apply_mutations(
+                spark.createDataFrame([Row(id=100, val=1000)]),
+                "INSERT_OR_UPDATE")
+            super()._acquire_commit_lock()
+
+    t_loser = Interleaved(spark, path, ["id"])
+    t_loser.create(spark.createDataFrame([Row(id=0, val=0)]))
+    seed = KeyedTable(spark, path, ["id"])
+    seed.apply_mutations(
+        spark.createDataFrame([Row(id=1, val=10)]), "INSERT")
+
+    with pytest.raises(ConcurrentWriteError, match="advanced to version"):
+        t_loser.apply_mutations(
+            spark.createDataFrame([Row(id=2, val=20)]), "INSERT")
+
+    got = {r.id: r.val for r in seed.read().collect()}
+    assert got == {1: 10, 100: 1000}  # winner applied, loser did not
+    # the lock is released and a retry against the new state succeeds
+    r = seed.apply_mutations(
+        spark.createDataFrame([Row(id=2, val=20)]), "INSERT")
+    assert r.applied == 1
+    assert {x.id for x in seed.read().collect()} == {1, 2, 100}
+
+
+def test_held_lock_fails_second_writer_until_force_unlock(spark, tmp_path):
+    from dataflowtemplates_spark.operators import fsio
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError)
+    path = str(tmp_path / "lock")
+    t = KeyedTable(spark, path, ["id"])
+    t.apply_mutations(spark.createDataFrame([Row(id=1, val=1)]), "INSERT")
+    assert fsio.create_exclusive(t._lock_path(), b'{"pid": 0}')
+    with pytest.raises(ConcurrentWriteError, match="lock"):
+        t.apply_mutations(
+            spark.createDataFrame([Row(id=2, val=2)]), "INSERT")
+    t.force_unlock()
+    r = t.apply_mutations(
+        spark.createDataFrame([Row(id=2, val=2)]), "INSERT")
+    assert r.applied == 1
+
+
+def test_all_conflict_insert_is_data_free_commit(spark, tmp_path):
+    """An INSERT batch that quarantines entirely must not rewrite any
+    bucket: the commit is a data-free log entry and every data file
+    stays byte-identical."""
+    path = str(tmp_path / "noop")
+    t = KeyedTable(spark, path, ["id"], n_buckets=16)
+    from pyspark.sql import functions as F
+    t.apply_mutations(
+        spark.range(0, 200).select("id", F.lit("x").alias("v")), "INSERT")
+    before = _data_files(path)
+    v_before = t._commits()[-1]["version"]
+    r = t.apply_mutations(
+        spark.createDataFrame([Row(id=5, v="dup"), Row(id=9, v="dup")]),
+        "INSERT")
+    assert r.applied == 0 and r.failed == 2
+    assert _data_files(path) == before  # zero bytes rewritten
+    last = t._commits()[-1]
+    assert last["version"] == v_before + 1 and last["buckets"] == []
+
+
+def test_conflict_only_buckets_not_rewritten(spark, tmp_path):
+    """Mixed INSERT batch: the bucket whose rows all conflicted is NOT
+    rewritten — rewrite pruning follows the rows that actually apply,
+    not the whole batch key set."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "mix")
+    t = KeyedTable(spark, path, ["id"], n_buckets=16)
+    t.apply_mutations(
+        spark.range(0, 2000).select("id", F.lit("x").alias("v")), "INSERT")
+    before = _data_files(path)
+
+    # id=7 conflicts (present); id=2001 is new. Their buckets differ
+    # unless xxhash collides them — assert the premise first.
+    b = {r.id: r.b for r in spark.createDataFrame(
+        [Row(id=7), Row(id=2001)]).select(
+        "id", F.pmod(F.xxhash64("id"), F.lit(16)).cast("int").alias("b"))
+        .collect()}
+    assert b[7] != b[2001]
+
+    r = t.apply_mutations(
+        spark.createDataFrame([Row(id=7, v="dup"), Row(id=2001, v="new")]),
+        "INSERT")
+    assert r.applied == 1 and r.failed == 1
+    import os
+    after = _data_files(path)
+    conflict_dir = f"kb={b[7]}" + os.sep
+    kept = [p for p in before if p.startswith(conflict_dir)]
+    assert kept and all(after.get(p) == before[p] for p in kept)
+    assert t._commits()[-1]["buckets"] == [b[2001]]
+    got = {x.id for x in t.read().collect()}
+    assert 2001 in got and len(got) == 2001
