@@ -253,3 +253,72 @@ def test_reader_schema_resolution_across_files(spark, tmp_path):
            "fields": [{"name": "missing", "type": "string"}]}
     with _pytest.raises(Exception, match="declares no default"):
         read_avro(spark, str(tmp_path / "evo"), reader_schema=bad).collect()
+
+
+def _jvm_avro(spark):
+    """The reference Avro Java implementation Spark bundles
+    (avro-1.12.1.jar) — the interchange yardstick for the pure-Python
+    container codec, reachable without the spark-avro DATASOURCE jar
+    (which this sandbox cannot fetch; test_connectors.py's datasource
+    test still covers jar-present environments)."""
+    return spark._jvm.org.apache.avro
+
+
+def test_python_container_readable_by_avro_java(spark, tmp_path):
+    """Interchange, write side: files produced by the hand-rolled
+    pure-Python OCF writer (snappy + CRC) must decode byte-correctly
+    under the REFERENCE Java Avro implementation."""
+    import glob
+
+    from pyspark.sql import Row
+
+    from dataflowtemplates_spark.operators.avro_io import write_avro
+
+    df = spark.createDataFrame(
+        [Row(id=i, name=f"n{i}", score=i * 1.5) for i in range(50)])
+    out = str(tmp_path / "py_ocf")
+    write_avro(df, out, codec="snappy")
+    files = glob.glob(out + "/*.avro")
+    assert files
+
+    av = _jvm_avro(spark)
+    got = set()
+    for f in files:
+        reader = av.file.DataFileReader(
+            spark._jvm.java.io.File(f), av.generic.GenericDatumReader())
+        assert str(reader.getMetaString("avro.codec")) == "snappy"
+        while reader.hasNext():
+            rec = reader.next()
+            got.add((int(str(rec.get("id"))), str(rec.get("name")),
+                     float(str(rec.get("score")))))
+        reader.close()
+    assert got == {(i, f"n{i}", i * 1.5) for i in range(50)}
+
+
+def test_avro_java_container_readable_by_python(spark, tmp_path):
+    """Interchange, read side: a snappy container written by the
+    reference Java implementation must decode identically through the
+    pure-Python reader (operators/avro_io.py)."""
+    from dataflowtemplates_spark.operators.avro_io import read_avro_rows
+
+    av = _jvm_avro(spark)
+    schema_json = (
+        '{"type":"record","name":"t","fields":['
+        '{"name":"id","type":"long"},{"name":"name","type":"string"},'
+        '{"name":"score","type":"double"}]}')
+    schema = av.Schema.Parser().parse(schema_json)
+    out = str(tmp_path / "java.avro")
+    w = av.file.DataFileWriter(av.generic.GenericDatumWriter(schema))
+    w.setCodec(av.file.CodecFactory.snappyCodec())
+    w.create(schema, spark._jvm.java.io.File(out))
+    for i in range(50):
+        rec = av.generic.GenericData.Record(schema)
+        rec.put("id", spark._jvm.java.lang.Long(i))
+        rec.put("name", f"n{i}")
+        rec.put("score", spark._jvm.java.lang.Double(i * 1.5))
+        w.append(rec)
+    w.close()
+
+    _schema, rows = read_avro_rows(out)
+    assert [(r["id"], r["name"], r["score"]) for r in rows] == \
+        [(i, f"n{i}", i * 1.5) for i in range(50)]
