@@ -58,6 +58,19 @@ def _keyed(spark: SparkSession, args, attr: str = "table") -> KeyedTable:
     return KeyedTable(spark, getattr(args, attr), keys)
 
 
+def _keyed_views(args, tbl: KeyedTable) -> dict | None:
+    """If the target keyed table already exists, expose it to the query
+    under its directory basename — the local binding of a Spanner
+    template querying its own database (SpannerToSpannerDelete.java:
+    78-91 reads the target table to produce delete keys). The view is
+    registered at --timestampBound when given (run_query resolves it
+    via read_at)."""
+    import posixpath
+    if not tbl.exists():
+        return None
+    return {posixpath.basename(args.table.rstrip("/")): tbl}
+
+
 def _mutation_outputs(args, result) -> dict:
     from dataflowtemplates_spark.operators.mutations import (
         write_failure_count, write_quarantine)
@@ -93,19 +106,25 @@ def _run_spanner_to_avro(spark, args):
 
 def _run_spanner_to_bigquery(spark, args):
     n = templates.query_to_table(spark, args.query, args.output,
-                                 mode=args.mode)
+                                 mode=args.mode,
+                                 timestamp_bound=args.timestampBound)
     return {"table": args.output, "rows": n}
 
 
 def _run_to_keyed_table(spark, args):
+    tbl = _keyed(spark, args)
     result = templates.query_to_keyed_table(
-        spark, args.query, _keyed(spark, args), op=args.mutationOp)
+        spark, args.query, tbl, op=args.mutationOp,
+        timestamp_bound=args.timestampBound,
+        keyed_tables=_keyed_views(args, tbl))
     return _mutation_outputs(args, result)
 
 
 def _run_spanner_delete(spark, args):
     tbl = KeyedTable(spark, args.table, _csv(args.keyFields))
-    result = templates.query_delete_keyed_table(spark, args.query, tbl)
+    result = templates.query_delete_keyed_table(
+        spark, args.query, tbl, timestamp_bound=args.timestampBound,
+        keyed_tables=_keyed_views(args, tbl))
     return {"applied": result.applied, "failed": result.failed}
 
 

@@ -55,10 +55,14 @@ def create_exclusive(path: str, data: bytes) -> bool:
     Returns True on success, False if the file was already present —
     the primitive an optimistic commit lock needs.
 
-    Local paths get true O_EXCL atomicity from the OS. Scheme paths
-    fall back to check-then-write, which is best-effort only — object
-    stores should commit through a log-based table format with
+    Local paths (bare or ``file://``) get true O_EXCL atomicity from
+    the OS. Other scheme paths fall back to check-then-write, which is
+    best-effort only — NOT exclusive; callers needing a real lock must
+    reject those paths (KeyedTable._acquire_commit_lock does) and
+    object stores should commit through a log-based table format with
     conditional puts instead (the documented Delta/Iceberg seam)."""
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     if "://" not in path:
         import os
 

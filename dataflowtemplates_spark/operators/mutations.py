@@ -211,18 +211,39 @@ class KeyedTable:
     def _acquire_commit_lock(self) -> None:
         """Take the exclusive commit lock (O_EXCL sentinel). Failing to
         take it means another writer is mid-commit — fail cleanly
-        rather than interleave directory moves with theirs."""
+        rather than interleave directory moves with theirs.
+
+        Scheme (object-store) paths are rejected outright: pyarrow's
+        create-exclusive there degrades to check-then-write, which is
+        NOT exclusive — two writers could both "acquire" it and
+        interleave history moves. Single-writer enforcement on object
+        stores belongs to a log-based table format's conditional-put
+        commit (the documented Delta/Iceberg seam), not this
+        sentinel."""
         import os
         from datetime import datetime, timezone
+        if "://" in self._lock_path() and not self._lock_path().startswith(
+                "file://"):
+            raise NotImplementedError(
+                "KeyedTable single-writer commit enforcement requires an "
+                "atomic create-exclusive, which object-store paths do not "
+                f"provide ({self._lock_path()}); use a log-based table "
+                "format (Delta/Iceberg) for object-store deployments")
         payload = json.dumps({
             "pid": os.getpid(),
             "time": datetime.now(timezone.utc).isoformat()}).encode()
         if not fsio.create_exclusive(self._lock_path(), payload):
+            # best-effort holder info: the winner may release the lock
+            # between our failed create and this read
+            try:
+                held = fsio.read_bytes(
+                    self._lock_path()).decode(errors="replace")
+            except OSError:
+                held = "holder unknown: lock released mid-read"
             raise ConcurrentWriteError(
                 f"commit lock already held at {self._lock_path()} "
-                f"({fsio.read_bytes(self._lock_path()).decode(errors='replace')}); "
-                f"a concurrent writer is mid-commit (force_unlock() "
-                f"clears a lock orphaned by a crash)")
+                f"({held}); a concurrent writer is mid-commit "
+                f"(force_unlock() clears a lock orphaned by a crash)")
 
     def _release_commit_lock(self) -> None:
         if fsio.exists(self._lock_path()):
@@ -526,8 +547,13 @@ class KeyedTable:
         self.create(batch)
         if self.schema_evolution:
             self._evolve_schema(batch)
-        n_buckets = int(self._meta()["n_buckets"])
+        # base_version BEFORE n_buckets: rebucket appends its commit and
+        # THEN updates _meta (both under the lock), so "meta shows new
+        # n_buckets" implies "version advanced". Reading in this order
+        # makes any interleaving with a rebucket either consistent or a
+        # clean CAS failure — never a stale-layout write that passes.
         base_version = self._base_version()
+        n_buckets = int(self._meta()["n_buckets"])
         good, null_q = self._null_key_split(batch)
         keep, dup_q = self._dedupe_batch(good)
         # materialize once: the window over monotonically_increasing_id
@@ -630,40 +656,61 @@ class KeyedTable:
         """K6: delete by composite key, key fields in the given order
         (reference: templates/SpannerToSpannerDelete.java:78-91).
 
-        One pass over the touched-bucket slice: matched-key rows are
-        flagged by a left join and the applied count rides the rewrite
-        job via Observation metrics — untouched buckets are never read
-        or written."""
-        from pyspark.sql import Observation
+        One bounded agg job over the (bucket-pruned) touched slice
+        counts matched rows and the buckets that actually lose rows;
+        untouched and miss-only buckets are never rewritten. The
+        applied count deliberately does NOT ride the commit write's
+        Observation — that pattern crashed `Observation.get`
+        (toPyRow AssertionError) on small result sets, the exact
+        shape of the reference template (key-columns-only batch
+        against a few-row table)."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        n_buckets = int(self._meta()["n_buckets"])
+        # base_version before n_buckets — same rebucket-race ordering
+        # argument as _write
         base_version = self._base_version()
+        n_buckets = int(self._meta()["n_buckets"])
         keyed = batch.select(*self.keys)
         good, null_q = self._null_key_split(keyed)
-        touched = self._touched_buckets(good, n_buckets)
-        if not touched:  # nothing to delete: no write job would run to
-            # populate the Observation, so short-circuit the commit
-            null_q = null_q.localCheckpoint(eager=True)
+        # hits is bounded by the batch's distinct keys; checkpointing it
+        # eagerly (a) cuts the batch lineage (which may itself read this
+        # table's live files — the template's query does) and (b) lets
+        # one frame feed the touched-bucket probe, the applied-count
+        # agg, and the survivor anti-join without recomputation.
+        hits = good.distinct().localCheckpoint(eager=True)
+        touched = self._touched_buckets(hits, n_buckets)
+        null_q = null_q.localCheckpoint(eager=True)
+        if not touched:  # nothing to delete: data-free commit
             self._commit_buckets(self._read_buckets([]), [], n_buckets,
                                  base_version)
             return MutationResult(applied=0, quarantine=null_q)
         target = self._read_buckets(touched)
-        hits = good.distinct().withColumn("_hit", F.lit(1))
-        marked = target.join(hits, self.keys, "left")
-        obs = Observation()
-        marked = marked.observe(
-            obs, F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("applied"))
-        survivors = marked.filter(F.col("_hit").isNull()).drop("_hit")
-        null_q = null_q.localCheckpoint(eager=True)  # lineage may read old files
-        self._commit_buckets(survivors, touched, n_buckets, base_version)
-        return MutationResult(applied=int(obs.get["applied"] or 0),
-                              quarantine=null_q)
+        # one job: deleted-row count + the buckets that actually change
+        # (mirrors _write's applies aggregate, mutations.py:556-563)
+        row = (target.join(hits, self.keys, "left_semi")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.collect_set(self._bucket_expr(n_buckets))
+                    .alias("bks"))
+               .collect()[0])
+        applied_n = int(row["n"])
+        rewrite = sorted(int(b) for b in row["bks"])
+        if applied_n == 0:
+            # every key missed: no bucket changes — data-free commit
+            self._commit_buckets(self._read_buckets([]), [], n_buckets,
+                                 base_version)
+            return MutationResult(applied=0, quarantine=null_q)
+        # join strategy left to AQE: hits is checkpointed with a known
+        # size, so small delete batches broadcast and large ones shuffle
+        survivors = (self._read_buckets(rewrite)
+                     .join(hits, self.keys, "left_anti"))
+        self._commit_buckets(survivors, rewrite, n_buckets, base_version)
+        return MutationResult(applied=applied_n, quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
     def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
                         n_buckets: int,
-                        expected_version: int | None = None) -> None:
+                        expected_version: int | None = None,
+                        on_commit=None) -> None:
         """Commit the rewritten slice: stage the new files for the
         touched buckets, then — under the exclusive commit lock, with
         the commit log CAS-checked against ``expected_version`` — move
@@ -680,6 +727,8 @@ class KeyedTable:
             self._acquire_commit_lock()
             try:
                 self._append_commit([], expected_version)
+                if on_commit is not None:
+                    on_commit()
             finally:
                 self._release_commit_lock()
             return
@@ -689,11 +738,31 @@ class KeyedTable:
         try:
             # the staging write (the expensive Spark job) runs OUTSIDE
             # the lock: it touches only the private staging directory
-            (new_slice
-             .withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
-             .repartition(len(touched), F.col(_BUCKET_COL))
-             .write.mode("overwrite")
-             .partitionBy(_BUCKET_COL).parquet(staging))
+            try:
+                (new_slice
+                 .withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
+                 .repartition(len(touched), F.col(_BUCKET_COL))
+                 .write.mode("overwrite")
+                 .partitionBy(_BUCKET_COL).parquet(staging))
+            except Exception as exc:
+                # the slice's lineage lazily re-reads live bucket files;
+                # a rival commit mid-job moves those into _history, so
+                # the losing writer surfaces an opaque FileNotFound
+                # instead of the retry contract. Re-check the log and
+                # name the real cause.
+                if expected_version is not None:
+                    try:
+                        commits = self._commits()
+                        cur = commits[-1]["version"] if commits else 0
+                    except Exception:
+                        raise exc
+                    if cur != expected_version:
+                        raise ConcurrentWriteError(
+                            f"commit log at {self.path} advanced to "
+                            f"version {cur} during this mutation's "
+                            f"staging write (base version "
+                            f"{expected_version}); retry") from exc
+                raise
             self._acquire_commit_lock()
             try:
                 commits = self._commits()
@@ -717,6 +786,8 @@ class KeyedTable:
                         fsio.move(posixpath.join(staging, fn),
                                   posixpath.join(self.path, fn))
                 self._append_commit(touched, expected_version)
+                if on_commit is not None:
+                    on_commit()
             finally:
                 self._release_commit_lock()
         finally:
@@ -743,25 +814,32 @@ class KeyedTable:
         across the boundary diffs VALUES, so a pure layout change
         contributes no change rows (pinned in test_mutations.py).
 
-        The data commit and the ``_meta.json`` bucket-count update are
-        two steps — single-writer contract as everywhere here; under a
-        log-based table format (the documented Delta/Iceberg seam)
-        both land in one metadata commit.
+        The ``_meta.json`` bucket-count update happens under the same
+        commit lock, AFTER the commit-log append (the ``on_commit``
+        hook) — so a concurrent writer observing the new n_buckets is
+        guaranteed to also observe the advanced version and fail its
+        CAS; writers read base_version before n_buckets for exactly
+        this ordering. Under a log-based table format (the documented
+        Delta/Iceberg seam) both land in one metadata commit.
         """
         if n_buckets_new < 1:
             raise ValueError("n_buckets must be >= 1")
+        base_version = self._base_version()
         meta = self._meta()
         old_n = int(meta["n_buckets"])
         if n_buckets_new == old_n:
             return
         touched = sorted(set(range(old_n)) | set(range(n_buckets_new)))
+
+        def _swap_meta():
+            m = self._meta()
+            m["n_buckets"] = int(n_buckets_new)
+            self._write_meta(m)
+
         # staging write executes the read() plan while the old bucket
         # directories are still in place; the swap happens after
         self._commit_buckets(self.read(), touched, n_buckets_new,
-                             self._base_version())
-        meta = self._meta()
-        meta["n_buckets"] = int(n_buckets_new)
-        self._write_meta(meta)
+                             base_version, on_commit=_swap_meta)
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Reclaim history older than the last ``keep_last`` versions

@@ -85,12 +85,17 @@ def table_to_columnar(spark: SparkSession, query: str, output: str,
 
 
 def query_to_table(spark: SparkSession, query: str, table_name: str,
-                   mode: str = "append") -> int:
+                   mode: str = "append",
+                   timestamp_bound: str | None = None,
+                   keyed_tables: dict | None = None) -> int:
     """SpannerToBigQuery (reference: templates/SpannerToBigQuery.java:
     67-99): query -> managed-table append, CREATE_IF_NEEDED. The
     reference's sample-1-element schema broadcast collapses to
-    df.schema."""
-    df = run_query(spark, query)
+    df.schema. ``timestamp_bound`` reproduces the template's
+    readTimestamp option (SpannerToBigQuery.java options surface) for
+    mutable keyed-table sources; immutable parquet views are snapshots
+    already."""
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
     df.write.mode(mode).saveAsTable(table_name)
     return spark.table(table_name).count()
 
@@ -98,12 +103,16 @@ def query_to_table(spark: SparkSession, query: str, table_name: str,
 def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,
                          op: str = "INSERT_OR_UPDATE",
                          output_error: str | None = None,
-                         output_failcount: str | None = None) -> MutationResult:
+                         output_failcount: str | None = None,
+                         timestamp_bound: str | None = None,
+                         keyed_tables: dict | None = None) -> MutationResult:
     """SpannerToSpanner / BigQueryToSpanner (reference: templates/
     SpannerToSpanner.java:95-124, BigQueryToSpanner.java:87-148):
     query -> auto-DDL (table.create) -> mutations with REPORT_FAILURES;
-    failures -> error files (K8) + count notification (K10)."""
-    df = run_query(spark, query)
+    failures -> error files (K8) + count notification (K10).
+    ``timestamp_bound`` is SpannerToSpanner's readTimestamp option,
+    applied to any mutable keyed-table sources in ``keyed_tables``."""
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
     table.create(df)
     result = table.apply_mutations(df, op)
     if output_error:
@@ -114,11 +123,16 @@ def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,
 
 
 def query_delete_keyed_table(spark: SparkSession, query: str,
-                             table: KeyedTable) -> MutationResult:
+                             table: KeyedTable,
+                             timestamp_bound: str | None = None,
+                             keyed_tables: dict | None = None
+                             ) -> MutationResult:
     """SpannerToSpannerDelete (reference: templates/
     SpannerToSpannerDelete.java:71-94): each result row -> composite
-    delete key in the table's key-field order."""
-    df = run_query(spark, query)
+    delete key in the table's key-field order. The key query typically
+    reads the target table itself; ``timestamp_bound`` selects which
+    snapshot it reads (the template's timestampBound option)."""
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
     return table.apply_mutations(df, "DELETE")
 
 

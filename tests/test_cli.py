@@ -78,6 +78,38 @@ def test_spanner_to_spanner_and_delete_mains(spark, tmp_path, capsys):
     assert t.read().count() == 3
 
 
+def test_spanner_delete_timestamp_bound(spark, tmp_path, capsys):
+    """--timestampBound threads into the key query: the delete reads
+    the TARGET table's snapshot as of the bound, so keys inserted
+    after the bound are not produced (SpannerToSpannerDelete's
+    timestampBound option; SpannerQueryIO.java:129-136 semantics)."""
+    from datetime import datetime, timezone
+
+    from dataflowtemplates_spark.operators.mutations import KeyedTable
+    tbl = str(tmp_path / "ktb")
+    _run(capsys, spark, [
+        "SpannerToSpanner", f"--dataDir={SF}",
+        "--query=SELECT r_regionkey, r_name FROM region "
+        "WHERE r_regionkey < 3",
+        f"--table={tbl}", "--primaryKeyFields=r_regionkey"])
+    bound = datetime.now(timezone.utc).isoformat()
+    _run(capsys, spark, [
+        "SpannerToSpanner", f"--dataDir={SF}",
+        "--query=SELECT r_regionkey, r_name FROM region "
+        "WHERE r_regionkey >= 3",
+        f"--table={tbl}", "--primaryKeyFields=r_regionkey"])
+    # at `bound` the table held keys 0..2 — the delete query sees only
+    # those, so the two later keys (3, 4) survive
+    got = _run(capsys, spark, [
+        "SpannerToSpannerDelete",
+        "--query=SELECT r_regionkey FROM ktb",
+        f"--table={tbl}", "--keyFields=r_regionkey",
+        f"--timestampBound={bound}"])
+    assert got["applied"] == 3
+    t = KeyedTable(spark, tbl, ["r_regionkey"])
+    assert sorted(r.r_regionkey for r in t.read().collect()) == [3, 4]
+
+
 def test_bigquery_to_spanner_main_reports_quarantine(spark, tmp_path,
                                                      capsys):
     tbl = str(tmp_path / "kt2")
@@ -101,9 +133,9 @@ def test_bigquery_to_datastore_main(spark, tmp_path, capsys):
     out = str(tmp_path / "ent")
     got = _run(capsys, spark, [
         "BigQueryToDatastore", f"--dataDir={SF}",
-        "--query=SELECT r_regionkey, r_name, r_comment FROM region",
+        "--query=SELECT r_regionkey, r_name FROM region",
         f"--output={out}", "--kind=Region", "--keyField=r_regionkey",
-        "--excludeFromIndexFields=r_comment"])
+        "--excludeFromIndexFields=r_name"])
     assert got["entities"] == 5
 
 
@@ -115,7 +147,7 @@ def test_bigquery_to_tfrecord_main(spark, tmp_path, capsys):
         "--query=SELECT r_regionkey, r_name FROM region",
         f"--output={out}"])
     assert got["files"]
-    assert sum(1 for _ in read_tfrecords(got["files"])) == 5
+    assert sum(len(read_tfrecords(f)) for f in got["files"]) == 5
 
 
 def test_avro_to_spanner_and_datastore_mains(spark, tmp_path, capsys):
