@@ -533,6 +533,105 @@ def assign_cells(df: DataFrame, vec_col: str, nrm_col: str,
     return df.select("*", cell)
 
 
+#: 2^60 — the dyadic divisor turning the 15-nibble md5 prefix into an
+#: exact uniform in [0, 1) (a power of two, so the division is exact).
+_SEED_HASH_DIV = float(2 ** 60)
+
+
+def _seed_hash_col() -> F.Column:
+    """60-bit deterministic per-vector hash (the portable md5-prefix
+    int shared with the table fingerprints, operators/maintenance.py:
+    233): independent of row order, partitioning, and id layout."""
+    return F.conv(F.substring(F.md5(F.col("vec_id").cast("string")),
+                              1, 15), 16, 10).cast("long")
+
+
+def kmeans_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
+    """Deterministic hash-sampled k-means||-style seeding (Bahmani et
+    al. 2012, one oversampling round with the random draws replaced by
+    the md5-prefix uniform so both engines replay it bit-exactly):
+
+    1. c0 = the vector with the smallest id-hash — a uniform draw that
+       no adversarial id layout or file order can bias (the previous
+       ``vec_id < k`` Forgy slice picked the first ids, degenerate
+       when they are near-duplicates).
+    2. The remaining k-1 seeds maximize ``(1 - cos(v, c0)) * u(v)``
+       — the k-means|| distance-weighted sampling with u(v) the hash
+       uniform: far-from-c0 vectors win, identical duplicates of c0
+       score zero and can never be re-picked.
+
+    Scale shape: scoring is one MAP-ONLY pass against the broadcast
+    c0 literal; driver state and both collects are O(k * dim). The
+    DuckDB twin is ``_seeds_ctes`` — every oracle that consumes these
+    seeds splices the same selection into its WITH list.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = _seed_hash_col()
+    first = (emb.select("vec_id", "embedding", h.alias("h"))
+             .orderBy("h", "vec_id").limit(1).collect())
+    if not first:
+        raise ValueError("cannot seed k-means from an empty table")
+    c0_id = int(first[0]["vec_id"])
+    c0 = [float(x) for x in first[0]["embedding"]]
+    if k == 1:
+        return [(c0_id, c0)]
+    dim = len(c0)  # unroll to the table's true width, not the module DIM
+    c0_nrm = _chain_norm(c0)
+    c0_lit = "array(" + ", ".join(f"{x!r}D" for x in c0) + ")"
+    scored = (emb.select("vec_id", "embedding", h.alias("h"),
+                         F.expr(_norm_sql("embedding", dim)).alias("nrm"))
+              .withColumn("c0", F.expr(c0_lit))
+              .withColumn(
+                  "score",
+                  (F.lit(1.0)
+                   - F.expr(f"({_dot_sql('embedding', 'c0', dim)}) "
+                            f"/ (nrm * {c0_nrm!r}D)"))
+                  * (F.col("h").cast("double") / F.lit(_SEED_HASH_DIV))))
+    rest = (scored.filter(F.col("vec_id") != c0_id)
+            .orderBy(F.desc("score"), F.asc("vec_id"))
+            .limit(k - 1)
+            .select("vec_id", "embedding").collect())
+    if len(rest) < k - 1:
+        raise ValueError(f"table has fewer than {k} vectors")
+    return sorted([(c0_id, c0)]
+                  + [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+                     for r in rest])
+
+
+def _seeds_ctes(k: int) -> str:
+    """DuckDB replay of ``kmeans_seeds`` as spliceable WITH entries;
+    the final CTE ``seeds(s_id, s_vec, s_nrm)`` matches the shape the
+    consuming oracles select from."""
+    two60 = "CAST(1152921504606846976 AS DOUBLE)"
+    return f"""sd_h AS (
+  SELECT vec_id, embedding,
+         CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h,
+         {_norm_dd('embedding')} AS nrm
+  FROM embeddings),
+sd_c0 AS (
+  SELECT vec_id AS c0_id, embedding AS c0_vec, nrm AS c0_nrm
+  FROM sd_h ORDER BY h, vec_id LIMIT 1),
+sd_sc AS (
+  SELECT sd_h.vec_id, sd_h.embedding, sd_h.nrm,
+         (CAST(1 AS DOUBLE)
+          - {_cosine_dd('sd_h.embedding', 'sd_c0.c0_vec',
+                        'sd_h.nrm', 'sd_c0.c0_nrm')})
+           * (CAST(sd_h.h AS DOUBLE) / {two60}) AS score
+  FROM sd_h CROSS JOIN sd_c0
+  WHERE sd_h.vec_id <> sd_c0.c0_id),
+sd_rest AS (
+  SELECT vec_id, embedding, nrm FROM sd_sc
+  ORDER BY score DESC, vec_id ASC LIMIT {k - 1}),
+seeds AS (
+  SELECT vec_id AS s_id, embedding AS s_vec, nrm AS s_nrm FROM (
+    SELECT c0_id AS vec_id, c0_vec AS embedding, c0_nrm AS nrm
+    FROM sd_c0
+    UNION ALL
+    SELECT vec_id, embedding, nrm FROM sd_rest))"""
+
+
 def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: a fixed coarse quantizer (8 seed vectors) assigns
     every candidate to its nearest cell (the inverted lists); each
@@ -622,10 +721,12 @@ KMEANS_K = 4
 
 def q67_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two Lloyd iterations of cosine k-means over the embedding table:
-    seed centroids = the first KMEANS_K vectors, one re-centering, one
-    re-assignment. The iterative-algorithm representative of the ANN
-    toolkit — clustering is how a real corpus map (topic balancing,
-    IVF codebook training) is actually built.
+    seed centroids from the deterministic hash-sampled k-means||-style
+    init (``kmeans_seeds`` — uniform-hash first seed + distance-
+    weighted rest, immune to adversarial id layouts), one re-centering,
+    one re-assignment. The iterative-algorithm representative of the
+    ANN toolkit — clustering is how a real corpus map (topic
+    balancing, IVF codebook training) is actually built.
 
     Scale shape — the distributed-kmeans loop structure, per iteration:
     (1) assignment is the MAP-ONLY ``assign_cells`` pass against the
@@ -646,10 +747,7 @@ def q67_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    seeds = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < KMEANS_K)
-                    .select("vec_id", "embedding").collect())
+    seeds = kmeans_seeds(emb, KMEANS_K)
 
     vecs = _with_norm(emb, "vec_id", "v", "nrm", {"label": "label"})
     a1 = (assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
@@ -680,9 +778,7 @@ def q67_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q67_ORACLE = f"""
-WITH seeds AS (
-  SELECT vec_id AS s_id, embedding AS s_vec, {_norm_dd('embedding')} AS s_nrm
-  FROM embeddings WHERE vec_id < {KMEANS_K}),
+WITH {_seeds_ctes(KMEANS_K)},
 vecs AS (
   SELECT vec_id, label, embedding AS v, {_norm_dd('embedding')} AS nrm
   FROM embeddings),
@@ -1326,10 +1422,7 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
-    seeds = sorted(
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < SEMDEDUP_K)
-                    .select("vec_id", "embedding").collect())
+    seeds = kmeans_seeds(emb, SEMDEDUP_K)
     vecs = _with_norm(emb, "vec_id", "v", "nrm")
     assigned = (assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
                 .localCheckpoint(eager=True))
@@ -1364,9 +1457,7 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q141_ORACLE = f"""
-WITH seeds AS (
-  SELECT vec_id AS s_id, embedding AS s_vec, {_norm_dd('embedding')} AS s_nrm
-  FROM embeddings WHERE vec_id < {SEMDEDUP_K}),
+WITH {_seeds_ctes(SEMDEDUP_K)},
 vecs AS (
   SELECT vec_id, embedding AS v, {_norm_dd('embedding')} AS nrm
   FROM embeddings),

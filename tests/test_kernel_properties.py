@@ -466,3 +466,47 @@ def test_q165_hypergeometric_band_matches_float_reference(data):
     f_rhs = 4.0 * var
     if not math.isclose(f_lhs, f_rhs, rel_tol=1e-9, abs_tol=1e-12):
         assert int_flag == (f_lhs > f_rhs)
+
+
+# -- k-means seeding --------------------------------------------------------
+
+
+@given(st.integers(0, 2**31), st.integers(2, 5))
+@settings(max_examples=4, deadline=None)
+def test_kmeans_seeds_layout_and_order_independent(spark, seed, k):
+    """Seed-independence gate for the hash-sampled k-means|| init
+    (queries/similarity.kmeans_seeds):
+
+    1. INVARIANCE — the selected seeds are a pure function of the row
+       SET: shuffled row order, different partitioning, and permuted
+       file layout all yield the identical codebook (the hash draws
+       depend only on vec_id, never on physical order).
+    2. ADVERSARIAL LAYOUT — when the lowest-id vectors are all exact
+       duplicates of one point (the case that made the old
+       ``vec_id < k`` Forgy slice degenerate: k identical centroids),
+       the chosen seeds still contain at least two DISTINCT vectors,
+       because a duplicate of c0 scores (1 - cos) = 0 and can never
+       win the distance-weighted draw."""
+    import random
+
+    from dataflowtemplates_spark.queries.similarity import kmeans_seeds
+
+    rng = random.Random(seed)
+    dup = [rng.uniform(-1, 1) for _ in range(8)] or [1.0]
+    rows = [(i, dup) for i in range(k)]  # adversarial: first k identical
+    for i in range(k, 40):
+        rows.append((i, [rng.uniform(-1, 1) for _ in range(8)]))
+
+    df1 = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    df2 = spark.createDataFrame(
+        shuffled, "vec_id long, embedding array<double>").repartition(7)
+
+    s1 = kmeans_seeds(df1, k)
+    s2 = kmeans_seeds(df2, k)
+    assert s1 == s2, "seeds must not depend on row order or partitioning"
+    assert len(s1) == k and len({sid for sid, _ in s1}) == k
+    distinct_vectors = {tuple(v) for _, v in s1}
+    assert len(distinct_vectors) >= 2, (
+        "adversarial duplicate block must not collapse the codebook")
