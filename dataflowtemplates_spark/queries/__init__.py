@@ -64,61 +64,19 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r9): must be inside any scored prefix -----
-    "q165_composition_audit",   # new: source-lang contingency deviation
-    "q164_stream_fingerprint",  # new: streamed incremental fingerprint
-    "q163_session_paths",       # new: sessionized journey path mining
-    "q162_hourly_anomalies",    # new: integer-exact 3-sigma volume flags
-    "q161_weighted_sample",     # new: weight-proportional Bernoulli draw
-    "q160_event_transitions",   # new: per-user Markov transition counts
-    "q159_table_fingerprint",   # new: order-independent table fingerprint
-    "q158_rolling_mau",         # new: sliding 24h HLL distinct-user rollup
-    "q157_fk_integrity",        # new: referential-integrity audit
-    "q156_cohort_retention",    # new: hourly cohort retention matrix
-    "q155_set_ops_all",         # new: INTERSECT ALL / EXCEPT ALL multiset
-    "q154_unpivot",             # new: UNPIVOT wide->long reshape
-    "q153_norm_outliers",       # new: per-label embedding norm QA bands
-    "q152_adaptive_quality_filter",  # new: per-source quantile quality gate
-    "q151_gap_fill",            # new: hourly resample + LOCF forward fill
-    "q150_grouped_regression",  # new: grouped corr/regr via exact moments
-    "q149_export_roundtrip",    # new: pack->TFRecord->read-back identity
-    "q148_lsh_recall",          # new: LSH dedup recall quality gate
-    "q147_user_ewma",           # new: per-user event-time EWMA fold
-    "q146_dsir_reweight",       # new: DSIR importance reweighting (top-k)
-    "q145_stream_keyed_upsert", # new: foreachBatch CDC apply into KeyedTable
-    "q144_stream_heavy_hitters",  # fixed this cycle: MemoryPlan self-join
-    "q140_training_shards",     # new: balanced training-shard manifest
-    "q141_semdedup",            # new: cluster-then-prune semantic dedup
-    "q142_cdc_chunking",        # new: content-defined chunking manifest
-    "q143_fuzzy_match",         # new: SymSpell-blocked record linkage
-    "q122_vacuum_audit",        # new: history-retention (vacuum) contract
-    "q123_png_roundtrip",       # new: real PNG codec gate in-pipeline
-    "q124_big_order_customers", # new: Q18-shaped IN-over-grouped-HAVING
-    "q125_nation_trade_volume", # new: Q7-shaped bilateral two-role dim join
-    "q126_part_value_share",    # new: Q11-shaped group-vs-global threshold
-    "q127_stream_outer_attribution",  # new: left-outer interval join flush
-    "q128_change_data_feed",    # new: CDC diff over the versioned table
-    "q129_funnel_conversion",   # new: ordered-funnel state machine
-    "q130_time_range_window",   # new: event-time RANGE window frame
-    "q131_entity_index_audit",  # new: K7 entity lowering oracle row
-    "q132_market_share",        # new: Q8-shaped share-of-aggregate
-    "q133_nation_profit",       # new: Q9-shaped star-join profit measure
-    "q134_returned_revenue",    # new: Q10-shaped pre-agg-then-dim-join
-    "q135_order_count_distribution",  # new: Q13-shaped zero-including dist
-    "q136_nb_langid",           # new: NB classifier train + map-only apply
-    "q137_hybrid_retrieval",    # new: BM25 shortlist + cosine re-rank + RRF
-    "q138_stream_classify",     # new: streamed NB model apply (drift monitor)
-    "q139_incremental_rollup",  # new: CDF-driven incremental view maintenance
-    "q78_mutation_audit",       # bucketed keyed-table storage rewrite
-    "q99_snapshot_audit",       # per-bucket snapshot resolution rewrite
-    "q116_parts_supplier_relation",  # NOT-IN NULL guards on both sides
-    "q120_histogram_quantiles", # zero-span bin-divisor guard (both engines)
-    "q80_media_metadata",       # real PNG/JPEG codec behind real=True seam
-    "q81_frame_sample",
-    "q82_media_features",
-    "q83_media_resize",
-    # -- last driver-scored in r6 (oldest evidence; r7/r8 evidence is
-    #    committed LOCALVERIFY sweeps + judge re-verification) ---------
+    # -- changed this cycle (r11): must be inside any scored prefix ----
+    # mutation family (KeyedTable delete/lock/rebucket/commit rewrite)
+    # then the two queries reseeded by the hash-sampled k-means|| init
+    "q78_mutation_audit",
+    "q99_snapshot_audit",
+    "q122_vacuum_audit",
+    "q128_change_data_feed",
+    "q139_incremental_rollup",
+    "q145_stream_keyed_upsert",
+    "q67_kmeans",
+    "q141_semdedup",
+    # -- newest driver score r6 (oldest evidence): fronted per
+    #    rule 2 so the r11 prefix finally re-scores them ---------
     "q66_embedding_neardup_lsh",
     "q68_bpe_pairs",
     "q69_ngram_containment",
@@ -128,12 +86,14 @@ REGISTRY_ORDER = (
     "q75_stratified_split",
     "q76_charlm_coverage",
     "q77_embedding_dup_groups",
+    "q82_media_features",
+    "q83_media_resize",
     "q90_stream_tumbling",
     "q91_stream_sessionize",
     "q92_stream_dedup",
     "q93_stream_user_stats",
     "q94_stream_enrich",
-    # -- last driver-scored in r7, unchanged since -----------------------
+    # -- newest driver score r7, unchanged since ------------------
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_regional_revenue",
@@ -166,7 +126,6 @@ REGISTRY_ORDER = (
     "q37_salted_distinct",
     "q38_percentiles",
     "q65_ann_ivf",
-    "q67_kmeans",
     "q73_decontaminate_bloom",
     "q74_incremental_dedup",
     "q79_pii_redact",
@@ -180,7 +139,7 @@ REGISTRY_ORDER = (
     "q98_stream_corpus_scrub",
     "q100_blocking_supplier",
     "q101_small_quantity_revenue",
-    # -- driver-scored green in r8, unchanged since ----------------------
+    # -- newest driver score r8, unchanged since ------------------
     "q102_bpe_tokenize",
     "q103_ann_recall",
     "q104_span_dedup",
@@ -227,6 +186,50 @@ REGISTRY_ORDER = (
     "q62_ann_lsh_bucketed",
     "q63_embedding_neardup",
     "q64_label_centroids",
+    # -- newest driver score r10 (freshest), unchanged since ------
+    "q165_composition_audit",
+    "q164_stream_fingerprint",
+    "q163_session_paths",
+    "q162_hourly_anomalies",
+    "q161_weighted_sample",
+    "q160_event_transitions",
+    "q159_table_fingerprint",
+    "q158_rolling_mau",
+    "q157_fk_integrity",
+    "q156_cohort_retention",
+    "q155_set_ops_all",
+    "q154_unpivot",
+    "q153_norm_outliers",
+    "q152_adaptive_quality_filter",
+    "q151_gap_fill",
+    "q150_grouped_regression",
+    "q149_export_roundtrip",
+    "q148_lsh_recall",
+    "q147_user_ewma",
+    "q146_dsir_reweight",
+    "q144_stream_heavy_hitters",
+    "q140_training_shards",
+    "q142_cdc_chunking",
+    "q143_fuzzy_match",
+    "q123_png_roundtrip",
+    "q124_big_order_customers",
+    "q125_nation_trade_volume",
+    "q126_part_value_share",
+    "q127_stream_outer_attribution",
+    "q129_funnel_conversion",
+    "q130_time_range_window",
+    "q131_entity_index_audit",
+    "q132_market_share",
+    "q133_nation_profit",
+    "q134_returned_revenue",
+    "q135_order_count_distribution",
+    "q136_nb_langid",
+    "q137_hybrid_retrieval",
+    "q138_stream_classify",
+    "q116_parts_supplier_relation",
+    "q120_histogram_quantiles",
+    "q80_media_metadata",
+    "q81_frame_sample",
 )
 
 
