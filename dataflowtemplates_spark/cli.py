@@ -105,6 +105,13 @@ def _run_spanner_to_avro(spark, args):
 
 
 def _run_spanner_to_bigquery(spark, args):
+    if args.jdbcUrl:
+        # executing database sink (Spark's JDBC provider; embedded
+        # Derby in the sandbox, any warehouse URL in production)
+        n = templates.query_to_jdbc(
+            spark, args.query, args.jdbcUrl, args.output, mode=args.mode,
+            timestamp_bound=args.timestampBound)
+        return {"table": args.output, "jdbcUrl": args.jdbcUrl, "rows": n}
     n = templates.query_to_table(spark, args.query, args.output,
                                  mode=args.mode,
                                  timestamp_bound=args.timestampBound)
@@ -223,6 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="managed table name to append into")
     p.add_argument("--mode", default="append")
     p.add_argument("--timestampBound", default=None)
+    p.add_argument("--jdbcUrl", default=None,
+                   help="write to this JDBC database instead of a "
+                        "managed table (executing connector path)")
 
     for name, ref in (("SpannerToSpanner", "SpannerToSpanner.java"),
                       ("BigQueryToSpanner", "BigQueryToSpanner.java")):

@@ -100,6 +100,21 @@ def query_to_table(spark: SparkSession, query: str, table_name: str,
     return spark.table(table_name).count()
 
 
+def query_to_jdbc(spark: SparkSession, query: str, url: str, table: str,
+                  mode: str = "append",
+                  timestamp_bound: str | None = None,
+                  keyed_tables: dict | None = None,
+                  jdbc_options: dict | None = None) -> int:
+    """SpannerToBigQuery's database-sink shape with a REAL executing
+    connector: query -> auto-created JDBC table append
+    (SpannerToBigQuery.java:90-99 CREATE_IF_NEEDED/WRITE_APPEND). The
+    sandbox drives it against Spark's bundled embedded Derby; the same
+    call with a warehouse JDBC URL is the production path."""
+    from dataflowtemplates_spark.sources.connectors import write_jdbc
+    df = run_query(spark, query, timestamp_bound, keyed_tables)
+    return write_jdbc(df, url, table, mode=mode, options=jdbc_options)
+
+
 def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,
                          op: str = "INSERT_OR_UPDATE",
                          output_error: str | None = None,

@@ -78,6 +78,24 @@ def test_spanner_to_spanner_and_delete_mains(spark, tmp_path, capsys):
     assert t.read().count() == 3
 
 
+def test_spanner_to_bigquery_jdbc_sink(spark, tmp_path, capsys):
+    """--jdbcUrl switches the table sink to the executing JDBC
+    connector (embedded Derby here; a warehouse URL in production)."""
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, read_source)
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    got = _run(capsys, spark, [
+        "SpannerToBigQuery", f"--dataDir={SF}",
+        "--query=SELECT r_regionkey, r_name FROM region",
+        "--output=REGION_OUT", "--mode=overwrite", f"--jdbcUrl={url}"])
+    assert got["rows"] == 5 and got["jdbcUrl"] == url
+    back = read_source(spark, SourceSpec(
+        kind="jdbc-table", table="REGION_OUT", options={"url": url}))
+    assert back.count() == 5
+
+
 def test_spanner_delete_timestamp_bound(spark, tmp_path, capsys):
     """--timestampBound threads into the key query: the delete reads
     the TARGET table's snapshot as of the bound, so keys inserted

@@ -131,3 +131,84 @@ def test_avro_datasource_dispatch_and_interchange(spark, tmp_path):
                 got.add((int(str(rec.get("id"))), str(rec.get("v"))))
             reader.close()
     assert got == {(1, "a"), (2, "b")}
+
+
+# -- executing database connector: JDBC against the bundled Derby -----------
+
+
+def _derby_url(tmp_path) -> str:
+    return f"jdbc:derby:{tmp_path}/db;create=true"
+
+
+def test_jdbc_write_read_roundtrip_embedded_derby(spark, tmp_path):
+    """A REAL database connector executing end-to-end: Spark's JDBC
+    provider against the embedded Derby engine Spark bundles
+    (derby-10.16 on every classpath — no network, no service mock).
+    Covers the reference's database I/O shape for real: schema-derived
+    table auto-create + batched append (K4), whole-statement query
+    pushdown (S4: the database executes the SQL, not Catalyst), and the
+    partitioned parallel read that is SpannerQueryIO.java:139-150's
+    root-partition fan-out in JDBC clothes."""
+    from dataflowtemplates_spark.sources.connectors import write_jdbc
+
+    # keep Derby's log out of the repo working tree
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = _derby_url(tmp_path)
+    register_tables(spark, SF)
+    src = spark.table("region").select("r_regionkey", "r_name")
+    n = write_jdbc(src, url, "REGION", mode="overwrite")
+    assert n == 5
+
+    # table read-back
+    back = read_source(spark, SourceSpec(
+        kind="jdbc-table", table="REGION", options={"url": url}))
+    # Spark's JDBC writer quotes identifiers, so case round-trips
+    assert {(r.r_regionkey, r.r_name) for r in back.collect()} == \
+        {(r.r_regionkey, r.r_name) for r in src.collect()}
+
+    # pushed-down SQL: the DATABASE runs the statement — Derby's
+    # identifier rules apply (quoted lowercase columns), not Spark's,
+    # which is itself proof the text was not parsed by Catalyst
+    q = read_source(spark, SourceSpec(
+        kind="jdbc-sql",
+        query='SELECT "r_regionkey" FROM REGION WHERE "r_regionkey" < 2',
+        options={"url": url}))
+    assert sorted(r[0] for r in q.collect()) == [0, 1]
+
+    # append disposition on an existing table (the K4 WRITE_APPEND path)
+    write_jdbc(src.filter(F.col("r_regionkey") < 2), url, "REGION",
+               mode="append")
+    assert read_source(spark, SourceSpec(
+        kind="jdbc-table", table="REGION",
+        options={"url": url})).count() == 7
+
+
+def test_jdbc_partitioned_read_and_filter_pushdown(spark, tmp_path):
+    """Partitioned parallel read: numPartitions/partitionColumn split
+    the scan into independent range queries (one DB cursor per task —
+    the scale path for a 1000-executor cluster reading a big table),
+    and Catalyst pushes row filters down into the JDBC scan instead of
+    filtering post-transfer."""
+    from dataflowtemplates_spark.sources.connectors import write_jdbc
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = _derby_url(tmp_path)
+    register_tables(spark, SF)
+    src = spark.table("nation").select("n_nationkey", "n_regionkey")
+    write_jdbc(src, url, "NATION", mode="overwrite")
+
+    part = read_source(spark, SourceSpec(
+        kind="jdbc-table", table="NATION",
+        options={"url": url, "partitionColumn": "n_nationkey",
+                 "lowerBound": "0", "upperBound": "25",
+                 "numPartitions": "4"}))
+    assert part.rdd.getNumPartitions() == 4
+    assert part.count() == 25
+
+    filtered = part.filter(F.col("n_regionkey") == 1)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "n_regionkey" in plan.split(
+        "PushedFilters")[1][:200], "filter must reach the JDBC scan"
+    assert filtered.count() == 5

@@ -294,6 +294,23 @@ def test_struct_and_nested_array_columns_skipped(spark, tmp_path):
     assert row.name == "ok" and row.plain == [10, 20]
 
 
+def test_commit_lock_scheme_path_semantics(spark, tmp_path):
+    """Single-writer enforcement boundaries: file:// lock files get
+    REAL O_EXCL atomicity (not the check-then-write fallback), and
+    object-store schemes are rejected loudly instead of silently
+    degrading to a non-exclusive sentinel (ADVICE r10)."""
+    from dataflowtemplates_spark.operators import fsio
+    lock = f"file://{tmp_path}/x.lock"
+    assert fsio.create_exclusive(lock, b"a") is True
+    assert fsio.create_exclusive(lock, b"b") is False  # O_EXCL, not race
+    assert fsio.read_bytes(lock) == b"a"
+
+    t = KeyedTable.__new__(KeyedTable)
+    t.path = "s3://bucket/tbl"
+    with pytest.raises(NotImplementedError, match="log-based table"):
+        t._acquire_commit_lock()
+
+
 def test_keyed_table_file_uri_scheme(spark, tmp_path):
     """All table I/O (metadata, commits, bucket moves, history) routes
     through pyarrow.fs — a file:// URI (stand-in for any rename-capable
