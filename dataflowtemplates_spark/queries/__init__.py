@@ -65,8 +65,10 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r11): must be inside any scored prefix ----
-    # mutation family (KeyedTable delete/lock/rebucket/commit rewrite)
-    # then the two queries reseeded by the hash-sampled k-means|| init
+    # new executing-JDBC gate, then the mutation family (KeyedTable
+    # delete/lock/rebucket/commit rewrite), then the two queries
+    # reseeded by the hash-sampled k-means|| init
+    "q166_jdbc_roundtrip",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

@@ -548,13 +548,85 @@ _Q159_ORACLE = ("\nUNION ALL\n".join(
     + "\nORDER BY table_name")
 
 
+def q166_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executing-connector integration gate (S4/K4 through a REAL
+    database): write ``customer`` into the embedded Derby engine Spark
+    bundles via the JDBC sink (schema-derived auto-create + batched
+    append — SpannerToBigQuery.java:90-99's disposition), read it back
+    through the JDBC source as a PARTITIONED parallel scan (4
+    independent range cursors — SpannerQueryIO.java:139-150's
+    root-partition fan-out in JDBC clothes), and aggregate per nation
+    from what came back off the database. The DuckDB oracle computes
+    the same aggregate from the parquet source — it never sees a JDBC
+    byte — so a value match proves type fidelity (BIGINT / INTEGER /
+    IEEE DOUBLE) and row completeness across the whole
+    DataFrame -> JDBC DDL -> insert batches -> range scan -> DataFrame
+    path, exactly like q149 gates the TFRecord codec.
+
+    Scale shape: the write's parallelism is the input partitioning
+    (each task one connection), the read is range-pruned per task, and
+    the only driver values are the two partition bounds (one 2-scalar
+    agg). Money sums go through exact DECIMAL per the house
+    determinism contract; the database stores IEEE doubles bit-exactly
+    so the cast lands on identical values in both engines.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, read_source, write_jdbc)
+
+    register_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q166_jdbc_")
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    try:
+        cust = spark.table("customer").select(
+            "c_custkey", "c_nationkey", "c_acctbal")
+        write_jdbc(cust, url, "CUST", mode="overwrite")
+        lo, hi = cust.agg(F.min("c_custkey"), F.max("c_custkey")).first()
+        back = read_source(spark, SourceSpec(
+            kind="jdbc-table", table="CUST",
+            options={"url": url, "partitionColumn": "c_custkey",
+                     "lowerBound": str(int(lo)),
+                     "upperBound": str(int(hi) + 1),
+                     "numPartitions": "4"}))
+        out = (back.groupBy("c_nationkey")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double").alias("total_acctbal"),
+                    F.sum("c_custkey").cast("bigint").alias("key_checksum"))
+               .localCheckpoint(eager=True))  # pin rows before teardown
+    finally:
+        try:  # cleanly shut down THIS database before removing its files
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true")
+        except Exception:
+            pass  # Derby signals a successful shutdown via SQLException
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("c_nationkey")
+
+
+_Q166_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_acctbal,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum
+FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
+           "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
            "q139_incremental_rollup": q139_incremental_rollup,
            "q159_table_fingerprint": q159_table_fingerprint}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
+           "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,

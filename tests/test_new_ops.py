@@ -59,7 +59,8 @@ def test_q59_vocab_joins_are_broadcast(spark):
 
 
 def test_q67_kmeans_no_vector_shuffle(spark):
-    from dataflowtemplates_spark.queries.similarity import KMEANS_K, q67_kmeans
+    from dataflowtemplates_spark.queries.similarity import (
+        KMEANS_K, kmeans_seeds, q67_kmeans)
     df = q67_kmeans(spark, SF_DIR)
     plan = _executed(df)
     # assignment is map-only off the checkpointed table; the only join
@@ -67,8 +68,13 @@ def test_q67_kmeans_no_vector_shuffle(spark):
     assert "Exchange hashpartitioning" not in plan
     assert plan.count("BroadcastHashJoin") == 1
     rows = df.collect()
-    assert {r["cell_init"] for r in rows} == set(range(KMEANS_K))
-    assert {r["cell_final"] for r in rows} == set(range(KMEANS_K))
+    # cell ids are the hash-sampled seed vec_ids (r11 seeding), all K
+    # of them populated after both assignment passes
+    seed_ids = {sid for sid, _ in
+                kmeans_seeds(spark.table("embeddings"), KMEANS_K)}
+    assert len(seed_ids) == KMEANS_K
+    assert {r["cell_init"] for r in rows} == seed_ids
+    assert {r["cell_final"] for r in rows} == seed_ids
     assert all(-1.0 <= r["cosine_final"] <= 1.0 for r in rows)
 
 
