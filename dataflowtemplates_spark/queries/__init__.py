@@ -69,6 +69,7 @@ REGISTRY_ORDER = (
     # delete/lock/rebucket/commit rewrite), then the two queries
     # reseeded by the hash-sampled k-means|| init
     "q166_jdbc_roundtrip",
+    "q167_stream_jdbc_sink",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

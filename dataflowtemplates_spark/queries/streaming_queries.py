@@ -931,6 +931,96 @@ FROM h
 """
 
 
+def q167_stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed warehouse load: ``foreachBatch`` appends every
+    micro-batch into a REAL database through the JDBC sink (embedded
+    Derby — the executing connector q166 gates in batch form), then the
+    final per-type aggregate is computed from what the DATABASE holds,
+    read back as a partitioned JDBC scan. This is the stream-to-
+    warehouse template every event pipeline ends in, composed entirely
+    from verified pieces: the q145-style staged file stream crossing
+    real micro-batch boundaries (``maxFilesPerTrigger=1``) + the
+    q166-gated JDBC write/read path.
+
+    Batch-split invariance is structural: append is associative, so
+    the table's final contents are the union of all batches however
+    the stream is cut, and the aggregate is computed after drain.
+    Exactly-once caveat (documented, not hidden): foreachBatch+JDBC is
+    at-least-once under retries; production deployments make the batch
+    write idempotent (transactional batchId high-water mark, or key on
+    event_id) — availableNow with no failure injection gives the clean
+    single delivery this gate verifies.
+
+    Scale shape: each micro-batch write opens one connection per input
+    partition and inserts its slice (``batchsize`` rides the options);
+    the read-back is a 4-way independent range scan; the only driver
+    values are the two range bounds.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, read_source, write_jdbc)
+
+    register_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q167_jdbc_")
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    try:
+        stage = os.path.join(tmp, "stage")
+        (spark.table("events")
+         .select("event_id", "user_id", "event_type", "value")
+         .repartitionByRange(4, "event_id")
+         .write.parquet(stage))
+
+        def load(batch: DataFrame, batch_id: int) -> None:
+            write_jdbc(batch, url, "EVENTS_LOADED", mode="append",
+                       options={"batchsize": "5000"})
+
+        src = (spark.readStream.schema(spark.read.parquet(stage).schema)
+               .option("maxFilesPerTrigger", 1).parquet(stage))
+        q = (src.writeStream.foreachBatch(load)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        lo, hi = (spark.read.parquet(stage)
+                  .agg(F.min("event_id"), F.max("event_id")).first())
+        back = read_source(spark, SourceSpec(
+            kind="jdbc-table", table="EVENTS_LOADED",
+            options={"url": url, "partitionColumn": "event_id",
+                     "lowerBound": str(int(lo)),
+                     "upperBound": str(int(hi) + 1),
+                     "numPartitions": "4"}))
+        out = (back.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.countDistinct("user_id").cast("bigint")
+                     .alias("n_users"),
+                    F.sum(F.col("value").cast("decimal(18,2)"))
+                     .cast("double").alias("total_value"),
+                    F.max("event_id").cast("bigint").alias("max_event_id"))
+               .localCheckpoint(eager=True))  # pin rows before teardown
+    finally:
+        try:
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true")
+        except Exception:
+            pass  # Derby signals successful shutdown via SQLException
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_Q167_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -946,6 +1036,7 @@ QUERIES = {
     "q144_stream_heavy_hitters": q144_stream_heavy_hitters,
     "q145_stream_keyed_upsert": q145_stream_keyed_upsert,
     "q164_stream_fingerprint": q164_stream_fingerprint,
+    "q167_stream_jdbc_sink": q167_stream_jdbc_sink,
 }
 
 ORACLES = {
@@ -963,4 +1054,5 @@ ORACLES = {
     "q144_stream_heavy_hitters": _Q144_ORACLE,
     "q145_stream_keyed_upsert": _Q145_ORACLE,
     "q164_stream_fingerprint": _Q164_ORACLE,
+    "q167_stream_jdbc_sink": _Q167_ORACLE,
 }
