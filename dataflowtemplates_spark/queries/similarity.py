@@ -649,7 +649,10 @@ def q65_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-phase shuffle-free `topk_per_key`. Training the quantizer
     (kmeans) is deliberately out of band: any fixed centroid set
     works, and a fixed one keeps the operator deterministic and
-    oracle-checkable.
+    oracle-checkable. The in-tree trainer is ``kmeans_seeds`` (hash-
+    sampled k-means|| init) + q67's Lloyd rounds — its output plugs
+    into this codebook parameter unchanged, and q103 gates the
+    resulting recall either way.
     """
     from dataflowtemplates_spark.operators.topk import topk_per_key
     register_tables(spark, sf_dir)
@@ -715,7 +718,7 @@ ORDER BY q_id, rk
 """
 
 
-#: k-means cluster count (centroids seeded from vec_id < KMEANS_K).
+#: k-means cluster count (centroids from the hash-sampled kmeans_seeds).
 KMEANS_K = 4
 
 

@@ -552,6 +552,34 @@ def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     assert {x.id for x in seed.read().collect()} == {1, 2, 100}
 
 
+def test_rival_commit_mid_staging_raises_concurrent_error(spark, tmp_path):
+    """ADVICE r10: the staging write runs OUTSIDE the lock and lazily
+    re-reads live bucket files; a rival commit mid-job moves those
+    directories into _history, so the staging Spark job dies with a
+    raw file-missing error. The loser must surface the retry contract
+    (ConcurrentWriteError naming the advanced version), not an opaque
+    FileNotFoundException."""
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError)
+    path = str(tmp_path / "midstage")
+    t = KeyedTable(spark, path, ["id"], n_buckets=2)
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, val=i) for i in range(8)]),
+        "INSERT")
+    base = t._base_version()
+    stale = t.read()  # lazy plan listing the CURRENT bucket files
+    # rival commit: rewrites every bucket, moving the listed files
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, val=-i) for i in range(8)]),
+        "INSERT_OR_UPDATE")
+    with pytest.raises(ConcurrentWriteError,
+                       match="during this mutation's staging write"):
+        t._commit_buckets(stale, [0, 1], 2, base)
+    # table state is the rival's commit, untouched by the failed stage
+    assert {r.id: r.val for r in t.read().collect()} == \
+        {i: -i for i in range(8)}
+
+
 def test_held_lock_fails_second_writer_until_force_unlock(spark, tmp_path):
     from dataflowtemplates_spark.operators import fsio
     from dataflowtemplates_spark.operators.mutations import (
