@@ -58,6 +58,7 @@ HEADLINE = (
     "q138_stream_classify",
     "q144_stream_heavy_hitters",
     "q145_stream_keyed_upsert",
+    "q167_stream_jdbc_sink",  # r11: stream -> JDBC warehouse load
     "q164_stream_fingerprint",
     "q52_lsh_pairs",
     "q55_dedup_pipeline",
