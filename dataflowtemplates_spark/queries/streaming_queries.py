@@ -945,11 +945,13 @@ def q167_stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     Batch-split invariance is structural: append is associative, so
     the table's final contents are the union of all batches however
     the stream is cut, and the aggregate is computed after drain.
-    Exactly-once caveat (documented, not hidden): foreachBatch+JDBC is
-    at-least-once under retries; production deployments make the batch
-    write idempotent (transactional batchId high-water mark, or key on
-    event_id) — availableNow with no failure injection gives the clean
-    single delivery this gate verifies.
+    Exactly-once is MECHANISM, not luck: the load goes through
+    ``streaming/pipelines.idempotent_jdbc_load`` — rows land tagged
+    with their ``_batch_id`` and a redelivered batch clears its own
+    slice before re-inserting, so foreachBatch's at-least-once
+    redelivery collapses to one copy (the replay path is pinned by
+    test_streaming's double-delivery test; this gate verifies the
+    clean-run totals against the oracle).
 
     Scale shape: each micro-batch write opens one connection per input
     partition and inserts its slice (``batchsize`` rides the options);
@@ -960,7 +962,9 @@ def q167_stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from dataflowtemplates_spark.sources.connectors import (
-        SourceSpec, read_source, write_jdbc)
+        SourceSpec, read_source)
+    from dataflowtemplates_spark.streaming.pipelines import (
+        idempotent_jdbc_load)
 
     register_tables(spark, sf_dir)
     tmp = tempfile.mkdtemp(prefix="q167_jdbc_")
@@ -974,10 +978,8 @@ def q167_stream_jdbc_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
          .repartitionByRange(4, "event_id")
          .write.parquet(stage))
 
-        def load(batch: DataFrame, batch_id: int) -> None:
-            write_jdbc(batch, url, "EVENTS_LOADED", mode="append",
-                       options={"batchsize": "5000"})
-
+        load = idempotent_jdbc_load(url, "EVENTS_LOADED",
+                                    options={"batchsize": "5000"})
         src = (spark.readStream.schema(spark.read.parquet(stage).schema)
                .option("maxFilesPerTrigger", 1).parquet(stage))
         q = (src.writeStream.foreachBatch(load)

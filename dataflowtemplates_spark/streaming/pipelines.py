@@ -316,3 +316,45 @@ def versioned_upsert_fold(tbl_path: str):
             "INSERT_OR_UPDATE")
 
     return fold
+
+
+def idempotent_jdbc_load(url: str, table: str,
+                         options: dict | None = None):
+    """foreachBatch callable: EXACTLY-ONCE warehouse load through the
+    JDBC sink under Structured Streaming's at-least-once foreachBatch
+    contract. Every row lands tagged with its ``_batch_id``; a
+    replayed batch (failure/restart redelivery) first clears its own
+    slice with ONE warehouse-side ``DELETE WHERE _batch_id = ?`` and
+    re-inserts — duplicate delivery collapses to the last write, so
+    the loaded table is always exactly the union of distinct batches.
+    This is the idempotent-replay discipline CDC loaders use when the
+    target lacks a MERGE key (contrast ``versioned_upsert_fold``,
+    which gets idempotence from associative keyed folds instead).
+
+    Scale notes: the DELETE is a single indexed statement executed BY
+    the database (no data through the driver); the insert's
+    parallelism is the batch's partitioning; ``batchsize``/
+    ``isolationLevel`` ride ``options`` verbatim. The first delivery
+    of each batch pays one no-op DELETE round-trip.
+    """
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        from dataflowtemplates_spark.sources.connectors import write_jdbc
+        jvm = batch.sparkSession._jvm
+        try:
+            conn = jvm.java.sql.DriverManager.getConnection(url)
+            try:
+                st = conn.createStatement()
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "_batch_id" = '
+                    f"{int(batch_id)}")
+                st.close()
+            finally:
+                conn.close()
+        except Exception:
+            # table absent on first delivery: the append creates it
+            pass
+        write_jdbc(batch.withColumn("_batch_id",
+                                    F.lit(int(batch_id)).cast("long")),
+                   url, table, mode="append", options=options)
+
+    return fold

@@ -666,3 +666,34 @@ def test_versioned_upsert_fold_is_batch_split_invariant(spark, tmp_path):
     assert a == b
     total = ev.count()
     assert sum(r["n_seen"] for r in a) == total
+
+
+def test_idempotent_jdbc_load_collapses_redelivery(spark, tmp_path):
+    """Exactly-once discipline for the JDBC warehouse loader
+    (streaming/pipelines.idempotent_jdbc_load): foreachBatch is
+    at-least-once under failure redelivery, so the fold must make a
+    replayed (batch, batch_id) land exactly once — the _batch_id-slice
+    DELETE before re-insert. Delivering batch 0 three times must leave
+    one copy."""
+    from pyspark.sql import Row
+
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, read_source)
+    from dataflowtemplates_spark.streaming.pipelines import (
+        idempotent_jdbc_load)
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    fold = idempotent_jdbc_load(url, "LOADS")
+    b0 = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    b1 = spark.createDataFrame([Row(id=3, v="c")])
+    fold(b0, 0)
+    fold(b1, 1)
+    fold(b0, 0)  # redelivery (restart replays the last batch)
+    fold(b0, 0)  # and again
+    back = read_source(spark, SourceSpec(
+        kind="jdbc-table", table="LOADS", options={"url": url}))
+    rows = {(r["id"], r["v"], r["_batch_id"]) for r in back.collect()}
+    assert rows == {(1, "a", 0), (2, "b", 0), (3, "c", 1)}
+    assert back.count() == 3
