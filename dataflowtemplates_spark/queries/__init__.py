@@ -70,6 +70,8 @@ REGISTRY_ORDER = (
     # reseeded by the hash-sampled k-means|| init
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
+    "q168_kanon_export",
+    "q169_matryoshka_recall",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

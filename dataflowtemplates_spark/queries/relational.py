@@ -2681,8 +2681,80 @@ _Q157_ORACLE = ("\nUNION ALL\n".join(_fk_edge_sql(*e) for e in FK_EDGES)
                 + "\nORDER BY edge")
 
 
+#: minimum group size a published aggregate row may carry (k-anonymity
+#: floor for the statistics export).
+K_ANON = 8
+
+
+def q168_kanon_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-anonymous statistics export: per-(nation, segment) customer
+    aggregates where no published row describes fewer than K_ANON
+    individuals — the suppression pass every privacy-reviewed data
+    release runs before aggregates leave the boundary. Small cells are
+    not silently dropped: they roll up into a per-nation ``*`` residual
+    row (so the totals still reconcile), and a residual that is ITSELF
+    still under the floor is withheld entirely — publishing "segment=*,
+    n=3" would re-identify just as surely as the original cell.
+
+    Output: (c_nationkey, segment, n_customers, total_acctbal,
+    n_merged_cells) with segment='*' for residuals; rows in key order.
+
+    Scale shape: one map-side-combined aggregate to the (nation,
+    segment) grain — tiny by construction — then all suppression logic
+    runs on the aggregate, never re-touching the fact table. No
+    reference analogue: extension (the export-boundary twin of the K8
+    quarantine discipline).
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer")
+    cells = (cust.groupBy("c_nationkey", "c_mktsegment")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                  F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                  .alias("bal")))
+    big = (cells.filter(F.col("n_customers") >= K_ANON)
+           .select("c_nationkey",
+                   F.col("c_mktsegment").alias("segment"),
+                   "n_customers",
+                   F.col("bal").cast("double").alias("total_acctbal"),
+                   F.lit(0).cast("bigint").alias("n_merged_cells")))
+    resid = (cells.filter(F.col("n_customers") < K_ANON)
+             .groupBy("c_nationkey")
+             .agg(F.sum("n_customers").cast("bigint").alias("n_customers"),
+                  F.sum("bal").cast("double").alias("total_acctbal"),
+                  F.count(F.lit(1)).cast("bigint").alias("n_merged_cells"))
+             .filter(F.col("n_customers") >= K_ANON)
+             .select("c_nationkey", F.lit("*").alias("segment"),
+                     "n_customers", "total_acctbal", "n_merged_cells"))
+    return big.unionByName(resid).orderBy("c_nationkey", "segment")
+
+
+_Q168_ORACLE = f"""
+WITH cells AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(COUNT(*) AS BIGINT) AS n_customers,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS bal
+  FROM customer GROUP BY 1, 2),
+big AS (
+  SELECT c_nationkey, c_mktsegment AS segment, n_customers,
+         CAST(bal AS DOUBLE) AS total_acctbal,
+         CAST(0 AS BIGINT) AS n_merged_cells
+  FROM cells WHERE n_customers >= {K_ANON}),
+resid AS (
+  SELECT c_nationkey, '*' AS segment,
+         CAST(SUM(n_customers) AS BIGINT) AS n_customers,
+         CAST(SUM(bal) AS DOUBLE) AS total_acctbal,
+         CAST(COUNT(*) AS BIGINT) AS n_merged_cells
+  FROM cells WHERE n_customers < {K_ANON}
+  GROUP BY c_nationkey
+  HAVING SUM(n_customers) >= {K_ANON})
+SELECT * FROM big UNION ALL SELECT * FROM resid
+ORDER BY c_nationkey, segment
+"""
+
+
 QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
+    "q168_kanon_export": q168_kanon_export,
     "q03_top_unshipped": q03_top_unshipped,
     "q05_regional_revenue": q05_regional_revenue,
     "q06_revenue_delta": q06_revenue_delta,
@@ -2768,6 +2840,7 @@ ORACLES = {
     "q32_exists_correlated": _Q32_SQL,
     "q33_top_customer_per_nation": _Q33_ORACLE,
     "q34_events_tumbling": _Q34_ORACLE,
+    "q168_kanon_export": _Q168_ORACLE,
     "q37_salted_distinct": _Q37_ORACLE,
     "q38_percentiles": _Q38_ORACLE,
     "q39_approx_sketches": _Q39_ORACLE,

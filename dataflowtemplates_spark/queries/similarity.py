@@ -1499,6 +1499,123 @@ ORDER BY s.cell
 """
 
 
+#: Matryoshka truncation width (prefix dims kept) and top-k for q169.
+MAT_DIM = 16
+MAT_TOPK = 5
+
+
+def q169_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style embedding truncation gate (Kusupati et al.
+    2022: nested representations where a PREFIX of the vector is
+    itself a usable embedding): score retrieval with only the first
+    MAT_DIM of DIM dims — a 4x memory/bandwidth cut on every ANN
+    structure — and measure recall@k against full-dimension exact
+    cosine, per query, plus the truncated list's mean full-dim cosine
+    (what a user actually loses). The same harness a production system
+    runs before committing to a truncation width; pairs with q72's
+    int8 scalar quantization as the two compression axes.
+
+    Scale shape: both sides are the q61 broadcast-query brute-force
+    scan (candidates never shuffle; two-phase top-k) — the truncated
+    pass reads the same column but folds only MAT_DIM terms, which is
+    exactly the production saving. The oracle replays both rankings
+    with the shared fixed-fold chains, so the recall AND the cosine
+    deltas are bit-gated.
+    """
+    from dataflowtemplates_spark.operators.topk import topk_per_key
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    cs = emb.filter(F.col("vec_id") >= 5)
+
+    # full-dim exact top-k (ground truth) — q61's shape
+    exact = ann_bruteforce_topk(qs, cs, k=MAT_TOPK)
+
+    # truncated-cosine top-k: same scan, MAT_DIM-term fold, but carry
+    # the FULL-dim cosine alongside so the quality delta is measurable
+    q = qs.select(F.col("vec_id").alias("q_id"),
+                  F.col("embedding").alias("q_vec"),
+                  norm_col("embedding").alias("q_nrm"),
+                  F.expr(_norm_sql("embedding", MAT_DIM)).alias("q_tnrm"))
+    c = cs.repartition(spark.sparkContext.defaultParallelism).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("c_vec"),
+        norm_col("embedding").alias("c_nrm"),
+        F.expr(_norm_sql("embedding", MAT_DIM)).alias("c_tnrm"))
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("q_id", "c_id",
+                      F.expr(f"({_dot_sql('q_vec', 'c_vec', MAT_DIM)}) "
+                             f"/ (q_tnrm * c_tnrm)").alias("t_cos"),
+                      _cosine("q_vec", "c_vec", "q_nrm", "c_nrm")
+                      .alias("full_cos")))
+    trunc = topk_per_key(scored, "q_id", "t_cos", "c_id", MAT_TOPK,
+                         payload=["full_cos"])
+
+    rec = _recall_per_query(trunc, exact, MAT_TOPK,
+                            f"matryoshka_{MAT_DIM}")
+    # mean full-dim cosine of the truncated list, exact-decimal folded
+    # so the mean is order-insensitive cross-engine
+    quality = (trunc.groupBy("q_id")
+               .agg((F.sum(F.col("full_cos").cast("decimal(20,12)"))
+                     .cast("double") / F.lit(float(MAT_TOPK)))
+                    .alias("mean_full_cos")))
+    return (rec.join(quality, "q_id")
+            .select("index_kind", "q_id", "k", "n_hit", "recall",
+                    "mean_full_cos")
+            .orderBy("q_id"))
+
+
+def _q169_oracle() -> str:
+    return f"""
+WITH qn AS (
+  SELECT vec_id AS q_id, embedding AS q_vec,
+         {_norm_dd('embedding')} AS q_nrm,
+         {_norm_dd('embedding', MAT_DIM)} AS q_tnrm
+  FROM embeddings WHERE vec_id < 5),
+cn AS (
+  SELECT vec_id AS c_id, embedding AS c_vec,
+         {_norm_dd('embedding')} AS c_nrm,
+         {_norm_dd('embedding', MAT_DIM)} AS c_tnrm
+  FROM embeddings WHERE vec_id >= 5),
+scored AS (
+  SELECT q_id, c_id,
+         ({_dot_dd('q_vec', 'c_vec', MAT_DIM)}) / (q_tnrm * c_tnrm)
+           AS t_cos,
+         {_cosine_dd('q_vec', 'c_vec', 'q_nrm', 'c_nrm')} AS full_cos
+  FROM cn CROSS JOIN qn),
+trunc AS (
+  SELECT q_id, c_id, full_cos FROM (
+    SELECT q_id, c_id, full_cos,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY t_cos DESC, c_id ASC) AS rk
+    FROM scored) WHERE rk <= {MAT_TOPK}),
+exact AS (
+  SELECT q_id, c_id FROM (
+    SELECT q_id, c_id,
+           ROW_NUMBER() OVER (PARTITION BY q_id
+             ORDER BY full_cos DESC, c_id ASC) AS rk
+    FROM scored) WHERE rk <= {MAT_TOPK}),
+hits AS (
+  SELECT t.q_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+  FROM trunc t JOIN exact e USING (q_id, c_id)
+  GROUP BY t.q_id),
+quality AS (
+  SELECT q_id,
+         CAST(SUM(CAST(full_cos AS DECIMAL(20,12))) AS DOUBLE)
+           / CAST({MAT_TOPK} AS DOUBLE) AS mean_full_cos
+  FROM trunc GROUP BY q_id)
+SELECT 'matryoshka_{MAT_DIM}' AS index_kind, u.q_id,
+       CAST({MAT_TOPK} AS INTEGER) AS k,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / {float(MAT_TOPK)} AS recall,
+       qu.mean_full_cos
+FROM (SELECT DISTINCT q_id FROM exact) u
+LEFT JOIN hits h USING (q_id)
+JOIN quality qu USING (q_id)
+ORDER BY u.q_id
+"""
+
+
 QUERIES = {
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
@@ -1512,6 +1629,7 @@ QUERIES = {
     "q72_embedding_quantize": q72_embedding_quantize,
     "q77_embedding_dup_groups": q77_embedding_dup_groups,
     "q103_ann_recall": q103_ann_recall,
+    "q169_matryoshka_recall": q169_matryoshka_recall,
     "q137_hybrid_retrieval": q137_hybrid_retrieval,
     "q141_semdedup": q141_semdedup,
     "q153_norm_outliers": q153_norm_outliers,
@@ -1530,6 +1648,7 @@ ORACLES = {
     "q72_embedding_quantize": _Q72_ORACLE,
     "q77_embedding_dup_groups": _Q77_ORACLE,
     "q103_ann_recall": _q103_oracle(),
+    "q169_matryoshka_recall": _q169_oracle(),
     "q137_hybrid_retrieval": _q137_oracle(),
     "q141_semdedup": _Q141_ORACLE,
     "q153_norm_outliers": _Q153_ORACLE,
