@@ -848,29 +848,42 @@ class KeyedTable:
         to a retained version keep working bit-exactly; earlier bounds
         raise with the recorded retention floor instead of silently
         reading a half-present snapshot. Returns the number of history
-        version directories removed."""
+        version directories removed.
+
+        Runs under the commit lock: vacuum's read-modify-write of
+        ``_meta.json`` would otherwise race a concurrent rebucket's
+        locked meta update and could write back a STALE ``n_buckets``
+        (a layout-corrupting lost update), and holding the lock also
+        keeps the history scan consistent with any in-flight commit's
+        directory moves."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        commits = self._commits()
-        if not commits:
-            raise FileNotFoundError(f"table not initialized: {self.path}")
-        meta = self._meta()
-        floor = max(int(meta.get("min_retained_version", 1)),
-                    commits[-1]["version"] - keep_last + 1)
-        hist_root = posixpath.join(self.path, "_history")
-        removed = 0
-        if fsio.is_dir(hist_root):
-            for fn in fsio.list_dir(hist_root):
-                if not fn.startswith("v-"):
-                    continue
-                # _history/v-W is only needed by snapshots at version
-                # N <= W (see read_at resolution); W < floor can no
-                # longer be resolved, so the directory is dead.
-                if int(fn[2:]) < floor:
-                    fsio.delete_dir(posixpath.join(hist_root, fn))
-                    removed += 1
-        meta["min_retained_version"] = floor
-        self._write_meta(meta)
+        self._acquire_commit_lock()
+        try:
+            commits = self._commits()
+            if not commits:
+                raise FileNotFoundError(
+                    f"table not initialized: {self.path}")
+            meta = self._meta()
+            floor = max(int(meta.get("min_retained_version", 1)),
+                        commits[-1]["version"] - keep_last + 1)
+            hist_root = posixpath.join(self.path, "_history")
+            removed = 0
+            if fsio.is_dir(hist_root):
+                for fn in fsio.list_dir(hist_root):
+                    if not fn.startswith("v-"):
+                        continue
+                    # _history/v-W is only needed by snapshots at
+                    # version N <= W (see read_at resolution); W <
+                    # floor can no longer be resolved, so the
+                    # directory is dead.
+                    if int(fn[2:]) < floor:
+                        fsio.delete_dir(posixpath.join(hist_root, fn))
+                        removed += 1
+            meta["min_retained_version"] = floor
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock()
         return removed
 
 

@@ -552,6 +552,29 @@ def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     assert {x.id for x in seed.read().collect()} == {1, 2, 100}
 
 
+def test_vacuum_runs_under_commit_lock(spark, tmp_path):
+    """vacuum's meta read-modify-write must hold the commit lock (it
+    could otherwise clobber a concurrent rebucket's n_buckets): a held
+    lock blocks vacuum, and vacuum releases the lock on exit."""
+    from dataflowtemplates_spark.operators import fsio
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError)
+    t = KeyedTable(spark, str(tmp_path / "vl"), ["id"], n_buckets=2)
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, v=0) for i in range(4)]),
+        "INSERT")
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=0, v=1)]), "INSERT_OR_UPDATE")
+    assert fsio.create_exclusive(t._lock_path(), b'{"pid": 0}')
+    try:
+        with pytest.raises(ConcurrentWriteError, match="already held"):
+            t.vacuum(keep_last=1)
+    finally:
+        t.force_unlock()
+    assert t.vacuum(keep_last=1) >= 1  # lock released: vacuum works
+    assert not fsio.exists(t._lock_path())
+
+
 def test_rival_commit_mid_staging_raises_concurrent_error(spark, tmp_path):
     """ADVICE r10: the staging write runs OUTSIDE the lock and lazily
     re-reads live bucket files; a rival commit mid-job moves those
