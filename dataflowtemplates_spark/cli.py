@@ -60,11 +60,15 @@ def _keyed(spark: SparkSession, args, attr: str = "table") -> KeyedTable:
 
 def _keyed_views(args, tbl: KeyedTable) -> dict | None:
     """If the target keyed table already exists, expose it to the query
-    under its directory basename — the local binding of a Spanner
-    template querying its own database (SpannerToSpannerDelete.java:
-    78-91 reads the target table to produce delete keys). The view is
-    registered at --timestampBound when given (run_query resolves it
-    via read_at)."""
+    under its directory basename. ONLY the delete template uses this:
+    SpannerToSpannerDelete's key query canonically reads the table it
+    deletes from (SpannerToSpannerDelete.java:78-91), so there the
+    target deliberately shadows any same-named --dataDir view; the
+    view is registered at --timestampBound when given (run_query
+    resolves it via read_at). The copy templates (SpannerToSpanner /
+    BigQueryToSpanner) must NOT register it — their query reads the
+    SOURCE database, and shadowing a same-named source view on a
+    re-run would silently re-copy from the half-maintained target."""
     import posixpath
     if not tbl.exists():
         return None
@@ -122,8 +126,7 @@ def _run_to_keyed_table(spark, args):
     tbl = _keyed(spark, args)
     result = templates.query_to_keyed_table(
         spark, args.query, tbl, op=args.mutationOp,
-        timestamp_bound=args.timestampBound,
-        keyed_tables=_keyed_views(args, tbl))
+        timestamp_bound=args.timestampBound)
     return _mutation_outputs(args, result)
 
 

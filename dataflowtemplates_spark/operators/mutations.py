@@ -208,6 +208,20 @@ class KeyedTable:
     def _lock_path(self) -> str:
         return posixpath.join(self.path, "_commit.lock")
 
+    def _require_lockable(self) -> None:
+        """Reject object-store paths BEFORE any Spark work runs: the
+        commit protocol's single-writer sentinel needs an atomic
+        create-exclusive, which pyarrow's object-store layer degrades
+        to check-then-write. Called fail-fast at mutation entry (so an
+        expensive staging job is never run and discarded) and again by
+        the lock itself."""
+        if "://" in self.path and not self.path.startswith("file://"):
+            raise NotImplementedError(
+                "KeyedTable single-writer commit enforcement requires an "
+                "atomic create-exclusive, which object-store paths do not "
+                f"provide ({self._lock_path()}); use a log-based table "
+                "format (Delta/Iceberg) for object-store deployments")
+
     def _acquire_commit_lock(self) -> None:
         """Take the exclusive commit lock (O_EXCL sentinel). Failing to
         take it means another writer is mid-commit — fail cleanly
@@ -222,13 +236,7 @@ class KeyedTable:
         sentinel."""
         import os
         from datetime import datetime, timezone
-        if "://" in self._lock_path() and not self._lock_path().startswith(
-                "file://"):
-            raise NotImplementedError(
-                "KeyedTable single-writer commit enforcement requires an "
-                "atomic create-exclusive, which object-store paths do not "
-                f"provide ({self._lock_path()}); use a log-based table "
-                "format (Delta/Iceberg) for object-store deployments")
+        self._require_lockable()
         payload = json.dumps({
             "pid": os.getpid(),
             "time": datetime.now(timezone.utc).isoformat()}).encode()
@@ -544,6 +552,7 @@ class KeyedTable:
                 "(STRUCT / nested ARRAY at the keyed-table boundary)",
                 skipped)
             batch = batch.drop(*skipped)
+        self._require_lockable()  # fail BEFORE any Spark job runs
         self.create(batch)
         if self.schema_evolution:
             self._evolve_schema(batch)
@@ -666,6 +675,7 @@ class KeyedTable:
         against a few-row table)."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
+        self._require_lockable()  # fail BEFORE any Spark job runs
         # base_version before n_buckets — same rebucket-race ordering
         # argument as _write
         base_version = self._base_version()
@@ -710,7 +720,7 @@ class KeyedTable:
     def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
                         n_buckets: int,
                         expected_version: int | None = None,
-                        on_commit=None) -> None:
+                        on_commit=None, verify_layout: bool = True) -> None:
         """Commit the rewritten slice: stage the new files for the
         touched buckets, then — under the exclusive commit lock, with
         the commit log CAS-checked against ``expected_version`` — move
@@ -722,7 +732,16 @@ class KeyedTable:
         this). A concurrent second writer either fails to take the
         lock or fails the CAS; it never interleaves moves or silently
         drops a version. At real scale this seam is a Delta/Iceberg
-        commit (whose log provides the same CAS)."""
+        commit (whose log provides the same CAS).
+
+        ``verify_layout`` (all callers except rebucket itself): under
+        the lock, the meta ``n_buckets`` must still equal the layout
+        this slice was hashed with. The read-order discipline alone
+        (base_version before n_buckets) is NOT sufficient — a writer
+        whose two unlocked reads BOTH land inside rebucket's locked
+        window (after its commit append, before its meta swap) sees
+        the advanced version with the old layout and would pass the
+        CAS; this in-lock check is what actually closes the race."""
         if not touched:
             self._acquire_commit_lock()
             try:
@@ -773,6 +792,13 @@ class KeyedTable:
                         f"commit log at {self.path} advanced to version "
                         f"{prev_version} while this mutation was computed "
                         f"against version {expected_version}; retry")
+                if verify_layout:
+                    live_nb = int(self._meta()["n_buckets"])
+                    if live_nb != n_buckets:
+                        raise ConcurrentWriteError(
+                            f"table at {self.path} was rebucketed to "
+                            f"{live_nb} buckets while this mutation was "
+                            f"staged against {n_buckets}; retry")
                 hist = posixpath.join(self.path, "_history",
                                       f"v-{prev_version:05d}")
                 for b in touched:
@@ -824,6 +850,7 @@ class KeyedTable:
         """
         if n_buckets_new < 1:
             raise ValueError("n_buckets must be >= 1")
+        self._require_lockable()  # fail BEFORE the O(table) rewrite
         base_version = self._base_version()
         meta = self._meta()
         old_n = int(meta["n_buckets"])
@@ -837,9 +864,13 @@ class KeyedTable:
             self._write_meta(m)
 
         # staging write executes the read() plan while the old bucket
-        # directories are still in place; the swap happens after
+        # directories are still in place; the swap happens after.
+        # verify_layout=False: rebucket IS the layout change — its
+        # slice is deliberately hashed with the NEW n_buckets while
+        # meta still records the old one until _swap_meta runs.
         self._commit_buckets(self.read(), touched, n_buckets_new,
-                             base_version, on_commit=_swap_meta)
+                             base_version, on_commit=_swap_meta,
+                             verify_layout=False)
 
     def vacuum(self, keep_last: int = 1) -> int:
         """Reclaim history older than the last ``keep_last`` versions
@@ -858,6 +889,10 @@ class KeyedTable:
         directory moves."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
+        # initialized-check BEFORE the lock: an uninitialized table must
+        # raise the documented error, not ENOENT on the lock sentinel
+        if not self.exists() or not self._commits():
+            raise FileNotFoundError(f"table not initialized: {self.path}")
         self._acquire_commit_lock()
         try:
             commits = self._commits()

@@ -599,16 +599,20 @@ def kmeans_seeds(emb: DataFrame, k: int) -> list[tuple[int, list[float]]]:
                      for r in rest])
 
 
-def _seeds_ctes(k: int) -> str:
+def _seeds_ctes(k: int, dim: int = DIM) -> str:
     """DuckDB replay of ``kmeans_seeds`` as spliceable WITH entries;
     the final CTE ``seeds(s_id, s_vec, s_nrm)`` matches the shape the
-    consuming oracles select from."""
+    consuming oracles select from. ``dim`` must equal the table's true
+    vector width — the Spark side unrolls to ``len(c0)``, so an oracle
+    spliced with the wrong width would fold a different term count and
+    diverge (the registry embeddings are DIM-wide; the property tests
+    exercise other widths on the Spark side only)."""
     two60 = "CAST(1152921504606846976 AS DOUBLE)"
     return f"""sd_h AS (
   SELECT vec_id, embedding,
          CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 15))
               AS BIGINT) AS h,
-         {_norm_dd('embedding')} AS nrm
+         {_norm_dd('embedding', dim)} AS nrm
   FROM embeddings),
 sd_c0 AS (
   SELECT vec_id AS c0_id, embedding AS c0_vec, nrm AS c0_nrm
@@ -616,8 +620,8 @@ sd_c0 AS (
 sd_sc AS (
   SELECT sd_h.vec_id, sd_h.embedding, sd_h.nrm,
          (CAST(1 AS DOUBLE)
-          - {_cosine_dd('sd_h.embedding', 'sd_c0.c0_vec',
-                        'sd_h.nrm', 'sd_c0.c0_nrm')})
+          - (({_dot_dd('sd_h.embedding', 'sd_c0.c0_vec', dim)})
+             / (sd_h.nrm * sd_c0.c0_nrm)))
            * (CAST(sd_h.h AS DOUBLE) / {two60}) AS score
   FROM sd_h CROSS JOIN sd_c0
   WHERE sd_h.vec_id <> sd_c0.c0_id),

@@ -184,11 +184,16 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
     ``isolationLevel``, ``truncate`` ...). Each partition opens its own
     connection and inserts its slice — the write parallelism IS the
     DataFrame partitioning, so repartition to the connection budget the
-    database tolerates before calling. Returns the row count written
-    (counted on the input, one extra bounded job)."""
-    n = df.count()
-    (df.write.format("jdbc")
-       .option("url", url).option("dbtable", table)
-       .options(**(options or {}))
-       .mode(mode).save())
-    return n
+    database tolerates before calling. Returns the row count written,
+    observed ON the insert job itself (no second execution of the
+    input plan, and the count is of the rows that actually landed —
+    a pre-count of a nondeterministic plan could disagree)."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    obs = Observation()
+    observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+    (observed.write.format("jdbc")
+     .option("url", url).option("dbtable", table)
+     .options(**(options or {}))
+     .mode(mode).save())
+    return int(obs.get["n"])

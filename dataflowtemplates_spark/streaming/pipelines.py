@@ -340,19 +340,30 @@ def idempotent_jdbc_load(url: str, table: str,
     def fold(batch: DataFrame, batch_id: int) -> None:
         from dataflowtemplates_spark.sources.connectors import write_jdbc
         jvm = batch.sparkSession._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(url)
         try:
-            conn = jvm.java.sql.DriverManager.getConnection(url)
-            try:
+            # existence probe through JDBC metadata (tried verbatim and
+            # in the unquoted-identifier fold) — ONLY table-absent may
+            # skip the replay DELETE. Any failure of the DELETE itself
+            # propagates and fails the batch: swallowing it would
+            # append duplicates and silently void exactly-once.
+            meta = conn.getMetaData()
+            present = False
+            for name in (table, table.upper(), table.lower()):
+                rs = meta.getTables(None, None, name, None)
+                if rs.next():
+                    present = True
+                rs.close()
+                if present:
+                    break
+            if present:
                 st = conn.createStatement()
                 st.executeUpdate(
                     f'DELETE FROM {table} WHERE "_batch_id" = '
                     f"{int(batch_id)}")
                 st.close()
-            finally:
-                conn.close()
-        except Exception:
-            # table absent on first delivery: the append creates it
-            pass
+        finally:
+            conn.close()
         write_jdbc(batch.withColumn("_batch_id",
                                     F.lit(int(batch_id)).cast("long")),
                    url, table, mode="append", options=options)

@@ -109,10 +109,18 @@ def query_to_jdbc(spark: SparkSession, query: str, url: str, table: str,
     connector: query -> auto-created JDBC table append
     (SpannerToBigQuery.java:90-99 CREATE_IF_NEEDED/WRITE_APPEND). The
     sandbox drives it against Spark's bundled embedded Derby; the same
-    call with a warehouse JDBC URL is the production path."""
-    from dataflowtemplates_spark.sources.connectors import write_jdbc
+    call with a warehouse JDBC URL is the production path. Returns the
+    table's POST-WRITE row count (a database-side count through the
+    JDBC source) — the same notification semantics as the managed
+    branch ``query_to_table``, so the CLI's one-line JSON means the
+    same thing on either sink."""
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, read_source, write_jdbc)
     df = run_query(spark, query, timestamp_bound, keyed_tables)
-    return write_jdbc(df, url, table, mode=mode, options=jdbc_options)
+    write_jdbc(df, url, table, mode=mode, options=jdbc_options)
+    return read_source(spark, SourceSpec(
+        kind="jdbc-table", table=table,
+        options=dict(jdbc_options or {}, url=url))).count()
 
 
 def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,

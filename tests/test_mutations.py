@@ -552,6 +552,25 @@ def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     assert {x.id for x in seed.read().collect()} == {1, 2, 100}
 
 
+def test_stale_layout_commit_fails_even_when_cas_passes(spark, tmp_path):
+    """The rebucket race the version CAS alone cannot catch: a writer
+    whose reads both landed inside rebucket's locked window holds the
+    ADVANCED version with the OLD n_buckets — its CAS passes, so the
+    in-lock layout check must be what rejects the commit."""
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError)
+    t = KeyedTable(spark, str(tmp_path / "lay"), ["id"], n_buckets=2)
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, v=i) for i in range(8)]),
+        "INSERT")
+    t.rebucket(4)
+    base = t._base_version()  # post-rebucket: the CAS will pass
+    stale = t.read()
+    with pytest.raises(ConcurrentWriteError, match="rebucketed to 4"):
+        t._commit_buckets(stale, [0, 1], 2, base)
+    assert t.read().count() == 8  # table intact
+
+
 def test_vacuum_runs_under_commit_lock(spark, tmp_path):
     """vacuum's meta read-modify-write must hold the commit lock (it
     could otherwise clobber a concurrent rebucket's n_buckets): a held
