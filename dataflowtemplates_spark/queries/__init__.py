@@ -72,6 +72,7 @@ REGISTRY_ORDER = (
     "q167_stream_jdbc_sink",
     "q168_kanon_export",
     "q169_matryoshka_recall",
+    "q170_robust_outliers",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

@@ -732,8 +732,115 @@ FROM paths GROUP BY path ORDER BY n_sessions DESC, path
 """
 
 
+def q170_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type robust (median/MAD) outlier summary over event values —
+    the heavy-tail-safe twin of q162's mean/sigma bands: one wild value
+    drags a mean and explodes a sigma, while the median and the median
+    absolute deviation barely move, so the MAD rule is what a real
+    data-quality gate runs on money-like columns. Flag rule: a value is
+    an outlier when |x - median| > 3 * 1.4826 * MAD (the normal-
+    consistent robust z-score).
+
+    EXACT integer arithmetic end-to-end (the q150/q162 stance): values
+    land as FLOOR(x*1000) fixed-point BIGINTs; each median is an ORDER
+    STATISTIC (row_number selection, ties broken by event_id; even
+    counts keep sums-of-two so nothing is halved early); the flag
+    inequality is cleared of all constants' float forms —
+    ``dev * 20000 > 44478 * mad4`` with dev at 2000x and mad4 at 4000x
+    real scale IS ``|x-med| > 4.4478 * MAD`` exactly. The only float
+    ops are the two final display divisions, identical in both engines.
+
+    Scale shape: two window passes partitioned by event_type (exact
+    order statistics are the yardstick — the production substitute at
+    100 TB is the q120 quantile sketch, same trade as q09 vs q39) and
+    two broadcast joins of the per-type 1-row stats; the fact table
+    shuffles only on event_type.
+    """
+    from pyspark.sql import Window as W
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").filter(F.col("value").isNotNull())
+    base = ev.select(
+        "event_type", "event_id",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+        .alias("vfp"))
+
+    def _median2(df: DataFrame, col: str, out: str) -> DataFrame:
+        """2x the exact median of ``col`` per event_type: select the
+        middle order statistic(s), sum-of-two kept unhalved. The DIV
+        is always exact (divisor 1 or 2 with an even dividend), so
+        truncating vs flooring division cannot diverge on negatives."""
+        w = W.partitionBy("event_type").orderBy(col, "event_id")
+        ranked = (df.withColumn("rn", F.row_number().over(w))
+                  .withColumn("cnt", F.count(F.lit(1)).over(
+                      W.partitionBy("event_type"))))
+        return (ranked.filter(F.expr("rn = (cnt + 1) DIV 2 "
+                                     "OR rn = (cnt + 2) DIV 2"))
+                .groupBy("event_type")
+                .agg(F.expr(f"CAST((SUM({col}) * 2) DIV COUNT(1) "
+                            f"AS BIGINT)").alias(out)))
+
+    med = _median2(base, "vfp", "med2")           # 2000x real median
+    devs = (base.join(F.broadcast(med), "event_type")
+            .withColumn("dev", F.abs(F.col("vfp") * 2 - F.col("med2"))))
+    mad = _median2(devs, "dev", "mad4")           # 4000x real MAD
+    return (devs.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                 (F.min("med2").cast("double")
+                  / F.lit(2000.0)).alias("median_value"),
+                 (F.min("mad4").cast("double")
+                  / F.lit(4000.0)).alias("mad_value"),
+                 F.sum(F.when(F.col("dev") * F.lit(20000)
+                              > F.lit(44478) * F.col("mad4"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"))
+            .orderBy("event_type"))
+
+
+_Q170_ORACLE = """
+WITH base AS (
+  SELECT event_type, event_id,
+         CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT) AS vfp
+  FROM events WHERE value IS NOT NULL),
+r1 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY vfp, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM base),
+med AS (
+  SELECT event_type,
+         CAST((SUM(vfp) * 2) // COUNT(*) AS BIGINT) AS med2
+  FROM r1 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY event_type),
+devs AS (
+  SELECT b.event_type, b.event_id, m.med2,
+         ABS(b.vfp * 2 - m.med2) AS dev
+  FROM base b JOIN med m USING (event_type)),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+             ORDER BY dev, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+  FROM devs),
+mad AS (
+  SELECT event_type,
+         CAST((SUM(dev) * 2) // COUNT(*) AS BIGINT) AS mad4
+  FROM r2 WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
+  GROUP BY event_type)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(d.med2) AS DOUBLE) / CAST(2000 AS DOUBLE)
+         AS median_value,
+       CAST(MIN(ma.mad4) AS DOUBLE) / CAST(4000 AS DOUBLE)
+         AS mad_value,
+       CAST(SUM(CASE WHEN d.dev * 20000 > 44478 * ma.mad4
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM devs d JOIN mad ma USING (event_type)
+GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
 QUERIES = {
     "q35_asof_join": q35_asof_join,
+    "q170_robust_outliers": q170_robust_outliers,
     "q36_range_join": q36_range_join,
     "q97_scd2_intervals": q97_scd2_intervals,
     "q129_funnel_conversion": q129_funnel_conversion,
@@ -749,6 +856,7 @@ QUERIES = {
 
 ORACLES = {
     "q35_asof_join": _Q35_ORACLE,
+    "q170_robust_outliers": _Q170_ORACLE,
     "q36_range_join": _Q36_ORACLE,
     "q97_scd2_intervals": _Q97_ORACLE,
     "q129_funnel_conversion": _Q129_ORACLE,
