@@ -36,7 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
 #: the new q102–q111; r9 added q121/q124–q126/q129–q160, moved the streaming
 #: family early, and left q127 untimed by design — see the inline
-#: notes; r11 added q166), so headline_total is only comparable between runs whose
+#: notes; r11 added q166-q170), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -104,6 +104,9 @@ HEADLINE = (
     "q99_snapshot_audit",
     "q139_incremental_rollup",
     "q166_jdbc_roundtrip",  # r11: executing JDBC connector roundtrip
+    "q168_kanon_export",    # r11: k-anonymity suppression export
+    "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
+    "q170_robust_outliers",    # r11: exact median/MAD robust bands
     "q101_small_quantity_revenue",
     "q105_min_cost_supplier",
     "q106_dominant_supplier",
