@@ -463,15 +463,34 @@ class KeyedTable:
         lacks (schema_evolution=True). Metadata-only: no data files are
         rewritten — existing files simply read NULL for the new columns
         under the explicit read schema, exactly Delta's mergeSchema
-        economics."""
-        stored = self._schema()
-        have = {f.name for f in stored.fields}
-        new = [f for f in batch.schema.fields if f.name not in have]
-        if not new:
+        economics.
+
+        The read-modify-write of the schema runs under the commit lock:
+        two concurrent writers evolving DIFFERENT columns would
+        otherwise each union against the same base and the second write
+        would drop the first's column — and since the column-dropping
+        writer can be the one that LOSES the commit CAS, the winner's
+        committed data could end up with a column the stored schema no
+        longer projects (invisible data). Lock-serialized unions make
+        every evolution additive over the latest state."""
+        # cheap unlocked pre-check: the common no-new-columns case
+        # must not pay a lock round-trip per mutation
+        have = {f.name for f in self._schema().fields}
+        if all(f.name in have for f in batch.schema.fields):
             return
-        meta = self._meta()
-        meta["schema"] = T.StructType(list(stored.fields) + new).json()
-        self._write_meta(meta)
+        self._acquire_commit_lock()
+        try:
+            stored = self._schema()
+            have = {f.name for f in stored.fields}
+            new = [f for f in batch.schema.fields if f.name not in have]
+            if not new:
+                return
+            meta = self._meta()
+            meta["schema"] = T.StructType(
+                list(stored.fields) + new).json()
+            self._write_meta(meta)
+        finally:
+            self._release_commit_lock()
 
     # -- mutations -------------------------------------------------------
     def apply_mutations(self, batch: DataFrame, op: str) -> MutationResult:
