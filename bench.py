@@ -107,6 +107,10 @@ HEADLINE = (
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands
+    "q171_zorder_layout",      # r11: Z-order file-skip layout audit
+    "q172_pagerank",           # r11: scaled-integer iterative PageRank
+    "q173_cooccurrence_lift",  # r11: market-basket co-occurrence
+    "q174_ngram_novelty",      # r11: per-source corpus novelty
     "q101_small_quantity_revenue",
     "q105_min_cost_supplier",
     "q106_dominant_supplier",

@@ -46,6 +46,8 @@ from dataflowtemplates_spark.queries import (
     dedup,
     entity_queries,
     generator_queries,
+    graph,
+    layout,
     multimodal_queries,
     mutation_queries,
     relational,
@@ -58,16 +60,22 @@ from dataflowtemplates_spark.queries import (
 
 _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
             mutation_queries, streaming_queries, sampling, text, temporal,
-            relational, corpus_pipeline, entity_queries)
+            relational, corpus_pipeline, entity_queries, layout, graph)
 
 #: The committed registry order. Edited by hand each development cycle
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r11): must be inside any scored prefix ----
-    # new executing-JDBC gate, then the mutation family (KeyedTable
+    # the four new operator families (layout pruning, iterative graph,
+    # co-occurrence mining, corpus novelty), then the new
+    # executing-JDBC gate, then the mutation family (KeyedTable
     # delete/lock/rebucket/commit rewrite), then the two queries
     # reseeded by the hash-sampled k-means|| init
+    "q171_zorder_layout",
+    "q172_pagerank",
+    "q173_cooccurrence_lift",
+    "q174_ngram_novelty",
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
     "q168_kanon_export",

@@ -1433,6 +1433,75 @@ ORDER BY nation, id_a, id_b
 """
 
 
+def q174_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty — how much NEW text each source adds
+    to the corpus in ingestion (doc_id) order. The curation curve data
+    engineers read before deciding how hard to deduplicate: a source
+    whose novelty rate is low is mostly restating what the corpus
+    already holds.
+
+    A trigram is NOVEL for the single document where it first appears
+    (minimum doc_id over the whole corpus — ties impossible on a
+    total-ordered key). Per source: documents, total distinct-in-doc
+    trigrams, trigrams that were corpus-first in one of its docs, and
+    the novelty rate (one exact-integer division to double at the end).
+
+    Scale shape: the same machinery as exact dedup (q50) — explode
+    distinct-in-doc shingles, ONE shuffle on the shingle key to find
+    min(doc_id), one broadcast-back join keyed by (shingle, doc). At
+    100 TB the group key is xxhash64(gram) instead of the gram string
+    (collision odds ~n^2/2^64; the oracle-portable string key is used
+    here so DuckDB can replay it) and the min-doc table stays on the
+    shuffle side — never the driver. Novelty is computed in one pass;
+    no per-document loop exists anywhere.
+    """
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    grams = docs.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, size(split(text, ' ')) - 2), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")))
+        .alias("gram"))
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    tagged = (grams.join(first, "gram")
+              .withColumn("is_novel",
+                          (F.col("doc_id") == F.col("first_doc"))
+                          .cast("bigint")))
+    return (tagged.groupBy("source")
+            .agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+                 F.sum("is_novel").cast("bigint").alias("n_novel"))
+            .withColumn("novelty_rate",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_grams").cast("double"))
+            .orderBy("source"))
+
+
+_Q174_ORACLE = """
+WITH grams AS (
+  SELECT doc_id, source,
+         UNNEST(LIST_DISTINCT(LIST_TRANSFORM(
+           RANGE(1, LEN(STRING_SPLIT(text, ' ')) - 1),
+           i -> ARRAY_TO_STRING(
+                  LIST_SLICE(STRING_SPLIT(text, ' '), i, i + 2), ' '))))
+           AS gram
+  FROM documents),
+first AS (
+  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram)
+SELECT g.source,
+       CAST(COUNT(DISTINCT g.doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       CAST(SUM(CASE WHEN g.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_rate
+FROM grams g JOIN first f ON f.gram = g.gram
+GROUP BY g.source
+ORDER BY g.source
+"""
+
+
 QUERIES = {
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
@@ -1449,6 +1518,7 @@ QUERIES = {
     "q107_span_scrub": q107_span_scrub,
     "q143_fuzzy_match": q143_fuzzy_match,
     "q148_lsh_recall": q148_lsh_recall,
+    "q174_ngram_novelty": q174_ngram_novelty,
 }
 
 ORACLES = {
@@ -1467,4 +1537,5 @@ ORACLES = {
     "q107_span_scrub": _Q107_ORACLE,
     "q143_fuzzy_match": _Q143_ORACLE,
     "q148_lsh_recall": _Q148_ORACLE,
+    "q174_ngram_novelty": _Q174_ORACLE,
 }

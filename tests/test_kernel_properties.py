@@ -510,3 +510,46 @@ def test_kmeans_seeds_layout_and_order_independent(spark, seed, k):
     distinct_vectors = {tuple(v) for _, v in s1}
     assert len(distinct_vectors) >= 2, (
         "adversarial duplicate block must not collapse the codebook")
+
+
+# -- Morton/Z-order interleave (q171) ----------------------------------------
+
+
+def _py_morton(d1: int, d2: int, bits: int = 16) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((d1 >> i) & 1) << (2 * i + 1)
+        z |= ((d2 >> i) & 1) << (2 * i)
+    return z
+
+
+@given(d1=st.integers(min_value=0, max_value=65535),
+       d2=st.integers(min_value=0, max_value=65535))
+@settings(max_examples=80, deadline=None)
+def test_morton_sql_matches_python_model(d1, d2):
+    """The generated DuckDB interleave expression must equal the pure-
+    Python bit model on arbitrary 16-bit inputs (the Spark twin is
+    generated from the SAME loop, and the oracle sweep pins the two
+    SQL dialects against each other on real data)."""
+    import duckdb
+
+    from dataflowtemplates_spark.queries.layout import _interleave_expr
+    _, duck = _interleave_expr(str(d1), str(d2))
+    got = duckdb.connect().execute(f"SELECT {duck}").fetchone()[0]
+    assert got == _py_morton(d1, d2)
+
+
+@given(d1=st.integers(min_value=0, max_value=65534),
+       d2=st.integers(min_value=0, max_value=65534))
+@settings(max_examples=80, deadline=None)
+def test_morton_is_bijective_and_dominance_monotone(d1, d2):
+    """Round-trip (deinterleave restores both coordinates) and
+    dominance monotonicity (z = f(d1) + g(d2) with f, g strictly
+    increasing — growing either coordinate grows z), the property the
+    q171 file-range assignment relies on."""
+    z = _py_morton(d1, d2)
+    r1 = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+    r2 = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+    assert (r1, r2) == (d1, d2)
+    assert _py_morton(d1 + 1, d2) > z
+    assert _py_morton(d1, d2 + 1) > z
