@@ -121,15 +121,37 @@ class KeyedTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  key_fields: list[str], n_buckets: int = 16,
-                 schema_evolution: bool = False):
+                 schema_evolution: bool = False,
+                 cluster_by: list[str] | None = None,
+                 cluster_mode: str = "linear"):
         if not key_fields:
             raise ValueError("key_fields must be non-empty")
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if cluster_by is not None:
+            if cluster_mode not in ("linear", "zorder"):
+                raise ValueError(
+                    f"cluster_mode must be linear|zorder, got {cluster_mode}")
+            if cluster_mode == "zorder" and len(cluster_by) != 2:
+                raise ValueError(
+                    "zorder clustering interleaves exactly 2 columns")
+            if not cluster_by:
+                raise ValueError("cluster_by must be non-empty when given")
         self.spark = spark
         self.path = path
         self.keys = list(key_fields)
         self._default_n_buckets = int(n_buckets)
+        #: Within-bucket file clustering, fixed at creation like
+        #: n_buckets and recorded in _meta.json: every commit's staged
+        #: files come out sorted by the cluster key ("linear": the
+        #: columns in order; "zorder": the Morton interleave of two
+        #: numeric columns, min/max-normalized per rewritten slice —
+        #: Delta OPTIMIZE ZORDER economics). Readers then skip files /
+        #: row groups on the clustered columns via parquet min-max
+        #: stats; q171 measures what that buys.
+        self._default_cluster = (
+            {"by": list(cluster_by), "mode": cluster_mode}
+            if cluster_by else None)
         #: Delta mergeSchema-style opt-in: with it on, storable batch
         #: columns the table lacks EXTEND the stored schema (existing
         #: rows read NULL for them — parquet's missing-column
@@ -449,13 +471,33 @@ class KeyedTable:
         skipped = self._unstorable_columns(src)
         if skipped:
             src = src.drop(*skipped)
-        fsio.mkdirs(self.path)
-        self._write_meta({
+        meta = {
             "n_buckets": self._default_n_buckets,
             "keys": self.keys,
             "schema": src.schema.json(),
             "min_retained_version": 1,
-        })
+        }
+        if self._default_cluster:
+            have = {f.name for f in src.schema.fields}
+            missing = [c for c in self._default_cluster["by"]
+                       if c not in have]
+            if missing:
+                raise ValueError(
+                    f"cluster_by columns not in table schema: {missing}")
+            if self._default_cluster["mode"] == "zorder":
+                numeric = (T.ByteType, T.ShortType, T.IntegerType,
+                           T.LongType, T.DateType, T.TimestampType,
+                           T.TimestampNTZType)
+                bad = [f.name for f in src.schema.fields
+                       if f.name in self._default_cluster["by"]
+                       and not isinstance(f.dataType, numeric)]
+                if bad:
+                    raise ValueError(
+                        "zorder clustering needs integer-castable "
+                        f"columns; got non-numeric: {bad}")
+            meta["cluster"] = self._default_cluster
+        fsio.mkdirs(self.path)
+        self._write_meta(meta)
         self._append_commit([])
 
     def _evolve_schema(self, batch: DataFrame) -> None:
@@ -736,6 +778,43 @@ class KeyedTable:
         return MutationResult(applied=applied_n, quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
+    def _apply_clustering(self, staged: DataFrame) -> DataFrame:
+        """Sort the staged slice within each bucket partition by the
+        table's cluster key (meta ``cluster``, fixed at creation), so
+        every committed file carries tight parquet min/max stats on the
+        clustered columns — the write-time purchase of read-time file
+        and row-group skipping that q171 measures.
+
+        linear: sortWithinPartitions on the columns in order. zorder:
+        min/max-normalize the two columns over THIS slice (a broadcast
+        1-row aggregate — per-rewrite scaling, exactly Delta's
+        OPTIMIZE ZORDER) and sort by their Morton interleave. Both are
+        map-side only: no exchange is added after the bucket
+        repartition, and the helper columns are projected away before
+        the write (a projection preserves per-partition sort order).
+        NULL cluster values sort first, deterministically."""
+        cluster = self._meta().get("cluster")
+        if not cluster:
+            return staged
+        if cluster["mode"] == "linear":
+            return staged.sortWithinPartitions(
+                _BUCKET_COL, *cluster["by"])
+        from dataflowtemplates_spark.functions.zorder import (
+            normalized_zorder_spark)
+        c1, c2 = cluster["by"]
+        bounds = staged.agg(
+            F.min(F.col(c1).cast("bigint")).alias("__zlo1"),
+            F.max(F.col(c1).cast("bigint")).alias("__zhi1"),
+            F.min(F.col(c2).cast("bigint")).alias("__zlo2"),
+            F.max(F.col(c2).cast("bigint")).alias("__zhi2"))
+        z = normalized_zorder_spark(
+            f"cast({c1} as bigint)", f"cast({c2} as bigint)",
+            "__zlo1", "__zhi1", "__zlo2", "__zhi2")
+        return (staged.crossJoin(F.broadcast(bounds))
+                .withColumn("__zval", F.expr(z))
+                .sortWithinPartitions(_BUCKET_COL, "__zval")
+                .drop("__zlo1", "__zhi1", "__zlo2", "__zhi2", "__zval"))
+
     def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
                         n_buckets: int,
                         expected_version: int | None = None,
@@ -777,10 +856,12 @@ class KeyedTable:
             # the staging write (the expensive Spark job) runs OUTSIDE
             # the lock: it touches only the private staging directory
             try:
-                (new_slice
-                 .withColumn(_BUCKET_COL, self._bucket_expr(n_buckets))
-                 .repartition(len(touched), F.col(_BUCKET_COL))
-                 .write.mode("overwrite")
+                staged = (new_slice
+                          .withColumn(_BUCKET_COL,
+                                      self._bucket_expr(n_buckets))
+                          .repartition(len(touched), F.col(_BUCKET_COL)))
+                staged = self._apply_clustering(staged)
+                (staged.write.mode("overwrite")
                  .partitionBy(_BUCKET_COL).parquet(staging))
             except Exception as exc:
                 # the slice's lineage lazily re-reads live bucket files;

@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflowtemplates_spark.catalog import register_tables
+from dataflowtemplates_spark.functions.zorder import interleave_expr
 
 #: Number of target files in the layout audit (a real OPTIMIZE job's
 #: file-size knob; 64 keeps per-file row counts meaningful at sf0.01).
@@ -45,24 +46,10 @@ ZORDER_BOX_HI = 32767
 _SHUFFLE_KEY = "(l_orderkey * 1103515245 + l_linenumber * 12345) % 2147483647"
 
 
-def _interleave_expr(d1: str, d2: str, bits: int = 16) -> tuple[str, str]:
-    """(spark_expr, duckdb_expr) computing the Morton/Z value that
-    interleaves the low ``bits`` bits of ``d1`` (odd positions) and
-    ``d2`` (even positions). Both strings are generated from the same
-    loop so the engines cannot diverge structurally."""
-    spark_terms, duck_terms = [], []
-    for i in range(bits):
-        spark_terms.append(
-            f"shiftleft(shiftright({d1}, {i}) & 1, {2 * i + 1})")
-        spark_terms.append(
-            f"shiftleft(shiftright({d2}, {i}) & 1, {2 * i})")
-        # explicit BIGINT cast: a 32-bit input (e.g. an INTEGER literal)
-        # would otherwise overflow DuckDB's left shift at position 31
-        duck_terms.append(
-            f"(CAST(({d1} >> {i}) & 1 AS BIGINT) << {2 * i + 1})")
-        duck_terms.append(
-            f"(CAST(({d2} >> {i}) & 1 AS BIGINT) << {2 * i})")
-    return " + ".join(spark_terms), " + ".join(duck_terms)
+# the Morton kernel is shared with the KeyedTable clustering write
+# path (operators/mutations.py) via functions/zorder.py — the audit
+# must measure exactly the expression the writer sorts by
+_interleave_expr = interleave_expr
 
 
 def q171_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
