@@ -76,6 +76,7 @@ REGISTRY_ORDER = (
     "q172_pagerank",
     "q173_cooccurrence_lift",
     "q174_ngram_novelty",
+    "q175_jdbc_incremental_pull",
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
     "q168_kanon_export",

@@ -618,8 +618,102 @@ FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q175_jdbc_incremental_pull(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Incremental JDBC source gate — the PULL direction q166/q167
+    leave open: a warehouse table grows across three loads and the
+    engine ingests it with watermark polls (`read_jdbc_since`,
+    strictly-greater predicate pushed INTO the database), never
+    re-reading old rows.
+
+    The simulation is honest about laziness: each poll's frame is
+    ``localCheckpoint(eager=True)``-ed BEFORE the next load lands,
+    because a lazy JDBC frame re-queries the live table at action time
+    and would silently absorb later rows — exactly the bug a real
+    poll-based ingester must not have. A fourth poll after the final
+    load must return 0 rows (strict inequality = idempotent tail);
+    that count is carried into the output row so the oracle gate
+    asserts it.
+
+    Scale shape: each poll is O(new rows) in the database (indexed
+    watermark), the accumulated union is a no-shuffle concat, the only
+    driver state is one scalar watermark per poll, and the final
+    aggregate is one shuffle on event_type. Money-free exact math:
+    counts, BIGINT key checksums, and a floor(value*1000) fixed-point
+    sum (the q170 stance).
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.sources.connectors import (
+        read_jdbc_since, write_jdbc)
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+        .alias("vfp"))
+    cut1, cut2 = ev.agg(
+        F.expr("percentile_approx(event_id, 0.33, 10000)"),
+        F.expr("percentile_approx(event_id, 0.66, 10000)")).first()
+    slices = [ev.filter(F.col("event_id") <= cut1),
+              ev.filter((F.col("event_id") > cut1)
+                        & (F.col("event_id") <= cut2)),
+              ev.filter(F.col("event_id") > cut2)]
+
+    tmp = tempfile.mkdtemp(prefix="q175_jdbc_")
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    try:
+        hwm = -1
+        pulled = []
+        for i, s in enumerate(slices):
+            write_jdbc(s, url, "EV",
+                       mode=("overwrite" if i == 0 else "append"))
+            batch = read_jdbc_since(
+                spark, url, "EV", "event_id", hwm
+            ).localCheckpoint(eager=True)  # pin BEFORE the next load
+            pulled.append(batch)
+            nxt = batch.agg(F.max("event_id")).first()[0]
+            hwm = hwm if nxt is None else int(nxt)
+        tail_rows = read_jdbc_since(spark, url, "EV", "event_id",
+                                    hwm).count()
+        acc = pulled[0]
+        for b in pulled[1:]:
+            acc = acc.unionAll(b)
+        out = (acc.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.sum("event_id").cast("bigint").alias("key_checksum"),
+                    F.sum("vfp").cast("bigint").alias("value_fp_sum"))
+               .withColumn("tail_poll_rows",
+                           F.lit(int(tail_rows)).cast("bigint"))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        try:  # cleanly shut down THIS database before removing its files
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true")
+        except Exception:
+            pass  # Derby signals a successful shutdown via SQLException
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_Q175_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS value_fp_sum,
+       CAST(0 AS BIGINT) AS tail_poll_rows
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
+           "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
@@ -627,6 +721,7 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q159_table_fingerprint": q159_table_fingerprint}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
+           "q175_jdbc_incremental_pull": _Q175_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,

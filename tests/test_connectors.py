@@ -212,3 +212,37 @@ def test_jdbc_partitioned_read_and_filter_pushdown(spark, tmp_path):
     assert "PushedFilters" in plan and "n_regionkey" in plan.split(
         "PushedFilters")[1][:200], "filter must reach the JDBC scan"
     assert filtered.count() == 5
+
+
+def test_jdbc_incremental_pull_watermark_semantics(spark, tmp_path):
+    """read_jdbc_since: strictly-greater watermark polls return exactly
+    the new rows, an unchanged watermark re-poll returns nothing
+    (idempotent tail), and the predicate executes in the DATABASE
+    (query option — Catalyst never sees the table)."""
+    from dataflowtemplates_spark.sources.connectors import (
+        read_jdbc_since, write_jdbc)
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = _derby_url(tmp_path)
+    register_tables(spark, SF)
+    nat = spark.table("nation").select("n_nationkey", "n_name")
+
+    write_jdbc(nat.filter(F.col("n_nationkey") < 10), url, "NAT",
+               mode="overwrite")
+    first = read_jdbc_since(spark, url, "NAT", "n_nationkey", -1)
+    assert first.count() == 10
+
+    # poll again at the advanced watermark: nothing new
+    hwm = first.agg(F.max("n_nationkey")).first()[0]
+    assert read_jdbc_since(spark, url, "NAT", "n_nationkey",
+                           hwm).count() == 0
+
+    # load more, poll again: exactly the delta, never the old rows
+    write_jdbc(nat.filter(F.col("n_nationkey") >= 10), url, "NAT",
+               mode="append")
+    delta = read_jdbc_since(spark, url, "NAT", "n_nationkey", hwm)
+    got = sorted(r.n_nationkey for r in delta.collect())
+    assert got == sorted(
+        r.n_nationkey
+        for r in nat.filter(F.col("n_nationkey") >= 10).collect())
