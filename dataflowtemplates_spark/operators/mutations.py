@@ -109,6 +109,45 @@ class MutationResult:
         return self.quarantine.count()
 
 
+def _validate_cluster_spec(cluster_by, cluster_mode: str):
+    """Shared ctor/optimize validation -> cluster meta dict or None."""
+    if cluster_by is None:
+        return None
+    if cluster_mode not in ("linear", "zorder"):
+        raise ValueError(
+            f"cluster_mode must be linear|zorder, got {cluster_mode}")
+    if cluster_mode == "zorder" and len(cluster_by) != 2:
+        raise ValueError("zorder clustering interleaves exactly 2 columns")
+    if not cluster_by:
+        raise ValueError("cluster_by must be non-empty when given")
+    return {"by": list(cluster_by), "mode": cluster_mode}
+
+
+def _validate_cluster_columns(cluster: dict, schema: T.StructType) -> None:
+    """Cluster columns must exist; zorder needs integer-castable ones."""
+    have = {f.name for f in schema.fields}
+    missing = [c for c in cluster["by"] if c not in have]
+    if missing:
+        raise ValueError(
+            f"cluster_by columns not in table schema: {missing}")
+    if cluster["mode"] == "zorder":
+        numeric = (T.ByteType, T.ShortType, T.IntegerType,
+                   T.LongType, T.DateType, T.TimestampType,
+                   T.TimestampNTZType)
+        bad = [f.name for f in schema.fields
+               if f.name in cluster["by"]
+               and not isinstance(f.dataType, numeric)]
+        if bad:
+            raise ValueError(
+                "zorder clustering needs integer-castable "
+                f"columns; got non-numeric: {bad}")
+
+
+#: sentinel: _commit_buckets clusters per the live meta unless the
+#: caller (optimize) overrides with the layout it is switching TO
+_USE_META = object()
+
+
 class KeyedTable:
     """Hash-bucketed parquet keyed table (local Spanner stand-in).
 
@@ -128,15 +167,7 @@ class KeyedTable:
             raise ValueError("key_fields must be non-empty")
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
-        if cluster_by is not None:
-            if cluster_mode not in ("linear", "zorder"):
-                raise ValueError(
-                    f"cluster_mode must be linear|zorder, got {cluster_mode}")
-            if cluster_mode == "zorder" and len(cluster_by) != 2:
-                raise ValueError(
-                    "zorder clustering interleaves exactly 2 columns")
-            if not cluster_by:
-                raise ValueError("cluster_by must be non-empty when given")
+        _validate_cluster_spec(cluster_by, cluster_mode)
         self.spark = spark
         self.path = path
         self.keys = list(key_fields)
@@ -478,23 +509,7 @@ class KeyedTable:
             "min_retained_version": 1,
         }
         if self._default_cluster:
-            have = {f.name for f in src.schema.fields}
-            missing = [c for c in self._default_cluster["by"]
-                       if c not in have]
-            if missing:
-                raise ValueError(
-                    f"cluster_by columns not in table schema: {missing}")
-            if self._default_cluster["mode"] == "zorder":
-                numeric = (T.ByteType, T.ShortType, T.IntegerType,
-                           T.LongType, T.DateType, T.TimestampType,
-                           T.TimestampNTZType)
-                bad = [f.name for f in src.schema.fields
-                       if f.name in self._default_cluster["by"]
-                       and not isinstance(f.dataType, numeric)]
-                if bad:
-                    raise ValueError(
-                        "zorder clustering needs integer-castable "
-                        f"columns; got non-numeric: {bad}")
+            _validate_cluster_columns(self._default_cluster, src.schema)
             meta["cluster"] = self._default_cluster
         fsio.mkdirs(self.path)
         self._write_meta(meta)
@@ -778,7 +793,8 @@ class KeyedTable:
         return MutationResult(applied=applied_n, quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
-    def _apply_clustering(self, staged: DataFrame) -> DataFrame:
+    def _apply_clustering(self, staged: DataFrame,
+                          cluster_override=_USE_META) -> DataFrame:
         """Sort the staged slice within each bucket partition by the
         table's cluster key (meta ``cluster``, fixed at creation), so
         every committed file carries tight parquet min/max stats on the
@@ -793,7 +809,8 @@ class KeyedTable:
         repartition, and the helper columns are projected away before
         the write (a projection preserves per-partition sort order).
         NULL cluster values sort first, deterministically."""
-        cluster = self._meta().get("cluster")
+        cluster = (self._meta().get("cluster")
+                   if cluster_override is _USE_META else cluster_override)
         if not cluster:
             return staged
         if cluster["mode"] == "linear":
@@ -818,7 +835,8 @@ class KeyedTable:
     def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
                         n_buckets: int,
                         expected_version: int | None = None,
-                        on_commit=None, verify_layout: bool = True) -> None:
+                        on_commit=None, verify_layout: bool = True,
+                        cluster_override=_USE_META) -> None:
         """Commit the rewritten slice: stage the new files for the
         touched buckets, then — under the exclusive commit lock, with
         the commit log CAS-checked against ``expected_version`` — move
@@ -860,7 +878,7 @@ class KeyedTable:
                           .withColumn(_BUCKET_COL,
                                       self._bucket_expr(n_buckets))
                           .repartition(len(touched), F.col(_BUCKET_COL)))
-                staged = self._apply_clustering(staged)
+                staged = self._apply_clustering(staged, cluster_override)
                 (staged.write.mode("overwrite")
                  .partitionBy(_BUCKET_COL).parquet(staging))
             except Exception as exc:
@@ -921,6 +939,47 @@ class KeyedTable:
                 fsio.delete_dir(staging)
 
     # -- maintenance -----------------------------------------------------
+    def optimize(self, cluster_by: list[str] | None = None,
+                 cluster_mode: str = "linear") -> None:
+        """Delta ``OPTIMIZE [ZORDER BY]`` for this table: one O(table)
+        rewrite commit that re-lays every bucket's files out under the
+        given clustering (or UN-clusters with ``cluster_by=None``) and
+        records the new layout in ``_meta.json`` so every subsequent
+        mutation commit keeps it. Retrofit path for tables created
+        without ``cluster_by`` — the amortization argument is
+        rebucket's: one table-scan rewrite buys tight parquet min/max
+        stats on every read thereafter.
+
+        Protocol economics are rebucket's too: the staged slice is
+        clustered per the TARGET layout (``cluster_override``) while
+        meta still records the old one; the meta swap runs under the
+        commit lock after the log append (``on_commit``), and
+        ``verify_layout`` stays ON — a concurrent rebucket fails this
+        commit's CAS rather than interleaving. History stays
+        resolvable: pre-optimize ``read_at`` bounds land in
+        ``_history/v-{prev}`` as for any commit, and a pure layout
+        change contributes no ``changes_between`` rows (values are
+        untouched)."""
+        new_cluster = _validate_cluster_spec(cluster_by, cluster_mode)
+        if new_cluster:
+            _validate_cluster_columns(new_cluster, self._schema())
+        self._require_lockable()  # fail BEFORE the O(table) rewrite
+        base_version = self._base_version()
+        n_buckets = int(self._meta()["n_buckets"])
+        touched = sorted(range(n_buckets))
+
+        def _swap_meta():
+            m = self._meta()
+            if new_cluster:
+                m["cluster"] = new_cluster
+            else:
+                m.pop("cluster", None)
+            self._write_meta(m)
+
+        self._commit_buckets(self.read(), touched, n_buckets,
+                             base_version, on_commit=_swap_meta,
+                             cluster_override=new_cluster)
+
     def rebucket(self, n_buckets_new: int) -> None:
         """Change the hash-bucket layout — the grow path for a table
         that has outgrown its creation-time ``n_buckets`` (rewrite
