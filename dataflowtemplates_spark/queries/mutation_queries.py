@@ -711,9 +711,101 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q176_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``KeyedTable.optimize`` (Delta OPTIMIZE ZORDER semantics) under
+    the oracle gate, the way q78 gates the mutation dispositions: seed
+    a keyed table from ``customer``, bump a residue class with an
+    upsert, retrofit Z-order clustering with ``optimize()``, and emit
+    (a) per-nation exact aggregates of the post-optimize state — the
+    DuckDB oracle recomputes them from parquet, proving the O(table)
+    rewrite lost and duplicated nothing — and (b) a ``files_zsorted``
+    boolean the oracle asserts literally TRUE.
+
+    The sortedness evidence is computed IN SPARK, not by a driver
+    loop: read the table with ``input_file_name``, recompute each
+    row's Morton value under the table-global bounds (the optimize
+    slice was the whole table, so its normalization is reproducible
+    exactly), and window per file ordered by the read's
+    ``monotonically_increasing_id`` (parquet preserves row order
+    within a split) — ``files_zsorted`` is the MIN over rows of
+    "z >= previous z in my file". One window whose partitions are
+    single files: bounded by the layout, never by the corpus.
+
+    Scale note: the aggregate gate is an ordinary pruned scan; the
+    sortedness sweep is the audit you run after an OPTIMIZE job at any
+    scale — O(rows in the optimized slice), map-local except the
+    per-file window.
+    """
+    from pyspark.sql import Window as W
+
+    from dataflowtemplates_spark.functions.zorder import (
+        normalized_zorder_spark)
+
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q176_optimize_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"],
+                         n_buckets=8)
+        tbl.apply_mutations(cust, "INSERT")
+        tbl.apply_mutations(
+            cust.filter(k % 7 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(500.0)),
+            "INSERT_OR_UPDATE")
+        tbl.optimize(cluster_by=["c_nationkey", "c_custkey"],
+                     cluster_mode="zorder")
+
+        df = tbl.read().withColumn("f", F.input_file_name())
+        bounds = df.agg(
+            F.min(F.col("c_nationkey").cast("bigint")).alias("__zlo1"),
+            F.max(F.col("c_nationkey").cast("bigint")).alias("__zhi1"),
+            F.min(F.col("c_custkey").cast("bigint")).alias("__zlo2"),
+            F.max(F.col("c_custkey").cast("bigint")).alias("__zhi2"))
+        z = normalized_zorder_spark(
+            "cast(c_nationkey as bigint)", "cast(c_custkey as bigint)",
+            "__zlo1", "__zhi1", "__zlo2", "__zhi2")
+        w = W.partitionBy("f").orderBy(F.monotonically_increasing_id())
+        zsorted = (df.crossJoin(F.broadcast(bounds))
+                   .withColumn("__z", F.expr(z))
+                   .withColumn("__ok",
+                               F.coalesce(F.col("__z")
+                                          >= F.lag("__z").over(w),
+                                          F.lit(True)))
+                   .agg(F.min("__ok").alias("files_zsorted")))
+
+        out = (tbl.read().groupBy("c_nationkey")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double").alias("acctbal_sum"),
+                    F.sum("c_custkey").cast("bigint").alias("key_checksum"))
+               .crossJoin(F.broadcast(zsorted))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("c_nationkey")
+
+
+_Q176_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(CASE WHEN c_custkey % 7 = 0
+                          THEN c_acctbal + CAST(500 AS DOUBLE)
+                          ELSE c_acctbal END AS DECIMAL(18,2)))
+            AS DOUBLE) AS acctbal_sum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+       TRUE AS files_zsorted
+FROM customer
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
+           "q176_optimize_audit": q176_optimize_audit,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
@@ -722,6 +814,7 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
+           "q176_optimize_audit": _Q176_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,
