@@ -122,6 +122,14 @@ def _run_spanner_to_bigquery(spark, args):
     return {"table": args.output, "rows": n}
 
 
+def _run_jdbc_incremental(spark, args):
+    tbl = _keyed(spark, args)
+    result = templates.jdbc_to_keyed_table_incremental(
+        spark, args.jdbcUrl, args.srcTable, args.watermarkColumn, tbl,
+        op=args.mutationOp)
+    return _mutation_outputs(args, result)
+
+
 def _run_to_keyed_table(spark, args):
     tbl = _keyed(spark, args)
     result = templates.query_to_keyed_table(
@@ -224,6 +232,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--outputNotify", default=None)
     p.add_argument("--timestampBound", default=None)
     p.add_argument("--format", default="avro", choices=("avro", "parquet"))
+
+    p = tpl("JdbcToSpannerIncremental", _run_jdbc_incremental,
+            "BigQueryToSpanner.java (made incremental — engine extension)")
+    _add_locators(p)
+    p.add_argument("--jdbcUrl", required=True)
+    p.add_argument("--srcTable", required=True)
+    p.add_argument("--watermarkColumn", required=True)
+    p.add_argument("--table", required=True,
+                   help="keyed-table directory (upsert target)")
+    p.add_argument("--primaryKeyFields", required=True)
+    p.add_argument("--mutationOp", default="INSERT_OR_UPDATE")
+    p.add_argument("--outputError", default=None)
+    p.add_argument("--failedMutations", default=None)
 
     p = tpl("SpannerToBigQuery", _run_spanner_to_bigquery,
             "SpannerToBigQuery.java")

@@ -78,6 +78,7 @@ REGISTRY_ORDER = (
     "q174_ngram_novelty",
     "q175_jdbc_incremental_pull",
     "q176_optimize_audit",
+    "q177_incremental_sync_audit",
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
     "q168_kanon_export",

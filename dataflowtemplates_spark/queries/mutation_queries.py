@@ -802,10 +802,100 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+def q177_incremental_sync_audit(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """The scheduled warehouse->keyed-table SYNC template
+    (`templates.jdbc_to_keyed_table_incremental` — BigQueryToSpanner
+    made incremental) under the oracle gate: the Derby source grows
+    across three loads, and three template INVOCATIONS — each deriving
+    its watermark FROM THE TARGET TABLE, no external state — converge
+    the keyed table onto the source. A fourth run against the
+    unchanged source must apply 0 mutations (the restartable-resume
+    contract); that count is carried into the gated output.
+
+    This composes the round's connector + mutation machinery
+    end-to-end: watermark pull (q175's source), keyed-table upsert
+    (q78's sink), self-derived resume state. The oracle recomputes the
+    converged state from parquet — a hash match proves no run lost,
+    duplicated, or re-applied rows.
+
+    Scale shape: each run is O(new rows) in the database AND in the
+    table (bucket-pruned upsert); the watermark derivation is one
+    column-pruned max over the target (at 100 TB: a parquet
+    stats-only scan). Driver state per run: one scalar.
+    """
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark import templates
+    from dataflowtemplates_spark.sources.connectors import write_jdbc
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id", "user_id", "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+        .alias("vfp"))
+    cut1, cut2 = ev.agg(
+        F.expr("percentile_approx(event_id, 0.33, 10000)"),
+        F.expr("percentile_approx(event_id, 0.66, 10000)")).first()
+    slices = [ev.filter(F.col("event_id") <= cut1),
+              ev.filter((F.col("event_id") > cut1)
+                        & (F.col("event_id") <= cut2)),
+              ev.filter(F.col("event_id") > cut2)]
+
+    tmp = tempfile.mkdtemp(prefix="q177_sync_")
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["event_id"],
+                         n_buckets=8)
+        for i, s in enumerate(slices):
+            write_jdbc(s, url, "EV",
+                       mode=("overwrite" if i == 0 else "append"))
+            templates.jdbc_to_keyed_table_incremental(
+                spark, url, "EV", "event_id", tbl)
+        tail = templates.jdbc_to_keyed_table_incremental(
+            spark, url, "EV", "event_id", tbl)
+        out = (tbl.read().groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.countDistinct("user_id").cast("bigint")
+                    .alias("n_users"),
+                    F.min("event_id").cast("bigint").alias("min_event_id"),
+                    F.max("event_id").cast("bigint").alias("max_event_id"),
+                    F.sum("vfp").cast("bigint").alias("value_fp_sum"))
+               .withColumn("tail_applied",
+                           F.lit(int(tail.applied)).cast("bigint"))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        try:  # cleanly shut down THIS database before removing its files
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true")
+        except Exception:
+            pass  # Derby signals a successful shutdown via SQLException
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_Q177_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MIN(event_id) AS BIGINT) AS min_event_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_event_id,
+       CAST(SUM(CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS value_fp_sum,
+       CAST(0 AS BIGINT) AS tail_applied
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
            "q176_optimize_audit": q176_optimize_audit,
+           "q177_incremental_sync_audit": q177_incremental_sync_audit,
            "q99_snapshot_audit": q99_snapshot_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
@@ -815,6 +905,7 @@ ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
            "q176_optimize_audit": _Q176_ORACLE,
+           "q177_incremental_sync_audit": _Q177_ORACLE,
            "q99_snapshot_audit": _Q99_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,

@@ -123,6 +123,49 @@ def query_to_jdbc(spark: SparkSession, query: str, url: str, table: str,
         options=dict(jdbc_options or {}, url=url))).count()
 
 
+def jdbc_to_keyed_table_incremental(
+        spark: SparkSession, url: str, src_table: str, watermark_col: str,
+        table: KeyedTable, op: str = "INSERT_OR_UPDATE",
+        since=None, output_error: str | None = None,
+        output_failcount: str | None = None,
+        jdbc_options: dict | None = None) -> MutationResult:
+    """BigQueryToSpanner made INCREMENTAL — the extension past the
+    reference's one-shot query->upsert (BigQueryToSpanner.java:87-148)
+    that a scheduled deployment actually runs: each invocation pulls
+    only the warehouse rows past the high watermark
+    (``read_jdbc_since``: strictly-greater predicate executed in the
+    database) and upserts them into the keyed table, so a run costs
+    O(new rows) on both sides.
+
+    ``since=None`` derives the watermark FROM THE TARGET — the max of
+    ``watermark_col`` over the keyed table — so the template is
+    restartable with no external state: a crash between pull and
+    commit re-pulls the same delta on the next run and the upsert
+    collapses the redelivery (the same exactly-once-under-replay
+    device as the streamed JDBC sink's _batch_id collapse). Numeric
+    watermark contract (id / epoch), matching read_jdbc_since's
+    literal pushdown. Failure outputs mirror the other mutation
+    templates (K8 quarantine + K10 count)."""
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.sources.connectors import read_jdbc_since
+    if since is None:
+        since = -(2 ** 62)
+        if table.exists():
+            cur = table.read().agg(F.max(watermark_col)).first()[0]
+            if cur is not None:
+                since = cur
+    batch = read_jdbc_since(spark, url, src_table, watermark_col, since,
+                            options=jdbc_options)
+    table.create(batch)
+    result = table.apply_mutations(batch, op)
+    if output_error:
+        write_quarantine(result, output_error)
+    if output_failcount:
+        write_failure_count(result, output_failcount)
+    return result
+
+
 def query_to_keyed_table(spark: SparkSession, query: str, table: KeyedTable,
                          op: str = "INSERT_OR_UPDATE",
                          output_error: str | None = None,

@@ -210,3 +210,37 @@ def test_dummy_to_spanner_main(spark, tmp_path, capsys):
 def test_unknown_template_rejected(spark):
     with pytest.raises(SystemExit):
         main(["PubSubToSpanner", "--query=SELECT 1"], spark=spark)
+
+
+def test_jdbc_to_spanner_incremental_main(spark, tmp_path, capsys):
+    """The incremental sync extension main: two invocations against a
+    growing Derby source converge the keyed table; the second run
+    applies only the delta (watermark derived from the target)."""
+    import pyspark.sql.functions as F
+
+    from dataflowtemplates_spark.catalog import register_tables
+    from dataflowtemplates_spark.operators.mutations import KeyedTable
+    from dataflowtemplates_spark.sources.connectors import write_jdbc
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", f"{tmp_path}/derby.log")
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    register_tables(spark, SF)
+    nat = spark.table("nation").select("n_nationkey", "n_name")
+    tbl_dir = str(tmp_path / "tbl")
+    argv = ["JdbcToSpannerIncremental", f"--jdbcUrl={url}",
+            "--srcTable=NAT", "--watermarkColumn=n_nationkey",
+            f"--table={tbl_dir}", "--primaryKeyFields=n_nationkey"]
+
+    write_jdbc(nat.filter(F.col("n_nationkey") < 10), url, "NAT",
+               mode="overwrite")
+    got = _run(capsys, spark, argv)
+    assert got["applied"] == 10 and got["failed"] == 0
+
+    write_jdbc(nat.filter(F.col("n_nationkey") >= 10), url, "NAT",
+               mode="append")
+    got = _run(capsys, spark, argv)
+    assert got["applied"] == 15 and got["failed"] == 0
+
+    t = KeyedTable(spark, tbl_dir, ["n_nationkey"])
+    assert t.read().count() == 25
