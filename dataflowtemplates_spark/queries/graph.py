@@ -97,6 +97,21 @@ def q172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("src") != F.col("dst"))
              .distinct())
 
+    return (pagerank(edges)
+            .select(F.col("node").alias("nation"),
+                    F.col("r").alias("rank_scaled"))
+            .orderBy(F.desc("rank_scaled"), "nation"))
+
+
+def pagerank(edges: DataFrame,
+             iterations: int = PR_ITERATIONS) -> DataFrame:
+    """The reusable operator behind q172: scaled-integer PageRank over
+    a distinct (src, dst) edge DataFrame -> (node, r) with r at
+    PR_SCALE fixed point. See q172's docstring for the update rule,
+    determinism argument, and the per-round lineage-truncation
+    rationale; `tests/test_graph_layout.py` pins it against an
+    independent pure-Python model on adversarial graphs (dangling
+    nodes, cycles, disconnected pieces)."""
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())
@@ -107,7 +122,7 @@ def q172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("node", "n",
                      F.expr(f"{PR_SCALE} DIV n").alias("r"))
              .localCheckpoint(eager=True))
-    for _ in range(PR_ITERATIONS):
+    for _ in range(iterations):
         contrib = (edges
                    .join(ranks.select(F.col("node").alias("src"), "r"),
                          "src")
@@ -127,9 +142,7 @@ def q172_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 f"+ (dm DIV n))) DIV 100)")
                          .alias("r"))
                  .localCheckpoint(eager=True))
-    return (ranks.select(F.col("node").alias("nation"),
-                         F.col("r").alias("rank_scaled"))
-            .orderBy(F.desc("rank_scaled"), "nation"))
+    return ranks.select("node", "r")
 
 
 def _q172_oracle() -> str:

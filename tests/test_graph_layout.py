@@ -98,3 +98,49 @@ def test_q174_novelty_accounting(spark):
             "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")))
         .alias("gram")).select("gram").distinct().count())
     assert sum(r["n_novel"] for r in rows) == n_distinct
+
+
+def test_pagerank_matches_pure_python_model_on_adversarial_graphs(spark):
+    """The pagerank() operator must agree EXACTLY (scaled-integer
+    arithmetic has one right answer) with an independent pure-Python
+    implementation of the same update rule, on graphs chosen to hit
+    the edge paths: dangling nodes, a cycle, a disconnected pair, and
+    a hub. Three seeds of a random digraph plus the handcrafted one."""
+    import random
+
+    from dataflowtemplates_spark.queries.graph import (
+        PR_SCALE, PR_TELEPORT, pagerank)
+
+    def py_pagerank(edges, iterations=5):
+        nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+        n = len(nodes)
+        out = {}
+        for u, _ in edges:
+            out[u] = out.get(u, 0) + 1
+        r = {v: PR_SCALE // n for v in nodes}
+        for _ in range(iterations):
+            contrib = {v: 0 for v in nodes}
+            for u, v in edges:
+                contrib[v] += r[u] // out[u]
+            dm = sum(r[v] for v in nodes if v not in out)
+            r = {v: (PR_TELEPORT // n)
+                 + ((85 * (contrib[v] + (dm // n))) // 100)
+                 for v in nodes}
+        return r
+
+    graphs = [
+        # handcrafted: hub a->{b,c,d}, cycle b->c->b, dangling d,
+        # disconnected pair e->f (f dangling too)
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "b"),
+         ("e", "f")],
+    ]
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = [f"n{i}" for i in range(12)]
+        es = {(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)}
+        graphs.append(sorted((u, v) for u, v in es if u != v))
+
+    for edges in graphs:
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["node"]: r["r"] for r in pagerank(df).collect()}
+        assert got == py_pagerank(edges), f"mismatch on {edges[:4]}..."
