@@ -218,7 +218,16 @@ def read_jdbc_since(spark: SparkSession, url: str, table: str,
     Identifiers are quoted for the database's parser (Spark-written
     lowercase columns stay lowercase — the Derby fold rule in
     `tests/test_connectors.py`); partitioned range reads ride
-    ``options`` exactly as in ``read_source``."""
+    ``options`` exactly as in ``read_source``.
+
+    ``since`` is interpolated into the pushed statement, so it is
+    restricted to real numbers (int/float, the id/epoch watermark
+    contract) — anything else raises rather than becoming an
+    injection surface on a caller-supplied value."""
+    if isinstance(since, bool) or not isinstance(since, (int, float)):
+        raise TypeError(
+            f"watermark must be a number (id/epoch), got "
+            f"{type(since).__name__}: {since!r}")
     stmt = (f'SELECT * FROM {table} '
             f'WHERE "{watermark_col}" > {since}')
     return (spark.read.format("jdbc")

@@ -246,3 +246,15 @@ def test_jdbc_incremental_pull_watermark_semantics(spark, tmp_path):
     assert got == sorted(
         r.n_nationkey
         for r in nat.filter(F.col("n_nationkey") >= 10).collect())
+
+
+def test_jdbc_incremental_pull_rejects_non_numeric_watermark(spark):
+    """``since`` is interpolated into the pushed SQL statement — the
+    numeric contract must be ENFORCED, not assumed, or a caller-
+    supplied string becomes an injection surface."""
+    import pytest
+
+    from dataflowtemplates_spark.sources.connectors import read_jdbc_since
+    for bad in ("0 OR 1=1", None, True, [1]):
+        with pytest.raises(TypeError, match="watermark must be a number"):
+            read_jdbc_since(spark, "jdbc:derby:memory:x", "T", "c", bad)
