@@ -107,6 +107,7 @@ HEADLINE = (
     "q175_jdbc_incremental_pull",  # r11: watermark-poll JDBC source
     "q176_optimize_audit",  # r11: OPTIMIZE ZORDER retrofit gate
     "q177_incremental_sync_audit",  # r11: warehouse->keyed-table sync
+    "q178_epoch_shuffle",  # r11: deterministic training-order shuffle
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands

@@ -79,6 +79,7 @@ REGISTRY_ORDER = (
     "q175_jdbc_incremental_pull",
     "q176_optimize_audit",
     "q177_incremental_sync_audit",
+    "q178_epoch_shuffle",
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
     "q168_kanon_export",

@@ -555,8 +555,76 @@ FROM kept GROUP BY source ORDER BY source
 """
 
 
+#: q178 knobs: shards per epoch and the epochs materialized.
+EPOCH_SHUFFLE_SHARDS = 8
+EPOCH_SHUFFLE_EPOCHS = 2
+
+
+def q178_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffling — the reproducible-training-order
+    kernel: for each epoch, every document gets a seeded pseudo-random
+    (shard, position) assignment, so two runs of the same corpus +
+    seed feed a trainer IDENTICAL batch order (restart/resume and
+    ablation-comparison both depend on this), while different epochs
+    get independent permutations.
+
+    Mechanics, all engine-portable exact math: the per-(doc, epoch)
+    key is ``md5(doc_id ':' epoch)``; the shard is the key's 60-bit
+    prefix mod EPOCH_SHUFFLE_SHARDS (cast to BIGINT BEFORE the modulo
+    — string->double coercion would round past 2^53 and diverge); the
+    position is the rank of the key within its (epoch, shard). Output
+    is the full assignment, so the oracle hash pins every single
+    placement, not a summary.
+
+    Scale shape: one map-only pass computes keys and shards; the only
+    shuffle is the rank window partitioned by (epoch, shard) — the
+    partition IS the shard, sized by the shard-count knob exactly like
+    a real training-data writer's output files, so no global sort
+    exists at any corpus size. Membership is re-derivable by any
+    worker from (doc_id, epoch) alone: resuming epoch N needs no state
+    but the seed."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id")
+    epochs = spark.range(EPOCH_SHUFFLE_EPOCHS).select(
+        F.col("id").cast("int").alias("epoch"))
+    keyed = (docs.crossJoin(F.broadcast(epochs))
+             .withColumn("k", F.md5(F.concat(
+                 F.col("doc_id").cast("string"), F.lit(":"),
+                 F.col("epoch").cast("string"))))
+             .withColumn("shard", F.pmod(
+                 F.conv(F.substring("k", 1, 15), 16, 10).cast("bigint"),
+                 F.lit(EPOCH_SHUFFLE_SHARDS)).cast("int")))
+    w = Window.partitionBy("epoch", "shard").orderBy("k", "doc_id")
+    return (keyed.select(
+        "doc_id", "epoch", "shard",
+        F.row_number().over(w).cast("int").alias("pos"))
+        .orderBy("epoch", "shard", "pos"))
+
+
+_Q178_ORACLE = f"""
+WITH keyed AS (
+  SELECT d.doc_id, e.epoch,
+         md5(CAST(d.doc_id AS VARCHAR) || ':'
+             || CAST(e.epoch AS VARCHAR)) AS k
+  FROM documents d
+  CROSS JOIN (SELECT UNNEST(RANGE({EPOCH_SHUFFLE_EPOCHS}))
+              AS epoch) e),
+sharded AS (
+  SELECT doc_id, CAST(epoch AS INTEGER) AS epoch, k,
+         CAST(CAST(('0x' || SUBSTRING(k, 1, 15)) AS BIGINT)
+              % {EPOCH_SHUFFLE_SHARDS} AS INTEGER) AS shard
+  FROM keyed)
+SELECT doc_id, epoch, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                               ORDER BY k, doc_id) AS INTEGER) AS pos
+FROM sharded
+ORDER BY epoch, shard, pos
+"""
+
+
 QUERIES = {
     "q47_hash_sample": q47_hash_sample,
+    "q178_epoch_shuffle": q178_epoch_shuffle,
     "q48_sequence_packing": q48_sequence_packing,
     "q49_domain_cap": q49_domain_cap,
     "q75_stratified_split": q75_stratified_split,
@@ -568,6 +636,7 @@ QUERIES = {
 
 ORACLES = {
     "q47_hash_sample": _Q47_ORACLE,
+    "q178_epoch_shuffle": _Q178_ORACLE,
     "q48_sequence_packing": _Q48_ORACLE,
     "q49_domain_cap": _Q49_ORACLE,
     "q75_stratified_split": _Q75_ORACLE,
