@@ -143,6 +143,20 @@ def _validate_cluster_columns(cluster: dict, schema: T.StructType) -> None:
                 f"columns; got non-numeric: {bad}")
 
 
+def _zorder_bigint_expr(schema: T.StructType, col: str) -> str:
+    """SQL expression reducing a zorder cluster column to BIGINT.
+
+    DATE is whitelisted by `_validate_cluster_columns` but Spark
+    rejects a direct DATE->BIGINT cast (DATATYPE_MISMATCH), so dates
+    lower to epoch days via datediff — order-preserving, which is all
+    the Morton normalization needs. TIMESTAMP casts to epoch seconds
+    natively; integral types cast directly."""
+    dt = {f.name: f.dataType for f in schema.fields}.get(col)
+    if isinstance(dt, T.DateType):
+        return f"datediff({col}, DATE '1970-01-01')"
+    return f"cast({col} as bigint)"
+
+
 #: sentinel: _commit_buckets clusters per the live meta unless the
 #: caller (optimize) overrides with the layout it is switching TO
 _USE_META = object()
@@ -819,14 +833,15 @@ class KeyedTable:
         from dataflowtemplates_spark.functions.zorder import (
             normalized_zorder_spark)
         c1, c2 = cluster["by"]
+        e1 = _zorder_bigint_expr(staged.schema, c1)
+        e2 = _zorder_bigint_expr(staged.schema, c2)
         bounds = staged.agg(
-            F.min(F.col(c1).cast("bigint")).alias("__zlo1"),
-            F.max(F.col(c1).cast("bigint")).alias("__zhi1"),
-            F.min(F.col(c2).cast("bigint")).alias("__zlo2"),
-            F.max(F.col(c2).cast("bigint")).alias("__zhi2"))
+            F.min(F.expr(e1)).alias("__zlo1"),
+            F.max(F.expr(e1)).alias("__zhi1"),
+            F.min(F.expr(e2)).alias("__zlo2"),
+            F.max(F.expr(e2)).alias("__zhi2"))
         z = normalized_zorder_spark(
-            f"cast({c1} as bigint)", f"cast({c2} as bigint)",
-            "__zlo1", "__zhi1", "__zlo2", "__zhi2")
+            e1, e2, "__zlo1", "__zhi1", "__zlo2", "__zhi2")
         return (staged.crossJoin(F.broadcast(bounds))
                 .withColumn("__zval", F.expr(z))
                 .sortWithinPartitions(_BUCKET_COL, "__zval")

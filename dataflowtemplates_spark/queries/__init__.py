@@ -66,65 +66,27 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r11): must be inside any scored prefix ----
-    # the four new operator families (layout pruning, iterative graph,
-    # co-occurrence mining, corpus novelty), then the new
-    # executing-JDBC gate, then the mutation family (KeyedTable
-    # delete/lock/rebucket/commit rewrite), then the two queries
-    # reseeded by the hash-sampled k-means|| init
-    "q171_zorder_layout",
-    "q172_pagerank",
-    "q173_cooccurrence_lift",
-    "q174_ngram_novelty",
-    "q175_jdbc_incremental_pull",
-    "q176_optimize_audit",
-    "q177_incremental_sync_audit",
-    "q178_epoch_shuffle",
-    "q166_jdbc_roundtrip",
-    "q167_stream_jdbc_sink",
-    "q168_kanon_export",
-    "q169_matryoshka_recall",
-    "q170_robust_outliers",
+    # -- changed this cycle (r12): must be inside any scored prefix ----
+    # the KeyedTable log-structured CAS commit rewrite (every query
+    # that mutates or snapshots a keyed table), then the q174 short-doc
+    # guard and q176 _metadata row-order fix, then the JDBC identifier
+    # validation + write retry, then the vectorized real image codecs
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",
     "q128_change_data_feed",
     "q139_incremental_rollup",
     "q145_stream_keyed_upsert",
-    "q67_kmeans",
-    "q141_semdedup",
-    # -- newest driver score r6 (oldest evidence): fronted per
-    #    rule 2 so the r11 prefix finally re-scores them ---------
-    "q66_embedding_neardup_lsh",
-    "q68_bpe_pairs",
-    "q69_ngram_containment",
-    "q70_generator_rows",
-    "q71_generator_profile",
-    "q72_embedding_quantize",
-    "q75_stratified_split",
-    "q76_charlm_coverage",
-    "q77_embedding_dup_groups",
-    "q82_media_features",
-    "q83_media_resize",
-    "q90_stream_tumbling",
-    "q91_stream_sessionize",
-    "q92_stream_dedup",
-    "q93_stream_user_stats",
-    "q94_stream_enrich",
-    # -- newest driver score r7, unchanged since ------------------
-    "q01_pricing_summary",
-    "q03_top_unshipped",
-    "q05_regional_revenue",
-    "q06_revenue_delta",
-    "q07_left_join",
-    "q08_semi_anti",
-    "q09_agg_stats",
-    "q10_grouping_analytics",
-    "q13_window_topk",
-    "q14_window_running",
-    "q15_window_lag",
-    "q16_sessionize",
-    "q17_set_ops",
+    "q159_table_fingerprint",
+    "q176_optimize_audit",
+    "q177_incremental_sync_audit",
+    "q174_ngram_novelty",
+    "q175_jdbc_incremental_pull",
+    "q166_jdbc_roundtrip",
+    "q167_stream_jdbc_sink",
+    "q123_png_roundtrip",
+    # -- newest driver score r7 (oldest evidence): fronted per
+    #    rule 2 so the r12 prefix finally re-scores them ---------
     "q18_union_splitter",
     "q19_pivot",
     "q20_string_funcs",
@@ -211,7 +173,6 @@ REGISTRY_ORDER = (
     "q162_hourly_anomalies",
     "q161_weighted_sample",
     "q160_event_transitions",
-    "q159_table_fingerprint",
     "q158_rolling_mau",
     "q157_fk_integrity",
     "q156_cohort_retention",
@@ -229,7 +190,6 @@ REGISTRY_ORDER = (
     "q140_training_shards",
     "q142_cdc_chunking",
     "q143_fuzzy_match",
-    "q123_png_roundtrip",
     "q124_big_order_customers",
     "q125_nation_trade_volume",
     "q126_part_value_share",
@@ -248,6 +208,45 @@ REGISTRY_ORDER = (
     "q120_histogram_quantiles",
     "q80_media_metadata",
     "q81_frame_sample",
+    # -- newest driver score r11 (freshest), unchanged since ------
+    "q171_zorder_layout",
+    "q172_pagerank",
+    "q173_cooccurrence_lift",
+    "q178_epoch_shuffle",
+    "q168_kanon_export",
+    "q169_matryoshka_recall",
+    "q170_robust_outliers",
+    "q67_kmeans",
+    "q141_semdedup",
+    "q66_embedding_neardup_lsh",
+    "q68_bpe_pairs",
+    "q69_ngram_containment",
+    "q70_generator_rows",
+    "q71_generator_profile",
+    "q72_embedding_quantize",
+    "q75_stratified_split",
+    "q76_charlm_coverage",
+    "q77_embedding_dup_groups",
+    "q82_media_features",
+    "q83_media_resize",
+    "q90_stream_tumbling",
+    "q91_stream_sessionize",
+    "q92_stream_dedup",
+    "q93_stream_user_stats",
+    "q94_stream_enrich",
+    "q01_pricing_summary",
+    "q03_top_unshipped",
+    "q05_regional_revenue",
+    "q06_revenue_delta",
+    "q07_left_join",
+    "q08_semi_anti",
+    "q09_agg_stats",
+    "q10_grouping_analytics",
+    "q13_window_topk",
+    "q14_window_running",
+    "q15_window_lag",
+    "q16_sessionize",
+    "q17_set_ops",
 )
 
 

@@ -1457,12 +1457,19 @@ def q174_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_tables(spark, sf_dir)
     docs = spark.table("documents")
+    # NB: guard, not greatest() — sequence(1, 0) in Spark is the
+    # DESCENDING sequence [1, 0], whose slice(arr, 0, 3) throws for
+    # documents under 3 words; DuckDB's RANGE(1, 0) is empty, so the
+    # oracle-matching behavior for short docs is "no grams" (same
+    # guard as text.py's char-pair kernel)
+    gram_arr = F.when(
+        F.size(F.split("text", " ")) >= 3,
+        F.expr("transform(sequence(1, size(split(text, ' ')) - 2), "
+               "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")
+    ).otherwise(F.array().cast("array<string>"))
     grams = docs.select(
         "doc_id", "source",
-        F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, size(split(text, ' ')) - 2), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i, 3)))")))
-        .alias("gram"))
+        F.explode(F.array_distinct(gram_arr)).alias("gram"))
     first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     tagged = (grams.join(first, "gram")
               .withColumn("is_novel",

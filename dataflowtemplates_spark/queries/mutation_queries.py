@@ -722,14 +722,17 @@ def q176_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean the oracle asserts literally TRUE.
 
     The sortedness evidence is computed IN SPARK, not by a driver
-    loop: read the table with ``input_file_name``, recompute each
-    row's Morton value under the table-global bounds (the optimize
-    slice was the whole table, so its normalization is reproducible
-    exactly), and window per file ordered by the read's
-    ``monotonically_increasing_id`` (parquet preserves row order
-    within a split) — ``files_zsorted`` is the MIN over rows of
-    "z >= previous z in my file". One window whose partitions are
-    single files: bounded by the layout, never by the corpus.
+    loop: read the table with the parquet ``_metadata`` hidden column,
+    recompute each row's Morton value under the table-global bounds
+    (the optimize slice was the whole table, so its normalization is
+    reproducible exactly), and window per ``_metadata.file_path``
+    ordered by ``_metadata.row_index`` — the REAL within-file offset,
+    which stays correct when a file spans multiple bin-packed scan
+    splits (``monotonically_increasing_id`` would not: split order
+    follows size-sorted bin packing, not file offset). ``files_zsorted``
+    is the MIN over rows of "z >= previous z in my file". One window
+    whose partitions are single files: bounded by the layout, never by
+    the corpus.
 
     Scale note: the aggregate gate is an ordinary pruned scan; the
     sortedness sweep is the audit you run after an OPTIMIZE job at any
@@ -758,7 +761,9 @@ def q176_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.optimize(cluster_by=["c_nationkey", "c_custkey"],
                      cluster_mode="zorder")
 
-        df = tbl.read().withColumn("f", F.input_file_name())
+        df = (tbl.read()
+              .withColumn("f", F.col("_metadata.file_path"))
+              .withColumn("pos", F.col("_metadata.row_index")))
         bounds = df.agg(
             F.min(F.col("c_nationkey").cast("bigint")).alias("__zlo1"),
             F.max(F.col("c_nationkey").cast("bigint")).alias("__zhi1"),
@@ -767,7 +772,7 @@ def q176_optimize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         z = normalized_zorder_spark(
             "cast(c_nationkey as bigint)", "cast(c_custkey as bigint)",
             "__zlo1", "__zhi1", "__zlo2", "__zhi2")
-        w = W.partitionBy("f").orderBy(F.monotonically_increasing_id())
+        w = W.partitionBy("f").orderBy("pos")
         zsorted = (df.crossJoin(F.broadcast(bounds))
                    .withColumn("__z", F.expr(z))
                    .withColumn("__ok",

@@ -217,17 +217,35 @@ def read_jdbc_since(spark: SparkSession, url: str, table: str,
     the returned frame's MAX (one scalar — bounded driver state).
     Identifiers are quoted for the database's parser (Spark-written
     lowercase columns stay lowercase — the Derby fold rule in
-    `tests/test_connectors.py`); partitioned range reads ride
-    ``options`` exactly as in ``read_source``.
+    `tests/test_connectors.py`). NB: Spark rejects combining the
+    ``query`` option with ``partitionColumn``, so this poll is a
+    single-connection read by design — an incremental tail is O(new
+    rows), which is exactly the case that does not need a fan-out;
+    a large backfill should go through ``read_source`` with
+    ``dbtable`` + partition options instead.
 
-    ``since`` is interpolated into the pushed statement, so it is
-    restricted to real numbers (int/float, the id/epoch watermark
-    contract) — anything else raises rather than becoming an
-    injection surface on a caller-supplied value."""
+    All three interpolated values are caller-supplied (they arrive
+    straight from CLI argv in the incremental-sync template), so each
+    is validated rather than trusted: ``since`` must be a real number
+    (the id/epoch watermark contract) and the two identifiers must be
+    plain SQL names — anything else raises instead of becoming an
+    injection surface."""
+    import re
     if isinstance(since, bool) or not isinstance(since, (int, float)):
         raise TypeError(
             f"watermark must be a number (id/epoch), got "
             f"{type(since).__name__}: {since!r}")
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+    # table may be schema-qualified (SCHEMA.TABLE); each part must be a
+    # plain identifier
+    if not all(ident.match(part) for part in table.split(".")) or not table:
+        raise ValueError(
+            f"table must be a plain (optionally schema-qualified) SQL "
+            f"identifier, got {table!r}")
+    if not ident.match(watermark_col):
+        raise ValueError(
+            f"watermark_col must be a plain SQL identifier, got "
+            f"{watermark_col!r}")
     stmt = (f'SELECT * FROM {table} '
             f'WHERE "{watermark_col}" > {since}')
     return (spark.read.format("jdbc")

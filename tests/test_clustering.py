@@ -187,6 +187,43 @@ def test_optimize_retrofits_zorder_onto_unclustered_table(spark, tmp_path):
     assert t._meta()["cluster"] == {"by": ["a", "b"], "mode": "zorder"}
 
 
+def test_zorder_on_date_column_commits_and_sorts(spark, tmp_path):
+    """DATE is whitelisted as zorder-clusterable, but Spark rejects a
+    direct DATE->BIGINT cast — the writer must lower dates to epoch
+    days (regression: validation passed, then every commit crashed at
+    staging time)."""
+    import datetime
+
+    rows = [Row(id=i, d=datetime.date(2020, 1, 1)
+                + datetime.timedelta(days=(i * 37) % 365),
+                b=(i * 59) % 97) for i in range(200)]
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4,
+                   cluster_by=["d", "b"], cluster_mode="zorder")
+    t.apply_mutations(spark.createDataFrame(rows), "INSERT")
+    assert t.read().count() == 200
+
+    epoch = datetime.date(1970, 1, 1)
+    days = [(r.d - epoch).days for r in rows]
+    bs = [r.b for r in rows]
+    lo1, hi1, lo2, hi2 = min(days), max(days), min(bs), max(bs)
+
+    def z(d, b):
+        d1 = ((d - lo1) * 65535) // max(hi1 - lo1, 1)
+        d2 = ((b - lo2) * 65535) // max(hi2 - lo2, 1)
+        out = 0
+        for i in range(16):
+            out |= ((d1 >> i) & 1) << (2 * i + 1)
+            out |= ((d2 >> i) & 1) << (2 * i)
+        return out
+
+    files = _data_files(t.path)
+    assert files
+    for f in files:
+        zs = [z((d - epoch).days, b)
+              for d, b in _file_rows(spark, f, ["d", "b"])]
+        assert zs == sorted(zs), f"{f} not in Z-order"
+
+
 def test_optimize_none_removes_clustering(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2,
                    cluster_by=["a"], cluster_mode="linear")

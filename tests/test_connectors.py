@@ -258,3 +258,24 @@ def test_jdbc_incremental_pull_rejects_non_numeric_watermark(spark):
     for bad in ("0 OR 1=1", None, True, [1]):
         with pytest.raises(TypeError, match="watermark must be a number"):
             read_jdbc_since(spark, "jdbc:derby:memory:x", "T", "c", bad)
+
+
+def test_jdbc_incremental_pull_rejects_non_identifier_names(spark):
+    """``table`` and ``watermark_col`` also reach the pushed statement
+    straight from CLI argv — both must be plain SQL identifiers, or a
+    crafted name rides the statement as injected SQL."""
+    import pytest
+
+    from dataflowtemplates_spark.sources.connectors import read_jdbc_since
+    url = "jdbc:derby:memory:x"
+    for bad_table in ("T; DROP TABLE U", 'T" --', "T WHERE 1=1", "",
+                      "a..b", "1T"):
+        with pytest.raises(ValueError, match="identifier"):
+            read_jdbc_since(spark, url, bad_table, "c", 0)
+    for bad_col in ('c" > 0 OR "1"="1', "c; --", "c c", ""):
+        with pytest.raises(ValueError, match="identifier"):
+            read_jdbc_since(spark, url, "T", bad_col, 0)
+    # schema-qualified names remain legal
+    import re
+    assert all(re.match(r"[A-Za-z_][A-Za-z0-9_]*$", p)
+               for p in "APP.NAT".split("."))
