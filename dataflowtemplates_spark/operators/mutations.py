@@ -8,11 +8,11 @@ the job) — templates/SpannerToSpanner.java:109-121, op dispatch at
 util/converter/StructToMutationConverter.java:152-167, delete-key build
 at `:112-150`.
 
-Spark-first equivalent: a parquet-directory-backed keyed table (the
-local stand-in for a Spanner table; a Delta/Iceberg MERGE or JDBC
-connector slots into the same seam) with join-based conflict detection
-*before* the write — that is how per-row failure isolation works
-without a transactional store:
+Spark-first equivalent: a parquet-backed keyed table (the local
+stand-in for a Spanner table; a Delta/Iceberg MERGE or JDBC connector
+slots into the same seam) with join-based conflict detection *before*
+the write — that is how per-row failure isolation works without a
+transactional store:
 
 * INSERT          — key already present  -> quarantined (AlreadyExists)
 * UPDATE          — key absent           -> quarantined (NotFound)
@@ -28,48 +28,62 @@ Duplicate keys within one batch mirror Spanner's "multiple mutations
 for the same row in one commit" error: one row (deterministically the
 first by batch order hash) applies, the rest quarantine.
 
-STORAGE LAYOUT — hash-bucketed, rewrite-pruned. The table directory is
-Hive-partitioned on ``kb = pmod(xxhash64(key cols), n_buckets)``::
+STORAGE LAYOUT — log-structured, immutable data, hash-bucket pruned.
+The table directory holds a commit log of tiny JSON objects plus
+per-commit immutable data directories::
 
     table/
-      kb=0/part-*.parquet      # bucket 0, current version
-      kb=7/part-*.parquet
-      _meta.json               # n_buckets, key cols, schema, retention
-      _commits.json            # [{version, time, buckets: [..]}, ...]
-      _history/v-00003/kb=7/   # bucket 7's files as they stood at v3
-                               #   (i.e. commit 4 touched bucket 7)
+      _log/00000000000000000001.json        # commit objects (the log)
+      _log/00000000000000000010.ckpt.json   # folded state, every 10th
+      data/v00002-3fa9c1d2/kb=0/part-*.parquet   # commit 2's files
+      data/v00005-77be01aa/kb=7/part-*.parquet   # commit 5's files
 
-A key's bucket is a pure function of its value, so a mutation batch
-can only ever touch the buckets its keys hash into: conflict detection
-reads ONLY those buckets (partition-pruned scan), and the commit
-rewrites ONLY those buckets — every other bucket's data files are left
-byte-identical on disk. A 1-row upsert into a 100 TB table therefore
-costs O(table / n_buckets), not O(table) — the same economics as the
+Each commit object records {version, time, buckets touched, data dir,
+buckets with data, full table config}. Data directories are IMMUTABLE:
+a commit stages its rewritten buckets into a fresh uniquely-named
+directory and the log entry — never a rename — is what publishes it.
+Bucket ``k``'s current files live in the data dir of the LAST commit
+that touched ``k``; resolving any snapshot is a pure fold over commit
+metadata (accelerated by the periodic checkpoint objects, exactly
+Delta's ``_last_checkpoint`` economics), and ``read_at`` timestamp
+bounds stay honest for free because superseded files are never moved
+or deleted until ``vacuum`` reclaims versions below the retention
+floor recorded in the log.
+
+A key's bucket is a pure function of its value
+(``pmod(xxhash64(keys), n_buckets)``), so a mutation batch can only
+ever touch the buckets its keys hash into: conflict detection reads
+ONLY those buckets' current files (path-level pruning — untouched
+buckets are not even listed), and the commit rewrites ONLY those
+buckets. A 1-row upsert into a 100 TB table therefore costs
+O(table / n_buckets), not O(table) — the same economics as the
 reference's batched Spanner mutations (SpannerToSpanner.java:109-114
-never rewrites the table) and as a Delta/Iceberg MERGE, whose commit
-log is this seam hardened. Superseded bucket directories move (never
-delete) into ``_history/v-NNNNN/``, so `read_at` timestamp bounds stay
-honest; `vacuum(keep_last=N)` reclaims history beyond a retention
-window with an explicit floor recorded in `_meta.json`.
+never rewrites the table) and as a Delta/Iceberg MERGE.
 
-Every mutation call returns a MutationResult carrying the applied count
-and the quarantine DataFrame (K8); `write_failure_count` renders K10's
-count notification file.
-
-Scale: conflict detection is one shuffle join on the key columns (AQE
-handles skew) against the pruned bucket slice.
-
-CONCURRENCY — optimistic, enforced. Each mutation records the commit
-version its reads are based on; the directory swap + log append run
-under an exclusive O_EXCL lock sentinel and CAS-check that the log
-still sits at that base version. A concurrent second writer fails
-cleanly with :class:`ConcurrentWriteError` (no interleaved moves, no
-silently lost version) and can retry against the new state — the same
-optimistic protocol a Delta/Iceberg commit log provides, which is the
-documented seam at object-store scale (the reference delegates this to
-Spanner's transactions, SpannerToSpanner.java:109-114). Table CREATION
-remains first-writer-wins without the lock (create() is an idempotent
-IF NOT EXISTS).
+CONCURRENCY — optimistic, lock-free, object-store ready. Committing
+version N+1 means atomically creating the log object
+``_log/{N+1}.json`` with a *conditional put* (create-if-absent):
+exactly one writer can win each version, so the put IS the
+compare-and-swap — there is no lock, no lock to orphan, and no window
+between "check" and "publish". Versions are dense, so a writer whose
+reads are based on version N either wins N+1 or finds it taken and
+fails cleanly with :class:`ConcurrentWriteError` (its staged directory
+is private and is deleted; no interleaved state is possible). Readers
+get snapshot isolation for free: the files a version references are
+immutable, so a commit landing mid-scan changes nothing under a
+running query. The conditional put comes from ``fsio.create_exclusive``
+— OS ``O_EXCL`` on local/HDFS-like paths, and the store's public
+conditional-write API on object stores (S3 ``If-None-Match: *`` / GCS
+``if-generation-match: 0``) via ``fsio.register_object_backend``; an
+unregistered scheme fails fast BEFORE any Spark work, never silently.
+This is the same protocol a Delta commit log runs (the reference
+delegates the equivalent guarantee to Spanner's transactions,
+SpannerToSpanner.java:109-114). Table CREATION is first-writer-wins on
+commit object 1 (create() is an idempotent IF NOT EXISTS); config
+changes (rebucket / optimize / schema evolution / vacuum retention)
+ride the SAME commit object as the version bump, so a config change
+and its version advance are one atomic publish — a concurrent writer
+staged against the old layout simply loses the CAS.
 """
 
 from __future__ import annotations
@@ -89,13 +103,19 @@ VALID_OPS = ("INSERT", "UPDATE", "REPLACE", "INSERT_OR_UPDATE", "DELETE")
 
 _ERR_COL = "_error"
 _BUCKET_COL = "kb"  # no underscore: Spark's file index hides _-prefixed dirs
+#: fold checkpoint cadence: every K-th commit also writes a
+#: .ckpt.json with the fully folded bucket->dir map, so opening a
+#: long-lived table reads O(K) log objects, not O(commits) — Delta's
+#: checkpoint economics.
+_CKPT_EVERY = 10
 
 
 class ConcurrentWriteError(RuntimeError):
-    """A second writer raced this commit: either the commit lock was
-    held, or the commit log advanced past the version this mutation
-    was computed against (lost-update prevention). The mutation did
-    NOT apply; retry against the new table state."""
+    """A second writer raced this commit: the commit log advanced past
+    the version this mutation was computed against (the conditional
+    put on the next version's log object found it already taken —
+    lost-update prevention). The mutation did NOT apply; retry against
+    the new table state."""
 
 
 @dataclass
@@ -157,19 +177,16 @@ def _zorder_bigint_expr(schema: T.StructType, col: str) -> str:
     return f"cast({col} as bigint)"
 
 
-#: sentinel: _commit_buckets clusters per the live meta unless the
-#: caller (optimize) overrides with the layout it is switching TO
-_USE_META = object()
-
-
 class KeyedTable:
-    """Hash-bucketed parquet keyed table (local Spanner stand-in).
+    """Hash-bucketed, log-structured parquet keyed table (the local
+    Spanner stand-in; see module docstring for the commit protocol).
 
     ``n_buckets`` sizes the rewrite granularity: a mutation commit
     rewrites only the buckets its keys hash into, so at scale pick
     n_buckets ~ table_bytes / desired_rewrite_bytes (thousands for a
-    100 TB table). The value is fixed at table creation and recorded in
-    ``_meta.json``; readers always use the stored value.
+    100 TB table). The value is fixed at table creation, recorded in
+    every commit object, and changed only by ``rebucket``; readers
+    always use the logged value.
     """
 
     def __init__(self, spark: SparkSession, path: str,
@@ -187,11 +204,11 @@ class KeyedTable:
         self.keys = list(key_fields)
         self._default_n_buckets = int(n_buckets)
         #: Within-bucket file clustering, fixed at creation like
-        #: n_buckets and recorded in _meta.json: every commit's staged
-        #: files come out sorted by the cluster key ("linear": the
-        #: columns in order; "zorder": the Morton interleave of two
-        #: numeric columns, min/max-normalized per rewritten slice —
-        #: Delta OPTIMIZE ZORDER economics). Readers then skip files /
+        #: n_buckets and recorded in every commit object: staged files
+        #: come out sorted by the cluster key ("linear": the columns in
+        #: order; "zorder": the Morton interleave of two numeric
+        #: columns, min/max-normalized per rewritten slice — Delta
+        #: OPTIMIZE ZORDER economics). Readers then skip files /
         #: row groups on the clustered columns via parquet min-max
         #: stats; q171 measures what that buys.
         self._default_cluster = (
@@ -203,23 +220,70 @@ class KeyedTable:
         #: semantics); with it off (default) they are dropped at the
         #: boundary, mirroring the STRUCT/nested-array skip.
         self.schema_evolution = bool(schema_evolution)
+        #: log objects are immutable once written, so parsed entries
+        #: cache forever (keyed by full path)
+        self._log_cache: dict[str, dict] = {}
 
-    # -- metadata --------------------------------------------------------
-    # All metadata and directory commits go through pyarrow.fs
-    # (operators/fsio.py), so the table works on any rename-capable
-    # filesystem (local, file://, hdfs://). Object stores lack atomic
-    # directory rename — there the same public API commits through a
-    # log-based table format (the documented Delta/Iceberg seam).
-    def _meta_path(self) -> str:
-        return posixpath.join(self.path, "_meta.json")
+    # -- commit log --------------------------------------------------------
+    # All metadata I/O goes through pyarrow.fs / registered object-store
+    # backends (operators/fsio.py); data files are written by Spark and
+    # published by the log, never renamed — so the table works on any
+    # filesystem whose scheme supports (or registers) an atomic
+    # conditional put.
+    def _log_dir(self) -> str:
+        return posixpath.join(self.path, "_log")
+
+    def _entry_path(self, version: int) -> str:
+        return posixpath.join(self._log_dir(), f"{version:020d}.json")
+
+    def _ckpt_path(self, version: int) -> str:
+        return posixpath.join(self._log_dir(), f"{version:020d}.ckpt.json")
+
+    def _log_names(self) -> list[str]:
+        if not fsio.is_dir(self._log_dir()):
+            return []
+        return fsio.list_dir(self._log_dir())
+
+    def _read_log_json(self, path: str) -> dict:
+        hit = self._log_cache.get(path)
+        if hit is None:
+            hit = json.loads(fsio.read_bytes(path))
+            self._log_cache[path] = hit
+        return hit
+
+    def _latest_version(self) -> int:
+        versions = [int(n.split(".", 1)[0]) for n in self._log_names()
+                    if n.endswith(".json") and not n.endswith(".ckpt.json")]
+        return max(versions, default=0)
+
+    def _commits(self) -> list[dict]:
+        """All commit entries, oldest first. Entries are immutable and
+        tiny; they cache per instance, so repeated calls re-list the
+        log directory but re-read nothing."""
+        names = sorted(n for n in self._log_names()
+                       if n.endswith(".json")
+                       and not n.endswith(".ckpt.json"))
+        return [self._read_log_json(posixpath.join(self._log_dir(), n))
+                for n in names]
+
+    def _config_at(self, version: int) -> dict:
+        """Table config (n_buckets / keys / schema / cluster /
+        retention floor) as of ``version`` — read from that version's
+        immutable commit object, so the result is race-free by
+        construction."""
+        return self._read_log_json(self._entry_path(version))["config"]
 
     def _meta(self) -> dict:
-        return json.loads(fsio.read_bytes(self._meta_path()))
-
-    def _write_meta(self, meta: dict) -> None:
-        tmp = posixpath.join(self.path, "._meta.tmp")
-        fsio.write_bytes(tmp, json.dumps(meta).encode())
-        fsio.move(tmp, self._meta_path())
+        """Current table config (latest commit object's). Kept under
+        the historical name: callers treat it as the live metadata
+        record."""
+        v = self._latest_version()
+        if v < 1:
+            raise FileNotFoundError(f"table not initialized: {self.path}")
+        cfg = dict(self._config_at(v))
+        if cfg.get("cluster") is None:
+            cfg.pop("cluster", None)
+        return cfg
 
     def _schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._meta()["schema"]))
@@ -228,147 +292,115 @@ class KeyedTable:
         return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
                       F.lit(n_buckets)).cast("int")
 
-    def _commits(self) -> list[dict]:
-        log = posixpath.join(self.path, "_commits.json")
-        if not fsio.exists(log):
-            return []
-        return json.loads(fsio.read_bytes(log))
+    def _owners(self, version: int) -> dict[int, str | None]:
+        """bucket id -> data dir name whose files hold that bucket's
+        rows at ``version`` (None: bucket currently empty). A pure
+        metadata fold: start from the latest checkpoint object at or
+        below ``version`` and apply the commit entries after it —
+        O(_CKPT_EVERY) object reads regardless of table age."""
+        ckpts = sorted(
+            int(n.split(".", 1)[0]) for n in self._log_names()
+            if n.endswith(".ckpt.json")
+            and int(n.split(".", 1)[0]) <= version)
+        owners: dict[int, str | None] = {}
+        start = 0
+        if ckpts:
+            ck = self._read_log_json(self._ckpt_path(ckpts[-1]))
+            owners = {int(b): d for b, d in ck["owners"].items()}
+            start = int(ck["version"])
+        for v in range(start + 1, version + 1):
+            e = self._read_log_json(self._entry_path(v))
+            present = set(int(b) for b in e.get("present", []))
+            for b in e.get("buckets", []):
+                owners[int(b)] = e["dir"] if int(b) in present else None
+        return owners
 
-    def _append_commit(self, buckets: list[int],
-                       expected_version: int | None = None) -> None:
-        """Append a commit entry with a strictly monotonic timestamp.
+    def _commit_entry(self, version: int, buckets: list[int],
+                      dirname: str | None, present: list[int],
+                      config: dict) -> None:
+        """Publish a commit: conditional-put the version's log object.
+        The put failing means another writer already holds this
+        version — the CAS loss, surfaced as ConcurrentWriteError.
 
-        Commit times are the read_at contract's key: two commits landing
-        in the same microsecond would make both bounds resolve to the
-        later version, so a non-advancing clock is bumped 1µs past the
-        prior commit.
-
-        ``expected_version`` is the optimistic-concurrency check (CAS):
-        when given, the log's last version must still equal it — a
-        mismatch means another writer committed since this mutation
-        read its base state, and appending would silently lose that
-        writer's commit. Callers hold the commit lock around the
-        check+write (see `_commit_buckets`)."""
+        Commit times are the read_at contract's key: two commits
+        landing in the same microsecond would make both bounds resolve
+        to the later version, so a non-advancing clock is bumped 1µs
+        past the prior commit (the prior entry is immutable — reading
+        it is race-free)."""
         from datetime import datetime, timedelta, timezone
-        commits = self._commits()
-        if expected_version is not None:
-            last = commits[-1]["version"] if commits else 0
-            if last != expected_version:
-                raise ConcurrentWriteError(
-                    f"commit log at {self.path} advanced to version "
-                    f"{last} while this mutation was computed against "
-                    f"version {expected_version}; retry")
         now = datetime.now(timezone.utc)
-        if commits:
-            prev = datetime.fromisoformat(commits[-1]["time"])
+        if version > 1:
+            prev = datetime.fromisoformat(
+                self._read_log_json(self._entry_path(version - 1))["time"])
             if now <= prev:
                 now = prev + timedelta(microseconds=1)
-        commits.append(
-            {"version": (commits[-1]["version"] + 1) if commits else 1,
-             "time": now.isoformat(),
-             "buckets": sorted(int(b) for b in buckets)})
-        tmp_log = posixpath.join(self.path, "._commits.tmp")
-        fsio.write_bytes(tmp_log, json.dumps(commits).encode())
-        fsio.move(tmp_log, posixpath.join(self.path, "_commits.json"))
-
-    # -- single-writer enforcement ----------------------------------------
-    def _lock_path(self) -> str:
-        return posixpath.join(self.path, "_commit.lock")
-
-    def _require_lockable(self) -> None:
-        """Reject object-store paths BEFORE any Spark work runs: the
-        commit protocol's single-writer sentinel needs an atomic
-        create-exclusive, which pyarrow's object-store layer degrades
-        to check-then-write. Called fail-fast at mutation entry (so an
-        expensive staging job is never run and discarded) and again by
-        the lock itself."""
-        if "://" in self.path and not self.path.startswith("file://"):
-            raise NotImplementedError(
-                "KeyedTable single-writer commit enforcement requires an "
-                "atomic create-exclusive, which object-store paths do not "
-                f"provide ({self._lock_path()}); use a log-based table "
-                "format (Delta/Iceberg) for object-store deployments")
-
-    def _acquire_commit_lock(self) -> None:
-        """Take the exclusive commit lock (O_EXCL sentinel). Failing to
-        take it means another writer is mid-commit — fail cleanly
-        rather than interleave directory moves with theirs.
-
-        Scheme (object-store) paths are rejected outright: pyarrow's
-        create-exclusive there degrades to check-then-write, which is
-        NOT exclusive — two writers could both "acquire" it and
-        interleave history moves. Single-writer enforcement on object
-        stores belongs to a log-based table format's conditional-put
-        commit (the documented Delta/Iceberg seam), not this
-        sentinel."""
-        import os
-        from datetime import datetime, timezone
-        self._require_lockable()
-        payload = json.dumps({
-            "pid": os.getpid(),
-            "time": datetime.now(timezone.utc).isoformat()}).encode()
-        if not fsio.create_exclusive(self._lock_path(), payload):
-            # best-effort holder info: the winner may release the lock
-            # between our failed create and this read
-            try:
-                held = fsio.read_bytes(
-                    self._lock_path()).decode(errors="replace")
-            except OSError:
-                held = "holder unknown: lock released mid-read"
+        entry = {
+            "version": int(version),
+            "time": now.isoformat(),
+            "buckets": sorted(int(b) for b in buckets),
+            "dir": dirname,
+            "present": sorted(int(b) for b in present),
+            "config": config,
+        }
+        if not fsio.create_exclusive(self._entry_path(version),
+                                     json.dumps(entry).encode()):
             raise ConcurrentWriteError(
-                f"commit lock already held at {self._lock_path()} "
-                f"({held}); a concurrent writer is mid-commit "
-                f"(force_unlock() clears a lock orphaned by a crash)")
+                f"commit log at {self.path} advanced to version "
+                f"{version} (or beyond) while this mutation was computed "
+                f"against version {version - 1}; retry")
+        self._log_cache[self._entry_path(version)] = entry
+        if version % _CKPT_EVERY == 0:
+            # only the version's winner reaches this, so the object is
+            # written once; content is a pure function of the immutable
+            # log prefix
+            ck = {"version": int(version),
+                  "owners": {str(b): d
+                             for b, d in self._owners(version).items()},
+                  "config": config}
+            fsio.create_exclusive(self._ckpt_path(version),
+                                  json.dumps(ck).encode())
 
-    def _release_commit_lock(self) -> None:
-        if fsio.exists(self._lock_path()):
-            fsio.delete_file(self._lock_path())
-
-    def force_unlock(self) -> None:
-        """Administrative: clear a commit lock orphaned by a crashed
-        writer. Never call while a writer is live."""
-        self._release_commit_lock()
+    def _require_conditional_put(self) -> None:
+        """Fail BEFORE any Spark work runs if the table path's scheme
+        cannot perform the commit CAS: local/file paths use OS O_EXCL;
+        object-store schemes need a registered conditional-put backend
+        (fsio.register_object_backend — S3 If-None-Match / GCS
+        if-generation-match). An expensive staging job must never run
+        only to discover the commit cannot be published atomically."""
+        if not fsio.supports_conditional_put(self._entry_path(1)):
+            raise fsio.ConditionalPutUnsupported(
+                "KeyedTable commits require an atomic conditional put "
+                f"for {self._log_dir()!r}: register an object-store "
+                "backend for this scheme via "
+                "fsio.register_object_backend (S3 If-None-Match / GCS "
+                "if-generation-match), or use a log-based table format "
+                "(Delta/Iceberg) whose connector provides the same CAS")
 
     def _base_version(self) -> int:
         """The version this mutation's reads are based on — the CAS
-        token `_commit_buckets` later verifies under the lock."""
-        commits = self._commits()
-        return commits[-1]["version"] if commits else 0
+        token `_commit_buckets` later spends on the conditional put."""
+        return self._latest_version()
 
     # -- read ------------------------------------------------------------
     def exists(self) -> bool:
-        return fsio.exists(self._meta_path())
+        return self._latest_version() >= 1
 
     def _bucket_dirs(self) -> list[str]:
-        if not fsio.is_dir(self.path):
-            return []
-        return [fn for fn in fsio.list_dir(self.path)
-                if fn.startswith(f"{_BUCKET_COL}=")]
+        """Bucket ids currently holding data, as ``kb=N`` names."""
+        return [f"{_BUCKET_COL}={b}"
+                for b, d in sorted(self._owners(
+                    self._latest_version()).items())
+                if d is not None]
 
     def read(self) -> DataFrame:
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        schema = self._schema()
-        if not self._bucket_dirs():
-            return self.spark.createDataFrame([], schema)
-        full = T.StructType(
-            list(schema.fields)
-            + [T.StructField(_BUCKET_COL, T.IntegerType())])
-        return (self.spark.read.schema(full).parquet(self.path)
-                .drop(_BUCKET_COL))
+        return self._snapshot(self._latest_version())
 
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
-        """Current state of the given buckets only — the partition-
-        pruned slice a mutation batch joins against."""
-        schema = self._schema()
-        if not buckets or not self._bucket_dirs():
-            return self.spark.createDataFrame([], schema)
-        full = T.StructType(
-            list(schema.fields)
-            + [T.StructField(_BUCKET_COL, T.IntegerType())])
-        return (self.spark.read.schema(full).parquet(self.path)
-                .filter(F.col(_BUCKET_COL).isin([int(b) for b in buckets]))
-                .drop(_BUCKET_COL))
+        """Current state of the given buckets only — the path-pruned
+        slice a mutation batch joins against."""
+        return self._snapshot(self._latest_version(), buckets)
 
     def _resolve_version(self, timestamp_bound: str) -> int:
         """Timestamp bound -> version id (last commit at or before the
@@ -384,7 +416,8 @@ class KeyedTable:
                 f"table's first commit at {commits[0]['time']}")
         version = visible[-1]["version"]
         if version < commits[-1]["version"]:
-            floor = int(self._meta().get("min_retained_version", 1))
+            floor = int(commits[-1]["config"].get(
+                "min_retained_version", 1))
             if version < floor:
                 raise ValueError(
                     f"timestamp bound {timestamp_bound!r} resolves to "
@@ -395,41 +428,21 @@ class KeyedTable:
     def _snapshot(self, version: int,
                   only_buckets: list[int] | None = None) -> DataFrame:
         """The table state at ``version``, optionally restricted to a
-        bucket subset. Resolution is commit-log metadata only: bucket
-        ``k``'s content at version N was written by the last commit
-        T <= N that touched k; those files sit in the current directory
-        if no later commit touched k, else in ``_history/v-{T'-1}``
-        where T' is the first touch after N. No data is scanned to
+        bucket subset. Resolution is commit-log metadata only (the
+        `_owners` fold); the scan's path list contains EXACTLY the
+        requested buckets' current leaf directories — pruning happens
+        before the file index is even built, and no data is scanned to
         resolve a snapshot."""
-        commits = self._commits()
-        if version == commits[-1]["version"]:
-            return (self.read() if only_buckets is None
-                    else self._read_buckets(only_buckets))
-        only = None if only_buckets is None else {int(b)
-                                                 for b in only_buckets}
-        touches: dict[int, list[int]] = {}
-        for c in commits:
-            for b in c.get("buckets", []):
-                touches.setdefault(int(b), []).append(c["version"])
-        leaf_dirs = []
-        for b, ts_list in touches.items():
-            if only is not None and b not in only:
-                continue
-            if not any(v <= version for v in ts_list):
-                continue  # bucket did not exist yet at this version
-            later = [v for v in ts_list if v > version]
-            if later:
-                d = posixpath.join(self.path, "_history",
-                                   f"v-{min(later) - 1:05d}",
-                                   f"{_BUCKET_COL}={b}")
-            else:
-                d = posixpath.join(self.path, f"{_BUCKET_COL}={b}")
-            if fsio.is_dir(d):
-                leaf_dirs.append(d)
+        owners = self._owners(version)
+        only = (None if only_buckets is None
+                else {int(b) for b in only_buckets})
+        leafs = [posixpath.join(self.path, "data", d, f"{_BUCKET_COL}={b}")
+                 for b, d in sorted(owners.items())
+                 if d is not None and (only is None or b in only)]
         schema = self._schema()
-        if not leaf_dirs:
+        if not leafs:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*leaf_dirs)
+        return self.spark.read.schema(schema).parquet(*leafs)
 
     def read_at(self, timestamp_bound: str) -> DataFrame:
         """Snapshot read at an exact-staleness timestamp bound — the
@@ -448,8 +461,8 @@ class KeyedTable:
         upsert that leaves a row value-identical is not a change.
 
         Scale shape: the commit log names the buckets touched between
-        the two versions, so BOTH snapshots are read partition-pruned
-        to that subset — a CDC pull after a small mutation window reads
+        the two versions, so BOTH snapshots are read path-pruned to
+        that subset — a CDC pull after a small mutation window reads
         O(changed buckets), never O(table). The diff itself is one
         full-outer key join between the two pruned slices (AQE handles
         skew); the four change classes are selects over that single
@@ -509,25 +522,30 @@ class KeyedTable:
     def create(self, df_schema_source: DataFrame) -> None:
         """CREATE TABLE IF NOT EXISTS from a DataFrame's schema
         (reference R12: auto-create before first write,
-        SpannerTablePrepareDoFn.java:44-159)."""
+        SpannerTablePrepareDoFn.java:44-159). First-writer-wins on
+        commit object 1; a racing creator simply finds the table
+        created."""
         if self.exists():
             return
+        self._require_conditional_put()
         src = df_schema_source
         skipped = self._unstorable_columns(src)
         if skipped:
             src = src.drop(*skipped)
-        meta = {
+        config = {
             "n_buckets": self._default_n_buckets,
             "keys": self.keys,
             "schema": src.schema.json(),
+            "cluster": self._default_cluster,
             "min_retained_version": 1,
         }
         if self._default_cluster:
             _validate_cluster_columns(self._default_cluster, src.schema)
-            meta["cluster"] = self._default_cluster
-        fsio.mkdirs(self.path)
-        self._write_meta(meta)
-        self._append_commit([])
+        fsio.mkdirs(self._log_dir())
+        try:
+            self._commit_entry(1, [], None, [], config)
+        except ConcurrentWriteError:
+            pass  # IF NOT EXISTS: the racing creator's table stands
 
     def _evolve_schema(self, batch: DataFrame) -> None:
         """Extend the stored schema with storable batch columns it
@@ -536,32 +554,35 @@ class KeyedTable:
         under the explicit read schema, exactly Delta's mergeSchema
         economics.
 
-        The read-modify-write of the schema runs under the commit lock:
-        two concurrent writers evolving DIFFERENT columns would
-        otherwise each union against the same base and the second write
-        would drop the first's column — and since the column-dropping
-        writer can be the one that LOSES the commit CAS, the winner's
-        committed data could end up with a column the stored schema no
-        longer projects (invisible data). Lock-serialized unions make
-        every evolution additive over the latest state."""
-        # cheap unlocked pre-check: the common no-new-columns case
-        # must not pay a lock round-trip per mutation
+        The evolution is its own data-free commit, so it CASes like any
+        other: two concurrent writers evolving DIFFERENT columns each
+        union against the entry they read, and the loser retries
+        against the winner's already-extended schema — every evolution
+        is additive over the latest state, never a lost column."""
+        # cheap pre-check: the common no-new-columns case must not pay
+        # a commit per mutation
         have = {f.name for f in self._schema().fields}
         if all(f.name in have for f in batch.schema.fields):
             return
-        self._acquire_commit_lock()
-        try:
-            stored = self._schema()
-            have = {f.name for f in stored.fields}
-            new = [f for f in batch.schema.fields if f.name not in have]
+        for _ in range(5):
+            v = self._latest_version()
+            cfg = self._config_at(v)
+            stored = T.StructType.fromJson(json.loads(cfg["schema"]))
+            names = {f.name for f in stored.fields}
+            new = [f for f in batch.schema.fields if f.name not in names]
             if not new:
                 return
-            meta = self._meta()
-            meta["schema"] = T.StructType(
+            evolved = dict(cfg)
+            evolved["schema"] = T.StructType(
                 list(stored.fields) + new).json()
-            self._write_meta(meta)
-        finally:
-            self._release_commit_lock()
+            try:
+                self._commit_entry(v + 1, [], None, [], evolved)
+                return
+            except ConcurrentWriteError:
+                continue  # a rival commit landed: re-read and retry
+        raise ConcurrentWriteError(
+            f"schema evolution at {self.path} lost the commit CAS 5 "
+            "times in a row; retry under less write contention")
 
     # -- mutations -------------------------------------------------------
     def apply_mutations(self, batch: DataFrame, op: str) -> MutationResult:
@@ -628,11 +649,11 @@ class KeyedTable:
         INSERT/UPDATE fold applied-count + actually-rewritten-bucket
         set into ONE aggregate job on ``applies``, then rewrite ONLY
         the buckets an applying row hashes into — a bucket whose batch
-        rows all quarantined is never rewritten nor history-moved, and
-        an all-conflict batch commits as a data-free log entry with no
-        staging write at all. REPLACE/INSERT_OR_UPDATE apply every
-        kept row by definition, so their applied count is the
-        checkpoint metric and no extra job runs."""
+        rows all quarantined is never rewritten, and an all-conflict
+        batch commits as a data-free log entry with no staging write
+        at all. REPLACE/INSERT_OR_UPDATE apply every kept row by
+        definition, so their applied count is the checkpoint metric
+        and no extra job runs."""
         from pyspark.sql import Observation
         skipped = self._unstorable_columns(batch)
         if skipped:
@@ -642,17 +663,18 @@ class KeyedTable:
                 "(STRUCT / nested ARRAY at the keyed-table boundary)",
                 skipped)
             batch = batch.drop(*skipped)
-        self._require_lockable()  # fail BEFORE any Spark job runs
+        self._require_conditional_put()  # fail BEFORE any Spark job runs
         self.create(batch)
         if self.schema_evolution:
             self._evolve_schema(batch)
-        # base_version BEFORE n_buckets: rebucket appends its commit and
-        # THEN updates _meta (both under the lock), so "meta shows new
-        # n_buckets" implies "version advanced". Reading in this order
-        # makes any interleaving with a rebucket either consistent or a
-        # clean CAS failure — never a stale-layout write that passes.
+        # base_version's commit object also carries the config this
+        # mutation reads (n_buckets / schema / cluster) — ONE immutable
+        # record, so there is no version-vs-layout read-ordering race
+        # by construction (a concurrent rebucket bumps the version and
+        # this writer's CAS on base+1 simply fails).
         base_version = self._base_version()
-        n_buckets = int(self._meta()["n_buckets"])
+        cfg = self._config_at(base_version)
+        n_buckets = int(cfg["n_buckets"])
         good, null_q = self._null_key_split(batch)
         keep, dup_q = self._dedupe_batch(good)
         # materialize once: the window over monotonically_increasing_id
@@ -667,7 +689,10 @@ class KeyedTable:
         keep = keep.localCheckpoint(eager=True)
         touched = sorted(int(b) for b in keep_obs.get["bks"])
         keep_n = int(keep_obs.get["n"])
-        target = self._read_buckets(touched)
+        # snapshot-isolated: the base version's files are immutable, so
+        # this slice cannot shift under the merge even if a rival
+        # commits mid-flight (the CAS will catch that at publish time)
+        target = self._snapshot(base_version, touched)
 
         key_cols = [F.col(k) for k in self.keys]
         existing_keys = target.select(*key_cols).distinct()
@@ -695,7 +720,7 @@ class KeyedTable:
             # conflict row's key is absent from the PRUNED slice, so
             # an unfiltered anti-join would wrongly admit it.
             if rewrite != touched:
-                target = self._read_buckets(rewrite)
+                target = self._snapshot(base_version, rewrite)
                 existing_keys = target.select(*key_cols).distinct()
                 keep_rw = keep.filter(
                     self._bucket_expr(n_buckets)
@@ -719,15 +744,14 @@ class KeyedTable:
             new_slice = self._merge(
                 target, applies, keep_unspecified=(op != "REPLACE"))
 
-        # Materialize the quarantine BEFORE the commit: its lineage reads
-        # the pre-mutation bucket files, which the commit moves aside.
+        # Materialize the quarantine BEFORE the commit: callers hold it
+        # past temp-table teardown, and its lineage must not re-read
+        # table files a later vacuum may reclaim.
         quarantine = (null_q.unionByName(dup_q).unionByName(conflicts)
                       .localCheckpoint(eager=True))
         if applied_n == 0:
-            # nothing changed: data-free commit, no staging write, no
-            # history move — the no-op fast path
-            self._commit_buckets(self._read_buckets([]), [], n_buckets,
-                                 base_version)
+            # nothing changed: data-free commit, no staging write
+            self._commit_buckets(None, [], n_buckets, base_version)
         else:
             self._commit_buckets(new_slice, rewrite, n_buckets,
                                  base_version)
@@ -765,11 +789,10 @@ class KeyedTable:
         against a few-row table)."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        self._require_lockable()  # fail BEFORE any Spark job runs
-        # base_version before n_buckets — same rebucket-race ordering
-        # argument as _write
+        self._require_conditional_put()  # fail BEFORE any Spark job runs
         base_version = self._base_version()
-        n_buckets = int(self._meta()["n_buckets"])
+        cfg = self._config_at(base_version)
+        n_buckets = int(cfg["n_buckets"])
         keyed = batch.select(*self.keys)
         good, null_q = self._null_key_split(keyed)
         # hits is bounded by the batch's distinct keys; checkpointing it
@@ -781,12 +804,11 @@ class KeyedTable:
         touched = self._touched_buckets(hits, n_buckets)
         null_q = null_q.localCheckpoint(eager=True)
         if not touched:  # nothing to delete: data-free commit
-            self._commit_buckets(self._read_buckets([]), [], n_buckets,
-                                 base_version)
+            self._commit_buckets(None, [], n_buckets, base_version)
             return MutationResult(applied=0, quarantine=null_q)
-        target = self._read_buckets(touched)
+        target = self._snapshot(base_version, touched)
         # one job: deleted-row count + the buckets that actually change
-        # (mirrors _write's applies aggregate, mutations.py:556-563)
+        # (mirrors _write's applies aggregate)
         row = (target.join(hits, self.keys, "left_semi")
                .agg(F.count(F.lit(1)).alias("n"),
                     F.collect_set(self._bucket_expr(n_buckets))
@@ -796,22 +818,21 @@ class KeyedTable:
         rewrite = sorted(int(b) for b in row["bks"])
         if applied_n == 0:
             # every key missed: no bucket changes — data-free commit
-            self._commit_buckets(self._read_buckets([]), [], n_buckets,
-                                 base_version)
+            self._commit_buckets(None, [], n_buckets, base_version)
             return MutationResult(applied=0, quarantine=null_q)
         # join strategy left to AQE: hits is checkpointed with a known
         # size, so small delete batches broadcast and large ones shuffle
-        survivors = (self._read_buckets(rewrite)
+        survivors = (self._snapshot(base_version, rewrite)
                      .join(hits, self.keys, "left_anti"))
         self._commit_buckets(survivors, rewrite, n_buckets, base_version)
         return MutationResult(applied=applied_n, quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
     def _apply_clustering(self, staged: DataFrame,
-                          cluster_override=_USE_META) -> DataFrame:
+                          cluster: dict | None) -> DataFrame:
         """Sort the staged slice within each bucket partition by the
-        table's cluster key (meta ``cluster``, fixed at creation), so
-        every committed file carries tight parquet min/max stats on the
+        table's cluster key (from the commit config), so every
+        committed file carries tight parquet min/max stats on the
         clustered columns — the write-time purchase of read-time file
         and row-group skipping that q171 measures.
 
@@ -823,8 +844,6 @@ class KeyedTable:
         repartition, and the helper columns are projected away before
         the write (a projection preserves per-partition sort order).
         NULL cluster values sort first, deterministically."""
-        cluster = (self._meta().get("cluster")
-                   if cluster_override is _USE_META else cluster_override)
         if not cluster:
             return staged
         if cluster["mode"] == "linear":
@@ -847,111 +866,67 @@ class KeyedTable:
                 .sortWithinPartitions(_BUCKET_COL, "__zval")
                 .drop("__zlo1", "__zhi1", "__zlo2", "__zhi2", "__zval"))
 
-    def _commit_buckets(self, new_slice: DataFrame, touched: list[int],
-                        n_buckets: int,
-                        expected_version: int | None = None,
-                        on_commit=None, verify_layout: bool = True,
-                        cluster_override=_USE_META) -> None:
-        """Commit the rewritten slice: stage the new files for the
-        touched buckets, then — under the exclusive commit lock, with
-        the commit log CAS-checked against ``expected_version`` — move
-        the superseded bucket directories into ``_history/v-{prev}/``
-        (never delete — `read_at`'s contract), swap the staged
-        directories in, and append the commit-log entry. Buckets
-        outside ``touched`` are not read, moved, or rewritten — their
-        files stay byte-identical (`tests/test_mutations.py` pins
-        this). A concurrent second writer either fails to take the
-        lock or fails the CAS; it never interleaves moves or silently
-        drops a version. At real scale this seam is a Delta/Iceberg
-        commit (whose log provides the same CAS).
+    def _commit_buckets(self, new_slice: DataFrame | None,
+                        touched: list[int], n_buckets: int,
+                        expected_version: int,
+                        config_update: dict | None = None) -> None:
+        """Commit the rewritten slice: stage the touched buckets' new
+        files into a fresh immutable data directory (the expensive
+        Spark job — it runs against immutable inputs and touches only
+        its own private directory), then publish with ONE conditional
+        put on the next version's log object. Buckets outside
+        ``touched`` are not read or rewritten — their files stay
+        byte-identical on disk (`tests/test_mutations.py` pins this).
+        A concurrent second writer loses the CAS, deletes its private
+        staging directory, and raises :class:`ConcurrentWriteError` —
+        it can never interleave state or silently drop a version.
 
-        ``verify_layout`` (all callers except rebucket itself): under
-        the lock, the meta ``n_buckets`` must still equal the layout
-        this slice was hashed with. The read-order discipline alone
-        (base_version before n_buckets) is NOT sufficient — a writer
-        whose two unlocked reads BOTH land inside rebucket's locked
-        window (after its commit append, before its meta swap) sees
-        the advanced version with the old layout and would pass the
-        CAS; this in-lock check is what actually closes the race."""
-        if not touched:
-            self._acquire_commit_lock()
-            try:
-                self._append_commit([], expected_version)
-                if on_commit is not None:
-                    on_commit()
-            finally:
-                self._release_commit_lock()
-            return
-        staging = posixpath.join(
-            posixpath.dirname(self.path) or ".",
-            f".staging-{uuid.uuid4().hex[:8]}")
-        try:
-            # the staging write (the expensive Spark job) runs OUTSIDE
-            # the lock: it touches only the private staging directory
+        ``config_update`` (rebucket: n_buckets; optimize: cluster;
+        vacuum: retention floor) rides the same commit object, so a
+        layout change and its version advance are one atomic publish.
+        Without an update, ``n_buckets`` must match the base version's
+        config — a direct caller staging against a stale layout is
+        rejected before anything is published."""
+        base_cfg = self._config_at(expected_version)
+        if config_update is None and int(base_cfg["n_buckets"]) != n_buckets:
+            raise ConcurrentWriteError(
+                f"table at {self.path} was rebucketed to "
+                f"{int(base_cfg['n_buckets'])} buckets while this "
+                f"mutation was staged against {n_buckets}; retry")
+        cfg = dict(base_cfg)
+        if config_update:
+            cfg.update(config_update)
+        dirname = None
+        present: list[int] = []
+        if touched:
+            dirname = f"v{expected_version + 1:05d}-{uuid.uuid4().hex[:8]}"
+            data_dir = posixpath.join(self.path, "data", dirname)
             try:
                 staged = (new_slice
                           .withColumn(_BUCKET_COL,
                                       self._bucket_expr(n_buckets))
                           .repartition(len(touched), F.col(_BUCKET_COL)))
-                staged = self._apply_clustering(staged, cluster_override)
+                staged = self._apply_clustering(staged, cfg.get("cluster"))
                 (staged.write.mode("overwrite")
-                 .partitionBy(_BUCKET_COL).parquet(staging))
-            except Exception as exc:
-                # the slice's lineage lazily re-reads live bucket files;
-                # a rival commit mid-job moves those into _history, so
-                # the losing writer surfaces an opaque FileNotFound
-                # instead of the retry contract. Re-check the log and
-                # name the real cause.
-                if expected_version is not None:
-                    try:
-                        commits = self._commits()
-                        cur = commits[-1]["version"] if commits else 0
-                    except Exception:
-                        raise exc
-                    if cur != expected_version:
-                        raise ConcurrentWriteError(
-                            f"commit log at {self.path} advanced to "
-                            f"version {cur} during this mutation's "
-                            f"staging write (base version "
-                            f"{expected_version}); retry") from exc
+                 .partitionBy(_BUCKET_COL).parquet(data_dir))
+                present = [int(fn.split("=", 1)[1])
+                           for fn in fsio.list_dir(data_dir)
+                           if fn.startswith(f"{_BUCKET_COL}=")]
+            except Exception:
+                if fsio.exists(data_dir):
+                    fsio.delete_dir(data_dir)
                 raise
-            self._acquire_commit_lock()
-            try:
-                commits = self._commits()
-                prev_version = commits[-1]["version"]
-                if (expected_version is not None
-                        and prev_version != expected_version):
-                    raise ConcurrentWriteError(
-                        f"commit log at {self.path} advanced to version "
-                        f"{prev_version} while this mutation was computed "
-                        f"against version {expected_version}; retry")
-                if verify_layout:
-                    live_nb = int(self._meta()["n_buckets"])
-                    if live_nb != n_buckets:
-                        raise ConcurrentWriteError(
-                            f"table at {self.path} was rebucketed to "
-                            f"{live_nb} buckets while this mutation was "
-                            f"staged against {n_buckets}; retry")
-                hist = posixpath.join(self.path, "_history",
-                                      f"v-{prev_version:05d}")
-                for b in touched:
-                    cur = posixpath.join(self.path, f"{_BUCKET_COL}={b}")
-                    if fsio.is_dir(cur):
-                        fsio.mkdirs(hist)
-                        fsio.move(cur, posixpath.join(
-                            hist, f"{_BUCKET_COL}={b}"))
-                for fn in fsio.list_dir(staging):
-                    if fn.startswith(f"{_BUCKET_COL}="):
-                        fsio.move(posixpath.join(staging, fn),
-                                  posixpath.join(self.path, fn))
-                self._append_commit(touched, expected_version)
-                if on_commit is not None:
-                    on_commit()
-            finally:
-                self._release_commit_lock()
-        finally:
-            if fsio.exists(staging):
-                fsio.delete_dir(staging)
+        try:
+            self._commit_entry(expected_version + 1, touched, dirname,
+                               present, cfg)
+        except ConcurrentWriteError:
+            # CAS lost: the staged directory was never published —
+            # delete it and surface the retry contract
+            if dirname is not None:
+                data_dir = posixpath.join(self.path, "data", dirname)
+                if fsio.exists(data_dir):
+                    fsio.delete_dir(data_dir)
+            raise
 
     # -- maintenance -----------------------------------------------------
     def optimize(self, cluster_by: list[str] | None = None,
@@ -959,41 +934,26 @@ class KeyedTable:
         """Delta ``OPTIMIZE [ZORDER BY]`` for this table: one O(table)
         rewrite commit that re-lays every bucket's files out under the
         given clustering (or UN-clusters with ``cluster_by=None``) and
-        records the new layout in ``_meta.json`` so every subsequent
-        mutation commit keeps it. Retrofit path for tables created
-        without ``cluster_by`` — the amortization argument is
+        records the new layout in the same commit object, so every
+        subsequent mutation commit keeps it. Retrofit path for tables
+        created without ``cluster_by`` — the amortization argument is
         rebucket's: one table-scan rewrite buys tight parquet min/max
         stats on every read thereafter.
 
-        Protocol economics are rebucket's too: the staged slice is
-        clustered per the TARGET layout (``cluster_override``) while
-        meta still records the old one; the meta swap runs under the
-        commit lock after the log append (``on_commit``), and
-        ``verify_layout`` stays ON — a concurrent rebucket fails this
-        commit's CAS rather than interleaving. History stays
-        resolvable: pre-optimize ``read_at`` bounds land in
-        ``_history/v-{prev}`` as for any commit, and a pure layout
-        change contributes no ``changes_between`` rows (values are
-        untouched)."""
+        History stays resolvable: pre-optimize ``read_at`` bounds keep
+        resolving to the pre-optimize data directories (immutable, so
+        bit-exact), and a pure layout change contributes no
+        ``changes_between`` rows (values are untouched)."""
         new_cluster = _validate_cluster_spec(cluster_by, cluster_mode)
         if new_cluster:
             _validate_cluster_columns(new_cluster, self._schema())
-        self._require_lockable()  # fail BEFORE the O(table) rewrite
+        self._require_conditional_put()  # fail BEFORE the O(table) rewrite
         base_version = self._base_version()
-        n_buckets = int(self._meta()["n_buckets"])
+        n_buckets = int(self._config_at(base_version)["n_buckets"])
         touched = sorted(range(n_buckets))
-
-        def _swap_meta():
-            m = self._meta()
-            if new_cluster:
-                m["cluster"] = new_cluster
-            else:
-                m.pop("cluster", None)
-            self._write_meta(m)
-
-        self._commit_buckets(self.read(), touched, n_buckets,
-                             base_version, on_commit=_swap_meta,
-                             cluster_override=new_cluster)
+        self._commit_buckets(self._snapshot(base_version), touched,
+                             n_buckets, base_version,
+                             config_update={"cluster": new_cluster})
 
     def rebucket(self, n_buckets_new: int) -> None:
         """Change the hash-bucket layout — the grow path for a table
@@ -1006,93 +966,87 @@ class KeyedTable:
 
         Snapshot history stays resolvable across the boundary because
         the rebucket commit records the UNION of old and new bucket
-        ids: every old id's pre-rebucket directory gets the rebucket
-        as its "first touch after", so pre-boundary ``read_at`` bounds
-        resolve into ``_history/v-{prev}`` exactly as for any other
-        commit, while old-only ids (a shrink) resolve to no current
-        directory post-boundary and drop out. ``changes_between``
-        across the boundary diffs VALUES, so a pure layout change
-        contributes no change rows (pinned in test_mutations.py).
+        ids: every old id's owner advances to the rebucket commit
+        (whose directory simply has no files for old-only ids — a
+        shrink's dropped ids read as empty post-boundary), while
+        pre-boundary ``read_at`` bounds keep resolving to the old
+        commits' immutable directories. ``changes_between`` across the
+        boundary diffs VALUES, so a pure layout change contributes no
+        change rows (pinned in test_mutations.py).
 
-        The ``_meta.json`` bucket-count update happens under the same
-        commit lock, AFTER the commit-log append (the ``on_commit``
-        hook) — so a concurrent writer observing the new n_buckets is
-        guaranteed to also observe the advanced version and fail its
-        CAS; writers read base_version before n_buckets for exactly
-        this ordering. Under a log-based table format (the documented
-        Delta/Iceberg seam) both land in one metadata commit.
-        """
+        The bucket-count change rides the SAME commit object as the
+        version advance — one atomic publish, so no writer can ever
+        observe the new layout without also observing the new version
+        (the race class the old meta-file design had to order reads
+        around is unrepresentable here)."""
         if n_buckets_new < 1:
             raise ValueError("n_buckets must be >= 1")
-        self._require_lockable()  # fail BEFORE the O(table) rewrite
+        self._require_conditional_put()  # fail BEFORE the O(table) rewrite
         base_version = self._base_version()
-        meta = self._meta()
-        old_n = int(meta["n_buckets"])
+        old_n = int(self._config_at(base_version)["n_buckets"])
         if n_buckets_new == old_n:
             return
         touched = sorted(set(range(old_n)) | set(range(n_buckets_new)))
-
-        def _swap_meta():
-            m = self._meta()
-            m["n_buckets"] = int(n_buckets_new)
-            self._write_meta(m)
-
-        # staging write executes the read() plan while the old bucket
-        # directories are still in place; the swap happens after.
-        # verify_layout=False: rebucket IS the layout change — its
-        # slice is deliberately hashed with the NEW n_buckets while
-        # meta still records the old one until _swap_meta runs.
-        self._commit_buckets(self.read(), touched, n_buckets_new,
-                             base_version, on_commit=_swap_meta,
-                             verify_layout=False)
+        self._commit_buckets(
+            self._snapshot(base_version), touched, n_buckets_new,
+            base_version, config_update={"n_buckets": int(n_buckets_new)})
 
     def vacuum(self, keep_last: int = 1) -> int:
-        """Reclaim history older than the last ``keep_last`` versions
-        (the current version always counts as one of them), mirroring
-        Delta's VACUUM retention contract: ``read_at`` bounds resolving
-        to a retained version keep working bit-exactly; earlier bounds
-        raise with the recorded retention floor instead of silently
-        reading a half-present snapshot. Returns the number of history
-        version directories removed.
+        """Reclaim data directories unreachable from the last
+        ``keep_last`` versions (the current version always counts as
+        one of them), mirroring Delta's VACUUM retention contract:
+        ``read_at`` bounds resolving to a retained version keep working
+        bit-exactly; earlier bounds raise with the recorded retention
+        floor instead of silently reading a half-present snapshot.
+        Returns the number of data directories removed.
 
-        Runs under the commit lock: vacuum's read-modify-write of
-        ``_meta.json`` would otherwise race a concurrent rebucket's
-        locked meta update and could write back a STALE ``n_buckets``
-        (a layout-corrupting lost update), and holding the lock also
-        keeps the history scan consistent with any in-flight commit's
-        directory moves."""
+        Protocol: vacuum first publishes the new retention floor as a
+        data-free commit (the same CAS as any commit — a concurrent
+        writer makes it fail cleanly rather than base deletion
+        decisions on a moving log), THEN deletes directories whose
+        every data-holding bucket was re-touched by the floor version.
+        A directory referenced by any retained snapshot is therefore
+        never deleted; a reader that resolved a now-vacuumed version
+        before the floor moved may still lose files mid-scan — the
+        documented Delta VACUUM caveat. Directories orphaned by a
+        crashed writer between staging and publish are NOT reclaimed
+        here (they are unreferenced and invisible; an operator can
+        delete them by comparing ``data/`` against the log's dir set
+        once no writer is live)."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
-        # initialized-check BEFORE the lock: an uninitialized table must
-        # raise the documented error, not ENOENT on the lock sentinel
-        if not self.exists() or not self._commits():
+        if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        self._acquire_commit_lock()
-        try:
-            commits = self._commits()
-            if not commits:
-                raise FileNotFoundError(
-                    f"table not initialized: {self.path}")
-            meta = self._meta()
-            floor = max(int(meta.get("min_retained_version", 1)),
-                        commits[-1]["version"] - keep_last + 1)
-            hist_root = posixpath.join(self.path, "_history")
-            removed = 0
-            if fsio.is_dir(hist_root):
-                for fn in fsio.list_dir(hist_root):
-                    if not fn.startswith("v-"):
-                        continue
-                    # _history/v-W is only needed by snapshots at
-                    # version N <= W (see read_at resolution); W <
-                    # floor can no longer be resolved, so the
-                    # directory is dead.
-                    if int(fn[2:]) < floor:
-                        fsio.delete_dir(posixpath.join(hist_root, fn))
-                        removed += 1
-            meta["min_retained_version"] = floor
-            self._write_meta(meta)
-        finally:
-            self._release_commit_lock()
+        self._require_conditional_put()
+        latest = self._latest_version()
+        cfg = self._config_at(latest)
+        floor = max(int(cfg.get("min_retained_version", 1)),
+                    latest - keep_last + 1)
+        self._commit_buckets(
+            None, [], int(cfg["n_buckets"]), latest,
+            config_update={"min_retained_version": int(floor)})
+        # deletion decisions read the log prefix <= floor, which the
+        # published floor has frozen semantically: entries are immutable
+        # and the floor only rises
+        entries = self._commits()
+        touches: dict[int, list[int]] = {}
+        for e in entries:
+            for b in e.get("buckets", []):
+                touches.setdefault(int(b), []).append(e["version"])
+        removed = 0
+        for e in entries:
+            if e.get("dir") is None or e["version"] >= floor:
+                continue
+            holders = [int(b) for b in e.get("present", [])]
+            dead = all(
+                any(e["version"] < v <= floor
+                    for v in touches.get(b, []))
+                for b in holders)
+            if dead:
+                d = posixpath.join(self.path, "data", e["dir"])
+                if fsio.is_dir(d):
+                    fsio.delete_dir(d)
+                    removed += 1
         return removed
 
 

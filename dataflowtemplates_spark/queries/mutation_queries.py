@@ -238,9 +238,13 @@ def q122_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("c_acctbal") + F.lit(float(step * 100))),
                 "INSERT_OR_UPDATE")
         removed = tbl.vacuum(keep_last=2)
-        hist = os.path.join(tbl.path, "_history")
-        kept = len([d for d in os.listdir(hist)
-                    if d.startswith("v-")]) if os.path.isdir(hist) else 0
+        # history still on disk = data dirs of SUPERSEDED commits that
+        # a retained read_at bound can resolve to (the current
+        # version's dir is live, not history)
+        data_root = os.path.join(tbl.path, "data")
+        live = [c for c in tbl._commits() if c.get("dir")][-1]["dir"]
+        kept = len([d for d in os.listdir(data_root) if d != live]) \
+            if os.path.isdir(data_root) else 0
         early = tbl._commits()[1]["time"]  # the seed INSERT: vacuumed
         try:
             tbl.read_at(early)
@@ -248,7 +252,10 @@ def q122_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         except ValueError:
             refused = True
 
-        # retained versions: the last two data commits (steps 2 and 3)
+        # retained versions: the last two DATA commits (steps 2 and 3;
+        # vacuum's own retention-floor entry is data-free and sits at
+        # the log tail, resolving to the same snapshot as the last one)
+        retained = [c for c in tbl._commits() if c.get("dir")][-2:]
         from functools import reduce
         per_version = [
             tbl.read_at(c["time"]).agg(
@@ -259,7 +266,7 @@ def q122_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(removed).cast("long").alias("versions_removed"),
                 F.lit(kept).cast("long").alias("versions_kept"),
                 F.lit(refused).alias("early_bound_refused"))
-            for i, c in enumerate(tbl._commits()[-2:], start=1)]
+            for i, c in enumerate(retained, start=1)]
         out = reduce(DataFrame.unionByName, per_version) \
             .localCheckpoint(eager=True)
     finally:

@@ -4,8 +4,6 @@ stats are tight — the write-time half of the q171 layout audit — while
 every mutation semantics stays identical to an unclustered table.
 """
 
-import glob
-
 import pyspark.sql.functions as F
 import pytest
 from pyspark.sql import Row
@@ -20,8 +18,12 @@ def _batch(spark, ids):
         for i in ids])
 
 
-def _data_files(path):
-    return sorted(glob.glob(f"{path}/kb=*/*.parquet"))
+def _data_files(t):
+    """CURRENT data files only (as file: URIs — spark.read takes them
+    directly): superseded commits' immutable files stay on disk,
+    pre-clustering layouts included, until vacuum — sortedness is a
+    property of the live version's files."""
+    return sorted(t.read().inputFiles())
 
 
 def _file_rows(spark, f, cols):
@@ -33,7 +35,7 @@ def test_linear_clustering_sorts_every_committed_file(spark, tmp_path):
                    cluster_by=["a"], cluster_mode="linear")
     t.apply_mutations(_batch(spark, range(200)), "INSERT")
     t.apply_mutations(_batch(spark, range(100, 260)), "INSERT_OR_UPDATE")
-    files = _data_files(t.path)
+    files = _data_files(t)
     assert files
     for f in files:
         vals = [a for (a,) in _file_rows(spark, f, ["a"])]
@@ -60,7 +62,7 @@ def test_zorder_clustering_sorts_files_by_morton_value(spark, tmp_path):
             out |= ((d2 >> i) & 1) << (2 * i)
         return out
 
-    files = _data_files(t.path)
+    files = _data_files(t)
     assert files
     for f in files:
         zs = [z(a, b) for a, b in _file_rows(spark, f, ["a", "b"])]
@@ -88,7 +90,7 @@ def test_clustering_survives_rebucket_and_snapshot(spark, tmp_path):
     t.apply_mutations(_batch(spark, range(100)), "INSERT")
     t.rebucket(8)
     t.apply_mutations(_batch(spark, range(100, 140)), "INSERT_OR_UPDATE")
-    for f in _data_files(t.path):
+    for f in _data_files(t):
         vals = [a for (a,) in _file_rows(spark, f, ["a"])]
         assert vals == sorted(vals), f"post-rebucket {f} unsorted"
     assert t.read().count() == 140
@@ -107,7 +109,7 @@ def test_zorder_narrows_per_file_stat_ranges(spark, tmp_path):
 
     def span_sum(t):
         total = 0
-        for f in _data_files(t.path):
+        for f in _data_files(t):
             rows = _file_rows(spark, f, ["a", "b"])
             if len(rows) < 2:
                 continue
@@ -147,11 +149,7 @@ def test_optimize_retrofits_zorder_onto_unclustered_table(spark, tmp_path):
     t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
     t.apply_mutations(_batch(spark, range(300)), "INSERT")
     before = sorted(tuple(r) for r in t.read().collect())
-    import json
-
-    import dataflowtemplates_spark.operators.fsio as fsio
-    v1_time = json.loads(fsio.read_bytes(
-        f"{t.path}/_commits.json"))[-1]["time"]
+    v1_time = t._commits()[-1]["time"]
 
     t.optimize(cluster_by=["a", "b"], cluster_mode="zorder")
     assert sorted(tuple(r) for r in t.read().collect()) == before
@@ -172,7 +170,7 @@ def test_optimize_retrofits_zorder_onto_unclustered_table(spark, tmp_path):
             out |= ((d2 >> i) & 1) << (2 * i)
         return out
 
-    for f in _data_files(t.path):
+    for f in _data_files(t):
         zs = [z(a, b) for a, b in _file_rows(spark, f, ["a", "b"])]
         assert zs == sorted(zs), f"post-optimize {f} not in Z-order"
 
@@ -216,7 +214,7 @@ def test_zorder_on_date_column_commits_and_sorts(spark, tmp_path):
             out |= ((d2 >> i) & 1) << (2 * i)
         return out
 
-    files = _data_files(t.path)
+    files = _data_files(t)
     assert files
     for f in files:
         zs = [z((d - epoch).days, b)

@@ -158,18 +158,24 @@ def test_timestamp_bound_through_run_query(spark, tmp_path):
 
 
 def _data_files(root):
-    """Data-file path -> bytes, excluding metadata/history."""
+    """Data-file path -> bytes (parquet only; the commit log is
+    metadata, not data)."""
     import os
     out = {}
-    for dirpath, dirnames, filenames in os.walk(root):
-        dirnames[:] = [d for d in dirnames if d != "_history"]
+    for dirpath, _dirnames, filenames in os.walk(root):
         for fn in filenames:
-            if fn.startswith(("_", ".")):
+            if fn.startswith(("_", ".")) or not fn.endswith(".parquet"):
                 continue
             p = os.path.join(dirpath, fn)
             with open(p, "rb") as fh:
                 out[os.path.relpath(p, root)] = fh.read()
     return out
+
+
+def _current_files(t):
+    """Data files referenced by the CURRENT version (superseded
+    commits' immutable files stay on disk until vacuum)."""
+    return sorted(t.read().inputFiles())
 
 
 def test_bucket_pruned_rewrite_leaves_files_untouched(spark, tmp_path):
@@ -251,7 +257,8 @@ def test_delete_empty_batch_no_hang(spark, table):
 
 def test_vacuum_retention_contract(spark, tmp_path):
     """vacuum(keep_last=N): retained bounds stay bit-exact, vacuumed
-    bounds raise with the retention floor, history dirs are reclaimed."""
+    bounds raise with the retention floor, unreachable data dirs are
+    reclaimed."""
     import os
     from datetime import datetime, timezone
     t = KeyedTable(spark, str(tmp_path / "vac"), ["id"], n_buckets=4)
@@ -264,11 +271,13 @@ def test_vacuum_retention_contract(spark, tmp_path):
             spark.createDataFrame([Row(id=i, v=step) for i in range(8)]),
             "INSERT_OR_UPDATE")
         bounds.append(datetime.now(timezone.utc).isoformat())
-    hist = tmp_path / "vac" / "_history"
-    assert len(os.listdir(hist)) == 3
+    data = tmp_path / "vac" / "data"
+    assert len(os.listdir(data)) == 4  # one immutable dir per data commit
     removed = t.vacuum(keep_last=2)
     assert removed == 2
-    assert len(os.listdir(hist)) == 1
+    # retained: the two latest data dirs (the floor version's and the
+    # current one); the two fully-superseded-below-floor dirs are gone
+    assert len(os.listdir(data)) == 2
     # last two versions still resolve bit-exactly
     assert {r.v for r in t.read_at(bounds[-1]).collect()} == {3}
     assert {r.v for r in t.read_at(bounds[-2]).collect()} == {2}
@@ -294,21 +303,43 @@ def test_struct_and_nested_array_columns_skipped(spark, tmp_path):
     assert row.name == "ok" and row.plain == [10, 20]
 
 
-def test_commit_lock_scheme_path_semantics(spark, tmp_path):
-    """Single-writer enforcement boundaries: file:// lock files get
-    REAL O_EXCL atomicity (not the check-then-write fallback), and
-    object-store schemes are rejected loudly instead of silently
-    degrading to a non-exclusive sentinel (ADVICE r10)."""
+def test_conditional_put_scheme_semantics(spark, tmp_path):
+    """Commit-CAS boundaries: file:// paths get REAL O_EXCL atomicity
+    (not a check-then-write fallback); an object-store scheme WITHOUT
+    a registered conditional-put backend is rejected loudly BEFORE any
+    Spark work; registering a backend makes the same scheme commit."""
     from dataflowtemplates_spark.operators import fsio
     lock = f"file://{tmp_path}/x.lock"
     assert fsio.create_exclusive(lock, b"a") is True
     assert fsio.create_exclusive(lock, b"b") is False  # O_EXCL, not race
     assert fsio.read_bytes(lock) == b"a"
 
-    t = KeyedTable.__new__(KeyedTable)
-    t.path = "s3://bucket/tbl"
-    with pytest.raises(NotImplementedError, match="log-based table"):
-        t._acquire_commit_lock()
+    # unregistered scheme: both the primitive and the table entrypoints
+    # raise instead of degrading to check-then-write
+    with pytest.raises(NotImplementedError, match="conditional"):
+        fsio.create_exclusive("s3://bucket/x.json", b"a")
+    t = KeyedTable(spark, "s3://bucket/tbl", ["id"])
+    with pytest.raises(NotImplementedError, match="register"):
+        t.apply_mutations(spark.createDataFrame([Row(id=1)]), "INSERT")
+
+    # registered backend: the SAME commit protocol runs over the
+    # store's conditional put (metadata-only ops here — data files
+    # would go through Spark's own FS layer in a real deployment)
+    store = fsio.MemoryObjectStore()
+    fsio.register_object_backend("mock", store)
+    try:
+        m = KeyedTable(spark, "mock://bucket/tbl", ["id"])
+        m.create(spark.createDataFrame([Row(id=1, v="a")]))
+        assert m.exists() and m._latest_version() == 1
+        assert m._meta()["keys"] == ["id"]
+        # CAS is live: a second entry for the same version loses
+        from dataflowtemplates_spark.operators.mutations import (
+            ConcurrentWriteError)
+        m._commit_entry(2, [], None, [], m._config_at(1))
+        with pytest.raises(ConcurrentWriteError, match="advanced"):
+            m._commit_entry(2, [], None, [], m._config_at(1))
+    finally:
+        fsio.unregister_object_backend("mock")
 
 
 def test_keyed_table_file_uri_scheme(spark, tmp_path):
@@ -331,17 +362,18 @@ def test_keyed_table_file_uri_scheme(spark, tmp_path):
     assert t.vacuum(keep_last=1) >= 1
 
 
-def test_mutation_read_is_partition_pruned(spark, tmp_path):
+def test_mutation_read_is_path_pruned(spark, tmp_path):
     """Scale contract in the PLAN, not just the files: the bucket-slice
-    read a mutation joins against must carry a partition filter on the
-    bucket column, so the scan never lists or reads untouched buckets."""
+    read a mutation joins against is pruned at the PATH level — the
+    scan's file index holds only the requested buckets' leaf
+    directories, so untouched buckets are never even listed (stronger
+    than a partition filter, which still lists everything)."""
     from pyspark.sql import functions as F
     t = KeyedTable(spark, str(tmp_path / "pp"), ["id"], n_buckets=16)
     t.apply_mutations(
         spark.range(0, 500).select("id", F.lit("x").alias("v")), "INSERT")
-    plan = t._read_buckets([3, 7])._jdf.queryExecution().executedPlan() \
-        .toString()
-    assert "PartitionFilters" in plan and "kb" in plan
+    files = t._read_buckets([3, 7]).inputFiles()
+    assert files and all("/kb=3/" in f or "/kb=7/" in f for f in files)
     # the pruned slice only contains rows from the requested buckets
     got = t._read_buckets([3, 7])
     bucket = F.pmod(F.xxhash64(F.col("id")), F.lit(16)).cast("int")
@@ -475,23 +507,18 @@ def test_rebucket_grow_preserves_state_history_and_pruning(spark, tmp_path):
     after = datetime.now(timezone.utc).isoformat()
     assert t.changes_between(bound, after).count() == 0
 
-    # post-rebucket mutation: pruned by the new count, and only the
-    # touched bucket dirs' files change
-    import glob
-    import os
-    def snap():
-        return {p: os.path.getmtime(p)
-                for p in glob.glob(os.path.join(path, "kb=*", "*.parquet"))}
-    before_files = snap()
+    # post-rebucket mutation: pruned by the new count — the commit
+    # touches exactly one bucket and its data dir holds only that
+    # bucket's files (every other file on disk is immutable)
+    before_files = _data_files(path)
     t.apply_mutations(
         spark.createDataFrame([Row(id=7, v="v7b")]), "INSERT_OR_UPDATE")
     touched = t._commits()[-1]["buckets"]
     assert len(touched) == 1 and 0 <= touched[0] < 8
-    after_files = snap()
-    untouched_same = [p for p in before_files
-                      if p in after_files
-                      and after_files[p] == before_files[p]]
-    assert len(untouched_same) >= len(before_files) * 7 // 8
+    after_files = _data_files(path)
+    assert all(after_files[p] == b for p, b in before_files.items())
+    new_files = set(after_files) - set(before_files)
+    assert new_files and all(f"kb={touched[0]}" in p for p in new_files)
     now = {r.id: r.v for r in t.read().collect()}
     assert now[7] == "v7b" and now[1] == "v1b" and len(now) == 40
 
@@ -515,9 +542,12 @@ def test_rebucket_shrink_resolves_old_only_buckets(spark, tmp_path):
 def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     """Optimistic-concurrency contract: of two interleaved
     apply_mutations, exactly one commits; the loser raises
-    ConcurrentWriteError BEFORE touching the table directories, and
-    the winner's commit is fully intact (no lost update, no
-    interleaved history moves)."""
+    ConcurrentWriteError, publishes NOTHING (its staged directory is
+    deleted), and the winner's commit is fully intact — no lost
+    update, no interleaved state, and a retry succeeds immediately
+    (lock-free: there is nothing to force-unlock)."""
+    import os
+
     from dataflowtemplates_spark.operators.mutations import (
         ConcurrentWriteError)
     path = str(tmp_path / "race")
@@ -526,12 +556,18 @@ def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     class Interleaved(KeyedTable):
         """Simulates the race: a rival commit lands in the window
         between this writer computing its merge (against the base
-        version) and taking the commit lock."""
-        def _acquire_commit_lock(self):
-            t_winner.apply_mutations(
-                spark.createDataFrame([Row(id=100, val=1000)]),
-                "INSERT_OR_UPDATE")
-            super()._acquire_commit_lock()
+        version) and publishing its commit object."""
+        armed = False
+
+        def _commit_entry(self, version, buckets, dirname, present,
+                          config):
+            if self.armed:
+                self.armed = False
+                t_winner.apply_mutations(
+                    spark.createDataFrame([Row(id=100, val=1000)]),
+                    "INSERT_OR_UPDATE")
+            super()._commit_entry(version, buckets, dirname, present,
+                                  config)
 
     t_loser = Interleaved(spark, path, ["id"])
     t_loser.create(spark.createDataFrame([Row(id=0, val=0)]))
@@ -539,13 +575,19 @@ def test_concurrent_writer_loses_cleanly(spark, tmp_path):
     seed.apply_mutations(
         spark.createDataFrame([Row(id=1, val=10)]), "INSERT")
 
+    t_loser.armed = True
     with pytest.raises(ConcurrentWriteError, match="advanced to version"):
         t_loser.apply_mutations(
             spark.createDataFrame([Row(id=2, val=20)]), "INSERT")
 
     got = {r.id: r.val for r in seed.read().collect()}
     assert got == {1: 10, 100: 1000}  # winner applied, loser did not
-    # the lock is released and a retry against the new state succeeds
+    # the loser's staged directory was cleaned up: every dir under
+    # data/ is referenced by a commit object
+    referenced = {e["dir"] for e in seed._commits() if e.get("dir")}
+    on_disk = set(os.listdir(os.path.join(path, "data")))
+    assert on_disk == referenced
+    # lock-free: a retry against the new state succeeds immediately
     r = seed.apply_mutations(
         spark.createDataFrame([Row(id=2, val=20)]), "INSERT")
     assert r.applied == 1
@@ -571,36 +613,54 @@ def test_stale_layout_commit_fails_even_when_cas_passes(spark, tmp_path):
     assert t.read().count() == 8  # table intact
 
 
-def test_vacuum_runs_under_commit_lock(spark, tmp_path):
-    """vacuum's meta read-modify-write must hold the commit lock (it
-    could otherwise clobber a concurrent rebucket's n_buckets): a held
-    lock blocks vacuum, and vacuum releases the lock on exit."""
-    from dataflowtemplates_spark.operators import fsio
+def test_vacuum_publishes_floor_via_cas(spark, tmp_path):
+    """vacuum's retention floor rides a data-free commit under the
+    same CAS as any mutation: a rival commit landing between vacuum's
+    base read and its publish makes vacuum fail cleanly (its deletion
+    decisions are never based on a moved log), and the floor lands in
+    the log so every writer/reader observes it."""
     from dataflowtemplates_spark.operators.mutations import (
         ConcurrentWriteError)
-    t = KeyedTable(spark, str(tmp_path / "vl"), ["id"], n_buckets=2)
+    path = str(tmp_path / "vl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=2)
     t.apply_mutations(
         spark.createDataFrame([Row(id=i, v=0) for i in range(4)]),
         "INSERT")
     t.apply_mutations(
         spark.createDataFrame([Row(id=0, v=1)]), "INSERT_OR_UPDATE")
-    assert fsio.create_exclusive(t._lock_path(), b'{"pid": 0}')
-    try:
-        with pytest.raises(ConcurrentWriteError, match="already held"):
-            t.vacuum(keep_last=1)
-    finally:
-        t.force_unlock()
-    assert t.vacuum(keep_last=1) >= 1  # lock released: vacuum works
-    assert not fsio.exists(t._lock_path())
+
+    rival = KeyedTable(spark, path, ["id"])
+
+    class RacedVacuum(KeyedTable):
+        armed = False
+
+        def _commit_entry(self, version, buckets, dirname, present,
+                          config):
+            if self.armed:
+                self.armed = False
+                rival.apply_mutations(
+                    spark.createDataFrame([Row(id=9, v=9)]), "INSERT")
+            super()._commit_entry(version, buckets, dirname, present,
+                                  config)
+
+    raced = RacedVacuum(spark, path, ["id"], n_buckets=2)
+    raced.armed = True
+    with pytest.raises(ConcurrentWriteError, match="advanced"):
+        raced.vacuum(keep_last=1)
+    # nothing was deleted by the failed vacuum; a plain retry works
+    assert t.read().count() == 5
+    assert t.vacuum(keep_last=1) >= 1
+    assert int(t._meta()["min_retained_version"]) > 1
 
 
-def test_rival_commit_mid_staging_raises_concurrent_error(spark, tmp_path):
-    """ADVICE r10: the staging write runs OUTSIDE the lock and lazily
-    re-reads live bucket files; a rival commit mid-job moves those
-    directories into _history, so the staging Spark job dies with a
-    raw file-missing error. The loser must surface the retry contract
-    (ConcurrentWriteError naming the advanced version), not an opaque
-    FileNotFoundException."""
+def test_rival_commit_mid_staging_loses_cas_cleanly(spark, tmp_path):
+    """A writer whose staging ran against a base version the rival has
+    since advanced: under the immutable-data layout the staging job
+    itself SUCCEEDS (its input files are never moved — snapshot
+    isolation), and the conflict surfaces as a clean CAS loss at
+    publish time, with the loser's staged directory deleted."""
+    import os
+
     from dataflowtemplates_spark.operators.mutations import (
         ConcurrentWriteError)
     path = str(tmp_path / "midstage")
@@ -609,34 +669,19 @@ def test_rival_commit_mid_staging_raises_concurrent_error(spark, tmp_path):
         spark.createDataFrame([Row(id=i, val=i) for i in range(8)]),
         "INSERT")
     base = t._base_version()
-    stale = t.read()  # lazy plan listing the CURRENT bucket files
-    # rival commit: rewrites every bucket, moving the listed files
+    stale = t.read()  # lazy plan over the base version's files
+    # rival commit: rewrites every bucket (files stay on disk, immutable)
     t.apply_mutations(
         spark.createDataFrame([Row(id=i, val=-i) for i in range(8)]),
         "INSERT_OR_UPDATE")
-    with pytest.raises(ConcurrentWriteError,
-                       match="during this mutation's staging write"):
+    with pytest.raises(ConcurrentWriteError, match="advanced to version"):
         t._commit_buckets(stale, [0, 1], 2, base)
-    # table state is the rival's commit, untouched by the failed stage
+    # table state is the rival's commit, untouched by the failed writer,
+    # and the loser left no unpublished directory behind
     assert {r.id: r.val for r in t.read().collect()} == \
         {i: -i for i in range(8)}
-
-
-def test_held_lock_fails_second_writer_until_force_unlock(spark, tmp_path):
-    from dataflowtemplates_spark.operators import fsio
-    from dataflowtemplates_spark.operators.mutations import (
-        ConcurrentWriteError)
-    path = str(tmp_path / "lock")
-    t = KeyedTable(spark, path, ["id"])
-    t.apply_mutations(spark.createDataFrame([Row(id=1, val=1)]), "INSERT")
-    assert fsio.create_exclusive(t._lock_path(), b'{"pid": 0}')
-    with pytest.raises(ConcurrentWriteError, match="lock"):
-        t.apply_mutations(
-            spark.createDataFrame([Row(id=2, val=2)]), "INSERT")
-    t.force_unlock()
-    r = t.apply_mutations(
-        spark.createDataFrame([Row(id=2, val=2)]), "INSERT")
-    assert r.applied == 1
+    referenced = {e["dir"] for e in t._commits() if e.get("dir")}
+    assert set(os.listdir(os.path.join(path, "data"))) == referenced
 
 
 def test_all_conflict_insert_is_data_free_commit(spark, tmp_path):
@@ -684,9 +729,14 @@ def test_conflict_only_buckets_not_rewritten(spark, tmp_path):
     assert r.applied == 1 and r.failed == 1
     import os
     after = _data_files(path)
-    conflict_dir = f"kb={b[7]}" + os.sep
-    kept = [p for p in before if p.startswith(conflict_dir)]
+    conflict_leaf = os.sep + f"kb={b[7]}" + os.sep
+    kept = [p for p in before if conflict_leaf in os.sep + p]
     assert kept and all(after.get(p) == before[p] for p in kept)
-    assert t._commits()[-1]["buckets"] == [b[2001]]
+    # the commit recorded (and its data dir contains) ONLY the bucket
+    # that actually applied — the conflict bucket was not rewritten
+    last = t._commits()[-1]
+    assert last["buckets"] == [b[2001]] and last["present"] == [b[2001]]
+    new_files = set(after) - set(before)
+    assert new_files and all(f"kb={b[2001]}" in p for p in new_files)
     got = {x.id for x in t.read().collect()}
     assert 2001 in got and len(got) == 2001
