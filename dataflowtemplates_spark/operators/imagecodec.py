@@ -109,39 +109,71 @@ def decode_png(data: bytes) -> np.ndarray:
     if len(raw) < h * (stride + 1):
         raise ValueError("PNG pixel data truncated")
 
+    # Filter reconstruction. None/Sub/Up vectorize whole-row in numpy;
+    # Average/Paeth carry a loop dependency on the LEFT neighbor (the
+    # value being reconstructed), so no closed-form numpy expression
+    # exists — for those rows the loop runs over plain Python ints
+    # (bytes indexing + list cells), which beats per-element numpy
+    # scalar indexing by an order of magnitude (measured 1.9 -> ~20
+    # MB/s on Average/Paeth-heavy images; see the r12 commit note).
     out = np.zeros((h, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.intp)
+    prior_np = np.zeros(stride, dtype=np.int64)   # always current
+    prior_list: list[int] | None = None           # lazy twin
     for y in range(h):
         off = y * (stride + 1)
         ftype = raw[off]
-        row = np.frombuffer(raw, dtype=np.uint8,
-                            count=stride, offset=off + 1).astype(np.intp)
-        if ftype == 0:                       # None
-            recon = row
-        elif ftype == 1:                     # Sub: prefix sum per lane
-            recon = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1)
-        elif ftype == 2:                     # Up
-            recon = row + prior
-        elif ftype == 3:                     # Average (sequential in x)
-            recon = row.copy()
-            for x in range(stride):
-                left = recon[x - bpp] if x >= bpp else 0
-                recon[x] = (row[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif ftype == 4:                     # Paeth (sequential in x)
-            recon = row.copy()
-            for x in range(stride):
-                a = int(recon[x - bpp]) if x >= bpp else 0
-                b = int(prior[x])
-                c = int(prior[x - bpp]) if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                recon[x] = (row[x] + pred) & 0xFF
+        if ftype in (0, 1, 2):
+            row = np.frombuffer(raw, dtype=np.uint8,
+                                count=stride, offset=off + 1)
+            if ftype == 0:                   # None
+                recon_np = row.astype(np.int64)
+            elif ftype == 1:                 # Sub: prefix sum per lane
+                recon_np = (np.cumsum(
+                    row.reshape(-1, bpp).astype(np.int64), axis=0)
+                    .reshape(-1)) & 0xFF
+            else:                            # Up
+                recon_np = (row + prior_np) & 0xFF
+            out[y] = recon_np
+            prior_np, prior_list = recon_np, None
+        elif ftype in (3, 4):
+            p = (prior_list if prior_list is not None
+                 else prior_np.tolist())
+            recon = list(raw[off + 1:off + 1 + stride])
+            if ftype == 3:                   # Average
+                for x in range(bpp):
+                    recon[x] = (recon[x] + (p[x] >> 1)) & 0xFF
+                for x in range(bpp, stride):
+                    recon[x] = (recon[x]
+                                + ((recon[x - bpp] + p[x]) >> 1)) & 0xFF
+            else:                            # Paeth
+                # first bpp bytes: a = c = 0 -> predictor is always b
+                for x in range(bpp):
+                    recon[x] = (recon[x] + p[x]) & 0xFF
+                for x in range(bpp, stride):
+                    a = recon[x - bpp]
+                    b = p[x]
+                    c = p[x - bpp]
+                    pa = b - c
+                    if pa < 0:
+                        pa = -pa
+                    pb = a - c
+                    if pb < 0:
+                        pb = -pb
+                    pc = a + b - c - c
+                    if pc < 0:
+                        pc = -pc
+                    if pa <= pb and pa <= pc:
+                        pred = a
+                    elif pb <= pc:
+                        pred = b
+                    else:
+                        pred = c
+                    recon[x] = (recon[x] + pred) & 0xFF
+            out[y] = recon
+            prior_np = np.asarray(recon, dtype=np.int64)
+            prior_list = recon
         else:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
-        recon &= 0xFF
-        out[y] = recon
-        prior = recon
 
     px = out.reshape(h, w, ch * (depth // 8))
     if depth == 16:
@@ -173,10 +205,9 @@ def encode_png(px: np.ndarray) -> bytes:
     if px.ndim != 3 or px.shape[2] != 3 or px.dtype != np.uint8:
         raise ValueError("encode_png expects HxWx3 uint8")
     h, w, _ = px.shape
-    raw = bytearray()
-    for y in range(h):
-        raw.append(0)
-        raw += px[y].tobytes()
+    # one allocation: filter-byte column prepended to each scanline
+    raw = np.hstack([np.zeros((h, 1), dtype=np.uint8),
+                     px.reshape(h, w * 3)]).tobytes()
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (struct.pack(">I", len(body)) + ctype + body
@@ -184,7 +215,7 @@ def encode_png(px: np.ndarray) -> bytes:
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+            + chunk(b"IDAT", zlib.compress(raw, 9))
             + chunk(b"IEND", b""))
 
 
@@ -376,6 +407,14 @@ def _decode_scan(frame, scan, segments, qt, huff, restart_interval):
         for c in comps}
     pred = {c["id"]: 0 for c in comps}
 
+    # Entropy decode collects every block's 64 zigzag coefficients as a
+    # plain Python list (per-element numpy writes are an order of
+    # magnitude slower than list cells); the dequantize + IDCT then
+    # runs ONE batched einsum over all blocks of each component instead
+    # of two 8x8 matmuls per block — the vectorization the per-block
+    # loop was leaving on the table.
+    coef_lists: dict[int, list[list[int]]] = {c["id"]: [] for c in comps}
+    block_pos: dict[int, list[tuple[int, int]]] = {c["id"]: [] for c in comps}
     seg_iter = iter(segments)
     reader = _BitReader(next(seg_iter).replace(b"\xff\x00", b"\xff"))
     mcu_index = 0
@@ -390,10 +429,9 @@ def _decode_scan(frame, scan, segments, qt, huff, restart_interval):
             mcu_index += 1
             for cid, dc_id, ac_id in scan:
                 comp = by_id[cid]
-                q = qt[comp["tq"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
-                        coefs = np.zeros(64, dtype=np.int32)
+                        coefs = [0] * 64
                         t = _huff_decode(reader, huff[(0, dc_id)])
                         diff = _extend(reader.read_bits(t), t) if t else 0
                         pred[cid] += diff
@@ -412,13 +450,25 @@ def _decode_scan(frame, scan, segments, qt, huff, restart_interval):
                                 raise ValueError("JPEG AC index overflow")
                             coefs[k] = _extend(reader.read_bits(s), s)
                             k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = coefs
-                        block = block.reshape(8, 8) * q
-                        pixels = _DCT_C.T @ block @ _DCT_C + 128.0
-                        py = (my * comp["v"] + by) * 8
-                        px = (mx * comp["h"] + bx) * 8
-                        planes[cid][py:py + 8, px:px + 8] = pixels
+                        coef_lists[cid].append(coefs)
+                        block_pos[cid].append(
+                            ((my * comp["v"] + by) * 8,
+                             (mx * comp["h"] + bx) * 8))
+
+    for c in comps:
+        cid = c["id"]
+        if not coef_lists[cid]:
+            continue
+        zz = np.asarray(coef_lists[cid], dtype=np.float64)   # (n, 64)
+        blocks = np.zeros_like(zz)
+        blocks[:, _ZIGZAG] = zz
+        blocks = blocks.reshape(-1, 8, 8) * qt[c["tq"]][None, :, :]
+        # pixels[n] = C.T @ block[n] @ C, batched
+        pixels = np.einsum("xu,nuv,vy->nxy", _DCT_C.T, blocks,
+                           _DCT_C, optimize=True) + 128.0
+        plane = planes[cid]
+        for i, (py, px) in enumerate(block_pos[cid]):
+            plane[py:py + 8, px:px + 8] = pixels[i]
 
     # upsample each component plane to full frame resolution
     full = []
