@@ -35,7 +35,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["SourceSpec", "resolve", "read_source", "write_jdbc"]
+__all__ = ["SourceSpec", "resolve", "read_source", "write_jdbc",
+           "write_jdbc_retry", "read_jdbc_since"]
 
 #: DataSource provider classes the cloud formats register (public
 #: connector artifact layouts). Probed via Class.forName — presence of
@@ -197,6 +198,72 @@ def write_jdbc(df: DataFrame, url: str, table: str, mode: str = "append",
      .options(**(options or {}))
      .mode(mode).save())
     return int(obs.get["n"])
+
+
+def write_jdbc_retry(df: DataFrame, url: str, table: str, batch_id: int,
+                     options: dict[str, str] | None = None,
+                     retries: int = 3, backoff_s: float = 0.2,
+                     batch_id_col: str = "_batch_id") -> int:
+    """Exactly-once batched append with bounded exponential backoff —
+    the JDBC spelling of the reference's retried Spanner commit
+    (SpannerQueryIO.java:111-116 carries a 4-hour retry budget on
+    every RPC; Spanner's transaction makes the retry safe, a plain
+    JDBC append does not).
+
+    What makes a retry safe here is idempotent REPLAY, not a
+    transaction: every row is tagged with ``batch_id`` and each
+    attempt first SCRUBS any partial rows a failed prior attempt left
+    behind (``DELETE .. WHERE batch_id_col = id``, one indexed-column
+    statement executed on the database), then re-appends the tagged
+    batch. The scrub-then-append pair is idempotent under both
+    attempt-level retry and whole-call replay — the same
+    ``_batch_id`` replay-collapse contract q167's streaming sink
+    gates. Backoff doubles per attempt from ``backoff_s``.
+
+    Returns the row count written by the successful attempt. Raises
+    the last error once ``retries`` additional attempts are exhausted
+    (the scrub of the final failed attempt is NOT run — the caller
+    owns the batch id and can scrub/replay it).
+    """
+    import re
+    import time
+    if isinstance(batch_id, bool) or not isinstance(batch_id, int):
+        raise TypeError(f"batch_id must be an int, got {batch_id!r}")
+    ident = re.compile(r"[A-Za-z_][A-Za-z0-9_]*$")
+    if not all(ident.match(p) for p in table.split(".")):
+        raise ValueError(f"table must be a plain SQL identifier: {table!r}")
+    if not ident.match(batch_id_col):
+        raise ValueError(
+            f"batch_id_col must be a plain SQL identifier: {batch_id_col!r}")
+    from pyspark.sql import functions as F
+    tagged = df.withColumn(batch_id_col, F.lit(int(batch_id)))
+    spark = tagged.sparkSession
+
+    def _scrub():
+        jvm = spark._jvm  # noqa: SLF001
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f'DELETE FROM {table} WHERE "{batch_id_col}" = '
+                    f"{int(batch_id)}")
+            finally:
+                st.close()
+        finally:
+            conn.close()
+
+    last = None
+    for attempt in range(retries + 1):
+        try:
+            if attempt:
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
+                _scrub()  # remove the failed attempt's partial rows
+            return write_jdbc(tagged, url, table, mode="append",
+                              options=options)
+        except Exception as exc:  # noqa: BLE001 — driver-specific error types
+            last = exc
+    raise last
 
 
 def read_jdbc_since(spark: SparkSession, url: str, table: str,

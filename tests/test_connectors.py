@@ -279,3 +279,130 @@ def test_jdbc_incremental_pull_rejects_non_identifier_names(spark):
     import re
     assert all(re.match(r"[A-Za-z_][A-Za-z0-9_]*$", p)
                for p in "APP.NAT".split("."))
+
+
+def test_jdbc_write_retry_exactly_once_after_fault(spark, tmp_path):
+    """Fault-injection for the retry/backoff write (reference parity:
+    SpannerQueryIO.java:111-116 retries every RPC under a budget;
+    Spanner's transaction makes that safe, so the JDBC spelling must
+    supply its own idempotence): the first attempt dies mid-write
+    leaving PARTIAL rows behind, the retry scrubs that batch id and
+    re-appends — the database ends with exactly one copy of every row.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.sources.connectors import write_jdbc_retry
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log"))
+    url = f"jdbc:derby:{tmp_path}/rdb;create=true"
+    flag = str(tmp_path / "fault_injected")
+
+    @F.udf("long")
+    def flaky(x):
+        if not os.path.exists(flag):
+            open(flag, "w").close()
+            raise RuntimeError("injected transient fault")
+        return x
+
+    df = spark.range(0, 100, 1, 4).select(flaky("id").alias("id"))
+    n = write_jdbc_retry(df, url, "RT", batch_id=7,
+                         retries=2, backoff_s=0.01)
+    assert n == 100
+    assert os.path.exists(flag)  # the fault really fired
+    back = (spark.read.format("jdbc")
+            .option("url", url).option("dbtable", "RT").load())
+    rows = back.collect()
+    assert len(rows) == 100                      # no duplicates
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert {r["_batch_id"] for r in rows} == {7}
+
+
+def test_jdbc_write_retry_exhausts_and_raises(spark, tmp_path):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.sources.connectors import write_jdbc_retry
+
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", str(tmp_path / "derby.log"))
+    url = f"jdbc:derby:{tmp_path}/xdb;create=true"
+
+    @F.udf("long")
+    def always_boom(x):
+        raise RuntimeError("permanent fault")
+
+    df = spark.range(0, 8, 1, 2).select(always_boom("id").alias("id"))
+    with _pytest.raises(Exception, match="permanent fault|Job aborted"):
+        write_jdbc_retry(df, url, "RX", batch_id=1,
+                         retries=1, backoff_s=0.01)
+    with _pytest.raises(TypeError, match="batch_id"):
+        write_jdbc_retry(spark.range(1), url, "RX", batch_id="7")
+    with _pytest.raises(ValueError, match="identifier"):
+        write_jdbc_retry(spark.range(1), url, "RX; DROP", batch_id=1)
+
+
+def test_connector_option_contract_pinned(spark):
+    """The pass-through seam's option names, pinned so `resolve()`
+    cannot silently drift from the providers it targets.
+
+    * jdbc — verified against THIS Spark build's own JDBCOptions
+      constants via the JVM (the provider is on the classpath).
+    * bigquery — pinned to the public spark-bigquery-connector option
+      names (`table`, `query`; connector v0.36 docs — see README).
+    * spanner — SQL pushdown follows the REFERENCE's own parameter
+      surface (SpannerQueryIO: query + timestampBound), since the
+      public Spanner Spark connector is table-read only; pinned here
+      so any remap is a reviewed diff.
+    """
+    from dataflowtemplates_spark.sources.connectors import (
+        SourceSpec, resolve)
+
+    # -- jdbc: option keys must be the ones Spark's JDBCOptions defines
+    jvm = spark.sparkContext._jvm  # noqa: SLF001
+    jopts = jvm.org.apache.spark.sql.execution.datasources.jdbc. \
+        JDBCOptions
+    real = {"url": jopts.JDBC_URL(), "dbtable": jopts.JDBC_TABLE_NAME(),
+            "query": jopts.JDBC_QUERY_STRING()}
+    assert real == {"url": "url", "dbtable": "dbtable", "query": "query"}
+    r = resolve(spark, SourceSpec(kind="jdbc-table", table="T",
+                                  options={"url": "jdbc:derby:memory:x",
+                                           "fetchsize": "500"}))
+    assert r["backend"] == "connector" and r["format"] == "jdbc"
+    assert r["options"]["dbtable"] == "T"        # JDBC_TABLE_NAME
+    assert r["options"]["fetchsize"] == "500"    # verbatim pass-through
+    assert "query" not in r["options"]           # Spark forbids both
+    r2 = resolve(spark, SourceSpec(kind="jdbc-sql", query="SELECT 1",
+                                   options={"url": "jdbc:derby:memory:x"}))
+    assert r2["options"]["query"] == "SELECT 1"
+    assert "dbtable" not in r2["options"]
+
+    # -- cloud kinds: payload keys pinned (fallback backends here, so
+    # assert the RENDERING rule on the connector branch directly)
+    from dataflowtemplates_spark.sources import connectors as C
+    probe = C._provider_available
+
+    def force(spark_, provider):
+        return True
+    C._provider_available = force
+    try:
+        bq = resolve(spark, SourceSpec(kind="bigquery-table", table="d.t",
+                                       options={"parentProject": "p"}))
+        assert bq["format"] == "bigquery"
+        assert bq["options"] == {"parentProject": "p", "table": "d.t"}
+        bqs = resolve(spark, SourceSpec(kind="bigquery-sql",
+                                        query="SELECT 1"))
+        assert bqs["options"]["query"] == "SELECT 1"
+        sp = resolve(spark, SourceSpec(
+            kind="spanner-sql", query="SELECT 1",
+            timestamp_bound="2024-01-01T00:00:00Z",
+            options={"instanceId": "i", "databaseId": "d"}))
+        assert sp["format"] == "spanner"
+        assert sp["options"] == {"instanceId": "i", "databaseId": "d",
+                                 "query": "SELECT 1",
+                                 "timestampBound": "2024-01-01T00:00:00Z"}
+    finally:
+        C._provider_available = probe
