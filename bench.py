@@ -36,7 +36,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: median-of-3; r8 added the remaining families — q89/q97/q99/q101 and
 #: the new q102–q111; r9 added q121/q124–q126/q129–q160, moved the streaming
 #: family early, and left q127 untimed by design — see the inline
-#: notes; r11 added q166-q170), so headline_total is only comparable between runs whose
+#: notes; r11 added q166-q170; r12 added q179-q180), so headline_total is only comparable between runs whose
 #: ``query_set`` identity (count + sha256 of the sorted names, emitted
 #: in the JSON) matches; for cross-round deltas use
 #: ``tools/bench_compare.py``, which diffs the shared subset only.
@@ -108,6 +108,8 @@ HEADLINE = (
     "q176_optimize_audit",  # r11: OPTIMIZE ZORDER retrofit gate
     "q177_incremental_sync_audit",  # r11: warehouse->keyed-table sync
     "q178_epoch_shuffle",  # r11: deterministic training-order shuffle
+    "q179_jdbc_retry_exactly_once",  # r12: fault-injected retry write
+    "q180_commit_protocol_audit",    # r12: CAS commit log invariants
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands

@@ -71,6 +71,8 @@ REGISTRY_ORDER = (
     # that mutates or snapshots a keyed table), then the q174 short-doc
     # guard and q176 _metadata row-order fix, then the JDBC identifier
     # validation + write retry, then the vectorized real image codecs
+    "q180_commit_protocol_audit",
+    "q179_jdbc_retry_exactly_once",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

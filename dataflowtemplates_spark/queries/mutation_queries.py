@@ -903,6 +903,208 @@ GROUP BY event_type ORDER BY event_type
 """
 
 
+def q179_jdbc_retry_exactly_once(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Exactly-once retried database write under the oracle gate
+    (reference: SpannerQueryIO.java:111-116 carries a retry budget on
+    every Spanner RPC; Spanner's transaction makes retrying safe — the
+    JDBC spelling must supply the idempotence itself).
+
+    A fault is INJECTED into the first write attempt (one task raises
+    after part of the batch has already landed — the worst case:
+    partial rows in the table), then ``write_jdbc_retry`` scrubs the
+    batch id and re-appends with backoff; finally the SAME call is
+    replayed whole. The output aggregates what is actually IN the
+    database per event_type — the DuckDB oracle recomputes it from the
+    source table, so a hash match proves the faulted attempt, the
+    retry, and the replay converged to exactly one copy of every row
+    (no loss, no duplication).
+
+    Scale note: the retry unit is the batch, the scrub is one
+    indexed-column DELETE on the database (O(batch) there), and the
+    re-append is the same partitioned write — the retry adds no
+    driver-side state beyond the batch id.
+    """
+    from dataflowtemplates_spark.sources.connectors import (
+        write_jdbc_retry)
+
+    register_tables(spark, sf_dir)
+    ev = spark.table("events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(1000.0)).cast("bigint")
+        .alias("vfp"))
+
+    tmp = tempfile.mkdtemp(prefix="q179_retry_")
+    spark._jvm.java.lang.System.setProperty(
+        "derby.stream.error.file", os.path.join(tmp, "derby.log"))
+    url = f"jdbc:derby:{tmp}/db;create=true"
+    flag = os.path.join(tmp, "fault_injected")
+    try:
+        @F.udf("long")
+        def flaky(x):
+            import os as _os
+            if not _os.path.exists(flag):
+                open(flag, "w").close()
+                raise RuntimeError("injected transient fault")
+            return x
+
+        faulted = ev.repartition(4).withColumn("event_id",
+                                               flaky("event_id"))
+        write_jdbc_retry(faulted, url, "EV", batch_id=1,
+                         retries=2, backoff_s=0.05)
+        fault_fired = os.path.exists(flag)
+        # whole-call replay with the same batch id must converge
+        write_jdbc_retry(ev, url, "EV", batch_id=1,
+                         retries=0, backoff_s=0.05)
+        landed = (spark.read.format("jdbc")
+                  .option("url", url).option("dbtable", "EV").load())
+        out = (landed.groupBy("event_type")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                    F.sum("event_id").cast("bigint").alias("key_checksum"),
+                    F.sum("vfp").cast("bigint").alias("value_fp_sum"))
+               .withColumn("fault_fired", F.lit(bool(fault_fired)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        try:  # cleanly shut down THIS database before removing its files
+            spark._jvm.java.sql.DriverManager.getConnection(
+                f"jdbc:derby:{tmp}/db;shutdown=true")
+        except Exception:
+            pass  # Derby signals a successful shutdown via SQLException
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("event_type")
+
+
+_Q179_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(event_id) AS BIGINT) AS key_checksum,
+       CAST(SUM(CAST(FLOOR(value * CAST(1000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS value_fp_sum,
+       TRUE AS fault_fired
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q180_commit_protocol_audit(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """The log-structured CAS commit protocol as an oracle row set: a
+    keyed table takes a deterministic commit history (create, full
+    INSERT, %4 upsert, %9 delete, vacuum), and the query surfaces one
+    row PER COMMIT with the version's snapshot row count and exact
+    acctbal sum — plus the protocol invariants as literal booleans the
+    oracle asserts: the log is DENSE (versions 1..latest, exactly one
+    commit object each — the conditional put cannot skip or duplicate
+    a version), every data directory on disk is REFERENCED by a commit
+    (losers and vacuum leave no orphans), and a bound below the
+    retention floor refuses. The DuckDB oracle recomputes every
+    version's state set-relationally from the key residues, so the
+    hash gate verifies time travel across the whole history, not just
+    the final state.
+
+    Scale note: the invariants are commit-log metadata only
+    (O(commits) driver work); the per-version aggregates are the same
+    path-pruned snapshot reads any read_at performs.
+    """
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+
+    def agg_at(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("acctbal_sum"))
+
+    tmp = tempfile.mkdtemp(prefix="q180_protocol_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"],
+                         n_buckets=8)
+        tbl.apply_mutations(cust, "INSERT")                       # v1+v2
+        tbl.apply_mutations(
+            cust.filter(k % 4 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0)),
+            "INSERT_OR_UPDATE")                                   # v3
+        tbl.apply_mutations(cust.filter(k % 9 == 0).select("c_custkey"),
+                            "DELETE")                             # v4
+        # per-version aggregates BEFORE vacuum reclaims v2/v3's dirs
+        from functools import reduce
+        pre = reduce(DataFrame.unionByName,
+                     [agg_at(tbl._snapshot(v), v) for v in (1, 2, 3, 4)]) \
+            .localCheckpoint(eager=True)
+        tbl.vacuum(keep_last=2)                                   # v5
+        post = agg_at(tbl.read(), 5)
+
+        commits = tbl._commits()
+        log_dense = ([c["version"] for c in commits]
+                     == list(range(1, len(commits) + 1)))
+        from dataflowtemplates_spark.operators import fsio
+        referenced = {c["dir"] for c in commits if c.get("dir")}
+        data_root = os.path.join(tmp, "tbl", "data")
+        on_disk = set(fsio.list_dir(data_root)) \
+            if fsio.is_dir(data_root) else set()
+        # every dir on disk is referenced by a commit (no staging
+        # leftovers); referenced-but-absent is LEGAL — that's what
+        # vacuum does to superseded history below the floor
+        no_orphans = on_disk <= referenced
+        floor = int(tbl._meta()["min_retained_version"])
+        try:
+            tbl.read_at(commits[1]["time"])  # v2: below the floor
+            early_refused = False
+        except ValueError:
+            early_refused = True
+
+        out = (pre.unionByName(post)
+               .withColumn("log_dense", F.lit(bool(log_dense)))
+               .withColumn("no_orphans", F.lit(bool(no_orphans)))
+               .withColumn("early_refused", F.lit(bool(early_refused)))
+               .withColumn("retention_floor",
+                           F.lit(floor).cast("bigint"))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("version")
+
+
+# commit history: v1 CREATE (empty), v2 INSERT all, v3 upsert +100 on
+# %4 keys, v4 delete %9 keys, v5 vacuum (data-free, floor =
+# max(1, 4 - 2 + 1) = 3). SUM over an empty snapshot is NULL in both
+# engines (v1's acctbal_sum).
+_Q180_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal,
+         c_custkey % 4 = 0 AS s4, c_custkey % 9 = 0 AS s9
+  FROM customer),
+v3 AS (
+  SELECT k, CASE WHEN s4 THEN c_acctbal + 100.0 ELSE c_acctbal END AS b,
+         s9
+  FROM f)
+SELECT *,
+       TRUE AS log_dense, TRUE AS no_orphans, TRUE AS early_refused,
+       CAST(3 AS BIGINT) AS retention_floor
+FROM (
+  SELECT CAST(1 AS BIGINT) AS version,
+         CAST(0 AS BIGINT) AS snapshot_rows,
+         CAST(NULL AS DOUBLE) AS acctbal_sum
+  UNION ALL
+  SELECT 2, COUNT(*),
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+  FROM f
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3
+  UNION ALL
+  SELECT 4, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3 WHERE NOT s9
+  UNION ALL
+  SELECT 5, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3 WHERE NOT s9
+) ORDER BY version
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -912,7 +1114,9 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q122_vacuum_audit": q122_vacuum_audit,
            "q128_change_data_feed": q128_change_data_feed,
            "q139_incremental_rollup": q139_incremental_rollup,
-           "q159_table_fingerprint": q159_table_fingerprint}
+           "q159_table_fingerprint": q159_table_fingerprint,
+           "q179_jdbc_retry_exactly_once": q179_jdbc_retry_exactly_once,
+           "q180_commit_protocol_audit": q180_commit_protocol_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
@@ -922,4 +1126,6 @@ ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q122_vacuum_audit": _Q122_ORACLE,
            "q128_change_data_feed": _Q128_ORACLE,
            "q139_incremental_rollup": _Q139_ORACLE,
-           "q159_table_fingerprint": _Q159_ORACLE}
+           "q159_table_fingerprint": _Q159_ORACLE,
+           "q179_jdbc_retry_exactly_once": _Q179_ORACLE,
+           "q180_commit_protocol_audit": _Q180_ORACLE}

@@ -211,19 +211,22 @@ def write_jdbc_retry(df: DataFrame, url: str, table: str, batch_id: int,
     JDBC append does not).
 
     What makes a retry safe here is idempotent REPLAY, not a
-    transaction: every row is tagged with ``batch_id`` and each
-    attempt first SCRUBS any partial rows a failed prior attempt left
-    behind (``DELETE .. WHERE batch_id_col = id``, one indexed-column
-    statement executed on the database), then re-appends the tagged
-    batch. The scrub-then-append pair is idempotent under both
-    attempt-level retry and whole-call replay — the same
-    ``_batch_id`` replay-collapse contract q167's streaming sink
-    gates. Backoff doubles per attempt from ``backoff_s``.
+    transaction: every row is tagged with ``batch_id`` and EVERY
+    attempt first SCRUBS any rows that batch id already has in the
+    table (``DELETE .. WHERE batch_id_col = id``, one indexed-column
+    statement executed on the database), then appends the tagged
+    batch. Scrub-then-append makes both attempt-level retry AND
+    whole-call replay (rerunning a failed job with the same batch id)
+    converge to exactly one copy of the batch — the same ``_batch_id``
+    replay-collapse contract q167's streaming sink gates. A
+    zero-row append first ensures the table exists (schema-derived
+    auto-create, K4) so the scrub statement always has a target.
+    Backoff doubles per attempt from ``backoff_s``.
 
     Returns the row count written by the successful attempt. Raises
     the last error once ``retries`` additional attempts are exhausted
-    (the scrub of the final failed attempt is NOT run — the caller
-    owns the batch id and can scrub/replay it).
+    (partial rows from the final failed attempt remain tagged with
+    the batch id — a later replay of the same call scrubs them).
     """
     import re
     import time
@@ -253,12 +256,15 @@ def write_jdbc_retry(df: DataFrame, url: str, table: str, batch_id: int,
         finally:
             conn.close()
 
+    # auto-create with the batch's schema if absent (no data moves),
+    # so the scrub below always has a table to target
+    write_jdbc(tagged.limit(0), url, table, mode="append", options=options)
     last = None
     for attempt in range(retries + 1):
         try:
             if attempt:
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
-                _scrub()  # remove the failed attempt's partial rows
+            _scrub()  # drop any prior copy of this batch (replay/retry)
             return write_jdbc(tagged, url, table, mode="append",
                               options=options)
         except Exception as exc:  # noqa: BLE001 — driver-specific error types

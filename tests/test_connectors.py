@@ -319,6 +319,16 @@ def test_jdbc_write_retry_exactly_once_after_fault(spark, tmp_path):
     assert sorted(r["id"] for r in rows) == list(range(100))
     assert {r["_batch_id"] for r in rows} == {7}
 
+    # whole-call replay with the same batch id converges, not appends
+    clean = spark.range(0, 100, 1, 4).select(F.col("id"))
+    assert write_jdbc_retry(clean, url, "RT", batch_id=7,
+                            retries=0, backoff_s=0.01) == 100
+    assert back.count() == 100
+    # a different batch id is a different batch: rows add up
+    assert write_jdbc_retry(clean, url, "RT", batch_id=8,
+                            retries=0, backoff_s=0.01) == 100
+    assert back.count() == 200
+
 
 def test_jdbc_write_retry_exhausts_and_raises(spark, tmp_path):
     import pytest as _pytest
