@@ -411,6 +411,15 @@ class KeyedTable:
             raise FileNotFoundError(f"table not initialized: {self.path}")
         visible = [c for c in commits if _parse_bound(c["time"]) <= ts]
         if not visible:
+            if commits[0]["version"] > 1:
+                # the log was truncated below the retention floor: the
+                # bound lands in the reclaimed prefix, not before the
+                # table existed
+                raise ValueError(
+                    f"timestamp bound {timestamp_bound!r} precedes the "
+                    f"oldest retained commit (version "
+                    f"{commits[0]['version']}); earlier history was "
+                    "vacuumed")
             raise ValueError(
                 f"timestamp bound {timestamp_bound!r} precedes the "
                 f"table's first commit at {commits[0]['time']}")
@@ -592,6 +601,32 @@ class KeyedTable:
         if op == "DELETE":
             return self._delete(batch)
         return self._write(batch, op)
+
+    def apply_mutations_with_retry(self, batch: DataFrame, op: str,
+                                   retries: int = 5,
+                                   backoff_s: float = 0.2) -> MutationResult:
+        """``apply_mutations`` with the optimistic-concurrency retry
+        loop written out: a :class:`ConcurrentWriteError` means another
+        writer won the version CAS and NOTHING of this mutation was
+        published — recomputing against the new state and retrying is
+        always safe (each attempt re-reads the latest version, so its
+        conflict detection and merge see the winner's rows). Backoff
+        doubles per attempt from ``backoff_s``; the last error is
+        re-raised once ``retries`` extra attempts are exhausted.
+
+        This is the whole client-side protocol a contended writer
+        needs — the multi-writer property test drives exactly this
+        loop (tests/test_commit_protocol.py)."""
+        import time
+        last: ConcurrentWriteError | None = None
+        for attempt in range(retries + 1):
+            if attempt:
+                time.sleep(backoff_s * (2 ** (attempt - 1)))
+            try:
+                return self.apply_mutations(batch, op)
+            except ConcurrentWriteError as exc:
+                last = exc
+        raise last
 
     def _dedupe_batch(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Split a batch into one-mutation-per-key + quarantined extras
@@ -991,7 +1026,8 @@ class KeyedTable:
             self._snapshot(base_version), touched, n_buckets_new,
             base_version, config_update={"n_buckets": int(n_buckets_new)})
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(self, keep_last: int = 1,
+               truncate_log: bool = False) -> int:
         """Reclaim data directories unreachable from the last
         ``keep_last`` versions (the current version always counts as
         one of them), mirroring Delta's VACUUM retention contract:
@@ -999,6 +1035,17 @@ class KeyedTable:
         bit-exactly; earlier bounds raise with the recorded retention
         floor instead of silently reading a half-present snapshot.
         Returns the number of data directories removed.
+
+        ``truncate_log=True`` additionally reclaims commit OBJECTS the
+        retention floor has made unreadable — the other unbounded-
+        growth axis at 100 TB (a log of tiny JSONs is still O(commits)
+        to list; Delta's log cleanup after checkpointing is the same
+        move). Entries at or below the newest checkpoint that does not
+        exceed the floor are deleted (the checkpoint object itself is
+        kept — it IS those entries' fold, so every retained version
+        still resolves identically); without a qualifying checkpoint
+        nothing is truncated. Bounds landing below the truncated
+        prefix keep raising the retention-floor error.
 
         Protocol: vacuum first publishes the new retention floor as a
         data-free commit (the same CAS as any commit — a concurrent
@@ -1047,6 +1094,29 @@ class KeyedTable:
                 if fsio.is_dir(d):
                     fsio.delete_dir(d)
                     removed += 1
+        if truncate_log:
+            # entries <= the newest checkpoint at-or-below the floor
+            # are unreadable (below the floor) AND redundant (the
+            # checkpoint is their fold) — safe to delete. Every
+            # retained version v >= floor still folds from that
+            # checkpoint plus the retained entries (ck, v].
+            cks = sorted(
+                int(n.split(".", 1)[0]) for n in self._log_names()
+                if n.endswith(".ckpt.json")
+                and int(n.split(".", 1)[0]) <= floor)
+            if cks:
+                ck = cks[-1]
+                for e in entries:
+                    if e["version"] <= ck:
+                        p = self._entry_path(e["version"])
+                        if fsio.exists(p):
+                            fsio.delete_file(p)
+                        self._log_cache.pop(p, None)
+                for old_ck in cks[:-1]:  # superseded by ck's fold
+                    p = self._ckpt_path(old_ck)
+                    if fsio.exists(p):
+                        fsio.delete_file(p)
+                    self._log_cache.pop(p, None)
         return removed
 
 

@@ -198,3 +198,71 @@ def test_checkpoint_fold_matches_full_fold(spark, tmp_path):
     assert {(r.id, r.v) for r in t._snapshot(13).collect()} == \
         {(i % 6, max(j for j in range(12) if j % 6 == i % 6))
          for i in range(6)}
+
+
+def test_vacuum_log_truncation_keeps_retained_reads_exact(spark, tmp_path):
+    """truncate_log=True reclaims commit objects the floor made
+    unreadable: entries at/below the newest checkpoint <= floor are
+    deleted (the checkpoint IS their fold), every retained version
+    still reads bit-exactly — including from a FRESH instance with no
+    cache — and bounds landing in the reclaimed prefix raise."""
+    path = str(tmp_path / "trunc")
+    t = KeyedTable(spark, path, ["id"], n_buckets=4)
+    rows = {}
+    bounds = {}
+    for i in range(13):  # create(v1) + 13 data commits -> latest 14
+        t.apply_mutations(
+            spark.createDataFrame([Row(id=i % 5, v=i)]),
+            "INSERT_OR_UPDATE")
+        rows[i + 2] = dict(rows.get(i + 1, {}), **{i % 5: i})
+        bounds[i + 2] = t._commits()[-1]["time"]
+    assert t._latest_version() == 14
+    assert fsio.exists(t._ckpt_path(10))
+
+    t.vacuum(keep_last=2, truncate_log=True)  # v15; floor = 13
+    kept = [c["version"] for c in t._commits()]
+    assert kept == [11, 12, 13, 14, 15]  # <=ckpt-10 prefix reclaimed
+    assert fsio.exists(t._ckpt_path(10))  # the fold itself is kept
+
+    fresh = KeyedTable(spark, path, ["id"])  # no warm cache
+    assert {(r.id, r.v) for r in fresh.read().collect()} \
+        == set(rows[14].items())
+    assert {(r.id, r.v) for r in fresh.read_at(bounds[13]).collect()} \
+        == set(rows[13].items())
+    with pytest.raises(ValueError, match="vacuum"):
+        fresh.read_at(bounds[12])     # below the floor
+    with pytest.raises(ValueError, match="retained|vacuum"):
+        fresh.read_at(bounds[4])      # inside the reclaimed prefix
+
+
+def test_apply_mutations_with_retry_wins_after_contention(spark, tmp_path):
+    """The ergonomic client loop: a rival stealing the version makes
+    plain apply_mutations raise; the with_retry variant recomputes
+    against the new state and lands, with BOTH writers' rows intact."""
+    path = str(tmp_path / "retry")
+    rival = KeyedTable(spark, path, ["id"])
+    rival.create(spark.createDataFrame([Row(id=0, v=0)]))
+
+    class Contended(KeyedTable):
+        fire = 2  # rival commits ahead of our first TWO attempts
+
+        def _commit_entry(self, version, buckets, dirname, present,
+                          config):
+            if self.fire:
+                self.fire -= 1
+                rival.apply_mutations(
+                    spark.createDataFrame([Row(id=100 + self.fire, v=-1)]),
+                    "INSERT_OR_UPDATE")
+            super()._commit_entry(version, buckets, dirname, present,
+                                  config)
+
+    t = Contended(spark, path, ["id"])
+    with pytest.raises(ConcurrentWriteError):
+        t.apply_mutations(spark.createDataFrame([Row(id=1, v=1)]),
+                          "INSERT")
+    r = t.apply_mutations_with_retry(
+        spark.createDataFrame([Row(id=2, v=2)]), "INSERT",
+        retries=3, backoff_s=0.01)
+    assert r.applied == 1
+    got = {x.id for x in rival.read().collect()}
+    assert got == {2, 100, 101}  # both rival rows + the retried insert
