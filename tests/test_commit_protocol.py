@@ -214,7 +214,7 @@ def test_vacuum_log_truncation_keeps_retained_reads_exact(spark, tmp_path):
         t.apply_mutations(
             spark.createDataFrame([Row(id=i % 5, v=i)]),
             "INSERT_OR_UPDATE")
-        rows[i + 2] = dict(rows.get(i + 1, {}), **{i % 5: i})
+        rows[i + 2] = {**rows.get(i + 1, {}), i % 5: i}
         bounds[i + 2] = t._commits()[-1]["time"]
     assert t._latest_version() == 14
     assert fsio.exists(t._ckpt_path(10))
