@@ -266,3 +266,83 @@ def test_apply_mutations_with_retry_wins_after_contention(spark, tmp_path):
     assert r.applied == 1
     got = {x.id for x in rival.read().collect()}
     assert got == {2, 100, 101}  # both rival rows + the retried insert
+
+
+def test_vacuum_safety_property_random_histories():
+    """Model-based hypothesis property over the commit-log METADATA
+    protocol (no Spark — KeyedTable's fold/vacuum/truncate layers are
+    pure metadata on the fsio seam): for ANY random commit history
+    (arbitrary touched/present sets, data-free commits included) and
+    ANY retention choice,
+
+      1. vacuum never deletes a directory any RETAINED version's
+         owner fold still references (the deadness rule is safe);
+      2. the checkpoint-accelerated fold equals the from-scratch fold
+         at every retained version, before and after log truncation;
+      3. truncation never changes what a retained version reads.
+
+    Data directories are simulated as marker objects in a
+    MemoryObjectStore, so deletion is observable."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        store = fsio.MemoryObjectStore()
+        fsio.register_object_backend("hypmock", store)
+        try:
+            root = "hypmock://b/t"
+            t = KeyedTable(None, root, ["id"], n_buckets=4)
+            cfg = {"n_buckets": 4, "keys": ["id"],
+                   "schema": '{"type":"struct","fields":[]}',
+                   "cluster": None, "min_retained_version": 1}
+            t._commit_entry(1, [], None, [], cfg)
+            n = data.draw(st.integers(4, 24), label="n_commits")
+            for v in range(2, n + 2):
+                touched = sorted(data.draw(
+                    st.sets(st.integers(0, 3), max_size=4),
+                    label=f"touched_v{v}"))
+                present = (sorted(data.draw(
+                    st.sets(st.sampled_from(touched),
+                            max_size=len(touched)),
+                    label=f"present_v{v}")) if touched else [])
+                dirname = f"v{v:05d}-x" if touched else None
+                for b in present:
+                    store.write_bytes(
+                        f"{root}/data/{dirname}/kb={b}/part-0", b"d")
+                t._commit_entry(v, touched, dirname, present, cfg)
+
+            entries_before = list(t._commits())
+
+            def brute(version):
+                owners = {}
+                for e in entries_before:
+                    if e["version"] > version:
+                        break
+                    pres = set(e.get("present", []))
+                    for b in e.get("buckets", []):
+                        owners[int(b)] = (e["dir"] if int(b) in pres
+                                          else None)
+                return owners
+
+            keep = data.draw(st.integers(1, 6), label="keep_last")
+            truncate = data.draw(st.booleans(), label="truncate_log")
+            t.vacuum(keep_last=keep, truncate_log=truncate)
+
+            fresh = KeyedTable(None, root, ["id"])  # cold cache
+            latest = fresh._latest_version()
+            floor = int(fresh._meta()["min_retained_version"])
+            for v in range(floor, latest + 1):
+                folded = fresh._owners(v)
+                assert folded == brute(v), f"fold drift at v{v}"
+                for b, d in folded.items():
+                    if d is None:
+                        continue
+                    leaf = f"{root}/data/{d}/kb={b}"
+                    assert store.is_dir(leaf), \
+                        f"vacuum deleted retained v{v} owner {leaf}"
+        finally:
+            fsio.unregister_object_backend("hypmock")
+
+    run()
