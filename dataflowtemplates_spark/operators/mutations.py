@@ -360,6 +360,20 @@ class KeyedTable:
             fsio.create_exclusive(self._ckpt_path(version),
                                   json.dumps(ck).encode())
 
+    def _require_matching_keys(self, cfg: dict) -> None:
+        """A handle whose key columns disagree with the table's logged
+        keys would hash batches into the WRONG buckets — conflict
+        detection against pruned slices would silently miss existing
+        rows. Mutations reject the handle instead (reads are
+        key-agnostic and stay allowed)."""
+        stored = list(cfg.get("keys") or [])
+        if stored and stored != self.keys:
+            raise ValueError(
+                f"key mismatch: table at {self.path} was created with "
+                f"keys {stored}, this handle declares {self.keys} — "
+                "mutations through a mis-keyed handle would corrupt "
+                "bucketing")
+
     def _require_conditional_put(self) -> None:
         """Fail BEFORE any Spark work runs if the table path's scheme
         cannot perform the commit CAS: local/file paths use OS O_EXCL;
@@ -709,6 +723,7 @@ class KeyedTable:
         # this writer's CAS on base+1 simply fails).
         base_version = self._base_version()
         cfg = self._config_at(base_version)
+        self._require_matching_keys(cfg)
         n_buckets = int(cfg["n_buckets"])
         good, null_q = self._null_key_split(batch)
         keep, dup_q = self._dedupe_batch(good)
@@ -827,6 +842,7 @@ class KeyedTable:
         self._require_conditional_put()  # fail BEFORE any Spark job runs
         base_version = self._base_version()
         cfg = self._config_at(base_version)
+        self._require_matching_keys(cfg)
         n_buckets = int(cfg["n_buckets"])
         keyed = batch.select(*self.keys)
         good, null_q = self._null_key_split(keyed)

@@ -740,3 +740,21 @@ def test_conflict_only_buckets_not_rewritten(spark, tmp_path):
     assert new_files and all(f"kb={b[2001]}" in p for p in new_files)
     got = {x.id for x in t.read().collect()}
     assert 2001 in got and len(got) == 2001
+
+
+def test_mis_keyed_handle_rejected_on_mutation(spark, tmp_path):
+    """A handle whose key columns disagree with the table's logged
+    keys must not mutate (it would hash batches into the wrong
+    buckets and miss conflicts silently); reads stay key-agnostic."""
+    t = KeyedTable(spark, str(tmp_path / "mk"), ["id"])
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, name="a", val=1)]), "INSERT")
+    wrong = KeyedTable(spark, str(tmp_path / "mk"), ["val"])
+    with pytest.raises(ValueError, match="key mismatch"):
+        wrong.apply_mutations(
+            spark.createDataFrame([Row(id=2, name="b", val=2)]),
+            "INSERT")
+    with pytest.raises(ValueError, match="key mismatch"):
+        wrong.apply_mutations(
+            spark.createDataFrame([Row(val=1)]), "DELETE")
+    assert wrong.read().count() == 1  # reads unaffected
