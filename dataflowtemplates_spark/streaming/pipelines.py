@@ -238,12 +238,15 @@ def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
     """foreachBatch sink into the mutation-disposition keyed table —
     the streaming form of query_to_keyed_table. Each micro-batch is
     applied with the given op; the checkpoint makes batch ids durable
-    so restarts do not re-apply completed batches."""
+    so restarts do not re-apply completed batches. Applies through the
+    optimistic-retry loop: a batch writer sharing the table with other
+    writers loses the commit CAS occasionally, and a mutation that
+    raised published NOTHING — recompute-and-retry is always safe."""
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table.create(batch_df)
-        table.apply_mutations(batch_df, key_op)
+        table.apply_mutations_with_retry(batch_df, key_op)
 
     return (stream.writeStream
             .outputMode(mode)
