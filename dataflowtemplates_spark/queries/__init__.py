@@ -68,10 +68,15 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 REGISTRY_ORDER = (
     # -- changed this cycle (r12): must be inside any scored prefix ----
     # the KeyedTable log-structured CAS commit rewrite (every query
-    # that mutates or snapshots a keyed table), then the q174 short-doc
-    # guard and q176 _metadata row-order fix, then the JDBC identifier
+    # that mutates or snapshots a keyed table), the exact-duplicate
+    # collapse in the embedding pair operators (q66/q141 + q148,
+    # which consumes q66's pairs), then the q174 short-doc guard and
+    # q176 _metadata row-order fix, then the JDBC identifier
     # validation + write retry, then the vectorized real image codecs
     "q180_commit_protocol_audit",
+    "q66_embedding_neardup_lsh",
+    "q141_semdedup",
+    "q148_lsh_recall",
     "q179_jdbc_retry_exactly_once",
     "q78_mutation_audit",
     "q99_snapshot_audit",
@@ -185,7 +190,6 @@ REGISTRY_ORDER = (
     "q151_gap_fill",
     "q150_grouped_regression",
     "q149_export_roundtrip",
-    "q148_lsh_recall",
     "q147_user_ewma",
     "q146_dsir_reweight",
     "q144_stream_heavy_hitters",
@@ -219,8 +223,6 @@ REGISTRY_ORDER = (
     "q169_matryoshka_recall",
     "q170_robust_outliers",
     "q67_kmeans",
-    "q141_semdedup",
-    "q66_embedding_neardup_lsh",
     "q68_bpe_pairs",
     "q69_ngram_containment",
     "q70_generator_rows",

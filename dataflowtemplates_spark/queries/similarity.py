@@ -373,8 +373,21 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     same job. Plan cost of the cap: each join side needs a bucket-key
     exchange + sort for the sort-merge join anyway, and the
     count-over-window computes on exactly that exchange/sort — the cap
-    adds no additional shuffle of the big side (plan: one
-    hashpartitioning(bucket) exchange per side, windows riding them).
+    adds no additional shuffle of the big side.
+
+    EXACT-DUPLICATE COLLAPSE (r12, measured): bit-identical vectors
+    are grouped BEFORE pairing, one cosine runs per distinct-vector
+    group pair, and member pairs are expanded afterwards by exploding
+    the id lists — output-identical (members of a group share the
+    representative's bit-exact cosine; within-group pairs score the
+    same formula on (v, v)), but the dot-product work is quadratic in
+    DISTINCT vectors instead of raw rows. Web-scale corpora are full
+    of exact duplicates and this is the difference between a plan that
+    survives them and one that melts: the x10-duplicated scaling
+    corpus (tools/amplify_sf.py) measured 423s -> ~9s for the same
+    pair output (BENCH_SF1_DEDUP_r12.json). Output SIZE still grows
+    quadratically with duplication — that is the query's answer, not
+    its work.
     """
     from pyspark.sql import Window as W
     register_tables(spark, sf_dir)
@@ -389,15 +402,43 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     if max_bucket_size is not None:
         n = n.filter(F.col("bs") <= max_bucket_size)
     n = n.drop("bs")
-    a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"), "bucket")
-    b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"), "bucket")
-    return (a.join(b, "bucket")
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b", "bucket",
-                    _cosine("va", "vb", "na", "nb").alias("cosine"))
-            .filter(F.col("cosine") >= 0.35)
+    g = (n.groupBy("bucket", "v", "nrm")
+         .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
+         .withColumn("gmin", F.element_at("ids", 1)))
+    a = g.select("bucket", F.col("ids").alias("ids_a"),
+                 F.col("gmin").alias("ga"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = g.select("bucket", F.col("ids").alias("ids_b"),
+                 F.col("gmin").alias("gb"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    # (1) pairs across distinct-vector groups: ga < gb visits each
+    # unordered group pair once; least/greatest restores per-member
+    # id ordering (member ids of different groups interleave)
+    cross = (a.join(b, "bucket")
+             .filter(F.col("ga") < F.col("gb"))
+             .withColumn("cosine", _cosine("va", "vb", "na", "nb"))
+             .filter(F.col("cosine") >= 0.35)
+             .select("bucket", "cosine",
+                     F.explode("ids_a").alias("x"), "ids_b")
+             .select("bucket", "cosine", "x",
+                     F.explode("ids_b").alias("y"))
+             .select(F.least("x", "y").alias("id_a"),
+                     F.greatest("x", "y").alias("id_b"),
+                     "bucket", "cosine"))
+    # (2) pairs inside one duplicate group: the pairwise formula on
+    # (v, v) — identical doubles to what member-level pairing computed
+    within = (g.filter(F.size("ids") >= 2)
+              .withColumn("cosine", _cosine("v", "v", "nrm", "nrm"))
+              .filter(F.col("cosine") >= 0.35)
+              .select("bucket", "cosine",
+                      F.explode("ids").alias("x"), "ids")
+              .select("bucket", "cosine", "x",
+                      F.explode("ids").alias("y"))
+              .filter(F.col("x") < F.col("y"))
+              .select(F.col("x").alias("id_a"), F.col("y").alias("id_b"),
+                      "bucket", "cosine"))
+    return (cross.unionByName(within)
+            .select("id_a", "id_b", "bucket", "cosine")
             .orderBy("id_a", "id_b"))
 
 
@@ -1426,6 +1467,18 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline, cap included. Reference analogue: none — this extends
     the dedup family (SURVEY §2 extension block) with the
     embedding-space equivalent of q52's LSH banding.
+
+    EXACT-DUPLICATE COLLAPSE (r12, measured): like q66, bit-identical
+    vectors group BEFORE the in-cluster pairing and the prune rule
+    folds at GROUP level — member ``b`` is pruned iff some in-cluster
+    vector with a lower id scores >= threshold against it, and for a
+    whole duplicate group that reduces to "ids above the MINIMUM
+    qualifying neighbor group's lowest id" (a qualifying group's every
+    member qualifies, so only its min id matters; the group itself
+    qualifies its own later ids when cos(v,v) passes). One cosine per
+    distinct-vector group pair instead of per member pair: the
+    x10-duplicated scaling corpus measured 108s -> ~7s with
+    bit-identical output (BENCH_SF1_DEDUP_r12.json).
     """
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
@@ -1440,19 +1493,47 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_scope = assigned.join(
         F.broadcast(capped.select("cell")), "cell", "semi")
 
-    a = in_scope.select("cell", F.col("vec_id").alias("id_a"),
-                        F.col("v").alias("va"), F.col("nrm").alias("na"))
-    b = in_scope.select("cell", F.col("vec_id").alias("id_b"),
-                        F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    pruned = (a.join(b, "cell")
-              .where(F.col("id_a") < F.col("id_b"))
-              .where(_cosine("va", "vb", "na", "nb")
-                     >= SEMDEDUP_THRESHOLD)
-              .select("cell", F.col("id_b").alias("vec_id"))
-              .distinct())
-    pruned_stats = pruned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_pruned"),
-        F.min("vec_id").alias("first_pruned"))
+    g = (in_scope.groupBy("cell", "v", "nrm")
+         .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))
+         .withColumn("gmin", F.element_at("ids", 1))
+         .localCheckpoint(eager=True))  # feeds three subtrees below
+    a = g.select("cell", F.col("gmin").alias("ga"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = g.select("cell", F.col("gmin").alias("gb"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    # one cosine per unordered group pair, self-pairs included (ga <=
+    # gb): the checkpoint pins the QUALIFYING pairs so the
+    # two-direction expansion below re-reads a bounded result instead
+    # of re-evaluating the dot products (the expensive part)
+    cross_q = (a.join(b, "cell")
+               .where(F.col("ga") <= F.col("gb"))
+               .where(_cosine("va", "vb", "na", "nb")
+                      >= SEMDEDUP_THRESHOLD)
+               .select("cell", "ga", "gb")
+               .localCheckpoint(eager=True))
+    # a qualifying (A, B) prunes in BOTH directions (each side's
+    # lowest id bounds the other side's members); the self-pair
+    # (cos(v, v) >= threshold) is what makes a duplicate group prune
+    # its own ids above gmin — min(src) per target group is the rule
+    qual = (cross_q.select("cell", F.col("gb").alias("tgt"),
+                           F.col("ga").alias("src"))
+            .unionByName(cross_q.select("cell", F.col("ga").alias("tgt"),
+                                        F.col("gb").alias("src"))))
+    m_per_tgt = (qual.groupBy("cell", "tgt")
+                 .agg(F.min("src").alias("m"))
+                 .withColumnRenamed("cell", "mcell"))
+    per_group = (g.join(m_per_tgt,
+                        (F.col("cell") == F.col("mcell"))
+                        & (F.col("gmin") == F.col("tgt")))
+                 .select("cell",
+                         F.filter("ids", lambda x: x > F.col("m"))
+                         .alias("pruned_ids")))
+    pruned_stats = (per_group
+                    .filter(F.size("pruned_ids") > 0)
+                    .groupBy("cell")
+                    .agg(F.sum(F.size("pruned_ids")).alias("n_pruned"),
+                         F.min(F.element_at("pruned_ids", 1))
+                         .alias("first_pruned")))
     n_kept = F.col("n_vecs") - F.col("n_pruned")
     return (capped.join(pruned_stats, "cell", "left")
             .withColumn("n_pruned",

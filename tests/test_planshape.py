@@ -275,15 +275,46 @@ def test_q143_lev_runs_on_candidates_not_pairs(spark):
 
 
 def test_q141_cap_filters_before_pair_join_no_cartesian(spark):
-    """SemDeDup's cluster-size cap must exclude over-cap cells via a
-    broadcast semi-join BEFORE the in-cluster pair join, and the pair
-    join must be an equi-join on cell (no cartesian)."""
-    from dataflowtemplates_spark.queries.similarity import q141_semdedup
+    """SemDeDup's pair stage must stay equi-joined (no cartesian, no
+    nested-loop fallback) end to end. Since r12 the cap semi-join and
+    the duplicate-collapsed pair join run behind eager localCheckpoints
+    (the cosine-once optimization), so they are asserted on the
+    UNCHECKPOINTED building blocks the query composes: over-cap cells
+    excluded via broadcast LeftSemi BEFORE any pairing, and the group
+    pair join an equi-join on cell."""
+    from dataflowtemplates_spark.queries.similarity import (
+        SEMDEDUP_K,
+        SEMDEDUP_MAX_CLUSTER,
+        _with_norm,
+        assign_cells,
+        kmeans_seeds,
+        q141_semdedup,
+    )
+    from pyspark.sql import functions as F
+
+    from dataflowtemplates_spark.catalog import register_tables
     df = q141_semdedup(spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "LeftSemi" in plan
+
+    # the pre-checkpoint cap + pair shape, composed exactly as q141 does
+    register_tables(spark, SF_DIR)
+    emb = spark.table("embeddings")
+    seeds = kmeans_seeds(emb, SEMDEDUP_K)
+    vecs = _with_norm(emb, "vec_id", "v", "nrm")
+    assigned = assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    capped = sizes.filter(F.col("n") <= SEMDEDUP_MAX_CLUSTER)
+    in_scope = assigned.join(
+        F.broadcast(capped.select("cell")), "cell", "semi")
+    g = (in_scope.groupBy("cell", "v", "nrm")
+         .agg(F.min("vec_id").alias("gmin")))
+    pair = g.alias("a").join(g.alias("b"), "cell")
+    pplan = pair._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in pplan
+    assert "CartesianProduct" not in pplan
+    assert "BroadcastNestedLoopJoin" not in pplan
 
 
 def test_q146_scoring_is_map_only_topk(spark):
