@@ -109,7 +109,9 @@ HEADLINE = (
     "q177_incremental_sync_audit",  # r11: warehouse->keyed-table sync
     "q178_epoch_shuffle",  # r11: deterministic training-order shuffle
     "q179_jdbc_retry_exactly_once",  # r12: fault-injected retry write
-    "q180_commit_protocol_audit",    # r12: CAS commit log invariants
+    "q180_commit_protocol_audit",
+    "q181_orphan_reclaim_audit",
+    "q182_txn_replay_audit",    # r12: CAS commit log invariants
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands

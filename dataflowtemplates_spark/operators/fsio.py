@@ -91,14 +91,17 @@ class MemoryObjectStore:
 
     def __init__(self):
         self._objects: dict[str, bytes] = {}
+        self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
 
     # -- the CAS primitive -------------------------------------------
     def create_exclusive(self, path: str, data: bytes) -> bool:
+        import time
         with self._lock:
             if path in self._objects:
                 return False
             self._objects[path] = bytes(data)
+            self._mtimes[path] = time.time()
             return True
 
     # -- plain object ops --------------------------------------------
@@ -110,13 +113,16 @@ class MemoryObjectStore:
                 raise FileNotFoundError(path) from None
 
     def write_bytes(self, path: str, data: bytes) -> None:
+        import time
         with self._lock:
             self._objects[path] = bytes(data)
+            self._mtimes[path] = time.time()
 
     def delete_file(self, path: str) -> None:
         with self._lock:
             try:
                 del self._objects[path]
+                self._mtimes.pop(path, None)
             except KeyError:
                 raise FileNotFoundError(path) from None
 
@@ -164,11 +170,19 @@ class MemoryObjectStore:
                 raise FileNotFoundError(path)
             return sorted(out)
 
+    def newest_mtime_under(self, path: str) -> float | None:
+        p = self._prefix(path)
+        with self._lock:
+            ts = [t for k, t in self._mtimes.items()
+                  if k == path or k.startswith(p)]
+            return max(ts) if ts else None
+
     def delete_dir(self, path: str) -> None:
         p = self._prefix(path)
         with self._lock:
             for k in [k for k in self._objects if k.startswith(p)]:
                 del self._objects[k]
+                self._mtimes.pop(k, None)
 
     def move(self, src: str, dst: str) -> None:
         """Copy+delete — the only 'rename' an object store has. NOT
@@ -177,6 +191,7 @@ class MemoryObjectStore:
         with self._lock:
             if src in self._objects:
                 self._objects[dst] = self._objects.pop(src)
+                self._mtimes[dst] = self._mtimes.pop(src, 0.0)
                 return
             sp, dp = self._prefix(src), self._prefix(dst)
             keys = [k for k in self._objects if k.startswith(sp)]
@@ -184,6 +199,7 @@ class MemoryObjectStore:
                 raise FileNotFoundError(src)
             for k in keys:
                 self._objects[dp + k[len(sp):]] = self._objects.pop(k)
+                self._mtimes[dp + k[len(sp):]] = self._mtimes.pop(k, 0.0)
 
 
 def resolve_fs(path: str):
@@ -369,3 +385,26 @@ def list_files(path: str, suffix: str | None = None) -> list[str]:
             continue
         out.append(scheme + fi.path if scheme else fi.path)
     return sorted(out)
+
+
+def newest_mtime_under(path: str) -> float | None:
+    """Newest modification time (epoch seconds) of any file at or under
+    ``path``; None if nothing exists there or the filesystem reports no
+    mtimes. The liveness signal orphan reclamation gates on: a
+    staging directory a live writer is still filling has a recent
+    newest-file mtime even when its first files are old."""
+    import pyarrow.fs as pafs
+
+    b = _backend_for(path)
+    if b is not None:
+        return b.newest_mtime_under(path)
+    fs, base = resolve_fs(path)
+    info = fs.get_file_info(base)
+    if info.type == pafs.FileType.NotFound:
+        return None
+    infos = ([info] if info.type == pafs.FileType.File else
+             [fi for fi in fs.get_file_info(
+                 pafs.FileSelector(base, recursive=True))
+              if fi.type == pafs.FileType.File])
+    ts = [fi.mtime.timestamp() for fi in infos if fi.mtime is not None]
+    return max(ts) if ts else None

@@ -120,9 +120,13 @@ class ConcurrentWriteError(RuntimeError):
 
 @dataclass
 class MutationResult:
-    """Applied row count + quarantine stream (reference K8/K10)."""
+    """Applied row count + quarantine stream (reference K8/K10).
+    ``replayed`` marks a transactional no-op: the batch's
+    (txn_app, txn_version) was already recorded by an earlier commit,
+    so nothing ran and nothing changed."""
     applied: int
     quarantine: DataFrame
+    replayed: bool = False
 
     @property
     def failed(self) -> int:
@@ -608,17 +612,51 @@ class KeyedTable:
             "times in a row; retry under less write contention")
 
     # -- mutations -------------------------------------------------------
-    def apply_mutations(self, batch: DataFrame, op: str) -> MutationResult:
+    def apply_mutations(self, batch: DataFrame, op: str,
+                        txn_app: str | None = None,
+                        txn_version: int | None = None) -> MutationResult:
+        """Apply one mutation batch. ``txn_app``/``txn_version`` opt in
+        to TRANSACTIONAL IDEMPOTENCE (Delta's txnAppId/txnVersion): the
+        commit object records, per application id, the highest version
+        it has applied, and a batch whose (app, version) is at or below
+        the recorded watermark SKIPS — zero Spark jobs, nothing
+        published, ``result.replayed`` True. Because the marker rides
+        the SAME conditional-put commit object as the data, a crash
+        before publish records neither (the retry re-applies) and a CAS
+        win records both — which upgrades any at-least-once redelivery
+        (Structured Streaming's foreachBatch contract) to exactly-once
+        table state, including NON-idempotent folds like additive
+        counters."""
         op = op.upper()
         if op not in VALID_OPS:
             raise ValueError(f"op must be one of {VALID_OPS}, got {op!r}")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version go together")
+        if txn_app is not None and int(txn_version) < 0:
+            raise ValueError("txn_version must be >= 0")
         if op == "DELETE":
-            return self._delete(batch)
-        return self._write(batch, op)
+            return self._delete(batch, txn_app, txn_version)
+        return self._write(batch, op, txn_app, txn_version)
+
+    def _txn_gate(self, cfg: dict, txn_app: str | None,
+                  txn_version: int | None):
+        """(replay?, config_update) for a transactional mutation: replay
+        if the app's recorded watermark already covers this version,
+        else the txn-map update the commit must publish atomically."""
+        if txn_app is None:
+            return False, None
+        recorded = dict(cfg.get("txn") or {})
+        if int(recorded.get(txn_app, -1)) >= int(txn_version):
+            return True, None
+        recorded[txn_app] = int(txn_version)
+        return False, {"txn": recorded}
 
     def apply_mutations_with_retry(self, batch: DataFrame, op: str,
                                    retries: int = 5,
-                                   backoff_s: float = 0.2) -> MutationResult:
+                                   backoff_s: float = 0.2,
+                                   txn_app: str | None = None,
+                                   txn_version: int | None = None
+                                   ) -> MutationResult:
         """``apply_mutations`` with the optimistic-concurrency retry
         loop written out: a :class:`ConcurrentWriteError` means another
         writer won the version CAS and NOTHING of this mutation was
@@ -637,24 +675,12 @@ class KeyedTable:
             if attempt:
                 time.sleep(backoff_s * (2 ** (attempt - 1)))
             try:
-                return self.apply_mutations(batch, op)
+                return self.apply_mutations(batch, op,
+                                            txn_app=txn_app,
+                                            txn_version=txn_version)
             except ConcurrentWriteError as exc:
                 last = exc
         raise last
-
-    def _dedupe_batch(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
-        """Split a batch into one-mutation-per-key + quarantined extras
-        (Spanner rejects multiple mutations for one row per commit)."""
-        from pyspark.sql import Window as W
-        # materialize the batch-order id in a projection first: window
-        # orderBy rejects nondeterministic expressions directly
-        batch = batch.withColumn("_mid", F.monotonically_increasing_id())
-        w = W.partitionBy(*self.keys).orderBy("_mid")
-        marked = batch.withColumn("_rn", F.row_number().over(w)).drop("_mid")
-        keep = marked.filter(F.col("_rn") == 1).drop("_rn")
-        dups = (marked.filter(F.col("_rn") > 1).drop("_rn")
-                .withColumn(_ERR_COL, F.lit("DUPLICATE_KEY_IN_BATCH")))
-        return keep, dups
 
     def _null_key_split(self, batch: DataFrame) -> tuple[DataFrame, DataFrame]:
         """Null in any key field is an error (reference:
@@ -691,18 +717,21 @@ class KeyedTable:
                 .distinct().collect())
         return sorted(int(r["b"]) for r in rows)
 
-    def _write(self, batch: DataFrame, op: str) -> MutationResult:
-        """Job economics (the per-commit constant, shaved round 10):
-        the batch checkpoint carries the touched-bucket set and batch
-        size as riding Observation metrics (no separate distinct job);
-        INSERT/UPDATE fold applied-count + actually-rewritten-bucket
-        set into ONE aggregate job on ``applies``, then rewrite ONLY
-        the buckets an applying row hashes into — a bucket whose batch
-        rows all quarantined is never rewritten, and an all-conflict
-        batch commits as a data-free log entry with no staging write
-        at all. REPLACE/INSERT_OR_UPDATE apply every kept row by
-        definition, so their applied count is the checkpoint metric
-        and no extra job runs."""
+    def _write(self, batch: DataFrame, op: str,
+               txn_app: str | None = None,
+               txn_version: int | None = None) -> MutationResult:
+        """Job economics (the per-commit constant, shaved rounds 10 and
+        12): REPLACE/INSERT_OR_UPDATE run exactly TWO Spark jobs per
+        commit — one annotate-and-checkpoint pass over the batch (which
+        also carries the touched-bucket set and applying-row count as
+        riding Observation metrics, and whose filters yield the
+        quarantine with no further job) plus the staging write.
+        INSERT/UPDATE add one aggregate job folding applied-count +
+        actually-rewritten-bucket set on ``applies`` and one conflict
+        materialization, then rewrite ONLY the buckets an applying row
+        hashes into — a bucket whose batch rows all quarantined is
+        never rewritten, and an all-conflict batch commits as a
+        data-free log entry with no staging write at all."""
         from pyspark.sql import Observation
         skipped = self._unstorable_columns(batch)
         if skipped:
@@ -724,21 +753,52 @@ class KeyedTable:
         base_version = self._base_version()
         cfg = self._config_at(base_version)
         self._require_matching_keys(cfg)
+        replay, txn_update = self._txn_gate(cfg, txn_app, txn_version)
+        if replay:  # already applied by an earlier commit: zero jobs
+            return MutationResult(0, _empty_with_error(batch),
+                                  replayed=True)
         n_buckets = int(cfg["n_buckets"])
-        good, null_q = self._null_key_split(batch)
-        keep, dup_q = self._dedupe_batch(good)
-        # materialize once: the window over monotonically_increasing_id
-        # is nondeterministic under re-evaluation, and `keep` feeds both
-        # conflict detection and the merge. The touched-bucket set and
-        # batch size ride the checkpoint job as Observation metrics.
+        # ONE annotate-and-materialize pass (the r12 per-commit constant
+        # shave): the null-key flag and the within-batch dedupe rank are
+        # computed together and the annotated batch is checkpointed
+        # once; keep / null-quarantine / dup-quarantine are then plain
+        # filters over the materialized rows — no second pass over the
+        # batch and no separate quarantine checkpoint job. The window
+        # over monotonically_increasing_id is nondeterministic under
+        # re-evaluation, so the checkpoint also freezes the chosen
+        # per-key winners; null-key rows sit in their own window
+        # partitions and never affect a real key's rank. The
+        # touched-bucket set and applying-row count ride the same job
+        # as Observation metrics.
+        from pyspark.sql import Window as W
+        null_pred = None
+        for k in self.keys:
+            p = F.col(k).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        w = W.partitionBy(*self.keys).orderBy("_mid")
+        ann = (batch
+               .withColumn("_mid", F.monotonically_increasing_id())
+               .withColumn("_rn", F.row_number().over(w))
+               .withColumn("_bad", null_pred)
+               .drop("_mid"))
+        keep_cond = (~F.col("_bad")) & (F.col("_rn") == 1)
         keep_obs = Observation()
-        keep = keep.observe(
+        ann = ann.observe(
             keep_obs,
-            F.collect_set(self._bucket_expr(n_buckets)).alias("bks"),
-            F.count(F.lit(1)).alias("n"))
-        keep = keep.localCheckpoint(eager=True)
+            F.collect_set(
+                F.when(keep_cond,
+                       self._bucket_expr(n_buckets))).alias("bks"),
+            F.count(F.when(keep_cond, F.lit(1))).alias("n"))
+        ann = ann.localCheckpoint(eager=True)
         touched = sorted(int(b) for b in keep_obs.get["bks"])
         keep_n = int(keep_obs.get["n"])
+        helpers = ["_rn", "_bad"]
+        keep = ann.filter(keep_cond).drop(*helpers)
+        null_q = (ann.filter(F.col("_bad")).drop(*helpers)
+                  .withColumn(_ERR_COL, F.lit("NULL_KEY_FIELD")))
+        dup_q = (ann.filter((~F.col("_bad")) & (F.col("_rn") > 1))
+                 .drop(*helpers)
+                 .withColumn(_ERR_COL, F.lit("DUPLICATE_KEY_IN_BATCH")))
         # snapshot-isolated: the base version's files are immutable, so
         # this slice cannot shift under the merge even if a rival
         # commits mid-flight (the CAS will catch that at publish time)
@@ -794,17 +854,24 @@ class KeyedTable:
             new_slice = self._merge(
                 target, applies, keep_unspecified=(op != "REPLACE"))
 
-        # Materialize the quarantine BEFORE the commit: callers hold it
-        # past temp-table teardown, and its lineage must not re-read
-        # table files a later vacuum may reclaim.
-        quarantine = (null_q.unionByName(dup_q).unionByName(conflicts)
-                      .localCheckpoint(eager=True))
+        # null_q/dup_q are filters over the checkpointed annotated
+        # batch, so their lineage is already cut; INSERT/UPDATE
+        # conflicts additionally join against table files and must be
+        # materialized BEFORE the commit publishes — callers hold the
+        # quarantine past temp-table teardown, and its lineage must not
+        # re-read files a later vacuum may reclaim.
+        if op in ("INSERT", "UPDATE"):
+            conflicts = conflicts.localCheckpoint(eager=True)
+        quarantine = null_q.unionByName(dup_q).unionByName(conflicts)
         if applied_n == 0:
-            # nothing changed: data-free commit, no staging write
-            self._commit_buckets(None, [], n_buckets, base_version)
+            # nothing changed: data-free commit, no staging write (the
+            # txn watermark, if any, still publishes — the batch WAS
+            # processed, its rows just all quarantined)
+            self._commit_buckets(None, [], n_buckets, base_version,
+                                 config_update=txn_update)
         else:
             self._commit_buckets(new_slice, rewrite, n_buckets,
-                                 base_version)
+                                 base_version, config_update=txn_update)
         return MutationResult(applied=applied_n, quarantine=quarantine)
 
     def _merge(self, target: DataFrame, batch: DataFrame,
@@ -825,7 +892,9 @@ class KeyedTable:
             enriched = batch
         return survivors.unionByName(_conform(enriched, target))
 
-    def _delete(self, batch: DataFrame) -> MutationResult:
+    def _delete(self, batch: DataFrame,
+                txn_app: str | None = None,
+                txn_version: int | None = None) -> MutationResult:
         """K6: delete by composite key, key fields in the given order
         (reference: templates/SpannerToSpannerDelete.java:78-91).
 
@@ -843,8 +912,12 @@ class KeyedTable:
         base_version = self._base_version()
         cfg = self._config_at(base_version)
         self._require_matching_keys(cfg)
-        n_buckets = int(cfg["n_buckets"])
         keyed = batch.select(*self.keys)
+        replay, txn_update = self._txn_gate(cfg, txn_app, txn_version)
+        if replay:  # already applied by an earlier commit: zero jobs
+            return MutationResult(0, _empty_with_error(keyed),
+                                  replayed=True)
+        n_buckets = int(cfg["n_buckets"])
         good, null_q = self._null_key_split(keyed)
         # hits is bounded by the batch's distinct keys; checkpointing it
         # eagerly (a) cuts the batch lineage (which may itself read this
@@ -855,7 +928,8 @@ class KeyedTable:
         touched = self._touched_buckets(hits, n_buckets)
         null_q = null_q.localCheckpoint(eager=True)
         if not touched:  # nothing to delete: data-free commit
-            self._commit_buckets(None, [], n_buckets, base_version)
+            self._commit_buckets(None, [], n_buckets, base_version,
+                                 config_update=txn_update)
             return MutationResult(applied=0, quarantine=null_q)
         target = self._snapshot(base_version, touched)
         # one job: deleted-row count + the buckets that actually change
@@ -869,13 +943,15 @@ class KeyedTable:
         rewrite = sorted(int(b) for b in row["bks"])
         if applied_n == 0:
             # every key missed: no bucket changes — data-free commit
-            self._commit_buckets(None, [], n_buckets, base_version)
+            self._commit_buckets(None, [], n_buckets, base_version,
+                                 config_update=txn_update)
             return MutationResult(applied=0, quarantine=null_q)
         # join strategy left to AQE: hits is checkpointed with a known
         # size, so small delete batches broadcast and large ones shuffle
         survivors = (self._snapshot(base_version, rewrite)
                      .join(hits, self.keys, "left_anti"))
-        self._commit_buckets(survivors, rewrite, n_buckets, base_version)
+        self._commit_buckets(survivors, rewrite, n_buckets, base_version,
+                             config_update=txn_update)
         return MutationResult(applied=applied_n, quarantine=null_q)
 
     # -- storage ---------------------------------------------------------
@@ -939,7 +1015,8 @@ class KeyedTable:
         config — a direct caller staging against a stale layout is
         rejected before anything is published."""
         base_cfg = self._config_at(expected_version)
-        if config_update is None and int(base_cfg["n_buckets"]) != n_buckets:
+        if ("n_buckets" not in (config_update or {})
+                and int(base_cfg["n_buckets"]) != n_buckets):
             raise ConcurrentWriteError(
                 f"table at {self.path} was rebucketed to "
                 f"{int(base_cfg['n_buckets'])} buckets while this "
@@ -1073,9 +1150,8 @@ class KeyedTable:
         before the floor moved may still lose files mid-scan — the
         documented Delta VACUUM caveat. Directories orphaned by a
         crashed writer between staging and publish are NOT reclaimed
-        here (they are unreferenced and invisible; an operator can
-        delete them by comparing ``data/`` against the log's dir set
-        once no writer is live)."""
+        here (they are unreferenced and invisible) — that is
+        :meth:`reclaim_orphans`' job."""
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         if not self.exists():
@@ -1133,6 +1209,55 @@ class KeyedTable:
                     if fsio.exists(p):
                         fsio.delete_file(p)
                     self._log_cache.pop(p, None)
+        return removed
+
+    def reclaim_orphans(self, grace_s: float = 86400.0) -> int:
+        """Reclaim data directories no surviving log object references
+        — the debris a writer CRASHED between staging and publish
+        leaves behind (a CAS loser deletes its own staging dir; a dead
+        process cannot). Returns the number of directories removed.
+
+        Safety argument: every resolvable read derives its file set
+        from surviving log objects (entries' ``dir`` + checkpoints'
+        ``owners``), so a directory named by none of them is invisible
+        to every reader at every retained version — deleting it cannot
+        change any result. The one hazard is a LIVE writer whose
+        staging dir has no log object YET; ``grace_s`` covers it: a
+        directory whose newest file was modified within the grace is
+        skipped. Size the grace above the longest plausible staging
+        write (the default, one day, is Delta VACUUM's
+        interval-economics answer to the same in-flight-writer race).
+
+        O(data dirs + log objects) driver-side metadata work; no Spark
+        job runs."""
+        if not self.exists():
+            raise FileNotFoundError(f"table not initialized: {self.path}")
+        referenced: set[str] = set()
+        for n in self._log_names():
+            if not n.endswith(".json"):
+                continue
+            obj = self._read_log_json(
+                posixpath.join(self._log_dir(), n))
+            if n.endswith(".ckpt.json"):
+                referenced.update(
+                    d for d in obj.get("owners", {}).values() if d)
+            elif obj.get("dir"):
+                referenced.add(obj["dir"])
+        data_root = posixpath.join(self.path, "data")
+        if not fsio.is_dir(data_root):
+            return 0
+        import time as _time
+        now = _time.time()
+        removed = 0
+        for name in fsio.list_dir(data_root):
+            if name in referenced:
+                continue
+            d = posixpath.join(data_root, name)
+            newest = fsio.newest_mtime_under(d)
+            if newest is not None and (now - newest) < grace_s:
+                continue  # possibly a live writer still staging
+            fsio.delete_dir(d)
+            removed += 1
         return removed
 
 

@@ -1105,6 +1105,252 @@ FROM (
 """
 
 
+def q181_orphan_reclaim_audit(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Crash-debris reclamation as an oracle row set: a writer that
+    dies AFTER staging its data directory but BEFORE the CAS publish
+    (simulated by a handle whose ``_commit_entry`` raises) leaves an
+    orphan no log object references. The query surfaces the protocol's
+    recovery contract as literal booleans the oracle asserts: the
+    orphan is INVISIBLE (post-crash version and snapshot aggregates
+    equal the pre-crash commit's), ``reclaim_orphans`` inside the
+    grace window removes NOTHING (a fresh dir may be a live writer
+    still staging), outside the grace removes exactly the one orphan,
+    after which every directory on disk is referenced by a commit —
+    and the table keeps taking mutations. The reference gets this for
+    free from Spanner transactions (SpannerToSpanner.java:109-114);
+    an object-store table format has to make crash debris reclaimable
+    without a coordinator, which is exactly Delta VACUUM's
+    uncommitted-file rule.
+
+    Scale note: reclamation is O(data dirs + log objects) driver-side
+    metadata, no Spark job; the per-version aggregates are path-pruned
+    snapshot reads."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+
+    def agg_at(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("acctbal_sum"))
+
+    class _Died(RuntimeError):
+        pass
+
+    class _CrashBeforePublish(KeyedTable):
+        def _commit_entry(self, *a, **k):
+            raise _Died("writer died before publishing the log object")
+
+    from dataflowtemplates_spark.operators import fsio
+    tmp = tempfile.mkdtemp(prefix="q181_orphan_")
+    try:
+        path = os.path.join(tmp, "tbl")
+        tbl = KeyedTable(spark, path, ["c_custkey"], n_buckets=8)
+        tbl.apply_mutations(cust, "INSERT")                       # v1+v2
+        data_root = os.path.join(path, "data")
+        dirs_before = set(fsio.list_dir(data_root))
+        crasher = _CrashBeforePublish(spark, path, ["c_custkey"])
+        try:
+            crasher.apply_mutations(
+                cust.filter(k % 5 == 0)
+                .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0)),
+                "INSERT_OR_UPDATE")
+            crashed = False
+        except _Died:
+            crashed = True
+        orphans = set(fsio.list_dir(data_root)) - dirs_before
+        orphan_staged = crashed and len(orphans) == 1
+        version_unmoved = tbl._latest_version() == 2
+        post_crash = agg_at(tbl.read(), 2).localCheckpoint(eager=True)
+        grace_respected = tbl.reclaim_orphans(grace_s=3600.0) == 0
+        reclaimed_one = tbl.reclaim_orphans(grace_s=0.0) == 1
+        commits = tbl._commits()
+        referenced = {c["dir"] for c in commits if c.get("dir")}
+        clean_after = set(fsio.list_dir(data_root)) <= referenced
+        # the table still takes mutations after reclamation
+        tbl.apply_mutations(
+            cust.filter(k % 5 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0)),
+            "INSERT_OR_UPDATE")                                   # v3
+        out = (post_crash.unionByName(agg_at(tbl.read(), 3))
+               .withColumn("orphan_staged", F.lit(bool(orphan_staged)))
+               .withColumn("version_unmoved", F.lit(bool(version_unmoved)))
+               .withColumn("grace_respected", F.lit(bool(grace_respected)))
+               .withColumn("reclaimed_one", F.lit(bool(reclaimed_one)))
+               .withColumn("clean_after", F.lit(bool(clean_after)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("version")
+
+
+# history: v1 CREATE (schema only), v2 INSERT all customers, a CRASHED
+# upsert (+50 on %5 keys) that must change nothing, v3 the same upsert
+# through a healthy handle. Version 2's aggregates are asserted AFTER
+# the crash, so a leaked orphan read would break the value hash.
+_Q181_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal, c_custkey % 5 = 0 AS s5
+  FROM customer),
+v3 AS (
+  SELECT k, CASE WHEN s5 THEN c_acctbal + 50.0 ELSE c_acctbal END AS b
+  FROM f)
+SELECT *,
+       TRUE AS orphan_staged, TRUE AS version_unmoved,
+       TRUE AS grace_respected, TRUE AS reclaimed_one,
+       TRUE AS clean_after
+FROM (
+  SELECT CAST(2 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS acctbal_sum
+  FROM f
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3
+) ORDER BY version
+"""
+
+
+def q182_txn_replay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional idempotence (Delta txnAppId/txnVersion) through
+    the oracle gate: every mutation carries a (txn_app, txn_version)
+    identity the commit object records atomically with the data, so a
+    REDELIVERED batch — foreachBatch's at-least-once contract, or any
+    client retrying after an ambiguous failure — no-ops instead of
+    re-applying. The replayed batches here are POISONED (+999 on every
+    balance): if a replay ever leaked, the snapshot sums diverge and
+    the value hash breaks. A writer that CRASHES before publish records
+    no marker, so its replay must apply — both directions are asserted.
+    The reference's Spanner templates get this from transactional
+    commit + Dataflow's exactly-once bundles; an object-store table
+    needs the watermark in the log, which is exactly Delta's txn
+    mechanism.
+
+    Scale note: a replayed batch costs ONE commit-object read and zero
+    Spark jobs — the gate sits before any staging work; the watermark
+    map is O(distinct writer apps) metadata riding the same commit CAS
+    as everything else."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+
+    def agg_at(df: DataFrame, version: int) -> DataFrame:
+        return df.agg(
+            F.lit(version).cast("bigint").alias("version"),
+            F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("acctbal_sum"))
+
+    class _Died(RuntimeError):
+        pass
+
+    class _CrashBeforePublish(KeyedTable):
+        def _commit_entry(self, *a, **k):
+            raise _Died("writer died before publishing the log object")
+
+    from functools import reduce
+    tmp = tempfile.mkdtemp(prefix="q182_txn_")
+    try:
+        path = os.path.join(tmp, "tbl")
+        tbl = KeyedTable(spark, path, ["c_custkey"], n_buckets=8)
+        poison = cust.withColumn(
+            "c_acctbal", F.col("c_acctbal") + F.lit(999.0))
+        up4 = (cust.filter(k % 4 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0)))
+        up6 = (cust.filter(k % 6 == 0)
+               .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(7.0)))
+
+        def txn(df, op, ver, handle=None):
+            return (handle or tbl).apply_mutations(
+                df, op, txn_app="loader", txn_version=ver)
+
+        txn(cust, "INSERT", 1)                                  # v1+v2
+        r1 = txn(poison, "INSERT_OR_UPDATE", 1)                 # replay
+        s2 = agg_at(tbl.read(), 2)
+        txn(up4, "INSERT_OR_UPDATE", 2)                         # v3
+        r2 = txn(poison, "INSERT_OR_UPDATE", 2)                 # replay
+        s3 = agg_at(tbl.read(), 3)
+        crasher = _CrashBeforePublish(spark, path, ["c_custkey"])
+        try:
+            txn(up6, "INSERT_OR_UPDATE", 3, handle=crasher)
+            crashed = False
+        except _Died:
+            crashed = True
+        r3 = txn(up6, "INSERT_OR_UPDATE", 3)   # crash left no marker
+        crash_replay_applied = crashed and not r3.replayed \
+            and r3.applied > 0
+        s4 = agg_at(tbl.read(), 4)
+        r4 = txn(cust.filter(k % 9 == 0).select("c_custkey"),
+                 "DELETE", 3)                                   # replay
+        txn(cust.filter(k % 9 == 0).select("c_custkey"),
+            "DELETE", 4)                                        # v5
+        s5 = agg_at(tbl.read(), 5)
+        replays_skipped = all(r.replayed and r.applied == 0
+                              for r in (r1, r2, r4))
+        watermark = int(tbl._meta()["txn"]["loader"])
+        out = (reduce(DataFrame.unionByName, [s2, s3, s4, s5])
+               .withColumn("replays_skipped",
+                           F.lit(bool(replays_skipped)))
+               .withColumn("crash_replay_applied",
+                           F.lit(bool(crash_replay_applied)))
+               .withColumn("txn_watermark",
+                           F.lit(watermark).cast("bigint"))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("version")
+
+
+# history: v2 INSERT all (txn 1), poisoned replay of txn 1 (no-op),
+# v3 +100 on %4 (txn 2), poisoned replay of txn 2 (no-op), a CRASHED
+# +7-on-%6 writer (txn 3, no marker), its healthy replay v4 (applies),
+# a DELETE %9 replayed at txn 3 (no-op), the real DELETE %9 at txn 4
+# (v5). Snapshot sums are poison-sensitive: any leaked replay breaks
+# the hash.
+_Q182_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS key, c_acctbal,
+         c_custkey % 4 = 0 AS s4, c_custkey % 6 = 0 AS s6,
+         c_custkey % 9 = 0 AS s9
+  FROM customer),
+v3 AS (
+  SELECT key, CASE WHEN s4 THEN c_acctbal + 100.0 ELSE c_acctbal END
+           AS b, c_acctbal, s6, s9
+  FROM f),
+-- the %6 upsert batch is built from the ORIGINAL balances and
+-- INSERT_OR_UPDATE overwrites specified columns, so %12 keys lose
+-- their earlier +100 here (exactly what the engine does)
+v4 AS (
+  SELECT key, CASE WHEN s6 THEN c_acctbal + 7.0 ELSE b END AS b, s9
+  FROM v3)
+SELECT *,
+       TRUE AS replays_skipped, TRUE AS crash_replay_applied,
+       CAST(4 AS BIGINT) AS txn_watermark
+FROM (
+  SELECT CAST(2 AS BIGINT) AS version,
+         CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS acctbal_sum
+  FROM f
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3
+  UNION ALL
+  SELECT 4, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v4
+  UNION ALL
+  SELECT 5, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v4 WHERE NOT s9
+) ORDER BY version
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -1116,7 +1362,9 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q139_incremental_rollup": q139_incremental_rollup,
            "q159_table_fingerprint": q159_table_fingerprint,
            "q179_jdbc_retry_exactly_once": q179_jdbc_retry_exactly_once,
-           "q180_commit_protocol_audit": q180_commit_protocol_audit}
+           "q180_commit_protocol_audit": q180_commit_protocol_audit,
+           "q181_orphan_reclaim_audit": q181_orphan_reclaim_audit,
+           "q182_txn_replay_audit": q182_txn_replay_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
@@ -1128,4 +1376,6 @@ ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q139_incremental_rollup": _Q139_ORACLE,
            "q159_table_fingerprint": _Q159_ORACLE,
            "q179_jdbc_retry_exactly_once": _Q179_ORACLE,
-           "q180_commit_protocol_audit": _Q180_ORACLE}
+           "q180_commit_protocol_audit": _Q180_ORACLE,
+           "q181_orphan_reclaim_audit": _Q181_ORACLE,
+           "q182_txn_replay_audit": _Q182_ORACLE}

@@ -818,7 +818,7 @@ def q145_stream_keyed_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]))
         KeyedTable(spark, tbl_path, ["user_id"]).create(seed)
 
-        fold = versioned_upsert_fold(tbl_path)
+        fold = versioned_upsert_fold(tbl_path, txn_app="q145")
         src = (spark.readStream.schema(spark.read.parquet(stage).schema)
                .option("maxFilesPerTrigger", 1).parquet(stage))
         q = (src.writeStream.foreachBatch(fold)

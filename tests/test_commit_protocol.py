@@ -346,3 +346,311 @@ def test_vacuum_safety_property_random_histories():
             fsio.unregister_object_backend("hypmock")
 
     run()
+
+
+class _Crash(RuntimeError):
+    """Stands in for a writer process dying mid-commit."""
+
+
+def test_crashed_writer_leaves_invisible_orphan_then_reclaim(
+        spark, tmp_path):
+    """Writer dies AFTER staging, BEFORE the CAS publish: the staged
+    data dir is debris no log object references. Reads and the version
+    counter are unaffected; ``reclaim_orphans`` skips it inside the
+    grace window (it could be a live writer still staging), removes it
+    outside, and never touches a referenced directory."""
+    path = str(tmp_path / "tbl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=4)
+    t.create(spark.createDataFrame([Row(id=i, v="a") for i in range(8)]))
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=i, v="b") for i in range(4)]),
+        "INSERT_OR_UPDATE")
+    before = {(r["id"], r["v"]) for r in t.read().collect()}
+    v_before = t._latest_version()
+    dirs_before = set(fsio.list_dir(path + "/data"))
+
+    class CrashBeforePublish(KeyedTable):
+        def _commit_entry(self, *a, **k):
+            raise _Crash("died before publishing the log object")
+
+    w = CrashBeforePublish(spark, path, ["id"])
+    with pytest.raises(_Crash):
+        w.apply_mutations(
+            spark.createDataFrame([Row(id=1, v="z")]), "INSERT_OR_UPDATE")
+
+    # the staged dir exists but is invisible: version and reads exact
+    orphans = set(fsio.list_dir(path + "/data")) - dirs_before
+    assert len(orphans) == 1
+    assert t._latest_version() == v_before
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == before
+
+    # grace window: a fresh dir might be a LIVE writer's staging
+    assert t.reclaim_orphans(grace_s=3600.0) == 0
+    assert set(fsio.list_dir(path + "/data")) == dirs_before | orphans
+    # outside the grace it is reclaimed; referenced dirs survive
+    assert t.reclaim_orphans(grace_s=0.0) == 1
+    assert set(fsio.list_dir(path + "/data")) == dirs_before
+    assert {(r["id"], r["v"]) for r in t.read().collect()} == before
+    assert t.reclaim_orphans(grace_s=0.0) == 0  # idempotent
+    # the table keeps taking mutations afterwards
+    res = t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="c")]), "INSERT_OR_UPDATE")
+    assert res.applied == 1 and t._latest_version() == v_before + 1
+
+
+def test_reclaim_orphans_spares_time_travel_dirs(spark, tmp_path):
+    """Directories only OLD versions reference are still referenced
+    (entries survive until vacuum truncates) — reclaim_orphans must
+    not break read_at time travel."""
+    path = str(tmp_path / "tbl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=2)
+    t.create(spark.createDataFrame([Row(id=1, v="a")]))  # v1: schema only
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="a")]), "INSERT")  # v2
+    bound = json.loads(fsio.read_bytes(
+        path + "/_log/" + f"{2:020d}.json"))["time"]
+    t.apply_mutations(
+        spark.createDataFrame([Row(id=1, v="b")]), "INSERT_OR_UPDATE")
+    assert t.reclaim_orphans(grace_s=0.0) == 0
+    got = t.read_at(bound).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(1, "a")]
+
+
+def test_missing_checkpoint_is_tolerated(spark, tmp_path):
+    """Writer dies AFTER the version-10 CAS, BEFORE writing the
+    checkpoint object: the checkpoint is purely an accelerator, so
+    every read folds from entries and later commits (including the
+    next checkpoint boundary) proceed normally."""
+    path = str(tmp_path / "tbl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=2)
+    t.create(spark.createDataFrame([Row(id=0, v=0)]))
+    for i in range(1, 11):  # versions 2..11 — crosses the v10 boundary
+        t.apply_mutations(
+            spark.createDataFrame([Row(id=i % 3, v=i)]),
+            "INSERT_OR_UPDATE")
+    ckpt = path + "/_log/" + f"{10:020d}.ckpt.json"
+    assert fsio.exists(ckpt)
+    before = {(r["id"], r["v"]) for r in t.read().collect()}
+    fsio.delete_file(ckpt)  # simulate the crash having skipped it
+
+    t2 = KeyedTable(spark, path, ["id"])  # fresh handle, no cache
+    assert t2._latest_version() == 11
+    assert {(r["id"], r["v"]) for r in t2.read().collect()} == before
+    # commits continue; the NEXT boundary writes its checkpoint fine
+    for i in range(11, 20):  # versions 12..20
+        t2.apply_mutations(
+            spark.createDataFrame([Row(id=i % 3, v=i)]),
+            "INSERT_OR_UPDATE")
+    assert t2._latest_version() == 20
+    assert fsio.exists(path + "/_log/" + f"{20:020d}.ckpt.json")
+    assert {(r["id"], r["v"]) for r in t2.read().collect()} == {
+        (0, 18), (1, 19), (2, 17)}
+
+
+def test_orphan_reclaim_safety_property_random_histories():
+    """Model-based hypothesis property for crash-debris reclamation
+    (pure metadata over MemoryObjectStore, no Spark): for ANY random
+    commit history interleaved with ANY number of crashed stagings
+    (data dirs written but never logged) and ANY retention choice,
+
+      1. inside the grace window reclaim_orphans removes NOTHING;
+      2. outside it, every crash-orphan directory is gone;
+      3. no directory any retained version's owner fold references is
+         ever deleted — by vacuum OR by reclaim.
+    """
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.data())
+    def run(data):
+        store = fsio.MemoryObjectStore()
+        fsio.register_object_backend("hypmock2", store)
+        try:
+            root = "hypmock2://b/t"
+            t = KeyedTable(None, root, ["id"], n_buckets=4)
+            cfg = {"n_buckets": 4, "keys": ["id"],
+                   "schema": '{"type":"struct","fields":[]}',
+                   "cluster": None, "min_retained_version": 1}
+            t._commit_entry(1, [], None, [], cfg)
+            n = data.draw(st.integers(4, 24), label="n_commits")
+            crash_dirs = []
+            for v in range(2, n + 2):
+                if data.draw(st.booleans(), label=f"crash_before_v{v}"):
+                    # a writer staged for this version and died: the
+                    # dir exists, the version was later won by another
+                    d = f"v{v:05d}-dead{v}"
+                    for b in data.draw(st.sets(st.integers(0, 3),
+                                               min_size=1, max_size=4),
+                                       label=f"crash_bks_v{v}"):
+                        store.write_bytes(
+                            f"{root}/data/{d}/kb={b}/part-0", b"dead")
+                    crash_dirs.append(d)
+                touched = sorted(data.draw(
+                    st.sets(st.integers(0, 3), max_size=4),
+                    label=f"touched_v{v}"))
+                present = (sorted(data.draw(
+                    st.sets(st.sampled_from(touched),
+                            max_size=len(touched)),
+                    label=f"present_v{v}")) if touched else [])
+                dirname = f"v{v:05d}-x" if touched else None
+                for b in present:
+                    store.write_bytes(
+                        f"{root}/data/{dirname}/kb={b}/part-0", b"d")
+                t._commit_entry(v, touched, dirname, present, cfg)
+
+            keep = data.draw(st.integers(1, 6), label="keep_last")
+            truncate = data.draw(st.booleans(), label="truncate_log")
+            t.vacuum(keep_last=keep, truncate_log=truncate)
+
+            fresh = KeyedTable(None, root, ["id"])  # cold cache
+            # vacuum never touches orphans; all crash dirs still there
+            for d in crash_dirs:
+                assert store.is_dir(f"{root}/data/{d}"), \
+                    f"vacuum deleted orphan {d} (not its job)"
+            # 1: grace window — nothing reclaimed (all mtimes fresh)
+            assert fresh.reclaim_orphans(grace_s=3600.0) == 0
+            removed = fresh.reclaim_orphans(grace_s=0.0)
+            assert removed >= len(crash_dirs)
+            # 2: every crash orphan is gone
+            for d in crash_dirs:
+                assert not store.is_dir(f"{root}/data/{d}"), \
+                    f"orphan {d} survived reclaim"
+            # 3: every retained version's owner fold intact
+            latest = fresh._latest_version()
+            floor = int(fresh._meta()["min_retained_version"])
+            for v in range(floor, latest + 1):
+                for b, d in fresh._owners(v).items():
+                    if d is None:
+                        continue
+                    leaf = f"{root}/data/{d}/kb={b}"
+                    assert store.is_dir(leaf), \
+                        f"reclaim deleted retained v{v} owner {leaf}"
+        finally:
+            fsio.unregister_object_backend("hypmock2")
+
+    run()
+
+
+def test_txn_idempotence_contract(spark, tmp_path):
+    """Delta-style txnAppId/txnVersion: a (txn_app, txn_version) at or
+    below the recorded watermark no-ops with zero Spark jobs; apps are
+    independent; the marker rides the commit object so a crash BEFORE
+    publish records nothing and the replay applies."""
+    path = str(tmp_path / "tbl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=4)
+    t.create(spark.createDataFrame([Row(id=1, v=0)]))
+    r = t.apply_mutations(spark.createDataFrame([Row(id=1, v=1)]),
+                          "INSERT_OR_UPDATE", txn_app="a", txn_version=1)
+    assert (r.applied, r.replayed) == (1, False)
+    # exact replay AND an older version both skip
+    for ver in (1, 0):
+        r = t.apply_mutations(
+            spark.createDataFrame([Row(id=1, v=99)]),
+            "INSERT_OR_UPDATE", txn_app="a", txn_version=ver)
+        assert (r.applied, r.replayed) == (0, True)
+    assert [(x["id"], x["v"]) for x in t.read().collect()] == [(1, 1)]
+    # other app unaffected; DELETE honors the same gate
+    r = t.apply_mutations(spark.createDataFrame([Row(id=2, v=2)]),
+                          "INSERT_OR_UPDATE", txn_app="b", txn_version=1)
+    assert (r.applied, r.replayed) == (1, False)
+    r = t.apply_mutations(spark.createDataFrame([Row(id=2)]),
+                          "DELETE", txn_app="a", txn_version=1)
+    assert (r.applied, r.replayed) == (0, True)
+    r = t.apply_mutations(spark.createDataFrame([Row(id=2)]),
+                          "DELETE", txn_app="a", txn_version=2)
+    assert (r.applied, r.replayed) == (1, False)
+    # txn_app/txn_version go together
+    with pytest.raises(ValueError):
+        t.apply_mutations(spark.createDataFrame([Row(id=3, v=3)]),
+                          "INSERT_OR_UPDATE", txn_app="a")
+
+    # crash before publish: the marker is NOT recorded, replay applies
+    class CrashBeforePublish(KeyedTable):
+        def _commit_entry(self, *a, **k):
+            raise _Crash("died before publish")
+
+    w = CrashBeforePublish(spark, path, ["id"])
+    with pytest.raises(_Crash):
+        w.apply_mutations(spark.createDataFrame([Row(id=1, v=7)]),
+                          "INSERT_OR_UPDATE", txn_app="a", txn_version=3)
+    r = t.apply_mutations(spark.createDataFrame([Row(id=1, v=7)]),
+                          "INSERT_OR_UPDATE", txn_app="a", txn_version=3)
+    assert (r.applied, r.replayed) == (1, False)
+    assert t._meta()["txn"] == {"a": 3, "b": 1}
+
+
+def test_versioned_upsert_fold_redelivery_no_double_count(
+        spark, tmp_path):
+    """foreachBatch is at-least-once: redelivering a batch to the
+    additive-counter fold must not double-count when a txn identity is
+    passed — and must (by design) double-count without one."""
+    from pyspark.sql import types as T
+    from dataflowtemplates_spark.streaming.pipelines import (
+        versioned_upsert_fold)
+
+    def seed(path):
+        t = KeyedTable(spark, path, ["user_id"], n_buckets=4)
+        t.create(spark.createDataFrame([], T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_seen", T.LongType()),
+            T.StructField("last_ts", T.TimestampType()),
+            T.StructField("last_event_id", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("last_event_type", T.StringType()),
+        ])))
+        return t
+
+    import datetime
+    batch = spark.createDataFrame(
+        [Row(event_id=1, ts=datetime.datetime(2024, 1, 1), user_id=7,
+             event_type="x", value=1.0)])
+
+    p1 = str(tmp_path / "txn")
+    t1 = seed(p1)
+    fold = versioned_upsert_fold(p1, txn_app="q")
+    fold(batch, 0)
+    fold(batch, 0)  # redelivery of the SAME epoch: must no-op
+    assert [r["n_seen"] for r in t1.read().collect()] == [1]
+    fold(batch, 1)  # the next epoch applies
+    assert [r["n_seen"] for r in t1.read().collect()] == [2]
+
+    p2 = str(tmp_path / "plain")
+    t2 = seed(p2)
+    fold2 = versioned_upsert_fold(p2)  # no txn identity
+    fold2(batch, 0)
+    fold2(batch, 0)
+    assert [r["n_seen"] for r in t2.read().collect()] == [2]
+
+
+def test_racing_same_txn_identity_applies_exactly_once(spark, tmp_path):
+    """Two writers racing the SAME (txn_app, txn_version) — duplicate
+    delivery of one logical batch: exactly one applies; the other
+    either loses the CAS and replays as a no-op or sees the recorded
+    watermark directly. Either way the counter-style fold below ends
+    exactly once-applied."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    t = KeyedTable(spark, path, ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame([Row(id=1, n=0)]), "INSERT")
+    base = t.read().collect()[0]["n"]
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def attempt():
+        w = KeyedTable(spark, path, ["id"])
+        inc = w.read().withColumn("n", F.col("n") + F.lit(1))
+        inc = inc.localCheckpoint(eager=True)
+        barrier.wait()
+        r = w.apply_mutations_with_retry(
+            inc, "INSERT_OR_UPDATE", txn_app="dup", txn_version=1)
+        outcomes.append((r.applied, r.replayed))
+
+    threads = [threading.Thread(target=attempt) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(outcomes) == [(0, True), (1, False)]
+    assert t.read().collect()[0]["n"] == base + 1  # applied ONCE
