@@ -874,6 +874,125 @@ class KeyedTable:
                                  base_version, config_update=txn_update)
         return MutationResult(applied=applied_n, quarantine=quarantine)
 
+    def apply_changes(self, batch: DataFrame, op_col: str = "_op",
+                      seq_col: str | None = None,
+                      txn_app: str | None = None,
+                      txn_version: int | None = None) -> MutationResult:
+        """Atomic CDC apply: one batch mixing inserts, updates, and
+        deletes — rows tagged by ``op_col`` with ``I``/``U`` (upsert
+        image, unspecified columns keep their current value) or ``D``
+        (delete by key) — lands as ONE commit. The sequential
+        alternative (upsert commit + delete commit) exposes an
+        intermediate version to readers and to ``changes_between``;
+        here the net effect is a single version advance, which is what
+        a CDC feed (Debezium envelope, Delta APPLY CHANGES INTO)
+        needs.
+
+        Per-key collapse is LAST-Wins, not first-wins like
+        ``apply_mutations``: a CDC stream legitimately carries many
+        events per key, so events fold instead of quarantining — the
+        winner is the highest ``seq_col`` value (ties and absence fall
+        back to batch order), and ONLY the winner's disposition
+        applies. Quarantined: null-key rows and rows whose op is not
+        I/U/D. ``applied`` counts winner upserts plus deletes that
+        matched a live row. ``txn_app``/``txn_version`` ride exactly
+        as in :meth:`apply_mutations`.
+
+        Job economics: one annotate-and-checkpoint pass over the batch
+        (winner rank + validity flags + touched buckets and counts as
+        riding Observation metrics), one bounded matched-delete
+        aggregate over the pruned slice (only when the batch contains
+        deletes), and the staging write. The rewrite touches only the
+        buckets the winner keys hash into — O(batch +
+        table/n_buckets × touched), never O(table)."""
+        from pyspark.sql import Observation
+        from pyspark.sql import Window as W
+        if op_col not in batch.columns:
+            raise ValueError(f"op_col {op_col!r} not in batch columns")
+        if seq_col is not None and seq_col not in batch.columns:
+            raise ValueError(f"seq_col {seq_col!r} not in batch columns")
+        if (txn_app is None) != (txn_version is None):
+            raise ValueError("txn_app and txn_version go together")
+        extra = [op_col] + ([seq_col] if seq_col else [])
+        data = batch.drop(*extra)
+        skipped = self._unstorable_columns(data)
+        if skipped:
+            batch = batch.drop(*skipped)
+            data = data.drop(*skipped)
+        self._require_conditional_put()  # fail BEFORE any Spark job runs
+        self.create(data)
+        if self.schema_evolution:
+            self._evolve_schema(data)
+        base_version = self._base_version()
+        cfg = self._config_at(base_version)
+        self._require_matching_keys(cfg)
+        replay, txn_update = self._txn_gate(cfg, txn_app, txn_version)
+        if replay:  # already applied by an earlier commit: zero jobs
+            return MutationResult(0, _empty_with_error(batch),
+                                  replayed=True)
+        n_buckets = int(cfg["n_buckets"])
+        null_pred = None
+        for k in self.keys:
+            p = F.col(k).isNull()
+            null_pred = p if null_pred is None else (null_pred | p)
+        op_norm = F.upper(F.col(op_col))
+        valid = (~null_pred) & op_norm.isin("I", "U", "D")
+        # winner rank: valid rows outrank invalid, then seq desc, then
+        # batch order desc (LAST wins) — all frozen by the checkpoint
+        order = [F.desc("_ok")]
+        if seq_col is not None:
+            order.append(F.desc(seq_col))
+        order.append(F.desc("_mid"))
+        w = W.partitionBy(*self.keys).orderBy(*order)
+        ann = (batch
+               .withColumn("_mid", F.monotonically_increasing_id())
+               .withColumn("_ok", valid)
+               .withColumn("_rn", F.row_number().over(w))
+               .drop("_mid"))
+        win = F.col("_ok") & (F.col("_rn") == 1)
+        win_up = win & op_norm.isin("I", "U")
+        win_del = win & (op_norm == "D")
+        obs = Observation()
+        ann = ann.observe(
+            obs,
+            F.collect_set(
+                F.when(win, self._bucket_expr(n_buckets))).alias("bks"),
+            F.count(F.when(win_up, F.lit(1))).alias("n_up"),
+            F.count(F.when(win_del, F.lit(1))).alias("n_del"))
+        ann = ann.localCheckpoint(eager=True)
+        touched = sorted(int(b) for b in obs.get["bks"])
+        n_up, n_del = int(obs.get["n_up"]), int(obs.get["n_del"])
+        helpers = ["_ok", "_rn"]
+        quarantine = (ann.filter(~F.col("_ok")).drop(*helpers)
+                      .withColumn(_ERR_COL, F.when(
+                          null_pred, F.lit("NULL_KEY_FIELD"))
+                          .otherwise(F.lit("UNKNOWN_CHANGE_OP"))))
+        if not touched:  # every row quarantined: data-free commit
+            self._commit_buckets(None, [], n_buckets, base_version,
+                                 config_update=txn_update)
+            return MutationResult(applied=0, quarantine=quarantine)
+        upserts = (ann.filter(win_up).drop(*helpers, *extra))
+        del_keys = ann.filter(win_del).select(*self.keys)
+        target = self._snapshot(base_version, touched)
+        matched_del = 0
+        if n_del:
+            # one bounded agg over the pruned slice (mirrors _delete)
+            matched_del = target.join(
+                del_keys, self.keys, "left_semi").count()
+            target = target.join(del_keys, self.keys, "left_anti")
+        if n_up == 0 and matched_del == 0:
+            # delete-only batch, every key missed: nothing changes —
+            # data-free commit (the txn watermark still publishes)
+            self._commit_buckets(None, [], n_buckets, base_version,
+                                 config_update=txn_update)
+            return MutationResult(applied=0, quarantine=quarantine)
+        new_slice = (self._merge(target, upserts, keep_unspecified=True)
+                     if n_up else target)
+        self._commit_buckets(new_slice, touched, n_buckets,
+                             base_version, config_update=txn_update)
+        return MutationResult(applied=n_up + matched_del,
+                              quarantine=quarantine)
+
     def _merge(self, target: DataFrame, batch: DataFrame,
                keep_unspecified: bool) -> DataFrame:
         """Upsert batch into target. Columns present in the target but

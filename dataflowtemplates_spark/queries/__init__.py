@@ -73,6 +73,8 @@ REGISTRY_ORDER = (
     # which consumes q66's pairs), then the q174 short-doc guard and
     # q176 _metadata row-order fix, then the JDBC identifier
     # validation + write retry, then the vectorized real image codecs
+    "q184_stream_cdc_apply",
+    "q183_cdc_apply_audit",
     "q182_txn_replay_audit",
     "q181_orphan_reclaim_audit",
     "q180_commit_protocol_audit",

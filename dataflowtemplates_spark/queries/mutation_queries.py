@@ -1351,6 +1351,102 @@ FROM (
 """
 
 
+def q183_cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Atomic CDC apply (``KeyedTable.apply_changes``) through the
+    oracle gate: ONE batch mixing upsert images (two events per key —
+    the seq-ordered LAST must win), deletes, inserts of brand-new
+    keys, unknown-op rows, and a null-key row lands as ONE commit.
+    The audit emits the post-apply snapshot aggregate plus the applied
+    and quarantined counts (pure functions of the key residues the
+    DuckDB oracle recomputes set-relationally) and the atomicity
+    boolean (exactly one version advance). A leaked loser event (+50
+    instead of +100) or a non-atomic intermediate version breaks the
+    value hash. The reference applies mixed mutation groups in one
+    Spanner transaction (SpannerToSpanner.java:109-114, mutation
+    groups); this is the object-store-table equivalent, Delta's APPLY
+    CHANGES INTO discipline.
+
+    Scale note: one annotate-and-checkpoint pass over the CDC batch,
+    one bounded matched-delete aggregate over the pruned slice, one
+    staging write — rewrites only the buckets the winner keys hash
+    into, never O(table)."""
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+    s3, s7, s11, s13 = (k % 3 == 0), (k % 7 == 0), (k % 11 == 0), \
+        (k % 13 == 0)
+
+    def ev(df, op, seq):
+        return df.withColumn("_op", F.lit(op)).withColumn(
+            "seq", F.lit(seq).cast("int"))
+
+    bump = lambda df, d: df.withColumn(  # noqa: E731
+        "c_acctbal", F.col("c_acctbal") + F.lit(float(d)))
+    upd = cust.filter(s3)
+    cdc = (ev(bump(upd, 50.0), "U", 1)            # loser event
+           .unionByName(ev(bump(upd, 100.0), "U", 2))  # winner
+           .unionByName(ev(cust.filter(s7 & ~s3), "D", 1))
+           .unionByName(ev(bump(cust.filter(s11), 5.0), "I", 1)
+                        .withColumn("c_custkey",
+                                    k + F.lit(1000000)))
+           .unionByName(ev(cust.filter(s13 & ~s3 & ~s7), "X", 1))
+           .unionByName(ev(cust.limit(1), "U", 1).withColumn(
+               "c_custkey", F.lit(None).cast("long"))))
+
+    tmp = tempfile.mkdtemp(prefix="q183_cdc_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"],
+                         n_buckets=8)
+        tbl.apply_mutations(cust, "INSERT")                     # v1+v2
+        v_before = tbl._latest_version()
+        res = tbl.apply_changes(cdc, op_col="_op", seq_col="seq")
+        atomic = tbl._latest_version() == v_before + 1
+        out = (tbl.read().agg(
+                   F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("acctbal_sum"))
+               .withColumn("applied",
+                           F.lit(int(res.applied)).cast("bigint"))
+               .withColumn("quarantined",
+                           F.lit(int(res.failed)).cast("bigint"))
+               .withColumn("atomic_commit", F.lit(bool(atomic)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# the CDC net effect, set-relationally: %3 keys end at +100 (the seq-2
+# winner; a leaked +50 loser breaks the sum), %7-not-%3 keys delete,
+# %11 keys re-insert shifted by 1,000,000 at +5, %13-not-%3-not-%7
+# rows carry an unknown op (quarantined, no effect), plus one null-key
+# row. applied = upsert winners (incl. inserts) + matched deletes.
+_Q183_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal,
+         c_custkey % 3 = 0 AS s3, c_custkey % 7 = 0 AS s7,
+         c_custkey % 11 = 0 AS s11, c_custkey % 13 = 0 AS s13
+  FROM customer),
+final AS (
+  SELECT CASE WHEN s3 THEN c_acctbal + 100.0 ELSE c_acctbal END AS b
+  FROM f WHERE NOT (s7 AND NOT s3)
+  UNION ALL
+  SELECT c_acctbal + 5.0 FROM f WHERE s11)
+SELECT CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+       CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+       (SELECT CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN s11 THEN 1 ELSE 0 END)
+                    + SUM(CASE WHEN s7 AND NOT s3 THEN 1 ELSE 0 END)
+                    AS BIGINT) FROM f) AS applied,
+       (SELECT CAST(SUM(CASE WHEN s13 AND NOT s3 AND NOT s7
+                             THEN 1 ELSE 0 END) + 1 AS BIGINT)
+        FROM f) AS quarantined,
+       TRUE AS atomic_commit
+FROM final
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -1364,7 +1460,8 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q179_jdbc_retry_exactly_once": q179_jdbc_retry_exactly_once,
            "q180_commit_protocol_audit": q180_commit_protocol_audit,
            "q181_orphan_reclaim_audit": q181_orphan_reclaim_audit,
-           "q182_txn_replay_audit": q182_txn_replay_audit}
+           "q182_txn_replay_audit": q182_txn_replay_audit,
+           "q183_cdc_apply_audit": q183_cdc_apply_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
@@ -1378,4 +1475,5 @@ ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q179_jdbc_retry_exactly_once": _Q179_ORACLE,
            "q180_commit_protocol_audit": _Q180_ORACLE,
            "q181_orphan_reclaim_audit": _Q181_ORACLE,
-           "q182_txn_replay_audit": _Q182_ORACLE}
+           "q182_txn_replay_audit": _Q182_ORACLE,
+           "q183_cdc_apply_audit": _Q183_ORACLE}

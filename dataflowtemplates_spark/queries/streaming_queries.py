@@ -1023,6 +1023,125 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def q184_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streamed CDC sink: a Debezium-style change feed (every event is
+    an upsert image, ``error`` events are tombstones) folds into a
+    :class:`KeyedTable` through ``apply_changes`` — mixed I/U/D per
+    micro-batch, ONE atomic commit per batch, per-key seq last-wins
+    inside each batch, and a (txn_app, batch_id) identity that makes
+    foreachBatch's at-least-once redelivery exactly-once. The input is
+    staged into 6 files RANGE-PARTITIONED ON THE SEQUENCE so file
+    order equals sequence order — later micro-batches carry strictly
+    larger sequence numbers, which is the ordered-feed contract a CDC
+    log (binlog/LSN) provides; the final table state is then exactly
+    the per-key MAX-sequence event (absent if it was a tombstone),
+    which the DuckDB oracle recomputes relationally. After the drain,
+    a POISONED replay at an already-recorded txn version must no-op —
+    surfaced as the ``replay_noop`` boolean the oracle asserts.
+
+    The reference applies its mutation groups transactionally to
+    Spanner (SpannerToSpanner.java:109-114); this is that sink over
+    the log-structured table, fed by a stream instead of a bounded
+    query.
+
+    Scale shape: per batch, one annotate-and-checkpoint pass + one
+    bounded matched-delete aggregate + one staging write touching only
+    the winner keys' buckets — O(batch + table/n_buckets × touched),
+    never O(table)."""
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.operators.mutations import KeyedTable
+
+    register_tables(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="q184_cdc_")
+    try:
+        raw = os.path.join(tmp, "raw")
+        (spark.table("events")
+         .select("event_id", "user_id", "event_type", "value")
+         .repartitionByRange(6, "event_id")
+         .write.parquet(raw))
+        # Spark's file stream source orders files by MODIFICATION TIME
+        # (ties arbitrary), and concurrently-written part files share
+        # one — so pin the feed order explicitly: part-0000N holds the
+        # N-th event_id range (repartitionByRange contract); rename to
+        # range-ordered names with strictly ascending mtimes. This IS
+        # the ordered-feed guarantee a CDC log (binlog/LSN) provides.
+        stage = os.path.join(tmp, "stage")
+        os.makedirs(stage)
+        t0 = os.path.getmtime(raw)
+        for i, fn in enumerate(sorted(
+                f for f in os.listdir(raw)
+                if f.startswith("part-") and f.endswith(".parquet"))):
+            dst = os.path.join(stage, f"{i:04d}.parquet")
+            os.rename(os.path.join(raw, fn), dst)
+            os.utime(dst, (t0 + i + 1, t0 + i + 1))
+        tbl_path = os.path.join(tmp, "tbl")
+        seed = spark.createDataFrame([], T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField("last_seq", T.LongType()),
+            T.StructField("last_value", T.DoubleType()),
+            T.StructField("last_event_type", T.StringType()),
+        ]))
+        KeyedTable(spark, tbl_path, ["user_id"]).create(seed)
+
+        def fold(batch: DataFrame, bid: int) -> None:
+            t = KeyedTable(batch.sparkSession, tbl_path, ["user_id"])
+            cdc = batch.select(
+                "user_id",
+                F.col("event_id").alias("last_seq"),
+                F.col("value").alias("last_value"),
+                F.col("event_type").alias("last_event_type"),
+                F.when(F.col("event_type") == "error", F.lit("D"))
+                 .otherwise(F.lit("U")).alias("_op"),
+                F.col("event_id").alias("_seq"))
+            t.apply_changes(cdc, op_col="_op", seq_col="_seq",
+                            txn_app="q184", txn_version=int(bid))
+
+        src = (spark.readStream.schema(spark.read.parquet(stage).schema)
+               .option("maxFilesPerTrigger", 1).parquet(stage))
+        q = (src.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+        tbl = KeyedTable(spark, tbl_path, ["user_id"])
+        # poisoned replay at an already-recorded version: must no-op
+        poison = (tbl.read()
+                  .withColumn("last_value",
+                              F.col("last_value") + F.lit(999.0))
+                  .withColumn("_op", F.lit("U"))
+                  .withColumn("_seq", F.col("last_seq"))
+                  .localCheckpoint(eager=True))
+        res = tbl.apply_changes(poison, op_col="_op", seq_col="_seq",
+                                txn_app="q184", txn_version=0)
+        replay_noop = res.replayed and res.applied == 0
+        out = (tbl.read()
+               .select("user_id", "last_seq", "last_value",
+                       "last_event_type")
+               .withColumn("replay_noop", F.lit(bool(replay_noop)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("user_id")
+
+
+# final state = per user the MAX-event_id event, absent if that event
+# is an 'error' tombstone — the ordered-feed fold of the I/U/D stream.
+_Q184_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_id, value, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY event_id DESC) AS rk
+  FROM events)
+SELECT user_id, event_id AS last_seq, value AS last_value,
+       event_type AS last_event_type, TRUE AS replay_noop
+FROM ranked
+WHERE rk = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "q90_stream_tumbling": q90_stream_tumbling,
     "q91_stream_sessionize": q91_stream_sessionize,
@@ -1037,6 +1156,7 @@ QUERIES = {
     "q138_stream_classify": q138_stream_classify,
     "q144_stream_heavy_hitters": q144_stream_heavy_hitters,
     "q145_stream_keyed_upsert": q145_stream_keyed_upsert,
+    "q184_stream_cdc_apply": q184_stream_cdc_apply,
     "q164_stream_fingerprint": q164_stream_fingerprint,
     "q167_stream_jdbc_sink": q167_stream_jdbc_sink,
 }
@@ -1055,6 +1175,7 @@ ORACLES = {
     "q138_stream_classify": _q138_oracle(),
     "q144_stream_heavy_hitters": _Q144_ORACLE,
     "q145_stream_keyed_upsert": _Q145_ORACLE,
+    "q184_stream_cdc_apply": _Q184_ORACLE,
     "q164_stream_fingerprint": _Q164_ORACLE,
     "q167_stream_jdbc_sink": _Q167_ORACLE,
 }

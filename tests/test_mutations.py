@@ -758,3 +758,92 @@ def test_mis_keyed_handle_rejected_on_mutation(spark, tmp_path):
         wrong.apply_mutations(
             spark.createDataFrame([Row(val=1)]), "DELETE")
     assert wrong.read().count() == 1  # reads unaffected
+
+
+def test_apply_changes_mixed_batch_is_one_atomic_commit(spark, tmp_path):
+    """CDC apply: inserts, updates, deletes, dup events, a bad op and a
+    null key in ONE batch -> one commit, last-wins by seq, correct
+    quarantine, net state."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=i, v=i * 10, tag="seed") for i in range(5)]), "INSERT")
+    v0 = t._latest_version()
+    cdc = spark.createDataFrame([
+        Row(id=1, v=111, tag="mid", _op="U", seq=1),
+        Row(id=1, v=999, tag="fin", _op="u", seq=2),  # winner, case-insens
+        Row(id=2, v=0, tag="x", _op="D", seq=1),
+        Row(id=9, v=90, tag="new", _op="I", seq=1),
+        Row(id=7, v=0, tag="x", _op="D", seq=1),      # miss: no-op
+        Row(id=3, v=33, tag="x", _op="X", seq=1),     # unknown op
+        Row(id=None, v=1, tag="x", _op="U", seq=1),   # null key
+    ])
+    r = t.apply_changes(cdc, op_col="_op", seq_col="seq")
+    assert t._latest_version() == v0 + 1            # ATOMIC: one commit
+    assert r.applied == 3                           # 2 upserts + 1 match
+    errs = sorted(x["_error"] for x in r.quarantine.collect())
+    assert errs == ["NULL_KEY_FIELD", "UNKNOWN_CHANGE_OP"]
+    assert sorted((x.id, x.v, x.tag) for x in t.read().collect()) == [
+        (0, 0, "seed"), (1, 999, "fin"), (3, 30, "seed"),
+        (4, 40, "seed"), (9, 90, "new")]
+    # seq tie falls back to batch order; no seq_col = pure batch order
+    t.apply_changes(spark.createDataFrame([
+        Row(id=4, v=-1, tag="first", _op="U", seq=9),
+        Row(id=4, v=-2, tag="last", _op="U", seq=9)]),
+        op_col="_op", seq_col="seq")
+    assert [(x.v, x.tag) for x in
+            t.read().filter("id = 4").collect()] == [(-2, "last")]
+    t.apply_changes(spark.createDataFrame([
+        Row(id=0, v=1, tag="a", _op="U"),
+        Row(id=0, v=2, tag="b", _op="U")]), op_col="_op")
+    assert [(x.v, x.tag) for x in
+            t.read().filter("id = 0").collect()] == [(2, "b")]
+    # unspecified columns keep their current value (upsert semantics)
+    t.apply_changes(spark.createDataFrame([Row(id=9, v=91, _op="U")]),
+                    op_col="_op")
+    assert [(x.v, x.tag) for x in
+            t.read().filter("id = 9").collect()] == [(91, "new")]
+
+
+def test_apply_changes_delete_only_miss_and_txn(spark, tmp_path):
+    """A delete-only batch whose keys all miss commits data-free; the
+    txn gate replays exactly like apply_mutations."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=1, v=1)]), "INSERT")
+    v0 = t._latest_version()
+    r = t.apply_changes(spark.createDataFrame(
+        [Row(id=42, v=0, _op="D")]), op_col="_op")
+    assert (r.applied, t._latest_version()) == (0, v0 + 1)
+    assert t._commits()[-1]["dir"] is None          # data-free commit
+    cdc = spark.createDataFrame([Row(id=1, v=2, _op="U")])
+    r1 = t.apply_changes(cdc, op_col="_op", txn_app="c", txn_version=1)
+    r2 = t.apply_changes(cdc, op_col="_op", txn_app="c", txn_version=1)
+    assert (r1.applied, r1.replayed) == (1, False)
+    assert (r2.applied, r2.replayed) == (0, True)
+    assert [x.v for x in t.read().filter("id = 1").collect()] == [2]
+    with pytest.raises(ValueError):
+        t.apply_changes(cdc, op_col="nope")
+    with pytest.raises(ValueError):
+        t.apply_changes(cdc, op_col="_op", seq_col="nope")
+
+
+def test_apply_changes_prunes_to_winner_buckets(spark, tmp_path):
+    """CDC apply keeps the bucket-pruned rewrite economics: a 2-key
+    I/U/D batch rewrites only the buckets its winner keys hash into —
+    everything else stays byte-identical."""
+    from pyspark.sql import functions as F
+    path = str(tmp_path / "bp")
+    t = KeyedTable(spark, path, ["id"], n_buckets=16)
+    t.apply_mutations(
+        spark.range(0, 2000).select("id", (F.col("id") * 2).alias("val")),
+        "INSERT")
+    before = _data_files(path)
+    r = t.apply_changes(spark.createDataFrame([
+        Row(id=7, val=999, _op="U"),
+        Row(id=8, val=0, _op="D")]), op_col="_op")
+    assert r.applied == 2 and r.failed == 0
+    after = _data_files(path)
+    unchanged = [p for p, b in before.items() if after.get(p) == b]
+    assert len(unchanged) / len(before) > 0.8
+    got = {x.id: x.val for x in t.read().collect()}
+    assert got[7] == 999 and 8 not in got and len(got) == 1999
