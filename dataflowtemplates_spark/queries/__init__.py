@@ -67,12 +67,15 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
     # -- changed this cycle (r12): must be inside any scored prefix ----
-    # the KeyedTable log-structured CAS commit rewrite (every query
-    # that mutates or snapshots a keyed table), the exact-duplicate
-    # collapse in the embedding pair operators (q66/q141 + q148,
-    # which consumes q66's pairs), then the q174 short-doc guard and
-    # q176 _metadata row-order fix, then the JDBC identifier
-    # validation + write retry, then the vectorized real image codecs
+    # the r12-continuation storage additions first (q181-q184: orphan
+    # reclamation, txn idempotence, atomic CDC apply + its streamed
+    # sink — plus the single-pass commit-constant refactor, which
+    # touches EVERY query that mutates a keyed table, q145 included),
+    # then the earlier r12 set: the log-structured CAS commit rewrite,
+    # the exact-duplicate collapse in the embedding pair operators
+    # (q66/q141 + q148, which consumes q66's pairs), the q174
+    # short-doc guard and q176 _metadata row-order fix, the JDBC
+    # identifier validation + write retry, the vectorized image codecs
     "q184_stream_cdc_apply",
     "q183_cdc_apply_audit",
     "q182_txn_replay_audit",

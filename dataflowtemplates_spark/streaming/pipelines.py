@@ -265,6 +265,50 @@ def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
             .foreachBatch(apply_batch))
 
 
+def stream_changes_to_keyed_table(stream: DataFrame, table,
+                                  checkpoint: str,
+                                  op_col: str = "_op",
+                                  seq_col: str | None = None,
+                                  txn_app: str | None = None):
+    """foreachBatch CDC sink: each micro-batch of tagged change rows
+    (``op_col`` I/U/D, optional ``seq_col`` ordering) lands through
+    :meth:`KeyedTable.apply_changes` as ONE atomic commit — the
+    streamed Debezium-envelope sink (q184 drives exactly this shape
+    inline). With ``txn_app`` the (app, batch_id) identity makes
+    foreachBatch's at-least-once redelivery exactly-once table state.
+    The feed must be sequence-ordered across batches (a CDC log's
+    binlog/LSN contract): within a batch ``seq_col`` decides, across
+    batches the later batch wins. Applies through the optimistic-retry
+    loop like :func:`stream_to_keyed_table`."""
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        import time
+        last = None
+        for attempt in range(6):
+            if attempt:
+                time.sleep(0.2 * (2 ** (attempt - 1)))
+            try:
+                table.apply_changes(
+                    batch_df, op_col=op_col, seq_col=seq_col,
+                    txn_app=txn_app,
+                    txn_version=(int(batch_id)
+                                 if txn_app is not None else None))
+                return
+            except Exception as exc:
+                from dataflowtemplates_spark.operators.mutations import (
+                    ConcurrentWriteError)
+                if not isinstance(exc, ConcurrentWriteError):
+                    raise
+                last = exc
+        raise last
+
+    return (stream.writeStream
+            .outputMode("update")
+            .option("checkpointLocation", checkpoint)
+            .foreachBatch(apply_batch))
+
+
 def versioned_upsert_fold(tbl_path: str, txn_app: str | None = None):
     """foreachBatch callable that folds event micro-batches
     (event_id, ts, user_id, event_type, value) into the KeyedTable at
