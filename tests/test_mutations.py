@@ -847,3 +847,25 @@ def test_apply_changes_prunes_to_winner_buckets(spark, tmp_path):
     assert len(unchanged) / len(before) > 0.8
     got = {x.id: x.val for x in t.read().collect()}
     assert got[7] == 999 and 8 not in got and len(got) == 1999
+
+
+def test_apply_changes_composite_keys_partial_null(spark, tmp_path):
+    """CDC apply over a composite key: winners collapse per key TUPLE,
+    deletes match on the full tuple, and a row null in ANY key field
+    quarantines (the StructToMutationConverter.java:115-117 rule)."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["a", "b"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(a=1, b="x", v=1), Row(a=1, b="y", v=2), Row(a=2, b="x", v=3)]),
+        "INSERT")
+    r = t.apply_changes(spark.createDataFrame([
+        Row(a=1, b="x", v=10, _op="U", s=1),
+        Row(a=1, b="x", v=11, _op="U", s=2),   # same tuple: last wins
+        Row(a=1, b="y", v=0, _op="D", s=1),    # tuple delete
+        Row(a=2, b="y", v=40, _op="I", s=1),   # new tuple (a exists)
+        Row(a=None, b="x", v=0, _op="U", s=1)]),  # partial-null key
+        op_col="_op", seq_col="s")
+    assert r.applied == 3
+    assert [x["_error"] for x in r.quarantine.collect()] == \
+        ["NULL_KEY_FIELD"]
+    assert sorted((x.a, x.b, x.v) for x in t.read().collect()) == [
+        (1, "x", 11), (2, "x", 3), (2, "y", 40)]
