@@ -113,7 +113,8 @@ HEADLINE = (
     "q181_orphan_reclaim_audit",
     "q182_txn_replay_audit",
     "q183_cdc_apply_audit",
-    "q184_stream_cdc_apply",    # r12: CAS commit log invariants
+    "q184_stream_cdc_apply",
+    "q185_replication_audit",    # r12: CAS commit log invariants
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands

@@ -237,3 +237,36 @@ def fingerprint(df: DataFrame, cols: list[str] | None = None,
                   .alias("fp_xor"),
                  F.coalesce(F.sum(F.col("h") % mod), F.lit(0))
                   .cast("bigint").alias("fp_sum")))
+
+
+def replicate_changes(src, dst, bound_from: str, bound_to: str,
+                      txn_app: str | None = None,
+                      txn_version: int | None = None):
+    """Incremental table-to-table replication step: apply the SOURCE
+    KeyedTable's net changes in ``(bound_from, bound_to]`` to the
+    DESTINATION as ONE atomic commit — the reference's
+    SpannerToSpanner sync (templates/SpannerToSpanner.java:78-121)
+    re-done CDC-style, so each step ships O(changed buckets), never
+    O(table). Composition of two verified pieces: ``changes_between``
+    (Delta-CDF net diff, path-pruned on both snapshots) feeds
+    ``apply_changes`` (update preimages dropped; deletes map to D,
+    inserts and update postimages to U — a commit window nets at most
+    one change per key, so no intra-batch sequencing is needed).
+
+    Pass ``txn_app`` (+ the source version as ``txn_version``) to make
+    each step idempotent: a replayed window — scheduler double-fire,
+    retry after an ambiguous failure — no-ops against the recorded
+    watermark instead of re-applying. Validate a replica with
+    :func:`fingerprint` on both sides (same engine, one tiny row
+    each). Returns the destination's :class:`MutationResult`.
+    """
+    from pyspark.sql import functions as F
+
+    cdf = src.changes_between(bound_from, bound_to)
+    batch = (cdf.filter(F.col("_change_type") != "update_preimage")
+             .withColumn("_op",
+                         F.when(F.col("_change_type") == "delete",
+                                F.lit("D")).otherwise(F.lit("U")))
+             .drop("_change_type"))
+    return dst.apply_changes(batch, op_col="_op",
+                             txn_app=txn_app, txn_version=txn_version)

@@ -76,6 +76,7 @@ REGISTRY_ORDER = (
     # (q66/q141 + q148, which consumes q66's pairs), the q174
     # short-doc guard and q176 _metadata row-order fix, the JDBC
     # identifier validation + write retry, the vectorized image codecs
+    "q185_replication_audit",
     "q184_stream_cdc_apply",
     "q183_cdc_apply_audit",
     "q182_txn_replay_audit",

@@ -1447,6 +1447,109 @@ FROM final
 """
 
 
+def q185_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental table-to-table replication through the oracle gate
+    (the reference's SpannerToSpanner sync, templates/
+    SpannerToSpanner.java:78-121, re-done CDC-style): a source keyed
+    table takes three mutation commits (INSERT all, +100 upsert on %4,
+    DELETE %9); each commit window is then shipped to an independent
+    replica via ``maintenance.replicate_changes`` (CDF net diff →
+    atomic CDC apply) with the source version as the txn identity.
+    Per step the audit emits the REPLICA's snapshot aggregate plus an
+    order-independent fingerprint match against the source's snapshot
+    at the same bound — and a replayed middle window (double-fire)
+    must no-op. The oracle recomputes every step's state
+    set-relationally, so the hash gate verifies the whole replication
+    chain, not just the final state.
+
+    Scale note: each step reads both snapshots pruned to the window's
+    touched buckets and commits once on the replica — O(changed
+    buckets) per step; the fingerprints are one map-side hash +
+    one-row aggregate per side."""
+    from dataflowtemplates_spark.operators.maintenance import (
+        fingerprint, replicate_changes)
+
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+
+    from functools import reduce
+    tmp = tempfile.mkdtemp(prefix="q185_repl_")
+    try:
+        src = KeyedTable(spark, os.path.join(tmp, "src"), ["c_custkey"],
+                         n_buckets=8)
+        src.apply_mutations(cust, "INSERT")                       # v2
+        src.apply_mutations(
+            cust.filter(k % 4 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(100.0)),
+            "INSERT_OR_UPDATE")                                   # v3
+        src.apply_mutations(cust.filter(k % 9 == 0).select("c_custkey"),
+                            "DELETE")                             # v4
+        times = {c["version"]: c["time"] for c in src._commits()}
+
+        dst = KeyedTable(spark, os.path.join(tmp, "dst"), ["c_custkey"],
+                         n_buckets=8)
+        dst.create(cust)
+
+        def fp(df) -> tuple:
+            return tuple(fingerprint(df).collect()[0])
+
+        steps = []
+        for step, v in enumerate((2, 3, 4), start=1):
+            replicate_changes(src, dst, times[v - 1], times[v],
+                              txn_app="repl", txn_version=v)
+            match = fp(src.read_at(times[v])) == fp(dst.read())
+            steps.append(
+                dst.read().agg(
+                    F.lit(step).cast("bigint").alias("step"),
+                    F.count(F.lit(1)).cast("bigint")
+                     .alias("snapshot_rows"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double").alias("acctbal_sum"))
+                .withColumn("fp_match", F.lit(bool(match))))
+        # double-fire the middle window: recorded watermark wins
+        r = replicate_changes(src, dst, times[2], times[3],
+                              txn_app="repl", txn_version=3)
+        replay_noop = r.replayed and r.applied == 0 \
+            and fp(src.read()) == fp(dst.read())
+        out = (reduce(DataFrame.unionByName, steps)
+               .withColumn("replay_noop", F.lit(bool(replay_noop)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("step")
+
+
+# replica state after each shipped window: all customers; +100 on %4;
+# minus %9 — identical to the source's own history, which is what the
+# per-step fingerprint match (and the oracle's TRUE columns) assert.
+_Q185_ORACLE = """
+WITH f AS (
+  SELECT c_custkey AS k, c_acctbal,
+         c_custkey % 4 = 0 AS s4, c_custkey % 9 = 0 AS s9
+  FROM customer),
+v3 AS (
+  SELECT k, CASE WHEN s4 THEN c_acctbal + 100.0 ELSE c_acctbal END AS b,
+         s9
+  FROM f)
+SELECT *, TRUE AS fp_match, TRUE AS replay_noop
+FROM (
+  SELECT CAST(1 AS BIGINT) AS step,
+         CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS acctbal_sum
+  FROM f
+  UNION ALL
+  SELECT 2, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3
+  UNION ALL
+  SELECT 3, COUNT(*), CAST(SUM(CAST(b AS DECIMAL(18,2))) AS DOUBLE)
+  FROM v3 WHERE NOT s9
+) ORDER BY step
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -1461,7 +1564,8 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q180_commit_protocol_audit": q180_commit_protocol_audit,
            "q181_orphan_reclaim_audit": q181_orphan_reclaim_audit,
            "q182_txn_replay_audit": q182_txn_replay_audit,
-           "q183_cdc_apply_audit": q183_cdc_apply_audit}
+           "q183_cdc_apply_audit": q183_cdc_apply_audit,
+           "q185_replication_audit": q185_replication_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
@@ -1476,4 +1580,5 @@ ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q180_commit_protocol_audit": _Q180_ORACLE,
            "q181_orphan_reclaim_audit": _Q181_ORACLE,
            "q182_txn_replay_audit": _Q182_ORACLE,
-           "q183_cdc_apply_audit": _Q183_ORACLE}
+           "q183_cdc_apply_audit": _Q183_ORACLE,
+           "q185_replication_audit": _Q185_ORACLE}
