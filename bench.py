@@ -258,6 +258,17 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     print(line)
     print(f"# stdout line: {len(line)} chars", file=sys.stderr)
+    # The artifact of record must not depend on captured-stdout tails
+    # (the r12 driver record lost a third of per-query timings to a
+    # 3375-char truncation): the EXACT stdout line is always written
+    # to BENCH_LINE_local.json, and --json=PATH redirects it.
+    json_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LINE_local.json")
+    for arg in sys.argv[1:]:
+        if arg.startswith("--json="):
+            json_path = arg.split("=", 1)[1]
+    with open(json_path, "w") as fh:
+        fh.write(line + "\n")
     # full raw samples, for spread reconstruction (side channel)
     detail = dict(out)
     detail["runs"] = runs

@@ -188,18 +188,24 @@ class MemoryObjectStore:
         """Copy+delete — the only 'rename' an object store has. NOT
         atomic; commit protocols must not rely on it (they use
         create_exclusive on immutable objects instead)."""
+        import time as _time
         with self._lock:
+            # a missing source mtime defaults to NOW (a move is a
+            # fresh write): defaulting to 0.0 would make the object
+            # look epoch-old, and reclaim_orphans' grace would never
+            # protect the directory holding it
             if src in self._objects:
                 self._objects[dst] = self._objects.pop(src)
-                self._mtimes[dst] = self._mtimes.pop(src, 0.0)
+                self._mtimes[dst] = self._mtimes.pop(src, _time.time())
                 return
             sp, dp = self._prefix(src), self._prefix(dst)
             keys = [k for k in self._objects if k.startswith(sp)]
             if not keys:
                 raise FileNotFoundError(src)
+            now = _time.time()
             for k in keys:
                 self._objects[dp + k[len(sp):]] = self._objects.pop(k)
-                self._mtimes[dp + k[len(sp):]] = self._mtimes.pop(k, 0.0)
+                self._mtimes[dp + k[len(sp):]] = self._mtimes.pop(k, now)
 
 
 def resolve_fs(path: str):

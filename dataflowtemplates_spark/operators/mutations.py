@@ -228,6 +228,23 @@ class KeyedTable:
         #: cache forever (keyed by full path)
         self._log_cache: dict[str, dict] = {}
 
+    def rebind(self, spark: SparkSession) -> "KeyedTable":
+        """Return a handle to the same table bound to ``spark``.
+
+        foreachBatch hands each micro-batch a SESSION CLONE
+        (``batch_df.sparkSession`` is not the driver session); mixing
+        a driver-session-bound handle into a micro-batch plan splices
+        two sessions into one DAG. Sinks rebind inside the batch
+        callable: ``table.rebind(batch_df.sparkSession)``. The rebound
+        handle shares the immutable-log parse cache — log objects are
+        write-once, so the cache is session-independent."""
+        if spark is self.spark:
+            return self
+        t = KeyedTable.__new__(KeyedTable)
+        t.__dict__.update(self.__dict__)
+        t.spark = spark
+        return t
+
     # -- commit log --------------------------------------------------------
     # All metadata I/O goes through pyarrow.fs / registered object-store
     # backends (operators/fsio.py); data files are written by Spark and
@@ -913,6 +930,10 @@ class KeyedTable:
             raise ValueError(f"seq_col {seq_col!r} not in batch columns")
         if (txn_app is None) != (txn_version is None):
             raise ValueError("txn_app and txn_version go together")
+        if txn_app is not None and int(txn_version) < 0:
+            # mirror apply_mutations: the gate's watermark default is
+            # -1, so a negative version would silently always-apply
+            raise ValueError("txn_version must be >= 0")
         extra = [op_col] + ([seq_col] if seq_col else [])
         data = batch.drop(*extra)
         skipped = self._unstorable_columns(data)
@@ -1341,40 +1362,72 @@ class KeyedTable:
         ``owners``), so a directory named by none of them is invisible
         to every reader at every retained version — deleting it cannot
         change any result. The one hazard is a LIVE writer whose
-        staging dir has no log object YET; ``grace_s`` covers it: a
-        directory whose newest file was modified within the grace is
-        skipped. Size the grace above the longest plausible staging
-        write (the default, one day, is Delta VACUUM's
-        interval-economics answer to the same in-flight-writer race).
+        staging dir has no log object YET; two defenses cover it:
+
+        * **Scan order.** data/ is listed BEFORE the log is read, so a
+          dir staged after the listing is never a candidate, and a dir
+          published before the log read is referenced. The log is then
+          re-read once more right before deleting, so a publish that
+          landed between the first log scan and the delete also
+          rescues its dir. The only dir both scans can miss is one
+          staged before the listing and still unpublished at the
+          re-check — i.e. a writer whose staging-to-publish span
+          covers the whole reclaim run — and that is exactly what
+          ``grace_s`` bounds.
+        * **Grace.** A directory whose newest file was modified within
+          ``grace_s`` is skipped. Size the grace above the longest
+          plausible staging write (the default, one day, is Delta
+          VACUUM's interval-economics answer to the same
+          in-flight-writer race). ``grace_s=0`` is only safe when no
+          concurrent writer can be mid-commit (tests, single-writer
+          maintenance windows).
 
         O(data dirs + log objects) driver-side metadata work; no Spark
         job runs."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        referenced: set[str] = set()
-        for n in self._log_names():
-            if not n.endswith(".json"):
-                continue
-            obj = self._read_log_json(
-                posixpath.join(self._log_dir(), n))
-            if n.endswith(".ckpt.json"):
-                referenced.update(
-                    d for d in obj.get("owners", {}).values() if d)
-            elif obj.get("dir"):
-                referenced.add(obj["dir"])
         data_root = posixpath.join(self.path, "data")
         if not fsio.is_dir(data_root):
             return 0
+        # list BEFORE reading the log: anything staged later is
+        # invisible here, anything published earlier is referenced
+        listed = list(fsio.list_dir(data_root))
+
+        def _referenced() -> set[str]:
+            refs: set[str] = set()
+            for n in self._log_names():
+                if not n.endswith(".json"):
+                    continue
+                obj = self._read_log_json(
+                    posixpath.join(self._log_dir(), n))
+                if n.endswith(".ckpt.json"):
+                    refs.update(
+                        d for d in obj.get("owners", {}).values() if d)
+                elif obj.get("dir"):
+                    refs.add(obj["dir"])
+            return refs
+
+        referenced = _referenced()
         import time as _time
         now = _time.time()
-        removed = 0
-        for name in fsio.list_dir(data_root):
+        candidates = []
+        for name in listed:
             if name in referenced:
                 continue
             d = posixpath.join(data_root, name)
             newest = fsio.newest_mtime_under(d)
             if newest is not None and (now - newest) < grace_s:
                 continue  # possibly a live writer still staging
+            candidates.append((name, d))
+        if not candidates:
+            return 0
+        # re-read the log once more: a dir published between the first
+        # scan and now must survive
+        referenced = _referenced()
+        removed = 0
+        for name, d in candidates:
+            if name in referenced:
+                continue
             fsio.delete_dir(d)
             removed += 1
         return removed

@@ -66,67 +66,20 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r12): must be inside any scored prefix ----
-    # the r12-continuation storage additions first (q181-q184: orphan
-    # reclamation, txn idempotence, atomic CDC apply + its streamed
-    # sink — plus the single-pass commit-constant refactor, which
-    # touches EVERY query that mutates a keyed table, q145 included),
-    # then the earlier r12 set: the log-structured CAS commit rewrite,
-    # the exact-duplicate collapse in the embedding pair operators
-    # (q66/q141 + q148, which consumes q66's pairs), the q174
-    # short-doc guard and q176 _metadata row-order fix, the JDBC
-    # identifier validation + write retry, the vectorized image codecs
-    "q185_replication_audit",
-    "q184_stream_cdc_apply",
-    "q183_cdc_apply_audit",
-    "q182_txn_replay_audit",
-    "q181_orphan_reclaim_audit",
-    "q180_commit_protocol_audit",
-    "q66_embedding_neardup_lsh",
+    # -- changed this cycle (r13): must be inside any scored prefix ----
+    # the adaptive exact-duplicate collapse gate (q66/q141 pick the
+    # direct pair plan when the duplication probe reads ~1, the group
+    # collapse otherwise), the q183 insert-offset fix (derived from
+    # max(c_custkey), SF-safe), the CDC-sink micro-batch session
+    # rebind (q184), and the orphan-reclaim scan-order hardening
+    # (data/ listed before the log is read + pre-delete re-check, q181)
     "q141_semdedup",
-    "q148_lsh_recall",
-    "q179_jdbc_retry_exactly_once",
-    "q78_mutation_audit",
-    "q99_snapshot_audit",
-    "q122_vacuum_audit",
-    "q128_change_data_feed",
-    "q139_incremental_rollup",
-    "q145_stream_keyed_upsert",
-    "q159_table_fingerprint",
-    "q176_optimize_audit",
-    "q177_incremental_sync_audit",
-    "q174_ngram_novelty",
-    "q175_jdbc_incremental_pull",
-    "q166_jdbc_roundtrip",
-    "q167_stream_jdbc_sink",
-    "q123_png_roundtrip",
-    # -- newest driver score r7 (oldest evidence): fronted per
-    #    rule 2 so the r12 prefix finally re-scores them ---------
-    "q18_union_splitter",
-    "q19_pivot",
-    "q20_string_funcs",
-    "q21_date_funcs",
-    "q22_math_funcs",
-    "q23_scalar_subquery",
-    "q24_in_subquery",
-    "q25_having_filter",
-    "q26_distinct",
-    "q29_window_ranks",
-    "q31_collect_sorted",
-    "q32_exists_correlated",
-    "q33_top_customer_per_nation",
-    "q34_events_tumbling",
-    "q35_asof_join",
-    "q36_range_join",
-    "q37_salted_distinct",
-    "q38_percentiles",
-    "q65_ann_ivf",
-    "q73_decontaminate_bloom",
-    "q74_incremental_dedup",
-    "q79_pii_redact",
-    "q84_chunk_overlap",
-    "q85_bm25_topk",
-    "q86_source_mixture",
+    "q66_embedding_neardup_lsh",
+    "q183_cdc_apply_audit",
+    "q184_stream_cdc_apply",
+    "q181_orphan_reclaim_audit",
+    # -- newest driver score <= r8 (oldest evidence): fronted per
+    #    the rotation rule so the r13 prefix re-scores them --------
     "q87_corpus_pipeline",
     "q88_ann_pq_adc",
     "q95_stream_neardup_candidates",
@@ -134,7 +87,6 @@ REGISTRY_ORDER = (
     "q98_stream_corpus_scrub",
     "q100_blocking_supplier",
     "q101_small_quantity_revenue",
-    # -- newest driver score r8, unchanged since ------------------
     "q102_bpe_tokenize",
     "q103_ann_recall",
     "q104_span_dedup",
@@ -181,7 +133,51 @@ REGISTRY_ORDER = (
     "q62_ann_lsh_bucketed",
     "q63_embedding_neardup",
     "q64_label_centroids",
-    # -- newest driver score r10 (freshest), unchanged since ------
+    # -- newest driver score r12, unchanged since ------------------
+    "q185_replication_audit",
+    "q182_txn_replay_audit",
+    "q180_commit_protocol_audit",
+    "q148_lsh_recall",
+    "q179_jdbc_retry_exactly_once",
+    "q78_mutation_audit",
+    "q99_snapshot_audit",
+    "q122_vacuum_audit",
+    "q128_change_data_feed",
+    "q139_incremental_rollup",
+    "q145_stream_keyed_upsert",
+    "q159_table_fingerprint",
+    "q176_optimize_audit",
+    "q177_incremental_sync_audit",
+    "q174_ngram_novelty",
+    "q175_jdbc_incremental_pull",
+    "q166_jdbc_roundtrip",
+    "q167_stream_jdbc_sink",
+    "q123_png_roundtrip",
+    "q18_union_splitter",
+    "q19_pivot",
+    "q20_string_funcs",
+    "q21_date_funcs",
+    "q22_math_funcs",
+    "q23_scalar_subquery",
+    "q24_in_subquery",
+    "q25_having_filter",
+    "q26_distinct",
+    "q29_window_ranks",
+    "q31_collect_sorted",
+    "q32_exists_correlated",
+    "q33_top_customer_per_nation",
+    "q34_events_tumbling",
+    "q35_asof_join",
+    "q36_range_join",
+    "q37_salted_distinct",
+    "q38_percentiles",
+    "q65_ann_ivf",
+    "q73_decontaminate_bloom",
+    "q74_incremental_dedup",
+    "q79_pii_redact",
+    "q84_chunk_overlap",
+    "q85_bm25_topk",
+    "q86_source_mixture",
     "q165_composition_audit",
     "q164_stream_fingerprint",
     "q163_session_paths",
@@ -222,7 +218,6 @@ REGISTRY_ORDER = (
     "q120_histogram_quantiles",
     "q80_media_metadata",
     "q81_frame_sample",
-    # -- newest driver score r11 (freshest), unchanged since ------
     "q171_zorder_layout",
     "q172_pagerank",
     "q173_cooccurrence_lift",

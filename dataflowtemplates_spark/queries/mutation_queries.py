@@ -1384,12 +1384,18 @@ def q183_cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     bump = lambda df, d: df.withColumn(  # noqa: E731
         "c_acctbal", F.col("c_acctbal") + F.lit(float(d)))
     upd = cust.filter(s3)
+    # shift inserted keys past max(c_custkey) so they are disjoint
+    # from live keys at EVERY scale factor (a constant offset
+    # collides once customer has >= offset keys, silently turning
+    # inserts into upserts while the oracle UNION-ALLs them); the
+    # 1-row broadcast aggregate keeps the offset plan-side
+    maxk = F.broadcast(cust.agg((F.max(k) + 1).alias("_maxk")))
+    ins = (cust.filter(s11).crossJoin(maxk)
+           .withColumn("c_custkey", k + F.col("_maxk")).drop("_maxk"))
     cdc = (ev(bump(upd, 50.0), "U", 1)            # loser event
            .unionByName(ev(bump(upd, 100.0), "U", 2))  # winner
            .unionByName(ev(cust.filter(s7 & ~s3), "D", 1))
-           .unionByName(ev(bump(cust.filter(s11), 5.0), "I", 1)
-                        .withColumn("c_custkey",
-                                    k + F.lit(1000000)))
+           .unionByName(ev(bump(ins, 5.0), "I", 1))
            .unionByName(ev(cust.filter(s13 & ~s3 & ~s7), "X", 1))
            .unionByName(ev(cust.limit(1), "U", 1).withColumn(
                "c_custkey", F.lit(None).cast("long"))))
@@ -1419,7 +1425,8 @@ def q183_cdc_apply_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # the CDC net effect, set-relationally: %3 keys end at +100 (the seq-2
 # winner; a leaked +50 loser breaks the sum), %7-not-%3 keys delete,
-# %11 keys re-insert shifted by 1,000,000 at +5, %13-not-%3-not-%7
+# %11 keys re-insert shifted past max(c_custkey) at +5 (disjoint from
+# live keys at any SF, so the oracle may UNION ALL), %13-not-%3-not-%7
 # rows carry an unknown op (quarantined, no effect), plus one null-key
 # row. applied = upsert winners (incl. inserts) + matched deletes.
 _Q183_ORACLE = """

@@ -354,6 +354,37 @@ ORDER BY id_a, id_b
 #: the quadratic blowup at corpus scale.
 Q66_MAX_BUCKET = 2048
 
+#: Adaptive exact-duplicate collapse gate (r13). The group-before-pair
+#: plan in q66/q141 (one cosine per DISTINCT-vector group pair, member
+#: pairs expanded afterwards) is the only plan that survives a
+#: duplicate-heavy corpus — x15-56 at x10 duplication
+#: (BENCH_SF1_DEDUP_r12.json) — but at distinct-ratio ~1 its extra
+#: groupBy exchange + two-sided list explode costs ~1.6-2.3x for
+#: nothing (the r12 q141 solo floor rose 3.6s -> 5.9s at sf0.1). The
+#: two plans are OUTPUT-IDENTICAL (group members share the
+#: representative's bit-exact cosine), so the choice is pure physics:
+#: probe count vs approx_count_distinct(hash(vector)) and engage the
+#: collapse only when duplication exceeds this ratio.
+#: approx_count_distinct's default rsd is 5%, so the 1.25 floor sits
+#: far above estimator noise — and a corpus below it gains little
+#: from collapsing anyway.
+DUP_COLLAPSE_MIN_RATIO = 1.25
+
+
+def _dup_ratio_of(n: int, d: int) -> float:
+    return (n / d) if d else 1.0
+
+
+def _dup_ratio(df: DataFrame, vec_col: str) -> float:
+    """Rows per distinct vector value — ONE map-side 1-row aggregate
+    (HLL++ over a 32-bit vector hash; collisions only nudge the
+    estimate, and the gate is a heuristic). The probe the adaptive
+    exact-duplicate collapse rides when no existing materialization
+    pass can carry it as an Observation."""
+    r = df.agg(F.count(F.lit(1)).alias("n"),
+               F.approx_count_distinct(F.hash(vec_col)).alias("d")).first()
+    return _dup_ratio_of(int(r["n"]), int(r["d"]))
+
 
 def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
                               max_bucket_size: int | None = Q66_MAX_BUCKET,
@@ -375,24 +406,29 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     count-over-window computes on exactly that exchange/sort — the cap
     adds no additional shuffle of the big side.
 
-    EXACT-DUPLICATE COLLAPSE (r12, measured): bit-identical vectors
-    are grouped BEFORE pairing, one cosine runs per distinct-vector
-    group pair, and member pairs are expanded afterwards by exploding
-    the id lists — output-identical (members of a group share the
-    representative's bit-exact cosine; within-group pairs score the
-    same formula on (v, v)), but the dot-product work is quadratic in
-    DISTINCT vectors instead of raw rows. Web-scale corpora are full
-    of exact duplicates and this is the difference between a plan that
-    survives them and one that melts: the x10-duplicated scaling
-    corpus (tools/amplify_sf.py) measured 423s -> ~9s for the same
-    pair output (BENCH_SF1_DEDUP_r12.json). Output SIZE still grows
-    quadratically with duplication — that is the query's answer, not
-    its work.
+    EXACT-DUPLICATE COLLAPSE (r12, measured; ADAPTIVE since r13):
+    when the duplication probe (see ``DUP_COLLAPSE_MIN_RATIO``) finds
+    bit-identical vectors, they are grouped BEFORE pairing, one cosine
+    runs per distinct-vector group pair, and member pairs are expanded
+    afterwards by exploding the id lists — output-identical (members
+    of a group share the representative's bit-exact cosine;
+    within-group pairs score the same formula on (v, v)), but the
+    dot-product work is quadratic in DISTINCT vectors instead of raw
+    rows. Web-scale corpora are full of exact duplicates and this is
+    the difference between a plan that survives them and one that
+    melts: the x10-duplicated scaling corpus (tools/amplify_sf.py)
+    measured 423s -> ~9s for the same pair output
+    (BENCH_SF1_DEDUP_r12.json). At distinct-ratio ~1 the collapse's
+    groupBy + explode stages cost ~2x for nothing, so a deduplicated
+    corpus takes the direct per-row pair plan instead. Output SIZE
+    still grows quadratically with duplication — that is the query's
+    answer, not its work.
     """
     from pyspark.sql import Window as W
     register_tables(spark, sf_dir)
-    emb = spark.table("embeddings").withColumn(
-        "bucket", _bucket_col("embedding"))
+    raw = spark.table("embeddings")
+    dup = _dup_ratio(raw, "embedding")
+    emb = raw.withColumn("bucket", _bucket_col("embedding"))
     n = _with_norm(emb, "vid", "v", "nrm", {"bucket": "bucket"})
     n = n.withColumn("bs", F.count(F.lit(1)).over(W.partitionBy("bucket")))
     if drop_metrics is not None:
@@ -402,6 +438,19 @@ def q66_embedding_neardup_lsh(spark: SparkSession, sf_dir: str,
     if max_bucket_size is not None:
         n = n.filter(F.col("bs") <= max_bucket_size)
     n = n.drop("bs")
+    if dup < DUP_COLLAPSE_MIN_RATIO:
+        # low duplication: pair rows directly — no group exchange,
+        # no list explode (output-identical to the collapsed plan)
+        a = n.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                     F.col("nrm").alias("na"), "bucket")
+        b = n.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                     F.col("nrm").alias("nb"), "bucket")
+        return (a.join(b, "bucket")
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b", "bucket",
+                        _cosine("va", "vb", "na", "nb").alias("cosine"))
+                .filter(F.col("cosine") >= 0.35)
+                .orderBy("id_a", "id_b"))
     g = (n.groupBy("bucket", "v", "nrm")
          .agg(F.sort_array(F.collect_list("vid")).alias("ids"))
          .withColumn("gmin", F.element_at("ids", 1)))
@@ -1468,9 +1517,10 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup family (SURVEY §2 extension block) with the
     embedding-space equivalent of q52's LSH banding.
 
-    EXACT-DUPLICATE COLLAPSE (r12, measured): like q66, bit-identical
-    vectors group BEFORE the in-cluster pairing and the prune rule
-    folds at GROUP level — member ``b`` is pruned iff some in-cluster
+    EXACT-DUPLICATE COLLAPSE (r12, measured; ADAPTIVE since r13):
+    like q66, when the duplication probe finds bit-identical vectors
+    they group BEFORE the in-cluster pairing and the prune rule folds
+    at GROUP level — member ``b`` is pruned iff some in-cluster
     vector with a lower id scores >= threshold against it, and for a
     whole duplicate group that reduces to "ids above the MINIMUM
     qualifying neighbor group's lowest id" (a qualifying group's every
@@ -1478,20 +1528,59 @@ def q141_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifies its own later ids when cos(v,v) passes). One cosine per
     distinct-vector group pair instead of per member pair: the
     x10-duplicated scaling corpus measured 108s -> ~7s with
-    bit-identical output (BENCH_SF1_DEDUP_r12.json).
+    bit-identical output (BENCH_SF1_DEDUP_r12.json). The probe rides
+    the assignment checkpoint as an Observation (ZERO extra jobs);
+    at distinct-ratio ~1 the direct per-row prune plan runs instead
+    (the r12 collapse cost ~1.6x at sf0.1's deduplicated data for
+    identical output).
     """
+    from pyspark.sql import Observation
     register_tables(spark, sf_dir)
     emb = spark.table("embeddings")
     seeds = kmeans_seeds(emb, SEMDEDUP_K)
     vecs = _with_norm(emb, "vec_id", "v", "nrm")
+    probe = Observation()
     assigned = (assign_cells(vecs, "v", "nrm", seeds, nprobe=1)
+                .observe(probe,
+                         F.count(F.lit(1)).alias("n"),
+                         F.approx_count_distinct(F.hash("v")).alias("d"))
                 .localCheckpoint(eager=True))
+    stats = probe.get  # the eager checkpoint already ran the pass
+    dup = _dup_ratio_of(int(stats["n"]), int(stats["d"]))
 
     sizes = assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_vecs"))
     capped = sizes.filter(F.col("n_vecs") <= SEMDEDUP_MAX_CLUSTER)
     in_scope = assigned.join(
         F.broadcast(capped.select("cell")), "cell", "semi")
+
+    if dup < DUP_COLLAPSE_MIN_RATIO:
+        # low duplication: prune on direct per-row pairs — no group
+        # exchange, no list filter (output-identical to the collapse)
+        a = in_scope.select("cell", F.col("vec_id").alias("id_a"),
+                            F.col("v").alias("va"),
+                            F.col("nrm").alias("na"))
+        b = in_scope.select("cell", F.col("vec_id").alias("id_b"),
+                            F.col("v").alias("vb"),
+                            F.col("nrm").alias("nb"))
+        pruned = (a.join(b, "cell")
+                  .where(F.col("id_a") < F.col("id_b"))
+                  .where(_cosine("va", "vb", "na", "nb")
+                         >= SEMDEDUP_THRESHOLD)
+                  .select("cell", F.col("id_b").alias("vec_id"))
+                  .distinct())
+        pruned_stats = pruned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n_pruned"),
+            F.min("vec_id").alias("first_pruned"))
+        n_kept = F.col("n_vecs") - F.col("n_pruned")
+        return (capped.join(pruned_stats, "cell", "left")
+                .withColumn("n_pruned",
+                            F.coalesce("n_pruned", F.lit(0).cast("long")))
+                .select("cell", "n_vecs", "n_pruned", "first_pruned",
+                        (n_kept.cast("double")
+                         / F.col("n_vecs").cast("double"))
+                        .alias("keep_frac"))
+                .orderBy("cell"))
 
     g = (in_scope.groupBy("cell", "v", "nrm")
          .agg(F.sort_array(F.collect_list("vec_id")).alias("ids"))

@@ -254,8 +254,11 @@ def stream_to_keyed_table(stream: DataFrame, table, key_op: str,
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        table.create(batch_df)
-        table.apply_mutations_with_retry(
+        # foreachBatch runs on a session CLONE: rebind so the batch
+        # plan never splices the driver session into the micro-batch
+        t = table.rebind(batch_df.sparkSession)
+        t.create(batch_df)
+        t.apply_mutations_with_retry(
             batch_df, key_op, txn_app=txn_app,
             txn_version=(int(batch_id) if txn_app is not None else None))
 
@@ -284,12 +287,15 @@ def stream_changes_to_keyed_table(stream: DataFrame, table,
         if batch_df.isEmpty():
             return
         import time
+        # rebind to the micro-batch's session clone (same hazard
+        # versioned_upsert_fold's comment calls out)
+        t = table.rebind(batch_df.sparkSession)
         last = None
         for attempt in range(6):
             if attempt:
                 time.sleep(0.2 * (2 ** (attempt - 1)))
             try:
-                table.apply_changes(
+                t.apply_changes(
                     batch_df, op_col=op_col, seq_col=seq_col,
                     txn_app=txn_app,
                     txn_version=(int(batch_id)
