@@ -111,11 +111,20 @@ def decode_png(data: bytes) -> np.ndarray:
 
     # Filter reconstruction. None/Sub/Up vectorize whole-row in numpy;
     # Average/Paeth carry a loop dependency on the LEFT neighbor (the
-    # value being reconstructed), so no closed-form numpy expression
-    # exists — for those rows the loop runs over plain Python ints
-    # (bytes indexing + list cells), which beats per-element numpy
-    # scalar indexing by an order of magnitude (measured 1.9 -> ~20
-    # MB/s on Average/Paeth-heavy images; see the r12 commit note).
+    # value being reconstructed) through a non-linear predictor
+    # (floor-average / min-of-abs select), so no prefix-scan or other
+    # closed-form numpy expression exists — for those rows the loop
+    # runs over plain Python ints (bytes indexing + list cells), which
+    # beats per-element numpy scalar indexing by an order of
+    # magnitude. MEASURED CEILING (r13, worst case = EVERY row
+    # filtered, 512x512 RGB, min-of-3): Paeth 3.1 MB/s, Average
+    # 6.0 MB/s per task; None/Sub/Up rows decode at numpy speed, so
+    # real encoder output (per-row filter selection) lands well above
+    # the worst case, and tasks parallelize per image across
+    # executors. This is the accepted pure-CPython ceiling: the 100 TB
+    # decode path is the declared stub seam (SURVEY §2 multimodal) —
+    # production swaps in a native codec (PIL/libpng) behind the same
+    # mapInPandas batch shape, which these bytes-level tests pin.
     out = np.zeros((h, stride), dtype=np.uint8)
     prior_np = np.zeros(stride, dtype=np.int64)   # always current
     prior_list: list[int] | None = None           # lazy twin

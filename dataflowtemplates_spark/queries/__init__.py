@@ -73,6 +73,9 @@ REGISTRY_ORDER = (
     # max(c_custkey), SF-safe), the CDC-sink micro-batch session
     # rebind (q184), and the orphan-reclaim scan-order hardening
     # (data/ listed before the log is read + pre-delete re-check, q181)
+    # — and the r13-NEW q186: online rebucket lifecycle audit
+    "q186_rebucket_audit",
+    "q187_ivf_append_audit",
     "q141_semdedup",
     "q66_embedding_neardup_lsh",
     "q183_cdc_apply_audit",

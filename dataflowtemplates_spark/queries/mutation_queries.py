@@ -1557,7 +1557,127 @@ FROM (
 """
 
 
+def q186_rebucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online re-bucketing (``KeyedTable.rebucket``) under the oracle
+    gate — the grow/shrink path for a table whose creation-time
+    ``n_buckets`` no longer matches its size (rewrite-granularity
+    sizing: n_buckets ~ table_bytes / desired_rewrite_bytes, so a
+    growing table periodically doubles it; Iceberg's bucket-transform
+    evolution is the same operation). The audit drives a full
+    lifecycle — seed at 4 buckets, upsert, GROW to 16, single-key
+    upsert, delete, SHRINK to 8 — and emits the final snapshot
+    aggregate (the DuckDB oracle recomputes it set-relationally:
+    nothing lost or duplicated across two O(table) layout rewrites)
+    plus four protocol booleans the oracle asserts literally TRUE:
+
+    * ``grow_atomic`` / ``shrink_atomic`` — each rebucket is exactly
+      ONE version advance (layout + version ride one commit object);
+    * ``pruned_by_new_layout`` — the single-key upsert AFTER the grow
+      touched exactly 1 of the 16 new buckets (mutations immediately
+      inherit the new rewrite economics);
+    * ``time_travel_exact`` — a pre-rebucket ``read_at`` bound still
+      reads bit-exactly (order-independent fingerprint equality),
+      because layout commits never touch published data directories.
+
+    Scale note: each rebucket is one O(table) rewrite commit —
+    inherent for a hash-layout change and amortized by every
+    subsequent bucket-pruned mutation; the audit's aggregates are
+    pruned scans and 1-row fingerprints."""
+    from dataflowtemplates_spark.operators.maintenance import fingerprint
+
+    register_tables(spark, sf_dir)
+    cust = spark.table("customer").select("c_custkey", "c_nationkey",
+                                          "c_acctbal")
+    k = F.col("c_custkey")
+
+    tmp = tempfile.mkdtemp(prefix="q186_rebucket_")
+    try:
+        tbl = KeyedTable(spark, os.path.join(tmp, "tbl"), ["c_custkey"],
+                         n_buckets=4)
+        tbl.apply_mutations(cust, "INSERT")                    # v1+v2
+        tbl.apply_mutations(
+            cust.filter(k % 5 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(25.0)),
+            "INSERT_OR_UPDATE")                                # v3
+        bound3 = tbl._commits()[-1]["time"]
+        fp3 = fingerprint(tbl.read()).first()
+
+        v_pre = tbl._latest_version()
+        tbl.rebucket(16)                                       # v4
+        grow_atomic = tbl._latest_version() == v_pre + 1
+
+        # single-key upsert on max(c_custkey): the 1-row broadcast
+        # aggregate keeps the key plan-side, and max%5 != 0 is not
+        # assumed — the oracle applies both bumps compositionally
+        one = (cust.crossJoin(F.broadcast(
+                   cust.agg(F.max(k).alias("_mk"))))
+               .filter(k == F.col("_mk")).drop("_mk")
+               .withColumn("c_acctbal",
+                           F.col("c_acctbal") + F.lit(1000.0)))
+        tbl.apply_mutations(one, "UPDATE")                     # v5
+        pruned_by_new_layout = (
+            len(tbl._commits()[-1]["buckets"]) == 1
+            and int(tbl._config_at(tbl._latest_version())["n_buckets"])
+            == 16)
+
+        tbl.apply_mutations(
+            cust.filter(k % 9 == 0).select("c_custkey"), "DELETE")  # v6
+
+        v_pre2 = tbl._latest_version()
+        tbl.rebucket(8)                                        # v7
+        shrink_atomic = tbl._latest_version() == v_pre2 + 1
+
+        fp_tt = fingerprint(tbl.read_at(bound3)).first()
+        time_travel_exact = (
+            tuple(fp3) == tuple(fp_tt))
+
+        out = (tbl.read().agg(
+                   F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("acctbal_sum"),
+                   F.sum("c_custkey").cast("bigint").alias("key_checksum"))
+               .withColumn("grow_atomic", F.lit(bool(grow_atomic)))
+               .withColumn("pruned_by_new_layout",
+                           F.lit(bool(pruned_by_new_layout)))
+               .withColumn("shrink_atomic", F.lit(bool(shrink_atomic)))
+               .withColumn("time_travel_exact",
+                           F.lit(bool(time_travel_exact)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# final state, set-relationally: %5 keys +25, the max key +1000 (an
+# UPDATE on an existing key — compositional with the %5 bump when
+# max%5=0), %9 keys deleted; both rebuckets are pure layout moves, so
+# they contribute NOTHING here — any lost/duplicated row across the
+# two O(table) rewrites breaks count/sum/checksum. The booleans are
+# engine-protocol facts the oracle pins as literal TRUE.
+_Q186_ORACLE = """
+WITH f AS (
+  SELECT c_custkey,
+         c_acctbal
+         + CASE WHEN c_custkey % 5 = 0 THEN CAST(25 AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END
+         + CASE WHEN c_custkey = (SELECT MAX(c_custkey) FROM customer)
+                THEN CAST(1000 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END
+           AS bal
+  FROM customer
+  WHERE c_custkey % 9 <> 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+       CAST(SUM(c_custkey) AS BIGINT) AS key_checksum,
+       TRUE AS grow_atomic,
+       TRUE AS pruned_by_new_layout,
+       TRUE AS shrink_atomic,
+       TRUE AS time_travel_exact
+FROM f
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
+           "q186_rebucket_audit": q186_rebucket_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
            "q176_optimize_audit": q176_optimize_audit,
@@ -1574,6 +1694,7 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q183_cdc_apply_audit": q183_cdc_apply_audit,
            "q185_replication_audit": q185_replication_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
+           "q186_rebucket_audit": _Q186_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,
            "q176_optimize_audit": _Q176_ORACLE,

@@ -1790,7 +1790,60 @@ ORDER BY u.q_id
 """
 
 
+def q187_ivf_append_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance under the oracle gate: build
+    a PERSISTED IVF index from a base slice, absorb an increment with
+    ``append_ivf_index`` (map-only assignment of ONLY the new vectors
+    under the frozen codebook — O(batch), the corpus is never
+    re-touched), then search it. The DuckDB oracle recomputes the
+    search over the UNION from scratch with the shared fixed-fold
+    cosine, so a hash match proves the appended index is
+    bit-identical to a full rebuild — the contract that lets a 100 TB
+    index take a daily increment (codebook refresh stays the declared
+    O(table) rebuild, like rebucket for the keyed table).
+
+    Plan shape: build/append are one map-only assignment + one
+    cell-partitioned write each; the search reads only the probed
+    cells (partition-pruned scan, pinned by tests/test_scale_ops.py)
+    and ranks through the two-phase shuffle-free top-k."""
+    import shutil
+    import tempfile
+
+    from dataflowtemplates_spark.operators.ivf import (
+        append_ivf_index, build_ivf_index, search_ivf_index)
+    register_tables(spark, sf_dir)
+    emb = spark.table("embeddings")
+    codebook = sorted(
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+                    .select("vec_id", "embedding").collect())
+    vid = F.col("vec_id")
+    base = emb.filter((vid >= 20) & (vid % 3 != 0))
+    incr = emb.filter((vid >= 20) & (vid % 3 == 0))
+    qrys = emb.filter((vid >= 8) & (vid < 13))
+
+    tmp = tempfile.mkdtemp(prefix="q187_ivf_")
+    try:
+        path = f"{tmp}/index"
+        build_ivf_index(base, codebook, path)
+        append_ivf_index(incr, codebook, path)
+        out = (search_ivf_index(spark, path, qrys, codebook,
+                                k=3, nprobe=2)
+               .orderBy("q_id", "rk")
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# the oracle searches a from-scratch index over base UNION increment —
+# identical to _Q65_ORACLE's formulas with the q65 candidate filter
+# (every vec_id >= 20): append == rebuild is exactly the claim
+_Q187_ORACLE = _Q65_ORACLE
+
+
 QUERIES = {
+    "q187_ivf_append_audit": q187_ivf_append_audit,
     "q60_vector_norms": q60_vector_norms,
     "q61_ann_bruteforce": q61_ann_bruteforce,
     "q62_ann_lsh_bucketed": q62_ann_lsh_bucketed,
@@ -1810,6 +1863,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q187_ivf_append_audit": _Q187_ORACLE,
     "q60_vector_norms": _Q60_ORACLE,
     "q61_ann_bruteforce": _Q61_ORACLE,
     "q62_ann_lsh_bucketed": _Q62_ORACLE,

@@ -50,6 +50,12 @@ class _HadoopFS:
     layer is FS-abstracted the same way (util/StorageUtil.java:31-49,
     util/FixedFileNaming.java:27-34). Driver-side `os.walk`/`os.replace`
     would be wrong everywhere except the local FS.
+
+    Paths whose scheme has a REGISTERED fsio object-store backend do
+    not come here at all — :func:`_fs_for` routes them to
+    :class:`_FsioFS`, so object-store finalization shares the exact
+    client (and conditional-put discipline) the KeyedTable commit
+    protocol uses instead of a second, parallel FS layer.
     """
 
     def __init__(self, df: DataFrame, root: str):
@@ -88,6 +94,48 @@ class _HadoopFS:
 
     def delete(self, path: str, recursive: bool = False) -> None:
         self._fs.delete(self._p(path), recursive)
+
+
+class _FsioFS:
+    """The same finalization interface over operators/fsio.py, used
+    when the root's scheme has a registered object-store backend:
+    list/rename/delete then go through the one seam the commit
+    protocol already trusts (renames are copy+delete there — these
+    writers' finalization renames are single-writer by contract, so
+    they need no atomicity, only the shared client)."""
+
+    def __init__(self, root: str):
+        from dataflowtemplates_spark.operators import fsio
+        self._fsio = fsio
+
+    def listdir(self, path: str) -> list[tuple[str, bool]]:
+        base = path.rstrip("/")
+        return [(n, self._fsio.is_dir(f"{base}/{n}"))
+                for n in self._fsio.list_dir(path)]
+
+    def walk_files(self, root: str) -> list[str]:
+        try:
+            return sorted(self._fsio.list_files(root))
+        except FileNotFoundError:
+            return []
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fsio.move(src, dst)
+
+    def delete(self, path: str, recursive: bool = False) -> None:
+        if self._fsio.is_dir(path):
+            self._fsio.delete_dir(path)
+        elif self._fsio.exists(path):
+            self._fsio.delete_file(path)
+
+
+def _fs_for(df: DataFrame, root: str):
+    """Finalization FS for ``root``: the fsio seam when its scheme has
+    a registered object-store backend, the JVM Hadoop FS otherwise."""
+    from dataflowtemplates_spark.operators import fsio
+    if fsio._backend_for(root) is not None:
+        return _FsioFS(root)
+    return _HadoopFS(df, root)
 
 
 @dataclass
@@ -174,7 +222,7 @@ def write_text_dynamic(df: DataFrame, path: str, fmt: str = "json",
     # no separate pre-count scan of the input.
     obs = Observation()
     rendered = rendered.observe(obs, F.count(F.lit(1)).alias("n"))
-    fs = _HadoopFS(df, path)
+    fs = _fs_for(df, path)
 
     def _emit(out: DataFrame, target: str) -> None:
         """One pass. The CSV header is emitted BY THE EXECUTORS: the
@@ -268,7 +316,7 @@ def write_columnar_dynamic(df: DataFrame, path: str,
         actual = "parquet" if fmt != "avro" else "avro-py"
     if actual == "avro-py":
         from dataflowtemplates_spark.operators.avro_io import write_avro
-        _HadoopFS(df, path).delete(path, recursive=True)
+        _fs_for(df, path).delete(path, recursive=True)
         r = write_avro(df, path, split_field=split_field, codec=compression)
         result = WriteResult(files=r.files, row_count=r.row_count,
                              format="avro")
@@ -283,7 +331,7 @@ def write_columnar_dynamic(df: DataFrame, path: str,
               if split_field is not None
               else observed.write.mode("overwrite"))
     writer.format(actual).option("compression", compression).save(path)
-    fs = _HadoopFS(df, path)
+    fs = _fs_for(df, path)
     if split_field is not None:
         _finalize_partition_dirs(fs, path)
     result = WriteResult(files=_list_data_files(fs, path),
@@ -346,9 +394,14 @@ def _collapse_to_fixed_name(fs: _HadoopFS, root: str,
 
 def _write_notify(result: WriteResult, notify_path: str | None) -> None:
     """K9: newline-joined list of written files -> one manifest file
-    (reference: WriteFilesFinishTransform.java:43,53-56)."""
+    (reference: WriteFilesFinishTransform.java:43,53-56). Written
+    through the fsio seam, so a manifest destined for an object store
+    rides the same registered backend as the commit protocol instead
+    of a driver-local ``open``."""
     if not notify_path:
         return
-    os.makedirs(os.path.dirname(notify_path) or ".", exist_ok=True)
-    with open(notify_path, "w") as fh:
-        fh.write("\n".join(result.files))
+    from dataflowtemplates_spark.operators import fsio
+    parent = notify_path.rsplit("/", 1)[0] if "/" in notify_path else ""
+    if parent:
+        fsio.mkdirs(parent)
+    fsio.write_bytes(notify_path, "\n".join(result.files).encode())

@@ -6,9 +6,15 @@ The reference delegates this guarantee to Spanner's transactions
 (templates/SpannerToSpanner.java:109-114); at object-store scale the
 equivalent is a Delta-style versioned commit object published with the
 store's conditional-write API — which is exactly what these tests pin,
-over OS O_EXCL locally and over MemoryObjectStore for the scheme seam.
+over OS O_EXCL locally, over MemoryObjectStore for the scheme seam,
+and (r13) over a live HTTP S3 emulator through
+operators/s3http.S3HttpBackend — real 412s, ambiguous timeouts, and
+ListObjectsV2 pagination included (tests/test_s3_backend.py holds the
+failure-mode unit tests; the property tests here parameterize over
+both object-store backends).
 """
 
+import itertools
 import json
 import threading
 
@@ -20,6 +26,28 @@ from dataflowtemplates_spark.operators.mutations import (
     ConcurrentWriteError,
     KeyedTable,
 )
+
+#: The protocol property tests run over BOTH object-store backends:
+#: the in-memory reference and the HTTP S3 emulator (real sockets,
+#: real 412s, ListObjectsV2 pagination). Fewer hypothesis examples on
+#: the HTTP side — each example is hundreds of round trips.
+_BACKEND_KINDS = ("memory", "s3emu")
+
+
+def _backend_harness(kind):
+    """Returns (make_store, n_examples, cleanup): make_store() yields a
+    fresh-namespace (store, root_prefix) per hypothesis example."""
+    if kind == "memory":
+        def make():
+            return fsio.MemoryObjectStore()
+        return make, 30, lambda: None
+    from dataflowtemplates_spark.operators.s3http import S3HttpBackend
+    from tests.s3emu import S3Emulator
+    emu = S3Emulator().start()
+
+    def make():
+        return S3HttpBackend(emu.endpoint, timeout_s=5.0)
+    return make, 8, emu.stop
 
 
 def test_memory_object_store_conditional_put_is_atomic():
@@ -268,7 +296,8 @@ def test_apply_mutations_with_retry_wins_after_contention(spark, tmp_path):
     assert got == {2, 100, 101}  # both rival rows + the retried insert
 
 
-def test_vacuum_safety_property_random_histories():
+@pytest.mark.parametrize("backend_kind", _BACKEND_KINDS)
+def test_vacuum_safety_property_random_histories(backend_kind):
     """Model-based hypothesis property over the commit-log METADATA
     protocol (no Spark — KeyedTable's fold/vacuum/truncate layers are
     pure metadata on the fsio seam): for ANY random commit history
@@ -281,18 +310,22 @@ def test_vacuum_safety_property_random_histories():
          at every retained version, before and after log truncation;
       3. truncation never changes what a retained version reads.
 
-    Data directories are simulated as marker objects in a
-    MemoryObjectStore, so deletion is observable."""
+    Data directories are simulated as marker objects, so deletion is
+    observable; parameterized over the in-memory store AND the live
+    HTTP S3 emulator."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=30, deadline=None)
+    make_store, n_examples, cleanup = _backend_harness(backend_kind)
+    seq = itertools.count()
+
+    @settings(max_examples=n_examples, deadline=None)
     @given(st.data())
     def run(data):
-        store = fsio.MemoryObjectStore()
+        store = make_store()
         fsio.register_object_backend("hypmock", store)
         try:
-            root = "hypmock://b/t"
+            root = f"hypmock://b{next(seq)}/t"
             t = KeyedTable(None, root, ["id"], n_buckets=4)
             cfg = {"n_buckets": 4, "keys": ["id"],
                    "schema": '{"type":"struct","fields":[]}',
@@ -345,7 +378,10 @@ def test_vacuum_safety_property_random_histories():
         finally:
             fsio.unregister_object_backend("hypmock")
 
-    run()
+    try:
+        run()
+    finally:
+        cleanup()
 
 
 class _Crash(RuntimeError):
@@ -447,7 +483,8 @@ def test_missing_checkpoint_is_tolerated(spark, tmp_path):
         (0, 18), (1, 19), (2, 17)}
 
 
-def test_orphan_reclaim_safety_property_random_histories():
+@pytest.mark.parametrize("backend_kind", _BACKEND_KINDS)
+def test_orphan_reclaim_safety_property_random_histories(backend_kind):
     """Model-based hypothesis property for crash-debris reclamation
     (pure metadata over MemoryObjectStore, no Spark): for ANY random
     commit history interleaved with ANY number of crashed stagings
@@ -461,13 +498,16 @@ def test_orphan_reclaim_safety_property_random_histories():
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
-    @settings(max_examples=30, deadline=None)
+    make_store, n_examples, cleanup = _backend_harness(backend_kind)
+    seq = itertools.count()
+
+    @settings(max_examples=n_examples, deadline=None)
     @given(st.data())
     def run(data):
-        store = fsio.MemoryObjectStore()
+        store = make_store()
         fsio.register_object_backend("hypmock2", store)
         try:
-            root = "hypmock2://b/t"
+            root = f"hypmock2://b{next(seq)}/t"
             t = KeyedTable(None, root, ["id"], n_buckets=4)
             cfg = {"n_buckets": 4, "keys": ["id"],
                    "schema": '{"type":"struct","fields":[]}',
@@ -529,7 +569,10 @@ def test_orphan_reclaim_safety_property_random_histories():
         finally:
             fsio.unregister_object_backend("hypmock2")
 
-    run()
+    try:
+        run()
+    finally:
+        cleanup()
 
 
 def test_txn_idempotence_contract(spark, tmp_path):

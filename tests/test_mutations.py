@@ -785,15 +785,35 @@ def test_apply_changes_mixed_batch_is_one_atomic_commit(spark, tmp_path):
     assert sorted((x.id, x.v, x.tag) for x in t.read().collect()) == [
         (0, 0, "seed"), (1, 999, "fin"), (3, 30, "seed"),
         (4, 40, "seed"), (9, 90, "new")]
-    # seq tie falls back to batch order; no seq_col = pure batch order
-    t.apply_changes(spark.createDataFrame([
+    # layout-hazard guard (r13): a seq TIE between two valid events of
+    # one key, or >1 valid event per key with NO seq at all, is
+    # rejected BEFORE anything stages — "batch order" across
+    # partitions depends on the batch's physical layout, so the winner
+    # would be nondeterministic under repartitioning
+    v_now = t._latest_version()
+    with pytest.raises(ValueError, match="EQUAL"):
+        t.apply_changes(spark.createDataFrame([
+            Row(id=4, v=-1, tag="first", _op="U", seq=9),
+            Row(id=4, v=-2, tag="last", _op="U", seq=9)]),
+            op_col="_op", seq_col="seq")
+    with pytest.raises(ValueError, match="seq_col"):
+        t.apply_changes(spark.createDataFrame([
+            Row(id=0, v=1, tag="a", _op="U"),
+            Row(id=0, v=2, tag="b", _op="U")]), op_col="_op")
+    assert t._latest_version() == v_now  # neither batch committed
+    # with a real per-key total order the same events land — and the
+    # winner is invariant under ANY physical layout of the batch
+    dup = spark.createDataFrame([
         Row(id=4, v=-1, tag="first", _op="U", seq=9),
-        Row(id=4, v=-2, tag="last", _op="U", seq=9)]),
-        op_col="_op", seq_col="seq")
+        Row(id=4, v=-2, tag="last", _op="U", seq=10)])
+    t.apply_changes(dup.repartition(7), op_col="_op", seq_col="seq")
     assert [(x.v, x.tag) for x in
             t.read().filter("id = 4").collect()] == [(-2, "last")]
+    t.apply_changes(dup.coalesce(1), op_col="_op", seq_col="seq")
+    assert [(x.v, x.tag) for x in
+            t.read().filter("id = 4").collect()] == [(-2, "last")]
+    # single valid event per key still needs no seq
     t.apply_changes(spark.createDataFrame([
-        Row(id=0, v=1, tag="a", _op="U"),
         Row(id=0, v=2, tag="b", _op="U")]), op_col="_op")
     assert [(x.v, x.tag) for x in
             t.read().filter("id = 0").collect()] == [(2, "b")]

@@ -1,0 +1,197 @@
+"""S3HttpBackend against a live in-process HTTP S3 emulator: the
+conditional-put CAS over real request/response cycles, including the
+failure modes an in-memory backend cannot exhibit — 412 precondition
+losses, ambiguous timeout-after-put, transient 500s, pagination, and
+list-after-put visibility. The KeyedTable metadata protocol then runs
+end-to-end over the live endpoint (the same surface
+test_commit_protocol.py pins over MemoryObjectStore)."""
+
+import json
+import threading
+
+import pytest
+
+from dataflowtemplates_spark.operators import fsio
+from dataflowtemplates_spark.operators.s3http import S3HttpBackend
+from tests.s3emu import S3Emulator
+
+
+@pytest.fixture()
+def emu():
+    with S3Emulator() as e:
+        yield e
+
+
+@pytest.fixture()
+def backend(emu):
+    b = S3HttpBackend(emu.endpoint, timeout_s=3.0)
+    fsio.register_object_backend("s3emu", b)
+    try:
+        yield b
+    finally:
+        fsio.unregister_object_backend("s3emu")
+
+
+def test_conditional_put_race_one_winner(backend):
+    """N threads race PutObject If-None-Match:* on one key over real
+    HTTP: exactly one 200, the rest 412 — and the stored bytes are
+    the winner's."""
+    barrier = threading.Barrier(8)
+    wins = []
+
+    def attempt(i):
+        barrier.wait()
+        if backend.create_exclusive("s3emu://b/t/_log/v1.json",
+                                    f"w{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=attempt, args=(i,))
+               for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert backend.read_bytes(
+        "s3emu://b/t/_log/v1.json") == f"w{wins[0]}".encode()
+
+
+def test_ambiguous_timeout_after_put_resolved_by_readback(emu, backend):
+    """The put is APPLIED but the response is lost: the backend must
+    read back and claim the win (log objects are writer-unique), and
+    a rival's conditional put must then lose with 412."""
+    emu.drop_response_next_put = True
+    assert backend.create_exclusive("s3emu://b/k.json", b"mine") is True
+    assert emu.drop_response_next_put is False  # fault actually fired
+    assert backend.read_bytes("s3emu://b/k.json") == b"mine"
+    # rival: ordinary 412 loss
+    assert backend.create_exclusive("s3emu://b/k.json", b"rival") is False
+    assert backend.read_bytes("s3emu://b/k.json") == b"mine"
+
+
+def _flaky_first_conditional_put(backend, side_effect):
+    """Wrap backend._request so the FIRST conditional PUT never gets a
+    response (ConnectionError), with ``side_effect(orig)`` run while
+    the request is 'in flight' — the rival-interleaving the real
+    network can produce but an in-memory store cannot."""
+    orig = backend._request
+    fired = {"done": False}
+
+    def flaky(method, bucket, key="", query=None, body=None, headers=None):
+        cond = headers and headers.get("If-None-Match") == "*"
+        if method == "PUT" and cond and not fired["done"]:
+            fired["done"] = True
+            side_effect(orig)
+            raise ConnectionError("response lost in transit")
+        return orig(method, bucket, key, query=query, body=body,
+                    headers=headers)
+
+    backend._request = flaky
+    return orig
+
+
+def test_ambiguous_timeout_when_rival_landed_reads_as_loss(backend):
+    """Request lost in transit AND a rival's object exists by the time
+    we read back: the CAS must report a loss, never a win."""
+    def rival_lands(orig):
+        orig("PUT", "b", "k2.json", body=b"rival",
+             headers={"Content-Length": "5"})
+
+    orig = _flaky_first_conditional_put(backend, rival_lands)
+    try:
+        assert backend.create_exclusive("s3emu://b/k2.json",
+                                        b"ours") is False
+        assert backend.read_bytes("s3emu://b/k2.json") == b"rival"
+    finally:
+        backend._request = orig
+
+
+def test_ambiguous_timeout_with_nothing_landed_retries_the_put(backend):
+    """Request lost and the read-back finds NO object: the conditional
+    put is retried verbatim and wins."""
+    orig = _flaky_first_conditional_put(backend, lambda orig: None)
+    try:
+        assert backend.create_exclusive("s3emu://b/k4.json",
+                                        b"ours") is True
+        assert backend.read_bytes("s3emu://b/k4.json") == b"ours"
+    finally:
+        backend._request = orig
+
+
+def test_transient_500_raises_never_false(emu, backend):
+    """A 5xx on the conditional put must RAISE, not read as a loss —
+    a false 'loss' on both racers would wedge the version counter."""
+    emu.reject_next_put = 1
+    with pytest.raises(OSError):
+        backend.create_exclusive("s3emu://b/k3.json", b"x")
+    assert backend.create_exclusive("s3emu://b/k3.json", b"x") is True
+
+
+def test_list_after_put_visibility_and_pagination(backend):
+    """A put is visible to the very next listing (strong consistency,
+    which reclaim/fold logic relies on) — across >2 objects so the
+    emulator's 2-item pages force continuation-token paging."""
+    for i in range(7):
+        backend.write_bytes(f"s3emu://b/t/_log/{i:020d}.json", b"e")
+    backend.write_bytes("s3emu://b/t/data/d1/kb=0/part-0", b"p")
+    assert backend.list_dir("s3emu://b/t/_log") == \
+        [f"{i:020d}.json" for i in range(7)]
+    assert backend.list_dir("s3emu://b/t") == ["_log", "data"]
+    assert backend.is_dir("s3emu://b/t/data/d1")
+    assert backend.newest_mtime_under("s3emu://b/t/data/d1") is not None
+    files = backend.list_files("s3emu://b/t/data/d1", suffix=None)
+    assert files == ["s3emu://b/t/data/d1/kb=0/part-0"]
+    backend.delete_dir("s3emu://b/t/data/d1")
+    assert not backend.is_dir("s3emu://b/t/data/d1")
+
+
+def test_fsio_contract_parity_with_memory_store(backend):
+    """The HTTP backend honors the same fsio contract MemoryObjectStore
+    pins: FileNotFoundError on missing reads/deletes, mkdirs no-op,
+    move = copy+delete."""
+    with pytest.raises(FileNotFoundError):
+        backend.read_bytes("s3emu://b/nope")
+    with pytest.raises(FileNotFoundError):
+        backend.delete_file("s3emu://b/nope")
+    backend.mkdirs("s3emu://b/whatever")  # no-op, never an error
+    backend.write_bytes("s3emu://b/m/src/a", b"1")
+    backend.move("s3emu://b/m/src", "s3emu://b/m/dst")
+    assert backend.read_bytes("s3emu://b/m/dst/a") == b"1"
+    assert not backend.exists("s3emu://b/m/src")
+
+
+def test_keyed_table_metadata_protocol_over_live_http(spark, backend):
+    """The whole KeyedTable metadata protocol — create, CAS-raced
+    commits, checkpoint fold, vacuum, orphan reclaim — over the live
+    HTTP endpoint (mirrors the MemoryObjectStore test in
+    test_commit_protocol.py, now with real sockets)."""
+    from dataflowtemplates_spark.operators.mutations import (
+        ConcurrentWriteError, KeyedTable)
+    from pyspark.sql import Row
+
+    t = KeyedTable(spark, "s3emu://bucket/tbl", ["id"], n_buckets=4)
+    t.create(spark.createDataFrame([Row(id=1, v="a")]))
+    assert t.exists()
+    barrier = threading.Barrier(2)
+    outcomes = []
+
+    def attempt():
+        w = KeyedTable(spark, "s3emu://bucket/tbl", ["id"])
+        cfg = w._config_at(1)
+        barrier.wait()
+        try:
+            w._commit_entry(2, [], None, [], cfg)
+            outcomes.append("win")
+        except ConcurrentWriteError:
+            outcomes.append("lose")
+
+    threads = [threading.Thread(target=attempt) for _ in range(2)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert sorted(outcomes) == ["lose", "win"]
+    assert t._latest_version() == 2
+    raw = json.loads(backend.read_bytes(
+        "s3emu://bucket/tbl/_log/" + f"{2:020d}.json"))
+    assert raw["version"] == 2 and raw["config"]["n_buckets"] == 4

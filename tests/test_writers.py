@@ -154,3 +154,48 @@ def test_columnar_dynamic_orc_and_parquet(spark, sample, tmp_path):
                 .option("recursiveFileLookup", "true").load(out))
         assert sorted(r["name"] for r in back.collect()) == \
             ["one", "three", "two", "ungrouped"]
+
+
+def test_manifest_and_finalization_through_object_backend(spark, sample,
+                                                          tmp_path):
+    """The writer FS layer rides the fsio object-backend seam (r13):
+    a manifest destined for a registered object-store scheme lands in
+    the store (not on local disk), and the finalization helpers
+    (list/rename/delete) operate on store objects through the same
+    interface the local path uses."""
+    from dataflowtemplates_spark.operators import fsio
+    from dataflowtemplates_spark.sources.writers import (
+        _fs_for, _FsioFS, _list_data_files, _rename_with_suffix,
+        _write_notify, WriteResult)
+
+    store = fsio.MemoryObjectStore()
+    fsio.register_object_backend("mockw", store)
+    try:
+        # routing: object scheme -> _FsioFS, local path -> _HadoopFS
+        assert isinstance(_fs_for(sample, "mockw://b/out"), _FsioFS)
+        assert not isinstance(_fs_for(sample, str(tmp_path)), _FsioFS)
+
+        # manifest through the seam
+        res = WriteResult(files=["mockw://b/out/a.json",
+                                 "mockw://b/out/b.json"], row_count=2)
+        _write_notify(res, "mockw://b/notify/manifest.txt")
+        assert store.read_bytes("mockw://b/notify/manifest.txt") == \
+            b"mockw://b/out/a.json\nmockw://b/out/b.json"
+
+        # finalization helpers over store objects
+        store.write_bytes("mockw://b/out/part-00000-uuid.json", b"x")
+        store.write_bytes("mockw://b/out/part-00001-uuid.json", b"y")
+        store.write_bytes("mockw://b/out/_SUCCESS", b"")
+        fs = _fs_for(sample, "mockw://b/out")
+        assert _list_data_files(fs, "mockw://b/out") == [
+            "mockw://b/out/part-00000-uuid.json",
+            "mockw://b/out/part-00001-uuid.json"]
+        renamed = _rename_with_suffix(fs, "mockw://b/out", "export",
+                                      ".json")
+        assert renamed == ["mockw://b/out/export-00000.json",
+                           "mockw://b/out/export-00001.json"]
+        assert store.read_bytes("mockw://b/out/export-00000.json") == b"x"
+        fs.delete("mockw://b/out", recursive=True)
+        assert not store.is_dir("mockw://b/out")
+    finally:
+        fsio.unregister_object_backend("mockw")
