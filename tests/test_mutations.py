@@ -889,3 +889,58 @@ def test_apply_changes_composite_keys_partial_null(spark, tmp_path):
         ["NULL_KEY_FIELD"]
     assert sorted((x.a, x.b, x.v) for x in t.read().collect()) == [
         (1, "x", 11), (2, "x", 3), (2, "y", 40)]
+
+
+def test_apply_changes_state_invariant_under_partition_layout(
+        spark, tmp_path):
+    """Hypothesis property closing the r12 tie-break finding: for ANY
+    random CDC batch (random per-key event sets with DISTINCT seqs)
+    and ANY physical layout (row order x partition count), the
+    post-apply state is identical — and equals the model fold (per
+    key: highest-seq event wins; D deletes, I/U upserts)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    seq_counter = [0]
+
+    @settings(max_examples=6, deadline=None)
+    @given(st.data())
+    def run(data):
+        events = []
+        for key in range(5):
+            n = data.draw(st.integers(min_value=0, max_value=3),
+                          label=f"n_events_k{key}")
+            seqs = data.draw(st.permutations(list(range(8))),
+                             label=f"seqs_k{key}")[:n]
+            for s in seqs:
+                op = data.draw(st.sampled_from(["I", "U", "D"]),
+                               label=f"op_k{key}_s{s}")
+                events.append((key, s, op, key * 100 + s))
+        order = data.draw(st.permutations(events), label="row_order")
+        nparts = data.draw(st.integers(min_value=1, max_value=7),
+                           label="n_partitions")
+
+        # model: per key the highest seq wins; D = absent, I/U = value
+        model = {}
+        for key in range(5):
+            evs = [(s, op, v) for (k, s, op, v) in events if k == key]
+            if not evs:
+                continue
+            s, op, v = max(evs)
+            if op in ("I", "U"):
+                model[key] = v
+
+        seq_counter[0] += 1
+        path = str(tmp_path / f"layout{seq_counter[0]}")
+        t = KeyedTable(spark, path, ["id"], n_buckets=4)
+        t.create(spark.createDataFrame([Row(id=0, v=0)]).limit(0))
+        if not order:
+            return
+        batch = spark.createDataFrame(
+            [Row(id=k, v=v, _op=op, seq=s) for (k, s, op, v) in order]
+        ).repartition(nparts)
+        t.apply_changes(batch, op_col="_op", seq_col="seq")
+        got = {r["id"]: r["v"] for r in t.read().collect()}
+        assert got == model, (order, nparts)
+
+    run()
