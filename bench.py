@@ -117,6 +117,7 @@ HEADLINE = (
     "q185_replication_audit",    # r12: CAS commit log invariants
     "q186_rebucket_audit",       # r13: online rebucket lifecycle
     "q187_ivf_append_audit",     # r13: incremental IVF maintenance
+    "q188_dedup_keep_best",      # r13: quality-aware dup-group pick
     "q168_kanon_export",    # r11: k-anonymity suppression export
     "q169_matryoshka_recall",  # r11: truncated-embedding recall gate
     "q170_robust_outliers",    # r11: exact median/MAD robust bands

@@ -979,11 +979,14 @@ class KeyedTable:
                .withColumn("_ok", valid)
                .withColumn("_rn", F.row_number().over(w)))
         # a rank-2 valid row whose seq EQUALS the rank-1 row's seq is
-        # an undecidable winner (same layout hazard as no seq at all)
+        # an undecidable winner (same layout hazard as no seq at all);
+        # null-safe equality so two NULL seqs on one key are also a
+        # tie, not a silent pass
         if seq_col is not None:
             ann = ann.withColumn(
                 "_tie", F.col("_ok") & (F.col("_rn") == 2)
-                & (F.lag(F.col(seq_col)).over(w) == F.col(seq_col)))
+                & F.lag(F.col(seq_col)).over(w).eqNullSafe(
+                    F.col(seq_col)))
         else:
             ann = ann.withColumn("_tie", F.lit(False))
         ann = ann.drop("_mid")

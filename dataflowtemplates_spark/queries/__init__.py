@@ -76,6 +76,7 @@ REGISTRY_ORDER = (
     # — and the r13-NEW q186: online rebucket lifecycle audit
     "q186_rebucket_audit",
     "q187_ivf_append_audit",
+    "q188_dedup_keep_best",
     "q141_semdedup",
     "q66_embedding_neardup_lsh",
     "q183_cdc_apply_audit",

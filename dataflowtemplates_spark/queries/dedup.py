@@ -591,6 +591,63 @@ FROM labels l JOIN sizes s USING (comp)
 ORDER BY doc_id""")
 
 
+def q188_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware representative selection per duplicate group —
+    the decision q56 stops short of: instead of keeping each group's
+    lowest-id member, keep its BEST member (here: the longest text,
+    the convention several production dedup pipelines ship — the
+    longest near-duplicate usually subsumes the truncated mirrors;
+    tiebreak lowest doc_id for determinism). One row per dup group:
+    leader label, the kept doc, its length, group size.
+
+    Plan shape: the same bounded label-propagation components as q56
+    over the capped LSH candidate pairs (never O(corpus^2)), then ONE
+    per-group aggregate — ``max_by`` over a (length, -id) struct, so
+    selection is an ordinary partial-aggregable fold, no window over
+    the corpus. The oracle replays components with the recursive-CTE
+    closure and the pick with a per-group rank."""
+    register_tables(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = lsh_candidate_pairs(docs)
+    comp = connected_components(pairs)
+    labeled = comp.join(
+        docs.select(F.col("doc_id").alias("node"),
+                    F.length("text").alias("n_chars")), "node")
+    pick = F.struct(F.col("n_chars"), (-F.col("node")).alias("nid"))
+    return (labeled.groupBy(F.col("comp").alias("group_leader"))
+            .agg(F.max_by("node", pick).alias("kept_doc"),
+                 F.max_by("n_chars", pick).alias("kept_chars"),
+                 F.count(F.lit(1)).cast("bigint").alias("group_size"))
+            .orderBy("group_leader"))
+
+
+_Q188_ORACLE = (
+    _HASHED_CTE.replace("WITH shingled AS", "WITH RECURSIVE shingled AS", 1)
+    + ",\n" + _capped_banded_cte()
+    + """,
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM capped a JOIN capped b
+    ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+reach(node, comp) AS (
+  SELECT a, a FROM sym
+  UNION
+  SELECT s.b, r.comp FROM reach r JOIN sym s ON s.a = r.node),
+labels AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node),
+scored AS (
+  SELECT l.node, l.comp, CAST(LENGTH(d.text) AS INTEGER) AS n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.node)
+SELECT group_leader, kept_doc, kept_chars, group_size FROM (
+  SELECT comp AS group_leader, node AS kept_doc, n_chars AS kept_chars,
+         CAST(COUNT(*) OVER (PARTITION BY comp) AS BIGINT) AS group_size,
+         ROW_NUMBER() OVER (PARTITION BY comp
+             ORDER BY n_chars DESC, node ASC) AS rk
+  FROM scored) WHERE rk = 1
+ORDER BY group_leader""")
+
+
 #: SimHash width (bits). Each bit is a salted-md5 fair coin per token.
 SIMHASH_BITS = 16
 
@@ -1510,6 +1567,7 @@ ORDER BY g.source
 
 
 QUERIES = {
+    "q188_dedup_keep_best": q188_dedup_keep_best,
     "q50_dedup_exact": q50_dedup_exact,
     "q51_minhash_signature": q51_minhash_signature,
     "q52_lsh_pairs": q52_lsh_pairs,
@@ -1529,6 +1587,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q188_dedup_keep_best": _Q188_ORACLE,
     "q50_dedup_exact": _Q50_ORACLE,
     "q51_minhash_signature": _Q51_ORACLE,
     "q52_lsh_pairs": _Q52_ORACLE,

@@ -944,3 +944,22 @@ def test_apply_changes_state_invariant_under_partition_layout(
         assert got == model, (order, nparts)
 
     run()
+
+
+def test_apply_changes_null_seq_tie_rejected(spark, tmp_path):
+    """Two valid events for one key whose seq values are BOTH NULL are
+    as layout-dependent as a numeric tie — the null-safe tie check
+    must reject them too (a plain == comparison would pass NULLs)."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame([Row(id=1, v=0)]), "INSERT")
+    batch = spark.createDataFrame(
+        [(1, 5, "U", None), (1, 6, "U", None)],
+        "id BIGINT, v BIGINT, _op STRING, seq BIGINT")
+    with pytest.raises(ValueError, match="EQUAL"):
+        t.apply_changes(batch, op_col="_op", seq_col="seq")
+    # a NULL seq losing to a real seq is decidable: fine
+    batch2 = spark.createDataFrame(
+        [(1, 5, "U", None), (1, 6, "U", 2)],
+        "id BIGINT, v BIGINT, _op STRING, seq BIGINT")
+    t.apply_changes(batch2, op_col="_op", seq_col="seq")
+    assert [r.v for r in t.read().filter("id=1").collect()] == [6]
