@@ -151,6 +151,20 @@ class MemoryObjectStore:
             return sorted({k[len(p):].split("/", 1)[0]
                            for k in self._objects if k.startswith(p)})
 
+    def list_dir_typed(self, path: str) -> list[tuple[str, bool]]:
+        """(child name, is_dir) in one pass — a child is a 'directory'
+        iff some key continues past it."""
+        p = self._prefix(path)
+        out: dict[str, bool] = {}
+        with self._lock:
+            for k in self._objects:
+                if not k.startswith(p):
+                    continue
+                head, sep, _ = k[len(p):].partition("/")
+                if head:
+                    out[head] = out.get(head, False) or bool(sep)
+        return sorted(out.items())
+
     def list_files(self, path: str, suffix: str | None = None) -> list[str]:
         p = self._prefix(path)
         with self._lock:
@@ -357,6 +371,25 @@ def list_dir(path: str) -> list[str]:
     fs, base = resolve_fs(path)
     return sorted(
         fi.path.rsplit("/", 1)[-1]
+        for fi in fs.get_file_info(pafs.FileSelector(base, recursive=False)))
+
+
+def list_dir_typed(path: str) -> list[tuple[str, bool]]:
+    """Immediate children as ``(name, is_dir)`` pairs in ONE listing —
+    what directory finalization needs without an is_dir round trip per
+    child (N+1 LISTs on an object store)."""
+    import pyarrow.fs as pafs
+
+    b = _backend_for(path)
+    if b is not None:
+        if hasattr(b, "list_dir_typed"):
+            return b.list_dir_typed(path)
+        base = path.rstrip("/")
+        return [(n, b.is_dir(f"{base}/{n}")) for n in b.list_dir(path)]
+    fs, base = resolve_fs(path)
+    return sorted(
+        (fi.path.rsplit("/", 1)[-1],
+         fi.type == pafs.FileType.Directory)
         for fi in fs.get_file_info(pafs.FileSelector(base, recursive=False)))
 
 

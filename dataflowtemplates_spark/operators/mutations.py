@@ -908,21 +908,26 @@ class KeyedTable:
         Per-key collapse is LAST-Wins, not first-wins like
         ``apply_mutations``: a CDC stream legitimately carries many
         events per key, so events fold instead of quarantining — the
-        winner is the highest ``seq_col`` value (ties fall back to
-        batch order), and ONLY the winner's disposition applies.
-        ``seq_col`` is REQUIRED whenever a batch carries more than one
-        valid event for any key: without it the only tiebreak is
-        "batch order", whose cross-partition meaning depends on the
-        batch's physical partition layout — a repartitioned batch
-        could pick a different winner, which is not a contract a CDC
-        apply may offer (Delta's APPLY CHANGES requires SEQUENCE BY
-        for the same reason). The check rides the same
-        annotate-and-checkpoint pass as the winner rank, so it costs
-        no extra job; detection raises ``ValueError`` BEFORE anything
-        stages or commits. Quarantined: null-key rows and rows whose
-        op is not I/U/D. ``applied`` counts winner upserts plus
-        deletes that matched a live row. ``txn_app``/``txn_version``
-        ride exactly as in :meth:`apply_mutations`.
+        winner is the highest ``seq_col`` value, and ONLY the winner's
+        disposition applies. ``seq_col`` is REQUIRED whenever a batch
+        carries more than one valid event for any key, and equal seqs
+        between two DIFFERENT events of one key are rejected: in both
+        cases the only remaining tiebreak is "batch order", whose
+        cross-partition meaning depends on the batch's physical
+        partition layout — a repartitioned batch could pick a
+        different winner, which is not a contract a CDC apply may
+        offer (Delta's APPLY CHANGES requires SEQUENCE BY for the
+        same reason). BYTE-IDENTICAL duplicate events (the normal
+        at-least-once redelivery shape: same key, op, image, and seq)
+        are exempt — any winner among identical rows produces the
+        identical state, so they fold silently. The checks ride the
+        same annotate-and-checkpoint pass as the winner rank, so they
+        cost no extra job; detection raises ``ValueError`` BEFORE
+        anything stages or commits. Quarantined: null-key rows and
+        rows whose op is not I/U/D. ``applied`` counts winner upserts
+        plus deletes that matched a live row.
+        ``txn_app``/``txn_version`` ride exactly as in
+        :meth:`apply_mutations`.
 
         Job economics: one annotate-and-checkpoint pass over the batch
         (winner rank + validity flags + touched buckets and counts as
@@ -978,18 +983,24 @@ class KeyedTable:
                .withColumn("_mid", F.monotonically_increasing_id())
                .withColumn("_ok", valid)
                .withColumn("_rn", F.row_number().over(w)))
-        # a rank-2 valid row whose seq EQUALS the rank-1 row's seq is
-        # an undecidable winner (same layout hazard as no seq at all);
-        # null-safe equality so two NULL seqs on one key are also a
-        # tie, not a silent pass
+        # CONTENDER detection: a valid non-rank-1 row that could have
+        # won under a different physical layout — it differs from the
+        # rank-1 row's full image AND (with a seq) carries the same
+        # seq as rank-1, or (without a seq) merely exists. Compared
+        # against the rank-1 row via first()-over-window, not lag(),
+        # so three-plus equal-seq events cannot hide a differing
+        # contender behind an identical one. BYTE-IDENTICAL duplicates
+        # (normal at-least-once redelivery) are exempt in both modes:
+        # any winner among identical events yields the identical
+        # state — struct equality is exact, no hash collisions;
+        # null-safe so NULL seqs tie rather than silently pass
+        row_img = F.struct(*[F.col(c) for c in batch.columns])
+        contender = (F.col("_ok") & (F.col("_rn") >= 2)
+                     & ~F.first(row_img).over(w).eqNullSafe(row_img))
         if seq_col is not None:
-            ann = ann.withColumn(
-                "_tie", F.col("_ok") & (F.col("_rn") == 2)
-                & F.lag(F.col(seq_col)).over(w).eqNullSafe(
-                    F.col(seq_col)))
-        else:
-            ann = ann.withColumn("_tie", F.lit(False))
-        ann = ann.drop("_mid")
+            contender = contender & F.first(
+                F.col(seq_col)).over(w).eqNullSafe(F.col(seq_col))
+        ann = ann.withColumn("_tie", contender).drop("_mid")
         win = F.col("_ok") & (F.col("_rn") == 1)
         win_up = win & op_norm.isin("I", "U")
         win_del = win & (op_norm == "D")
@@ -1000,30 +1011,27 @@ class KeyedTable:
                 F.when(win, self._bucket_expr(n_buckets))).alias("bks"),
             F.count(F.when(win_up, F.lit(1))).alias("n_up"),
             F.count(F.when(win_del, F.lit(1))).alias("n_del"),
-            # keys with >=2 VALID events: valid rows outrank invalid,
-            # so a second valid row for a key is exactly (_ok, _rn=2)
-            F.count(F.when(F.col("_ok") & (F.col("_rn") == 2),
-                           F.lit(1))).alias("n_multi"),
             F.count(F.when(F.col("_tie"), F.lit(1))).alias("n_ties"))
         ann = ann.localCheckpoint(eager=True)
         touched = sorted(int(b) for b in obs.get["bks"])
         n_up, n_del = int(obs.get["n_up"]), int(obs.get["n_del"])
-        if seq_col is None and int(obs.get["n_multi"]) > 0:
+        if int(obs.get["n_ties"]) > 0:
             # nothing has staged or committed yet — fail the batch
             # before a partition-layout-dependent winner can land
+            n = int(obs.get["n_ties"])
+            if seq_col is None:
+                raise ValueError(
+                    f"{n} distinct valid change event(s) share a key "
+                    "with another event in this batch: pass seq_col — "
+                    "without a sequence the winner would depend on the "
+                    "batch's partition layout (CDC applies need "
+                    "Delta's SEQUENCE BY discipline)")
             raise ValueError(
-                f"{int(obs.get['n_multi'])} key(s) carry more than one "
-                "valid change event in this batch: pass seq_col — "
-                "without a sequence the winner would depend on the "
-                "batch's partition layout (CDC applies need Delta's "
-                "SEQUENCE BY discipline)")
-        if int(obs.get["n_ties"]) > 0:
-            raise ValueError(
-                f"{int(obs.get['n_ties'])} key(s) carry two valid "
-                f"change events with EQUAL {seq_col!r}: the winner "
-                "would depend on the batch's partition layout — make "
-                "the sequence a per-key total order (binlog offset, "
-                "LSN)")
+                f"{n} distinct valid change event(s) carry a seq "
+                f"EQUAL to their key's winning {seq_col!r}: the "
+                "winner would depend on the batch's partition layout "
+                "— make the sequence a per-key total order (binlog "
+                "offset, LSN)")
         helpers = ["_ok", "_rn", "_tie"]
         quarantine = (ann.filter(~F.col("_ok")).drop(*helpers)
                       .withColumn(_ERR_COL, F.when(

@@ -54,6 +54,8 @@ class S3HttpBackend:
 
     def __init__(self, endpoint: str, timeout_s: float = 10.0,
                  put_retries: int = 2):
+        import threading
+
         u = urllib.parse.urlparse(endpoint)
         if u.scheme != "http":
             raise ValueError(
@@ -63,6 +65,10 @@ class S3HttpBackend:
         self._port = u.port or 80
         self._timeout = float(timeout_s)
         self._put_retries = int(put_retries)
+        # one persistent keep-alive connection PER THREAD (the commit
+        # protocol races writers from threads; http.client connections
+        # are not thread-safe)
+        self._tl = threading.local()
 
     # -- transport -----------------------------------------------------
     def _split(self, path: str) -> tuple[str, str]:
@@ -72,24 +78,53 @@ class S3HttpBackend:
             raise ValueError(f"no bucket in {path!r}")
         return bucket, key
 
+    def _conn(self, fresh: bool = False):
+        c = getattr(self._tl, "conn", None)
+        if fresh or c is None:
+            if c is not None:
+                c.close()
+            c = http.client.HTTPConnection(
+                self._host, self._port, timeout=self._timeout)
+            self._tl.conn = c
+        return c
+
     def _request(self, method: str, bucket: str, key: str = "",
                  query: dict | None = None, body: bytes | None = None,
                  headers: dict | None = None):
-        """One HTTP round trip; returns (status, headers, body)."""
-        conn = http.client.HTTPConnection(
-            self._host, self._port, timeout=self._timeout)
-        try:
-            target = "/" + urllib.parse.quote(bucket)
-            if key:
-                target += "/" + urllib.parse.quote(key)
-            if query:
-                target += "?" + urllib.parse.urlencode(query)
-            conn.request(method, target, body=body, headers=headers or {})
-            resp = conn.getresponse()
-            data = resp.read()
-            return resp.status, dict(resp.getheaders()), data
-        finally:
-            conn.close()
+        """One HTTP round trip over the thread's keep-alive connection;
+        returns (status, headers, body). A failure on a REUSED
+        connection retries once on a fresh one for idempotent verbs
+        (GET/HEAD/DELETE and listings) — a stale keep-alive socket is
+        indistinguishable from a first-contact failure there. PUTs
+        never auto-retry at this layer: re-sending a conditional put
+        is exactly the ambiguity ``create_exclusive`` must arbitrate
+        itself."""
+        target = "/" + urllib.parse.quote(bucket)
+        if key:
+            target += "/" + urllib.parse.quote(key)
+        if query:
+            target += "?" + urllib.parse.urlencode(query)
+        attempts = 2 if method in ("GET", "HEAD", "DELETE") else 1
+        for i in range(attempts):
+            conn = self._conn(fresh=(i > 0))
+            try:
+                conn.request(method, target, body=body,
+                             headers=headers or {})
+                resp = conn.getresponse()
+                data = resp.read()
+                if resp.will_close:  # server asked to close: drop it
+                    conn.close()
+                    self._tl.conn = None
+                return resp.status, dict(resp.getheaders()), data
+            except (TimeoutError, ConnectionError,
+                    http.client.HTTPException, OSError):
+                try:
+                    conn.close()
+                finally:
+                    self._tl.conn = None
+                if i + 1 >= attempts:
+                    raise
+        raise AssertionError("unreachable")
 
     # -- the CAS primitive ----------------------------------------------
     def create_exclusive(self, path: str, data: bytes) -> bool:
@@ -198,7 +233,15 @@ class S3HttpBackend:
             for p in root.findall(f"{ns}CommonPrefixes"):
                 yield ("prefix", p.findtext(f"{ns}Prefix"), None)
             if root.findtext(f"{ns}IsTruncated") == "true":
-                token = root.findtext(f"{ns}NextContinuationToken")
+                nxt = root.findtext(f"{ns}NextContinuationToken")
+                if not nxt or nxt == token:
+                    # a truncated page with no (or a stuck) token
+                    # would re-fetch page 1 forever — surface it
+                    raise OSError(
+                        f"LIST s3://{bucket}?prefix={prefix}: "
+                        "IsTruncated without a usable "
+                        "NextContinuationToken")
+                token = nxt
             else:
                 return
 
@@ -223,15 +266,25 @@ class S3HttpBackend:
         pass  # object stores have no directories
 
     def list_dir(self, path: str) -> list[str]:
+        return [n for n, _ in self.list_dir_typed(path)]
+
+    def list_dir_typed(self, path: str) -> list[tuple[str, bool]]:
+        """(child name, is_dir) pairs from ONE delimiter listing — the
+        single-round-trip form writer finalization uses (an is_dir
+        probe per child would be N+1 LIST requests)."""
         bucket, key = self._split(path)
         p = self._kprefix(key)
-        names = set()
+        out: dict[str, bool] = {}
         for kind, item, _ in self._list(bucket, p, "/"):
             if kind == "key":
-                names.add(item[len(p):])
-            else:  # common prefix 'p/child/'
-                names.add(item[len(p):].rstrip("/"))
-        return sorted(n for n in names if n)
+                name = item[len(p):]
+                if name:
+                    out.setdefault(name, False)
+            else:  # common prefix 'p/child/' IS a directory
+                name = item[len(p):].rstrip("/")
+                if name:
+                    out[name] = True
+        return sorted(out.items())
 
     def list_files(self, path: str, suffix: str | None = None) -> list[str]:
         bucket, key = self._split(path)

@@ -1608,9 +1608,14 @@ def q186_rebucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # single-key upsert on max(c_custkey): the 1-row broadcast
         # aggregate keeps the key plan-side, and max%5 != 0 is not
-        # assumed — the oracle applies both bumps compositionally
-        one = (cust.crossJoin(F.broadcast(
-                   cust.agg(F.max(k).alias("_mk"))))
+        # assumed — the oracle composes both bumps, so the +1000 must
+        # be applied to the TABLE's current row (which already carries
+        # the +25 when max%5=0), never to the source row (an UPDATE
+        # replaces specified columns, so a source-derived image would
+        # silently erase the first bump on 1-based key data)
+        cur = tbl.read()
+        one = (cur.crossJoin(F.broadcast(
+                   cur.agg(F.max(k).alias("_mk"))))
                .filter(k == F.col("_mk")).drop("_mk")
                .withColumn("c_acctbal",
                            F.col("c_acctbal") + F.lit(1000.0)))

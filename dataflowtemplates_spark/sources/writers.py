@@ -109,9 +109,8 @@ class _FsioFS:
         self._fsio = fsio
 
     def listdir(self, path: str) -> list[tuple[str, bool]]:
-        base = path.rstrip("/")
-        return [(n, self._fsio.is_dir(f"{base}/{n}"))
-                for n in self._fsio.list_dir(path)]
+        # one typed listing, not an is_dir round trip per child
+        return self._fsio.list_dir_typed(path)
 
     def walk_files(self, root: str) -> list[str]:
         try:

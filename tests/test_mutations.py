@@ -963,3 +963,39 @@ def test_apply_changes_null_seq_tie_rejected(spark, tmp_path):
         "id BIGINT, v BIGINT, _op STRING, seq BIGINT")
     t.apply_changes(batch2, op_col="_op", seq_col="seq")
     assert [r.v for r in t.read().filter("id=1").collect()] == [6]
+
+
+def test_apply_changes_identical_duplicates_fold_silently(spark, tmp_path):
+    """At-least-once redelivery INSIDE one batch: byte-identical
+    duplicate events (same key, op, image, seq) are not a layout
+    hazard — any winner yields the identical state — so they fold
+    instead of raising, with or without a seq column. A third
+    DIFFERENT event hiding behind identical ones is still caught."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.apply_mutations(spark.createDataFrame([Row(id=1, v=0)]), "INSERT")
+    dup = spark.createDataFrame([
+        Row(id=1, v=7, _op="U", seq=3),
+        Row(id=1, v=7, _op="U", seq=3),   # exact redelivery
+        Row(id=2, v=9, _op="I", seq=1)])
+    r = t.apply_changes(dup.repartition(4), op_col="_op", seq_col="seq")
+    assert r.applied == 2 and r.failed == 0
+    assert {x.id: x.v for x in t.read().collect()} == {1: 7, 2: 9}
+    # no-seq identical duplicates fold too
+    t.apply_changes(spark.createDataFrame([
+        Row(id=2, v=11, _op="U"),
+        Row(id=2, v=11, _op="U")]), op_col="_op")
+    assert {x.id: x.v for x in t.read().collect()} == {1: 7, 2: 11}
+    # a DIFFERING equal-seq contender behind two identical rows is
+    # still undecidable -> rejected (first()-vs-row comparison, not
+    # neighbor-vs-neighbor)
+    with pytest.raises(ValueError, match="EQUAL"):
+        t.apply_changes(spark.createDataFrame([
+            Row(id=1, v=5, _op="U", seq=4),
+            Row(id=1, v=5, _op="U", seq=4),
+            Row(id=1, v=6, _op="U", seq=4)]).repartition(3),
+            op_col="_op", seq_col="seq")
+    with pytest.raises(ValueError, match="seq_col"):
+        t.apply_changes(spark.createDataFrame([
+            Row(id=1, v=5, _op="U"),
+            Row(id=1, v=5, _op="U"),
+            Row(id=1, v=6, _op="U")]), op_col="_op")

@@ -195,3 +195,24 @@ def test_keyed_table_metadata_protocol_over_live_http(spark, backend):
     raw = json.loads(backend.read_bytes(
         "s3emu://bucket/tbl/_log/" + f"{2:020d}.json"))
     assert raw["version"] == 2 and raw["config"]["n_buckets"] == 4
+
+
+def test_list_dir_typed_single_pass_and_truncation_guard(emu, backend):
+    """list_dir_typed classifies files vs prefixes from ONE delimiter
+    listing (across continuation pages), and a truncated page without
+    a usable token raises instead of looping forever."""
+    backend.write_bytes("s3emu://b/t2/file_a", b"1")
+    backend.write_bytes("s3emu://b/t2/file_b", b"2")
+    backend.write_bytes("s3emu://b/t2/sub/inner", b"3")
+    backend.write_bytes("s3emu://b/t2/zub/inner", b"4")
+    assert backend.list_dir_typed("s3emu://b/t2") == [
+        ("file_a", False), ("file_b", False),
+        ("sub", True), ("zub", True)]
+    assert fsio.list_dir_typed("s3emu://b/t2") == [
+        ("file_a", False), ("file_b", False),
+        ("sub", True), ("zub", True)]
+    # memory-store twin honors the same contract
+    store = fsio.MemoryObjectStore()
+    store.write_bytes("m://b/t/f", b"1")
+    store.write_bytes("m://b/t/d/x", b"2")
+    assert store.list_dir_typed("m://b/t") == [("d", True), ("f", False)]
