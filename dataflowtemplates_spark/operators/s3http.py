@@ -92,19 +92,21 @@ class S3HttpBackend:
                  query: dict | None = None, body: bytes | None = None,
                  headers: dict | None = None):
         """One HTTP round trip over the thread's keep-alive connection;
-        returns (status, headers, body). A failure on a REUSED
-        connection retries once on a fresh one for idempotent verbs
-        (GET/HEAD/DELETE and listings) — a stale keep-alive socket is
-        indistinguishable from a first-contact failure there. PUTs
-        never auto-retry at this layer: re-sending a conditional put
-        is exactly the ambiguity ``create_exclusive`` must arbitrate
-        itself."""
+        returns (status, headers, body). A failure retries once on a
+        fresh connection for IDEMPOTENT requests — GET/HEAD/DELETE,
+        listings, and unconditional PUTs (a full-object overwrite
+        re-sent with the same bytes lands the same state), since a
+        stale keep-alive socket is indistinguishable from a
+        first-contact failure. CONDITIONAL puts never auto-retry at
+        this layer: re-sending one is exactly the ambiguity
+        ``create_exclusive`` must arbitrate itself."""
         target = "/" + urllib.parse.quote(bucket)
         if key:
             target += "/" + urllib.parse.quote(key)
         if query:
             target += "?" + urllib.parse.urlencode(query)
-        attempts = 2 if method in ("GET", "HEAD", "DELETE") else 1
+        conditional = bool(headers and headers.get("If-None-Match"))
+        attempts = 1 if (method == "PUT" and conditional) else 2
         for i in range(attempts):
             conn = self._conn(fresh=(i > 0))
             try:
