@@ -146,10 +146,7 @@ class MemoryObjectStore:
         pass  # object stores have no directories
 
     def list_dir(self, path: str) -> list[str]:
-        p = self._prefix(path)
-        with self._lock:
-            return sorted({k[len(p):].split("/", 1)[0]
-                           for k in self._objects if k.startswith(p)})
+        return [n for n, _ in self.list_dir_typed(path)]
 
     def list_dir_typed(self, path: str) -> list[tuple[str, bool]]:
         """(child name, is_dir) in one pass — a child is a 'directory'
@@ -363,15 +360,10 @@ def delete_dir(path: str) -> None:
 
 def list_dir(path: str) -> list[str]:
     """Immediate child names (files and dirs) of a directory."""
-    import pyarrow.fs as pafs
-
     b = _backend_for(path)
     if b is not None:
         return b.list_dir(path)
-    fs, base = resolve_fs(path)
-    return sorted(
-        fi.path.rsplit("/", 1)[-1]
-        for fi in fs.get_file_info(pafs.FileSelector(base, recursive=False)))
+    return [n for n, _ in list_dir_typed(path)]
 
 
 def list_dir_typed(path: str) -> list[tuple[str, bool]]:

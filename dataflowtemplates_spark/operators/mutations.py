@@ -993,8 +993,13 @@ class KeyedTable:
         # (normal at-least-once redelivery) are exempt in both modes:
         # any winner among identical events yields the identical
         # state — struct equality is exact, no hash collisions;
-        # null-safe so NULL seqs tie rather than silently pass
-        row_img = F.struct(*[F.col(c) for c in batch.columns])
+        # null-safe so NULL seqs tie rather than silently pass. Map
+        # columns (which survive the storability boundary) are not
+        # comparable in Spark, so the image canonicalizes them to
+        # key-sorted entry arrays
+        row_img = F.struct(*[
+            _orderable_expr(F.col(f.name), f.dataType).alias(f.name)
+            for f in batch.schema.fields])
         contender = (F.col("_ok") & (F.col("_rn") >= 2)
                      & ~F.first(row_img).over(w).eqNullSafe(row_img))
         if seq_col is not None:
@@ -1480,6 +1485,44 @@ class KeyedTable:
             fsio.delete_dir(d)
             removed += 1
         return removed
+
+
+def _contains_map(dt) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _orderable_expr(expr, dt):
+    """Rewrite ``expr`` to an ORDERABLE value: MapType is not
+    comparable in Spark (eqNullSafe/windows raise
+    INVALID_ORDERING_TYPE), so maps become key-sorted entry arrays —
+    recursively, since maps legally nest inside arrays, structs, and
+    other maps' values. Two maps with the same entry set canonicalize
+    to the same array regardless of internal order, which is exactly
+    map equality. Non-map types pass through untouched."""
+    if isinstance(dt, T.MapType):
+        entries = F.map_entries(expr)
+        if _contains_map(dt.valueType):
+            vt = dt.valueType
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    e["key"].alias("key"),
+                    _orderable_expr(e["value"], vt).alias("value")))
+        return F.sort_array(entries)
+    if isinstance(dt, T.ArrayType) and _contains_map(dt.elementType):
+        et = dt.elementType
+        return F.transform(expr, lambda x: _orderable_expr(x, et))
+    if isinstance(dt, T.StructType) and _contains_map(dt):
+        return F.struct(*[
+            _orderable_expr(expr[f.name], f.dataType).alias(f.name)
+            for f in dt.fields])
+    return expr
 
 
 def _parse_bound(s: str):

@@ -106,9 +106,13 @@ class S3HttpBackend:
         if query:
             target += "?" + urllib.parse.urlencode(query)
         conditional = bool(headers and headers.get("If-None-Match"))
-        attempts = 1 if (method == "PUT" and conditional) else 2
+        cas = method == "PUT" and conditional
+        attempts = 1 if cas else 2
         for i in range(attempts):
-            conn = self._conn(fresh=(i > 0))
+            # the CAS put always takes a FRESH connection: it cannot
+            # transport-retry, so a stale keep-alive socket would turn
+            # a healthy endpoint into a spurious ambiguous failure
+            conn = self._conn(fresh=(i > 0 or cas))
             try:
                 conn.request(method, target, body=body,
                              headers=headers or {})

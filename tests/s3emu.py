@@ -38,6 +38,9 @@ class S3Emulator:
         self._lock = threading.Lock()
         self.drop_response_next_put = False
         self.reject_next_put = 0
+        # truncated listing page WITHOUT a continuation token (a
+        # misbehaving store): the client must raise, not loop forever
+        self.omit_continuation_token = False
         emu = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -150,7 +153,7 @@ class S3Emulator:
                 parts.append(
                     f"<IsTruncated>{'true' if truncated else 'false'}"
                     f"</IsTruncated>")
-                if truncated:
+                if truncated and not emu.omit_continuation_token:
                     parts.append(f"<NextContinuationToken>{i}"
                                  f"</NextContinuationToken>")
                 parts.append("</ListBucketResult>")

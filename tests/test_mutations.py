@@ -999,3 +999,35 @@ def test_apply_changes_identical_duplicates_fold_silently(spark, tmp_path):
             Row(id=1, v=5, _op="U"),
             Row(id=1, v=5, _op="U"),
             Row(id=1, v=6, _op="U")]), op_col="_op")
+
+
+def test_apply_changes_map_column_batches(spark, tmp_path):
+    """Map columns survive the storability boundary but are NOT
+    comparable in Spark — the duplicate-exemption row image must
+    canonicalize them (key-sorted entries) instead of crashing with
+    INVALID_ORDERING_TYPE. Equal maps in different internal orders
+    fold as duplicates; differing maps with equal seq are contenders."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=4)
+    t.apply_mutations(
+        spark.createDataFrame([(1, {"a": 1})], "id BIGINT, m MAP<STRING,INT>"),
+        "INSERT")
+    # single event per key: must simply work
+    r = t.apply_changes(spark.createDataFrame(
+        [(1, {"a": 2, "b": 3}, "U", 1)],
+        "id BIGINT, m MAP<STRING,INT>, _op STRING, seq INT"),
+        op_col="_op", seq_col="seq")
+    assert r.applied == 1
+    got = t.read().filter("id=1").select("m").first()["m"]
+    assert got == {"a": 2, "b": 3}
+    # identical duplicate events (same entry SET, either build order)
+    r = t.apply_changes(spark.createDataFrame(
+        [(1, {"x": 9, "y": 8}, "U", 2), (1, {"y": 8, "x": 9}, "U", 2)],
+        "id BIGINT, m MAP<STRING,INT>, _op STRING, seq INT"),
+        op_col="_op", seq_col="seq")
+    assert r.applied == 1
+    # DIFFERING maps at equal seq: undecidable -> rejected
+    with pytest.raises(ValueError, match="EQUAL"):
+        t.apply_changes(spark.createDataFrame(
+            [(1, {"x": 1}, "U", 3), (1, {"x": 2}, "U", 3)],
+            "id BIGINT, m MAP<STRING,INT>, _op STRING, seq INT"),
+            op_col="_op", seq_col="seq")
