@@ -25,17 +25,29 @@ real HTTP object store:
   listing backs ``newest_mtime_under`` (the reclaim-orphans grace
   clock).
 
-AUTH: requests are sent unsigned. Against AWS S3 itself, wrap the
-transport with SigV4 (botocore's signer or a presigning proxy) — the
-signature layer is orthogonal to every protocol decision above and to
-everything the tests pin. Against MinIO/localstack-style endpoints or
-VPC gateways with IAM-free bucket policies, unsigned works as-is.
+AUTH: pass ``credentials=(access_key, secret_key[, session_token])``
+and every request is signed with AWS Signature Version 4
+(operators/sigv4.py — pure stdlib, validated against AWS's published
+test vectors and botocore), including the payload-hash
+``x-amz-content-sha256`` header S3 requires; without credentials,
+requests go unsigned (MinIO/localstack-style endpoints or VPC
+gateways with IAM-free bucket policies). Both ``http://`` and
+``https://`` endpoints are accepted — TLS rides
+``http.client.HTTPSConnection`` with default certificate verification.
 
 Tests drive this class against an in-process HTTP emulator
-(tests/s3emu.py) covering the 412 path, the ambiguous-timeout path,
-and list-after-put visibility; the protocol property tests in
+(dataflowtemplates_spark/testing/s3_emulator.py) covering the 412
+path, the ambiguous-timeout path, list-after-put visibility, and
+server-side SigV4 verification; the protocol property tests in
 tests/test_commit_protocol.py parameterize over
 {local O_EXCL, MemoryObjectStore, this backend}.
+
+PICKLING: instances serialize by configuration (endpoint, creds,
+timeouts) and rebuild their per-thread connection cache on
+deserialization — the distributed data plane
+(operators/objstore_plane.py) ships the backend to executor tasks so
+they stream parquet bytes to the store directly, never through the
+driver.
 """
 
 from __future__ import annotations
@@ -45,30 +57,64 @@ import urllib.parse
 import xml.etree.ElementTree as ET
 from email.utils import parsedate_to_datetime
 
+from dataflowtemplates_spark.operators import sigv4
+
 
 class S3HttpBackend:
     """fsio object-store backend speaking the S3 REST API to
-    ``endpoint`` (e.g. ``http://127.0.0.1:9000``). Paths are full
+    ``endpoint`` (e.g. ``http://127.0.0.1:9000`` or
+    ``https://s3.us-east-1.amazonaws.com``). Paths are full
     ``scheme://bucket/key`` URIs; the scheme is whatever the backend
     was registered under."""
 
+    #: executor tasks may construct/use this backend directly (it is
+    #: picklable and talks to an external service, not driver memory)
+    distributed = True
+
     def __init__(self, endpoint: str, timeout_s: float = 10.0,
-                 put_retries: int = 2):
+                 put_retries: int = 2,
+                 credentials: tuple | None = None,
+                 region: str = "us-east-1"):
         import threading
 
         u = urllib.parse.urlparse(endpoint)
-        if u.scheme != "http":
+        if u.scheme not in ("http", "https"):
             raise ValueError(
-                f"endpoint must be http:// (got {endpoint!r}); TLS and "
-                "request signing belong to the transport wrapper")
+                f"endpoint must be http:// or https:// (got {endpoint!r})")
+        self._tls = u.scheme == "https"
         self._host = u.hostname
-        self._port = u.port or 80
+        self._port = u.port or (443 if self._tls else 80)
         self._timeout = float(timeout_s)
         self._put_retries = int(put_retries)
+        if credentials is not None and len(credentials) not in (2, 3):
+            raise ValueError("credentials must be (access_key, "
+                             "secret_key[, session_token])")
+        self._creds = tuple(credentials) if credentials else None
+        self._region = region
         # one persistent keep-alive connection PER THREAD (the commit
         # protocol races writers from threads; http.client connections
         # are not thread-safe)
         self._tl = threading.local()
+
+    # -- pickling (executor shipping) -----------------------------------
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state.pop("_tl", None)  # thread-local sockets never travel
+        return state
+
+    def __setstate__(self, state):
+        import threading
+
+        self.__dict__.update(state)
+        self._tl = threading.local()
+
+    @property
+    def _wire_host(self) -> str:
+        """Host header exactly as sent (port included when it is not
+        the scheme default) — the form SigV4 must sign."""
+        default = 443 if self._tls else 80
+        return (self._host if self._port == default
+                else f"{self._host}:{self._port}")
 
     # -- transport -----------------------------------------------------
     def _split(self, path: str) -> tuple[str, str]:
@@ -83,10 +129,36 @@ class S3HttpBackend:
         if fresh or c is None:
             if c is not None:
                 c.close()
-            c = http.client.HTTPConnection(
-                self._host, self._port, timeout=self._timeout)
+            cls = (http.client.HTTPSConnection if self._tls
+                   else http.client.HTTPConnection)
+            c = cls(self._host, self._port, timeout=self._timeout)
             self._tl.conn = c
         return c
+
+    def _signed_headers(self, method: str, path: str, query: dict | None,
+                        body: bytes | None,
+                        headers: dict | None) -> dict:
+        """The header set for one attempt. With credentials, SigV4 is
+        computed fresh per attempt (x-amz-date moves) over the wire
+        host, the single-encoded path, the decoded query pairs, and
+        the payload; semantic caller headers (If-None-Match) are
+        signed too, transport framing (Content-Length) is not —
+        matching what AWS SDK clients sign."""
+        headers = dict(headers or {})
+        if self._creds is None:
+            return headers
+        framing = {k: v for k, v in headers.items()
+                   if k.lower() == "content-length"}
+        semantic = {k: v for k, v in headers.items()
+                    if k.lower() != "content-length"}
+        ak, sk = self._creds[0], self._creds[1]
+        token = self._creds[2] if len(self._creds) == 3 else None
+        signed = sigv4.sign_headers(
+            method, self._wire_host, path, list((query or {}).items()),
+            body, access_key=ak, secret_key=sk, region=self._region,
+            service="s3", session_token=token, extra_headers=semantic)
+        signed.update(framing)
+        return signed
 
     def _request(self, method: str, bucket: str, key: str = "",
                  query: dict | None = None, body: bytes | None = None,
@@ -100,11 +172,15 @@ class S3HttpBackend:
         first-contact failure. CONDITIONAL puts never auto-retry at
         this layer: re-sending one is exactly the ambiguity
         ``create_exclusive`` must arbitrate itself."""
-        target = "/" + urllib.parse.quote(bucket)
+        path = "/" + urllib.parse.quote(bucket)
         if key:
-            target += "/" + urllib.parse.quote(key)
+            path += "/" + urllib.parse.quote(key)
+        target = path
         if query:
-            target += "?" + urllib.parse.urlencode(query)
+            # quote (not quote_plus) so the wire form matches the
+            # SigV4 canonical encoding (%20, never '+')
+            target += "?" + urllib.parse.urlencode(
+                query, quote_via=urllib.parse.quote)
         conditional = bool(headers and headers.get("If-None-Match"))
         cas = method == "PUT" and conditional
         attempts = 1 if cas else 2
@@ -115,7 +191,8 @@ class S3HttpBackend:
             conn = self._conn(fresh=(i > 0 or cas))
             try:
                 conn.request(method, target, body=body,
-                             headers=headers or {})
+                             headers=self._signed_headers(
+                                 method, path, query, body, headers))
                 resp = conn.getresponse()
                 data = resp.read()
                 if resp.will_close:  # server asked to close: drop it

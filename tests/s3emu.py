@@ -1,199 +1,9 @@
-"""In-process S3 REST emulator for backend tests (tests only).
+"""Back-compat shim: the S3 emulator moved into the package
+(``dataflowtemplates_spark/testing/s3_emulator.py``) so registry
+queries (q189's KeyedTable-over-HTTP lifecycle) can drive it from the
+correctness driver, which imports only the package. Tests keep
+importing it from here."""
 
-A ``ThreadingHTTPServer`` speaking the subset of the S3 API that
-``operators/s3http.S3HttpBackend`` uses: PutObject (with the
-``If-None-Match: *`` conditional-write header), GetObject,
-DeleteObject, HeadObject, and ListObjectsV2 (prefix + delimiter +
-2-item pages so pagination is actually exercised). Storage is a flat
-key->bytes dict guarded by one lock — conditional puts are atomic the
-way the real service's are.
+from dataflowtemplates_spark.testing.s3_emulator import S3Emulator
 
-Fault injection for the commit protocol's failure modes:
-
-* ``emu.drop_response_next_put = True`` — the NEXT PUT is fully
-  APPLIED server-side, then the socket closes without a response:
-  the client sees a timeout/connection error while the put landed
-  (the ambiguous-timeout case the backend must disambiguate by
-  reading back).
-* ``emu.reject_next_put = n`` — the next ``n`` PUTs return 500
-  without applying (transient server error).
-
-Listing is strongly consistent with puts (list-after-put visibility),
-matching S3's documented model since 2020 — a test asserts it, since
-the reclaim/fold logic depends on it.
-"""
-
-from __future__ import annotations
-
-import threading
-import urllib.parse
-from datetime import datetime, timezone
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-
-
-class S3Emulator:
-    def __init__(self):
-        self._objects: dict[str, bytes] = {}
-        self._mtimes: dict[str, float] = {}
-        self._lock = threading.Lock()
-        self.drop_response_next_put = False
-        self.reject_next_put = 0
-        # truncated listing page WITHOUT a continuation token (a
-        # misbehaving store): the client must raise, not loop forever
-        self.omit_continuation_token = False
-        emu = self
-
-        class Handler(BaseHTTPRequestHandler):
-            protocol_version = "HTTP/1.1"
-
-            def log_message(self, *a):  # keep pytest output clean
-                pass
-
-            def _key(self):
-                u = urllib.parse.urlparse(self.path)
-                return (urllib.parse.unquote(u.path.lstrip("/")),
-                        urllib.parse.parse_qs(u.query))
-
-            def _send(self, status, body=b"", ctype="application/xml"):
-                self.send_response(status)
-                self.send_header("Content-Type", ctype)
-                self.send_header("Content-Length", str(len(body)))
-                self.end_headers()
-                if body:
-                    self.wfile.write(body)
-
-            def do_PUT(self):
-                key, _ = self._key()
-                n = int(self.headers.get("Content-Length", 0))
-                data = self.rfile.read(n)
-                conditional = self.headers.get("If-None-Match") == "*"
-                with emu._lock:
-                    if emu.reject_next_put > 0:
-                        emu.reject_next_put -= 1
-                        self._send(500, b"<Error>transient</Error>")
-                        return
-                    if conditional and key in emu._objects:
-                        self._send(412, b"<Error><Code>PreconditionFailed"
-                                        b"</Code></Error>")
-                        return
-                    import time
-
-                    emu._objects[key] = data
-                    emu._mtimes[key] = time.time()
-                    drop = emu.drop_response_next_put
-                    if drop:
-                        emu.drop_response_next_put = False
-                if drop:
-                    # applied, but the response is lost: hard-close the
-                    # socket so the client sees a connection error
-                    self.close_connection = True
-                    self.connection.close()
-                    return
-                self._send(200)
-
-            def do_GET(self):
-                key, q = self._key()
-                if "list-type" in q:
-                    self._list(key, q)
-                    return
-                with emu._lock:
-                    data = emu._objects.get(key)
-                if data is None:
-                    self._send(404, b"<Error><Code>NoSuchKey</Code>"
-                                    b"</Error>")
-                    return
-                self._send(200, data, "application/octet-stream")
-
-            def _list(self, bucket_path, q):
-                bucket = bucket_path.split("/", 1)[0]
-                prefix = q.get("prefix", [""])[0]
-                delim = q.get("delimiter", [None])[0]
-                token = q.get("continuation-token", [""])[0]
-                page = 2  # tiny pages: pagination is always exercised
-                with emu._lock:
-                    keys = sorted(
-                        k for k in emu._objects
-                        if k.startswith(bucket + "/")
-                        and k[len(bucket) + 1:].startswith(prefix))
-                    stamps = {k: emu._mtimes.get(k, 0.0) for k in keys}
-                contents, prefixes = [], []
-                seen = set()
-                start = 0
-                if token:
-                    start = int(token)
-                emitted = 0
-                i = start
-                while i < len(keys) and emitted < page:
-                    rel = keys[i][len(bucket) + 1:]
-                    if delim:
-                        rest = rel[len(prefix):]
-                        if delim in rest:
-                            cp = prefix + rest.split(delim, 1)[0] + delim
-                            if cp not in seen:
-                                seen.add(cp)
-                                prefixes.append(cp)
-                                emitted += 1
-                            i += 1
-                            continue
-                    contents.append((rel, stamps[keys[i]]))
-                    emitted += 1
-                    i += 1
-                truncated = i < len(keys)
-                parts = ["<?xml version='1.0'?><ListBucketResult>"]
-                for rel, ts in contents:
-                    lm = datetime.fromtimestamp(
-                        ts, tz=timezone.utc).isoformat().replace(
-                        "+00:00", "Z")
-                    parts.append(
-                        f"<Contents><Key>{rel}</Key>"
-                        f"<LastModified>{lm}</LastModified></Contents>")
-                for cp in prefixes:
-                    parts.append(f"<CommonPrefixes><Prefix>{cp}</Prefix>"
-                                 f"</CommonPrefixes>")
-                parts.append(
-                    f"<IsTruncated>{'true' if truncated else 'false'}"
-                    f"</IsTruncated>")
-                if truncated and not emu.omit_continuation_token:
-                    parts.append(f"<NextContinuationToken>{i}"
-                                 f"</NextContinuationToken>")
-                parts.append("</ListBucketResult>")
-                self._send(200, "".join(parts).encode())
-
-            def do_HEAD(self):
-                key, _ = self._key()
-                with emu._lock:
-                    ok = key in emu._objects
-                # HEAD has no body
-                self.send_response(200 if ok else 404)
-                self.send_header("Content-Length", "0")
-                self.end_headers()
-
-            def do_DELETE(self):
-                key, _ = self._key()
-                with emu._lock:
-                    emu._objects.pop(key, None)
-                    emu._mtimes.pop(key, None)
-                self._send(204)
-
-        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
-        self._thread = threading.Thread(
-            target=self._server.serve_forever, daemon=True)
-
-    @property
-    def endpoint(self) -> str:
-        host, port = self._server.server_address
-        return f"http://{host}:{port}"
-
-    def start(self) -> "S3Emulator":
-        self._thread.start()
-        return self
-
-    def stop(self) -> None:
-        self._server.shutdown()
-        self._server.server_close()
-
-    def __enter__(self):
-        return self.start()
-
-    def __exit__(self, *exc):
-        self.stop()
+__all__ = ["S3Emulator"]

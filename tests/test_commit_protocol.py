@@ -44,9 +44,14 @@ def _backend_harness(kind):
     from dataflowtemplates_spark.operators.s3http import S3HttpBackend
     from tests.s3emu import S3Emulator
     emu = S3Emulator().start()
+    # the HTTP side runs in full SigV4 mode (r14): every request in
+    # the property sweep is signed and server-verified
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    emu.require_sigv4 = creds
 
     def make():
-        return S3HttpBackend(emu.endpoint, timeout_s=5.0)
+        return S3HttpBackend(emu.endpoint, timeout_s=5.0,
+                             credentials=creds)
     return make, 8, emu.stop
 
 

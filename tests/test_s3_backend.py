@@ -232,6 +232,116 @@ def test_truncated_listing_without_token_raises(emu, backend):
     assert len(backend.list_dir("s3emu://b/t3")) == 5
 
 
+#: AWS's published example credentials (docs.aws.amazon.com SigV4
+#: test suite) — fine to commit, they authenticate nothing real.
+SIGV4_CREDS = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
+
+@pytest.fixture()
+def signed_backend(emu):
+    """Backend + emulator both in SigV4 mode: every request must carry
+    a valid signature or the emulator answers 403 like the live
+    service."""
+    emu.require_sigv4 = SIGV4_CREDS
+    b = S3HttpBackend(emu.endpoint, timeout_s=3.0,
+                      credentials=SIGV4_CREDS)
+    fsio.register_object_backend("s3sig", b)
+    try:
+        yield b
+    finally:
+        fsio.unregister_object_backend("s3sig")
+
+
+def test_signed_traffic_end_to_end(emu, signed_backend):
+    """The full op surface over an endpoint that REJECTS unsigned
+    requests: CAS race, readback, listing with pagination, HEAD,
+    DELETE — all signed per-request (fresh x-amz-date each attempt)."""
+    b = signed_backend
+    barrier = threading.Barrier(4)
+    wins = []
+
+    def attempt(i):
+        barrier.wait()
+        if b.create_exclusive("s3sig://b/t/_log/v1.json",
+                              f"w{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=attempt, args=(i,))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(wins) == 1
+    assert b.read_bytes("s3sig://b/t/_log/v1.json") == \
+        f"w{wins[0]}".encode()
+    for i in range(5):  # > the 2-item page: signed pagination
+        b.write_bytes(f"s3sig://b/t/d/{i}", b"x")
+    assert len(b.list_dir("s3sig://b/t/d")) == 5
+    assert b.exists("s3sig://b/t/d/0")
+    b.delete_file("s3sig://b/t/d/0")
+    assert not b.exists("s3sig://b/t/d/0")
+    # ambiguous timeout path also works signed: the readback GET is
+    # a fresh signed request
+    emu.drop_response_next_put = True
+    assert b.create_exclusive("s3sig://b/amb.json", b"mine") is True
+    assert b.read_bytes("s3sig://b/amb.json") == b"mine"
+
+
+def test_unsigned_and_wrongly_signed_requests_get_403(emu):
+    """Against a signature-requiring endpoint: an unsigned backend and
+    a wrong-secret backend both surface OSError (HTTP 403) — never a
+    silent False that could wedge the CAS."""
+    emu.require_sigv4 = SIGV4_CREDS
+    unsigned = S3HttpBackend(emu.endpoint, timeout_s=3.0)
+    with pytest.raises(OSError, match="403"):
+        unsigned.write_bytes("x://b/k", b"d")
+    with pytest.raises(OSError, match="403"):
+        unsigned.create_exclusive("x://b/k.json", b"d")
+    wrong = S3HttpBackend(emu.endpoint, timeout_s=3.0,
+                          credentials=(SIGV4_CREDS[0], "not-the-secret"))
+    with pytest.raises(OSError, match="403"):
+        wrong.read_bytes("x://b/k")
+    good = S3HttpBackend(emu.endpoint, timeout_s=3.0,
+                         credentials=SIGV4_CREDS)
+    assert good.create_exclusive("x://b/k.json", b"d") is True
+
+
+def test_https_endpoint_selects_tls_connection():
+    """https:// endpoints ride HTTPSConnection (default port 443);
+    http:// rides HTTPConnection (port 80); other schemes rejected.
+    Constructing a connection object never dials, so no TLS endpoint
+    is needed to pin the selection."""
+    import http.client
+
+    tls = S3HttpBackend("https://s3.example.test")
+    assert isinstance(tls._conn(), http.client.HTTPSConnection)
+    assert tls._port == 443 and tls._wire_host == "s3.example.test"
+    plain = S3HttpBackend("http://s3.example.test")
+    assert isinstance(plain._conn(), http.client.HTTPConnection)
+    assert not isinstance(plain._conn(), http.client.HTTPSConnection)
+    assert plain._port == 80 and plain._wire_host == "s3.example.test"
+    nonstd = S3HttpBackend("https://h.example.test:9443")
+    assert nonstd._wire_host == "h.example.test:9443"
+    with pytest.raises(ValueError, match="http"):
+        S3HttpBackend("ftp://nope")
+    with pytest.raises(ValueError, match="credentials"):
+        S3HttpBackend("http://h", credentials=("only-one",))
+
+
+def test_backend_pickles_for_executor_shipping(emu, signed_backend):
+    """The distributed data plane ships the backend object to executor
+    tasks: pickling must carry config (endpoint, creds, region) but
+    never sockets, and the clone must do signed I/O immediately."""
+    import pickle
+
+    clone = pickle.loads(pickle.dumps(signed_backend))
+    assert clone.distributed is True
+    assert clone._creds == signed_backend._creds
+    clone.write_bytes("s3sig://b/pickled", b"via-clone")
+    assert signed_backend.read_bytes("s3sig://b/pickled") == b"via-clone"
+
+
 def test_conditional_put_takes_fresh_socket_after_idle_reuse(emu, backend):
     """A GET warms the thread's keep-alive socket; even if the server
     then closes it, the CAS put must not surface a spurious failure —

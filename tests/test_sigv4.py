@@ -1,0 +1,180 @@
+"""SigV4 signer (operators/sigv4.py): AWS's published test vector,
+botocore-pinned golden fixtures, a randomized cross-check against
+botocore's independent implementation, and the server-side verifier's
+tamper rejections — the emulator uses `verify`, so these tests are
+what keeps signer and verifier honest against the PUBLIC algorithm
+rather than merely against each other."""
+
+import hashlib
+import hmac
+
+import pytest
+
+from dataflowtemplates_spark.operators import sigv4
+
+AK = "AKIDEXAMPLE"
+SK = "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY"
+T0 = "20150830T123600Z"
+
+
+def test_aws_published_get_vanilla_vector():
+    """The `get-vanilla` case from AWS's published SigV4 test suite
+    (docs.aws.amazon.com, "Signature Version 4 test suite"): GET / on
+    example.amazonaws.com, service `service`, us-east-1, signing only
+    host + x-amz-date. The expected signature is AWS's published
+    value — the one fixed point that pins this implementation to the
+    public algorithm, not to itself."""
+    canonical, signed = sigv4.canonical_request(
+        "GET", "/", [],
+        {"host": "example.amazonaws.com", "x-amz-date": T0},
+        sigv4.EMPTY_SHA256)
+    assert signed == "host;x-amz-date"
+    sig = hmac.new(
+        sigv4.signing_key(SK, "20150830", "us-east-1", "service"),
+        sigv4.string_to_sign(
+            T0, "20150830/us-east-1/service/aws4_request",
+            canonical).encode(),
+        hashlib.sha256).hexdigest()
+    assert sig == ("5fa00fa31553b73ebf1942676e86291e8372ff2a"
+                   "2260956d9b8aae1d763fbf31")
+
+
+# Golden fixtures produced by botocore 1.43.11's S3SigV4Auth (an
+# independent implementation of the same published algorithm) over the
+# exact request shapes S3HttpBackend emits — pinned as literals so the
+# cross-check below is not required for the suite to defend the wire
+# format. (method, path, query pairs, body, extra headers, signature)
+_BOTOCORE_FIXTURES = [
+    ("GET", "/bucket/t/_log/00000000000000000001.json", [], b"", {},
+     "47cd5760e12d7e4e4398394ad329ede2102b7815cdd60c0fb4462abfe6656f88"),
+    ("PUT", "/bucket/t/_log/00000000000000000002.json", [],
+     b'{"version":2}', {"If-None-Match": "*"},
+     "9088194911f5b6886c24ab3cbe77921d985b6bff3b013e623f37a208537a9337"),
+    ("GET", "/bucket",
+     [("list-type", "2"), ("prefix", "t/_log/"), ("delimiter", "/")],
+     b"", {},
+     "4b884e80b0c0cdd6ed4d70dfcaa5668fc8600c4b8b6a300d4f20628d35d4c488"),
+]
+
+
+@pytest.mark.parametrize(
+    "method,path,query,body,extra,expect", _BOTOCORE_FIXTURES)
+def test_botocore_pinned_fixtures(method, path, query, body, extra,
+                                  expect):
+    out = sigv4.sign_headers(
+        method, "127.0.0.1:9000", path, query, body,
+        access_key=AK, secret_key=SK, region="us-east-1",
+        amzdate=T0, extra_headers=extra)
+    assert out["Authorization"].endswith("Signature=" + expect)
+    # the payload hash header is always present and correct
+    want = hashlib.sha256(body).hexdigest() if body else sigv4.EMPTY_SHA256
+    assert out["x-amz-content-sha256"] == want
+
+
+def test_sign_then_verify_roundtrip_and_tampering():
+    """verify() accepts exactly what sign_headers produced — and
+    rejects a tampered body, path, query, signed header, or secret."""
+    path = "/bucket/t/_log/00000000000000000007.json"
+    query = [("list-type", "2"), ("prefix", "a b/c")]
+    body = b'{"version":7,"writer":"u-1"}'
+    hdrs = sigv4.sign_headers(
+        "PUT", "127.0.0.1:9123", path, query, body,
+        access_key=AK, secret_key=SK, region="eu-west-2",
+        extra_headers={"If-None-Match": "*"})
+    target = path + "?list-type=2&prefix=a%20b%2Fc"
+    ok, reason = sigv4.verify("PUT", target, hdrs, body,
+                              secret_key=SK, access_key=AK)
+    assert ok, reason
+    # tampered body: the signed x-amz-content-sha256 catches it
+    ok, reason = sigv4.verify("PUT", target, hdrs, body + b"x",
+                              secret_key=SK)
+    assert not ok and "payload" in reason
+    # tampered path / query / signed header / wrong secret / wrong key
+    for tgt in (path + "x?list-type=2&prefix=a%20b%2Fc",
+                path + "?list-type=2&prefix=a%20b%2Fd"):
+        assert not sigv4.verify("PUT", tgt, hdrs, body,
+                                secret_key=SK)[0]
+    bad = dict(hdrs)
+    bad["If-None-Match"] = "W/other"
+    assert not sigv4.verify("PUT", target, bad, body, secret_key=SK)[0]
+    assert not sigv4.verify("PUT", target, hdrs, body,
+                            secret_key=SK + "x")[0]
+    assert not sigv4.verify("PUT", target, hdrs, body, secret_key=SK,
+                            access_key="AKIDOTHER")[0]
+    # method swap
+    assert not sigv4.verify("GET", target, hdrs, body, secret_key=SK)[0]
+
+
+def test_verify_rejects_missing_or_malformed_authorization():
+    assert not sigv4.verify("GET", "/b/k", {}, b"", secret_key=SK)[0]
+    assert not sigv4.verify(
+        "GET", "/b/k", {"Authorization": "Basic dXNlcjpwdw=="}, b"",
+        secret_key=SK)[0]
+    with pytest.raises(ValueError):
+        sigv4.parse_authorization("AWS4-HMAC-SHA256 Credential=a/b")
+    parsed = sigv4.parse_authorization(
+        "AWS4-HMAC-SHA256 Credential=AK/20150830/us-east-1/s3/"
+        "aws4_request, SignedHeaders=host;x-amz-date, Signature=ab")
+    assert parsed["region"] == "us-east-1"
+    assert parsed["signed_headers"] == ["host", "x-amz-date"]
+
+
+def test_session_token_is_signed():
+    """x-amz-security-token rides the signature: dropping or editing
+    it after signing must fail verification."""
+    hdrs = sigv4.sign_headers(
+        "GET", "h", "/b/k", [], b"", access_key=AK, secret_key=SK,
+        region="us-east-1", session_token="tok-123")
+    assert hdrs["x-amz-security-token"] == "tok-123"
+    assert sigv4.verify("GET", "/b/k", hdrs, b"", secret_key=SK)[0]
+    evil = dict(hdrs)
+    evil["x-amz-security-token"] = "tok-999"
+    assert not sigv4.verify("GET", "/b/k", evil, b"", secret_key=SK)[0]
+
+
+def test_randomized_cross_check_against_botocore():
+    """200 random request shapes (methods, encoded path segments,
+    query pairs, bodies, hosts, regions): our Authorization must equal
+    botocore S3SigV4Auth's byte-for-byte. Skipped when botocore is not
+    installed — the engine itself never imports it."""
+    botocore_auth = pytest.importorskip("botocore.auth")
+    import datetime as dt
+    import random
+    import string
+    import urllib.parse
+
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+
+    botocore_auth.get_current_datetime = (
+        lambda: dt.datetime(2015, 8, 30, 12, 36, 0))
+    rng = random.Random(20260816)
+    for _ in range(200):
+        bucket = "".join(rng.choices(string.ascii_lowercase, k=6))
+        segs = ["".join(rng.choices(
+            string.ascii_letters + string.digits + "._-=+ %~",
+            k=rng.randint(1, 8))) for _ in range(rng.randint(0, 3))]
+        key = "/".join(segs)
+        method = rng.choice(["GET", "PUT", "HEAD", "DELETE"])
+        body = rng.randbytes(rng.randint(0, 64)) if method == "PUT" else b""
+        q = {"".join(rng.choices(string.ascii_lowercase + "-", k=5)):
+             "".join(rng.choices(string.ascii_letters + " /=+&",
+                                 k=rng.randint(0, 6)))
+             for _ in range(rng.randint(0, 3))}
+        host = f"127.0.0.1:{rng.randint(1024, 65535)}"
+        region = rng.choice(["us-east-1", "eu-west-2"])
+        path = "/" + urllib.parse.quote(bucket)
+        if key:
+            path += "/" + urllib.parse.quote(key)
+        qs = urllib.parse.urlencode(q, quote_via=urllib.parse.quote)
+        url = f"http://{host}{path}" + (f"?{qs}" if qs else "")
+        mine = sigv4.sign_headers(
+            method, host, path, list(q.items()), body,
+            access_key=AK, secret_key=SK, region=region,
+            amzdate="20150830T123600Z")
+        req = AWSRequest(method=method, url=url,
+                         data=body if body else None)
+        botocore_auth.S3SigV4Auth(
+            Credentials(AK, SK), "s3", region).add_auth(req)
+        assert mine["Authorization"] == req.headers["Authorization"], (
+            method, path, q)
