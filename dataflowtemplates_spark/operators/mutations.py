@@ -1501,18 +1501,20 @@ def _orderable_expr(expr, dt):
     """Rewrite ``expr`` to an ORDERABLE value: MapType is not
     comparable in Spark (eqNullSafe/windows raise
     INVALID_ORDERING_TYPE), so maps become key-sorted entry arrays —
-    recursively, since maps legally nest inside arrays, structs, and
-    other maps' values. Two maps with the same entry set canonicalize
-    to the same array regardless of internal order, which is exactly
-    map equality. Non-map types pass through untouched."""
+    recursively, since maps legally nest inside arrays, structs, other
+    maps' values — and inside KEY types too (a struct key may carry a
+    map field; Spark allows the schema, sort_array still rejects it).
+    Two maps with the same entry set canonicalize to the same array
+    regardless of internal order, which is exactly map equality.
+    Non-map types pass through untouched."""
     if isinstance(dt, T.MapType):
         entries = F.map_entries(expr)
-        if _contains_map(dt.valueType):
-            vt = dt.valueType
+        if _contains_map(dt.keyType) or _contains_map(dt.valueType):
+            kt, vt = dt.keyType, dt.valueType
             entries = F.transform(
                 entries,
                 lambda e: F.struct(
-                    e["key"].alias("key"),
+                    _orderable_expr(e["key"], kt).alias("key"),
                     _orderable_expr(e["value"], vt).alias("value")))
         return F.sort_array(entries)
     if isinstance(dt, T.ArrayType) and _contains_map(dt.elementType):

@@ -1031,3 +1031,61 @@ def test_apply_changes_map_column_batches(spark, tmp_path):
             [(1, {"x": 1}, "U", 3), (1, {"x": 2}, "U", 3)],
             "id BIGINT, m MAP<STRING,INT>, _op STRING, seq INT"),
             op_col="_op", seq_col="seq")
+
+
+def test_apply_changes_map_reachable_through_key_type(spark, tmp_path):
+    """A map nested inside a map's KEY (via a struct key) is legal
+    schema but still non-orderable — the row-image canonicalization
+    must recurse into key types too, not crash in sort_array
+    (INVALID_ORDERING_TYPE). Duplicate redelivered events fold; the
+    map-keyed column itself is unstorable (silently skipped, C4 rule)
+    but must not break the annotate pass it rides through."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Spark's analyzer REJECTS building such a map with expressions
+    # (INVALID_MAP_KEY_TYPE), but parquet written elsewhere carries it
+    # fine and Spark reads it — so the batch arrives the way it would
+    # in the wild: through a file.
+    mk_type = pa.map_(
+        pa.struct([("a", pa.int32()),
+                   ("m", pa.map_(pa.string(), pa.int32()))]),
+        pa.int64())
+
+    def stage(name, events):
+        """events: (v, seq, inner_pairs) rows for key id=7."""
+        tbl = pa.table({
+            "id": pa.array([7] * len(events), pa.int64()),
+            "v": pa.array([v for v, _, _ in events], pa.int64()),
+            "mk": pa.array(
+                [[({"a": 1, "m": pairs}, 5)]
+                 for _, _, pairs in events], mk_type),
+            "_op": pa.array(["U"] * len(events)),
+            "seq": pa.array([s for _, s, _ in events], pa.int32()),
+        })
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "f.parquet"))
+        return spark.read.parquet(d)
+
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    t.apply_mutations(
+        spark.createDataFrame([(7, 0)], "id BIGINT, v BIGINT"),
+        "INSERT")
+    # identical duplicates differing only in inner-map build order:
+    # fold as one event instead of raising
+    r = t.apply_changes(
+        stage("dup", [(1, 1, [("x", 1), ("y", 2)]),
+                      (1, 1, [("y", 2), ("x", 1)])]),
+        op_col="_op", seq_col="seq")
+    assert r.applied == 1
+    assert t.read().filter("id=7").first()["v"] == 1
+    # rows identical EXCEPT the map nested in the key, at an equal
+    # seq: the canonicalized images differ, so the layout-hazard
+    # rejection fires (not an analysis crash, not a silent fold)
+    with pytest.raises(ValueError, match="EQUAL"):
+        t.apply_changes(
+            stage("tie", [(2, 2, [("x", 1)]), (2, 2, [("x", 2)])]),
+            op_col="_op", seq_col="seq")
