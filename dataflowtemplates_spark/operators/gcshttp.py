@@ -1,0 +1,233 @@
+"""HTTP-level GCS-compatible object-store backend for the fsio seam.
+
+``GcsHttpBackend`` serves ``gs://bucket/key`` paths over the public
+Google Cloud Storage JSON API using only the standard library —
+register it with :func:`fsio.register_object_backend` and the
+KeyedTable commit protocol (operators/mutations.py) runs its metadata
+CAS against GCS generation preconditions. The CAS shape differs from
+S3's in a way the commit protocol can exploit:
+
+* **Conditional create** — media upload
+  (``POST /upload/storage/v1/b/{bucket}/o?uploadType=media&name=...``)
+  with ``ifGenerationMatch=0``: generation 0 means "no live object",
+  so ``200`` = this writer created it, ``412 Precondition Failed`` =
+  it already existed. This is the ``create_exclusive`` primitive, the
+  exact twin of S3's ``If-None-Match: *``.
+* **Conditional OVERWRITE** — ``ifGenerationMatch=<current>``: replace
+  the object only if its generation is still the one this writer
+  read. S3's If-None-Match cannot express this; GCS's generation
+  numbers make read-modify-write CAS-able
+  (:meth:`replace_if_generation` / :meth:`generation_of`), which a
+  compact-in-place maintenance job can use where S3 deployments must
+  round-trip through a fresh object name.
+* **Ambiguous timeout after upload** — same read-back disambiguation
+  as the S3 backend: commit-log objects are writer-unique, so
+  byte-equality on read-back = our upload landed.
+* **Listing** — ``GET /storage/v1/b/{bucket}/o`` with
+  ``prefix``/``delimiter``/``pageToken``; ``updated`` stamps back
+  ``newest_mtime_under``. The JSON API signals "more pages" only by
+  the presence of ``nextPageToken``; a REPEATED token (a misbehaving
+  store would loop this client forever) raises.
+
+AUTH: pass ``bearer_token=...`` and every request carries
+``Authorization: Bearer <token>`` (the JSON API's OAuth2 scheme; token
+acquisition — service-account JWT exchange or metadata-server fetch —
+is deployment plumbing outside this module). 401/403 surface as
+OSError, never as a CAS loss.
+
+Transport retry discipline, pickling, and the derived fsio directory
+surface are shared with the S3 backend via operators/httpstore.py.
+Tests drive this class against an in-process emulator
+(dataflowtemplates_spark/testing/gcs_emulator.py) with the same fault
+injection as the S3 twin; the commit-protocol property tests
+parameterize over both HTTP backends.
+"""
+
+from __future__ import annotations
+
+import http.client
+import json
+import urllib.parse
+from datetime import datetime
+
+from dataflowtemplates_spark.operators.httpstore import (
+    DerivedObjectOps,
+    HttpObjectTransport,
+)
+
+
+class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
+    """fsio object-store backend speaking the GCS JSON API to
+    ``endpoint`` (e.g. ``http://127.0.0.1:4443`` for an emulator or
+    ``https://storage.googleapis.com``). Paths are full
+    ``scheme://bucket/key`` URIs."""
+
+    distributed = True  # picklable; executors may talk to it directly
+
+    def __init__(self, endpoint: str, timeout_s: float = 10.0,
+                 put_retries: int = 2, bearer_token: str | None = None):
+        self._init_transport(endpoint, timeout_s)
+        self._put_retries = int(put_retries)
+        self._token = bearer_token
+
+    # -- transport -------------------------------------------------------
+    def _headers(self, extra: dict | None = None) -> dict:
+        h = dict(extra or {})
+        if self._token:
+            h["Authorization"] = f"Bearer {self._token}"
+        return h
+
+    def _obj_path(self, bucket: str, key: str) -> str:
+        return (f"/storage/v1/b/{urllib.parse.quote(bucket, safe='')}"
+                f"/o/{urllib.parse.quote(key, safe='')}")
+
+    def _request(self, method: str, target: str,
+                 body: bytes | None = None, headers: dict | None = None,
+                 idempotent: bool = True):
+        return self._roundtrip(
+            method, target, body,
+            lambda: self._headers(headers), idempotent=idempotent)
+
+    # -- uploads -----------------------------------------------------------
+    def _upload_target(self, bucket: str, key: str,
+                       generation_match: int | None) -> str:
+        q = [("uploadType", "media"), ("name", key)]
+        if generation_match is not None:
+            q.append(("ifGenerationMatch", str(generation_match)))
+        return (f"/upload/storage/v1/b/"
+                f"{urllib.parse.quote(bucket, safe='')}/o?"
+                + urllib.parse.urlencode(q, quote_via=urllib.parse.quote))
+
+    def _conditional_upload(self, path: str, data: bytes,
+                            generation_match: int) -> bool:
+        """Shared CAS body for create (generation 0) and replace
+        (generation N): True on win, False on a 412 precondition loss,
+        read-back disambiguation on a lost response, OSError on
+        anything that is neither (a 5xx must never read as a loss)."""
+        bucket, key = self._split(path)
+        data = bytes(data)
+        target = self._upload_target(bucket, key, generation_match)
+        for _ in range(self._put_retries + 1):
+            try:
+                status, _, _ = self._request(
+                    "POST", target, body=data,
+                    headers={"Content-Length": str(len(data))},
+                    idempotent=False)  # the CAS never transport-retries
+            except (TimeoutError, ConnectionError,
+                    http.client.HTTPException, OSError):
+                current = self._get_or_none(bucket, key)
+                if generation_match == 0:
+                    if current is None:
+                        continue  # never landed: safe to retry verbatim
+                    return current == data  # writer-unique objects
+                # replace: our payload visible = our upload landed
+                if current == data:
+                    return True
+                return False  # either never landed or a rival moved
+                # the generation on — for a replace CAS both read as
+                # "this attempt did not win at the expected generation"
+            if status in (200, 201):
+                return True
+            if status == 412:
+                return False
+            raise OSError(f"conditional upload {path}: HTTP {status}")
+        raise OSError(f"conditional upload {path}: endpoint unreachable")
+
+    # -- the CAS primitives -------------------------------------------------
+    def create_exclusive(self, path: str, data: bytes) -> bool:
+        return self._conditional_upload(path, data, 0)
+
+    def generation_of(self, path: str) -> int | None:
+        """Current generation number, None if the object is absent —
+        the read half of a generation-match read-modify-write."""
+        bucket, key = self._split(path)
+        status, _, body = self._request(
+            "GET", self._obj_path(bucket, key))
+        if status == 404:
+            return None
+        if status != 200:
+            raise OSError(f"STAT {path}: HTTP {status}")
+        return int(json.loads(body)["generation"])
+
+    def replace_if_generation(self, path: str, data: bytes,
+                              generation: int) -> bool:
+        """Conditional OVERWRITE: replace ``path`` only if its live
+        generation is still ``generation`` (GCS's CAS shape S3's
+        If-None-Match cannot express). True = replaced; False = a
+        rival moved the generation first."""
+        if int(generation) <= 0:
+            raise ValueError("generation must be a live (positive) "
+                             "generation; use create_exclusive for "
+                             "create-if-absent")
+        return self._conditional_upload(path, data, int(generation))
+
+    # -- service primitives (DerivedObjectOps contract) -------------------
+    def _get_or_none(self, bucket: str, key: str) -> bytes | None:
+        status, _, body = self._request(
+            "GET", self._obj_path(bucket, key) + "?alt=media")
+        if status == 404:
+            return None
+        if status == 200:
+            return body
+        raise OSError(f"GET gs://{bucket}/{key}: HTTP {status}")
+
+    def _head(self, bucket: str, key: str) -> bool:
+        status, _, _ = self._request("GET", self._obj_path(bucket, key))
+        if status == 200:
+            return True
+        if status == 404:
+            return False
+        raise OSError(f"STAT gs://{bucket}/{key}: HTTP {status}")
+
+    def _put_object(self, bucket: str, key: str, data: bytes) -> None:
+        status, _, _ = self._request(
+            "POST", self._upload_target(bucket, key, None), body=data,
+            headers={"Content-Length": str(len(data))})
+        if status not in (200, 201):
+            raise OSError(f"UPLOAD gs://{bucket}/{key}: HTTP {status}")
+
+    def _delete_object(self, bucket: str, key: str) -> None:
+        status, _, _ = self._request(
+            "DELETE", self._obj_path(bucket, key))
+        if status not in (200, 204, 404):
+            raise OSError(f"DELETE gs://{bucket}/{key}: HTTP {status}")
+
+    def _list(self, bucket: str, prefix: str, delimiter: str | None):
+        """Objects listing, fully depaginated. Yields
+        ('key', key, mtime_epoch) and ('prefix', p, None)."""
+        token = None
+        seen_tokens = set()
+        while True:
+            q = [("prefix", prefix)]
+            if delimiter:
+                q.append(("delimiter", delimiter))
+            if token:
+                q.append(("pageToken", token))
+            target = (f"/storage/v1/b/"
+                      f"{urllib.parse.quote(bucket, safe='')}/o?"
+                      + urllib.parse.urlencode(
+                          q, quote_via=urllib.parse.quote))
+            status, _, body = self._request("GET", target)
+            if status != 200:
+                raise OSError(f"LIST gs://{bucket}?prefix={prefix}: "
+                              f"HTTP {status}")
+            doc = json.loads(body)
+            for item in doc.get("items", []):
+                mtime = None
+                upd = item.get("updated")
+                if upd:
+                    mtime = datetime.fromisoformat(
+                        upd.replace("Z", "+00:00")).timestamp()
+                yield ("key", item["name"], mtime)
+            for p in doc.get("prefixes", []):
+                yield ("prefix", p, None)
+            token = doc.get("nextPageToken")
+            if not token:
+                return
+            if token in seen_tokens:
+                # the JSON API has no IsTruncated flag — the only
+                # infinite-loop hazard is a REPEATED token; surface it
+                raise OSError(
+                    f"LIST gs://{bucket}?prefix={prefix}: repeated "
+                    f"nextPageToken {token!r}")
+            seen_tokens.add(token)

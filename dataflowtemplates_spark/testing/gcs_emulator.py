@@ -1,0 +1,262 @@
+"""In-process GCS JSON API emulator (test/audit infrastructure).
+
+A ``ThreadingHTTPServer`` speaking the subset of the Cloud Storage
+JSON API that ``operators/gcshttp.GcsHttpBackend`` uses: media upload
+with ``ifGenerationMatch`` preconditions (0 = create-only, N =
+replace-at-generation — evaluated atomically under one lock, the way
+the real service's preconditions are), object get (``alt=media``) /
+metadata / delete, and objects listing with
+``prefix``/``delimiter``/``pageToken`` (2-item pages so pagination is
+always exercised). Every object carries a GENERATION number that
+bumps on each write — the emulator's whole reason to exist, since
+generation-match is the CAS shape the in-memory store cannot
+faithfully exhibit over real sockets.
+
+Fault injection mirrors the S3 twin:
+
+* ``emu.drop_response_next_put = True`` — the NEXT upload is fully
+  APPLIED, then the socket closes without a response (the ambiguous
+  timeout the backend must disambiguate by reading back).
+* ``emu.reject_next_put = n`` — the next ``n`` uploads return 500
+  without applying.
+* ``emu.repeat_page_token = True`` — the listing returns the SAME
+  ``nextPageToken`` forever (a misbehaving store): the client must
+  raise, not loop.
+
+AUTH: set ``emu.require_bearer = "<token>"`` and every request must
+carry ``Authorization: Bearer <token>`` or it is answered 401, like
+the real JSON API without OAuth credentials.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import urllib.parse
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class GcsEmulator:
+    def __init__(self):
+        #: key -> (bytes, generation)
+        self._objects: dict[str, tuple[bytes, int]] = {}
+        self._mtimes: dict[str, float] = {}
+        self._gen_counter = 0
+        self._lock = threading.Lock()
+        self.drop_response_next_put = False
+        self.reject_next_put = 0
+        self.repeat_page_token = False
+        self.require_bearer: str | None = None
+        emu = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # keep pytest output clean
+                pass
+
+            def _send(self, status, body=b"", ctype="application/json"):
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                if body:
+                    self.wfile.write(body)
+
+            def _err(self, status, message):
+                self._send(status, json.dumps(
+                    {"error": {"code": status,
+                               "message": message}}).encode())
+
+            def _authorized(self) -> bool:
+                want = emu.require_bearer
+                if want is None:
+                    return True
+                got = self.headers.get("Authorization", "")
+                if got == f"Bearer {want}":
+                    return True
+                self._err(401, "Invalid Credentials")
+                return False
+
+            def _parse(self):
+                u = urllib.parse.urlparse(self.path)
+                q = urllib.parse.parse_qs(u.query)
+                return u.path, q
+
+            def _meta_json(self, bucket, key, data, gen, ts) -> bytes:
+                upd = datetime.fromtimestamp(
+                    ts, tz=timezone.utc).isoformat().replace(
+                    "+00:00", "Z")
+                return json.dumps({
+                    "kind": "storage#object", "name": key,
+                    "bucket": bucket, "generation": str(gen),
+                    "size": str(len(data)), "updated": upd}).encode()
+
+            def do_POST(self):
+                """Media upload:
+                /upload/storage/v1/b/{bucket}/o?uploadType=media
+                &name=...&ifGenerationMatch=N"""
+                path, q = self._parse()
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                if not self._authorized():
+                    return
+                if not path.startswith("/upload/storage/v1/b/"):
+                    self._err(404, "unknown upload path")
+                    return
+                bucket = urllib.parse.unquote(
+                    path[len("/upload/storage/v1/b/"):].split("/", 1)[0])
+                name = q.get("name", [None])[0]
+                if not name:
+                    self._err(400, "name required")
+                    return
+                full = f"{bucket}/{name}"
+                gen_match = q.get("ifGenerationMatch", [None])[0]
+                with emu._lock:
+                    if emu.reject_next_put > 0:
+                        emu.reject_next_put -= 1
+                        self._err(500, "transient backend error")
+                        return
+                    current = emu._objects.get(full)
+                    if gen_match is not None:
+                        want = int(gen_match)
+                        live = 0 if current is None else current[1]
+                        if live != want:
+                            self._err(412, "conditionNotMet")
+                            return
+                    import time
+
+                    emu._gen_counter += 1
+                    gen = emu._gen_counter
+                    ts = time.time()
+                    emu._objects[full] = (data, gen)
+                    emu._mtimes[full] = ts
+                    drop = emu.drop_response_next_put
+                    if drop:
+                        emu.drop_response_next_put = False
+                if drop:
+                    # applied, response lost: hard-close the socket
+                    self.close_connection = True
+                    self.connection.close()
+                    return
+                self._send(200, self._meta_json(bucket, name, data,
+                                                gen, ts))
+
+            def do_GET(self):
+                path, q = self._parse()
+                if not self._authorized():
+                    return
+                if not path.startswith("/storage/v1/b/"):
+                    self._err(404, "unknown path")
+                    return
+                rest = path[len("/storage/v1/b/"):]
+                bucket, _, tail = rest.partition("/")
+                bucket = urllib.parse.unquote(bucket)
+                if tail == "o" or tail == "o/":
+                    self._list(bucket, q)
+                    return
+                if not tail.startswith("o/"):
+                    self._err(404, "unknown path")
+                    return
+                key = urllib.parse.unquote(tail[2:])
+                full = f"{bucket}/{key}"
+                with emu._lock:
+                    hit = emu._objects.get(full)
+                    ts = emu._mtimes.get(full, 0.0)
+                if hit is None:
+                    self._err(404, "No such object")
+                    return
+                data, gen = hit
+                if q.get("alt", [None])[0] == "media":
+                    self._send(200, data, "application/octet-stream")
+                else:
+                    self._send(200, self._meta_json(bucket, key, data,
+                                                    gen, ts))
+
+            def _list(self, bucket, q):
+                prefix = q.get("prefix", [""])[0]
+                delim = q.get("delimiter", [None])[0]
+                token = q.get("pageToken", [""])[0]
+                page = 2  # tiny pages: pagination always exercised
+                with emu._lock:
+                    keys = sorted(
+                        k for k in emu._objects
+                        if k.startswith(bucket + "/")
+                        and k[len(bucket) + 1:].startswith(prefix))
+                    stamps = {k: emu._mtimes.get(k, 0.0) for k in keys}
+                items, prefixes = [], []
+                seen = set()
+                start = int(token) if token else 0
+                emitted = 0
+                i = start
+                while i < len(keys) and emitted < page:
+                    rel = keys[i][len(bucket) + 1:]
+                    if delim:
+                        rest = rel[len(prefix):]
+                        if delim in rest:
+                            cp = prefix + rest.split(delim, 1)[0] + delim
+                            if cp not in seen:
+                                seen.add(cp)
+                                prefixes.append(cp)
+                                emitted += 1
+                            i += 1
+                            continue
+                    items.append((rel, stamps[keys[i]]))
+                    emitted += 1
+                    i += 1
+                doc: dict = {"kind": "storage#objects"}
+                if items:
+                    doc["items"] = [{
+                        "name": rel,
+                        "updated": datetime.fromtimestamp(
+                            ts, tz=timezone.utc).isoformat().replace(
+                            "+00:00", "Z")} for rel, ts in items]
+                if prefixes:
+                    doc["prefixes"] = prefixes
+                if i < len(keys):
+                    doc["nextPageToken"] = (
+                        str(start) if emu.repeat_page_token else str(i))
+                self._send(200, json.dumps(doc).encode())
+
+            def do_DELETE(self):
+                path, _ = self._parse()
+                if not self._authorized():
+                    return
+                if not path.startswith("/storage/v1/b/"):
+                    self._err(404, "unknown path")
+                    return
+                rest = path[len("/storage/v1/b/"):]
+                bucket, _, tail = rest.partition("/")
+                if not tail.startswith("o/"):
+                    self._err(404, "unknown path")
+                    return
+                key = urllib.parse.unquote(tail[2:])
+                full = f"{urllib.parse.unquote(bucket)}/{key}"
+                with emu._lock:
+                    emu._objects.pop(full, None)
+                    emu._mtimes.pop(full, None)
+                self._send(204)
+
+        self._server = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._thread = threading.Thread(
+            target=self._server.serve_forever, daemon=True)
+
+    @property
+    def endpoint(self) -> str:
+        host, port = self._server.server_address
+        return f"http://{host}:{port}"
+
+    def start(self) -> "GcsEmulator":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._server.shutdown()
+        self._server.server_close()
+
+    def __enter__(self):
+        return self.start()
+
+    def __exit__(self, *exc):
+        self.stop()

@@ -27,11 +27,13 @@ from dataflowtemplates_spark.operators.mutations import (
     KeyedTable,
 )
 
-#: The protocol property tests run over BOTH object-store backends:
-#: the in-memory reference and the HTTP S3 emulator (real sockets,
-#: real 412s, ListObjectsV2 pagination). Fewer hypothesis examples on
-#: the HTTP side — each example is hundreds of round trips.
-_BACKEND_KINDS = ("memory", "s3emu")
+#: The protocol property tests run over ALL object-store backends:
+#: the in-memory reference, the HTTP S3 emulator (real sockets, real
+#: 412s, ListObjectsV2 pagination, SigV4-verified traffic), and the
+#: HTTP GCS emulator (generation-match CAS, pageToken pagination,
+#: bearer auth). Fewer hypothesis examples on the HTTP sides — each
+#: example is hundreds of round trips.
+_BACKEND_KINDS = ("memory", "s3emu", "gcsemu")
 
 
 def _backend_harness(kind):
@@ -41,6 +43,18 @@ def _backend_harness(kind):
         def make():
             return fsio.MemoryObjectStore()
         return make, 30, lambda: None
+    if kind == "gcsemu":
+        from dataflowtemplates_spark.operators.gcshttp import (
+            GcsHttpBackend)
+        from dataflowtemplates_spark.testing.gcs_emulator import (
+            GcsEmulator)
+        gemu = GcsEmulator().start()
+        gemu.require_bearer = "prop-token"
+
+        def make_gcs():
+            return GcsHttpBackend(gemu.endpoint, timeout_s=5.0,
+                                  bearer_token="prop-token")
+        return make_gcs, 8, gemu.stop
     from dataflowtemplates_spark.operators.s3http import S3HttpBackend
     from tests.s3emu import S3Emulator
     emu = S3Emulator().start()
