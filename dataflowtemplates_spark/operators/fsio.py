@@ -72,6 +72,18 @@ def _backend_for(path: str):
     return None
 
 
+def distributed_backend_for(path: str):
+    """The path's registered backend IF executor tasks may use it
+    directly — picklable and backed by an external service, marked by
+    the backend's ``distributed = True`` attribute. This is the gate
+    the distributed parquet data plane (operators/objstore_plane.py)
+    checks before routing Spark DATA through a backend;
+    :class:`MemoryObjectStore` holds driver memory, so it never
+    qualifies (and metadata-only tests keep working through it)."""
+    b = _backend_for(path)
+    return b if getattr(b, "distributed", False) else None
+
+
 def supports_conditional_put(path: str) -> bool:
     """True if :func:`create_exclusive` on this path is atomic: local
     paths (OS ``O_EXCL``) and registered object-store schemes."""

@@ -486,6 +486,14 @@ class KeyedTable:
         schema = self._schema()
         if not leafs:
             return self.spark.createDataFrame([], schema)
+        plane = fsio.distributed_backend_for(leafs[0])
+        if plane is not None:
+            # object-store scheme without a native Hadoop connector:
+            # executor-side parquet fetch through the backend (file
+            # list = the pruned buckets' leaves, computed above)
+            from dataflowtemplates_spark.operators.objstore_plane import (
+                read_parquet)
+            return read_parquet(self.spark, leafs, schema, plane)
         return self.spark.read.schema(schema).parquet(*leafs)
 
     def read_at(self, timestamp_bound: str) -> DataFrame:
@@ -1229,8 +1237,17 @@ class KeyedTable:
                                       self._bucket_expr(n_buckets))
                           .repartition(len(touched), F.col(_BUCKET_COL)))
                 staged = self._apply_clustering(staged, cfg.get("cluster"))
-                (staged.write.mode("overwrite")
-                 .partitionBy(_BUCKET_COL).parquet(data_dir))
+                plane = fsio.distributed_backend_for(data_dir)
+                if plane is not None:
+                    # executor tasks stream parquet straight to the
+                    # object store through the pickled backend
+                    from dataflowtemplates_spark.operators import (
+                        objstore_plane)
+                    objstore_plane.write_partitioned(
+                        staged, data_dir, _BUCKET_COL, plane)
+                else:
+                    (staged.write.mode("overwrite")
+                     .partitionBy(_BUCKET_COL).parquet(data_dir))
                 present = [int(fn.split("=", 1)[1])
                            for fn in fsio.list_dir(data_dir)
                            if fn.startswith(f"{_BUCKET_COL}=")]
