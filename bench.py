@@ -116,6 +116,7 @@ HEADLINE = (
     "q184_stream_cdc_apply",
     "q185_replication_audit",    # r12: CAS commit log invariants
     "q186_rebucket_audit",       # r13: online rebucket lifecycle
+    "q189_objectstore_lifecycle",  # r14: lifecycle over signed HTTP S3
     "q187_ivf_append_audit",     # r13: incremental IVF maintenance
     "q188_dedup_keep_best",      # r13: quality-aware dup-group pick
     "q168_kanon_export",    # r11: k-anonymity suppression export
@@ -259,11 +260,9 @@ def main() -> None:
         out["n_failed"] = len(errors)
         out["partial_total"] = total
     line = json.dumps(out, separators=(",", ":"))
-    print(line)
-    print(f"# stdout line: {len(line)} chars", file=sys.stderr)
     # The artifact of record must not depend on captured-stdout tails
     # (the r12 driver record lost a third of per-query timings to a
-    # 3375-char truncation): the EXACT stdout line is always written
+    # 3375-char truncation): the FULL-name line is always written
     # to BENCH_LINE_local.json, and --json=PATH redirects it.
     json_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_LINE_local.json")
@@ -278,6 +277,24 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_RUNS_local.json"), "w") as fh:
         json.dump(detail, fh)
+    # The driver's stdout capture keeps only the TAIL (~2000 chars) of
+    # combined output, so r13's 3466-char line lost its head and
+    # recorded parsed:null. The stdout line therefore (a) compacts
+    # query names to their unique qNN ids and (b) prints LAST with
+    # nothing after it on either stream, so the complete object sits
+    # inside the captured tail; full names live in the --json artifact.
+    short: dict[str, float] = {}
+    for name, v in timings.items():
+        qid = name.split("_", 1)[0]
+        short[qid if qid not in short else name] = v
+    compact = dict(out)
+    compact["queries"] = short
+    cline = json.dumps(compact, separators=(",", ":"))
+    print(f"# full line: {len(line)} chars -> {json_path}; "
+          f"stdout line: {len(cline)} chars", file=sys.stderr)
+    sys.stderr.flush()
+    print(cline)
+    sys.stdout.flush()
     spark.stop()
 
 

@@ -20,9 +20,12 @@ S3's in a way the commit protocol can exploit:
   (:meth:`replace_if_generation` / :meth:`generation_of`), which a
   compact-in-place maintenance job can use where S3 deployments must
   round-trip through a fresh object name.
-* **Ambiguous timeout after upload** — same read-back disambiguation
-  as the S3 backend: commit-log objects are writer-unique, so
-  byte-equality on read-back = our upload landed.
+* **Ambiguous timeout after upload** — on the CREATE shape, the same
+  read-back disambiguation as the S3 backend (commit-log objects are
+  writer-unique, so byte-equality on read-back = our upload landed);
+  on the REPLACE shape payloads are not writer-unique, so a lost
+  response RAISES for the caller to re-read the generation — never a
+  guessed win/loss.
 * **Listing** — ``GET /storage/v1/b/{bucket}/o`` with
   ``prefix``/``delimiter``/``pageToken``; ``updated`` stamps back
   ``newest_mtime_under``. The JSON API signals "more pages" only by
@@ -102,8 +105,17 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                             generation_match: int) -> bool:
         """Shared CAS body for create (generation 0) and replace
         (generation N): True on win, False on a 412 precondition loss,
-        read-back disambiguation on a lost response, OSError on
-        anything that is neither (a 5xx must never read as a loss)."""
+        OSError on anything that is neither (a 5xx must never read as
+        a loss). A LOST RESPONSE is arbitrated differently per shape:
+
+        * create — the commit protocol's objects are writer-unique,
+          so a read-back settles it (absent = retry verbatim, our
+          bytes = win, other bytes = loss);
+        * replace — payloads are NOT writer-unique (two maintenance
+          jobs can compute identical bytes), so byte-equality proves
+          nothing in either direction: the ambiguity is RAISED for
+          the caller to resolve by re-reading the generation, never
+          guessed into a false win/loss."""
         bucket, key = self._split(path)
         data = bytes(data)
         target = self._upload_target(bucket, key, generation_match)
@@ -114,18 +126,17 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                     headers={"Content-Length": str(len(data))},
                     idempotent=False)  # the CAS never transport-retries
             except (TimeoutError, ConnectionError,
-                    http.client.HTTPException, OSError):
+                    http.client.HTTPException, OSError) as exc:
+                if generation_match != 0:
+                    raise OSError(
+                        f"conditional replace {path} at generation "
+                        f"{generation_match}: response lost and replace "
+                        "payloads are not writer-unique — re-read the "
+                        f"generation and retry ({exc})") from exc
                 current = self._get_or_none(bucket, key)
-                if generation_match == 0:
-                    if current is None:
-                        continue  # never landed: safe to retry verbatim
-                    return current == data  # writer-unique objects
-                # replace: our payload visible = our upload landed
-                if current == data:
-                    return True
-                return False  # either never landed or a rival moved
-                # the generation on — for a replace CAS both read as
-                # "this attempt did not win at the expected generation"
+                if current is None:
+                    continue  # never landed: safe to retry verbatim
+                return current == data  # writer-unique objects
             if status in (200, 201):
                 return True
             if status == 412:

@@ -18,13 +18,17 @@ plane, not a driver shim:
   straight to the store through the pickled backend
   (``S3HttpBackend``/``GcsHttpBackend`` pickle by configuration).
   Part objects are named ``part-{partition:05d}-{seq:04d}.parquet``
-  — deterministic per task partition, so a task RETRY overwrites its
-  own objects instead of duplicating rows (unconditional full-object
-  puts are idempotent; the directory is this writer's private staging
-  dir, published only by the later metadata CAS). Buffers rotate at
-  ``flush_bytes`` so executor memory stays bounded regardless of
-  bucket size; production would swap the buffered PUT for a
-  multipart upload behind the same batch shape.
+  and rotate at an exact ROW count (``flush_rows``), sliced
+  independently of arrow batch boundaries — so the seq SET a task
+  writes is a pure function of its partition's (deterministic) row
+  multiset, never of shuffle arrival order or compression ratios. A
+  task retry or speculative attempt therefore overwrites exactly the
+  same object names with the same row sets (order within an object
+  may differ; snapshots are order-free), leaving no stale higher-seq
+  debris to duplicate rows — the idempotence Spark's own committers
+  get from task-attempt promotion. Executor memory is bounded by
+  ``flush_rows`` x row width; production would swap the buffered PUT
+  for a multipart upload behind the same batch shape.
 * **Read** (:func:`read_parquet`): the driver lists the snapshot's
   leaf directories through the backend (bucket pruning happened
   upstream in the ``_owners`` fold — the file list IS the pruned
@@ -48,8 +52,11 @@ import posixpath
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-#: rotate part objects once the in-memory parquet buffer passes this
-_FLUSH_BYTES = 128 * 1024 * 1024
+#: rotate part objects at exactly this many rows (see the module
+#: docstring: a ROW-count boundary is deterministic across task
+#: attempts, a byte boundary is not). 256k rows of ~100-500 B keeps
+#: objects in the tens-of-MB range and executor buffers bounded.
+_FLUSH_ROWS = 1 << 18
 
 
 def _arrow_schema(spark_schema: T.StructType):
@@ -59,12 +66,15 @@ def _arrow_schema(spark_schema: T.StructType):
 
 
 def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
-                      backend, flush_bytes: int = _FLUSH_BYTES) -> None:
+                      backend, flush_rows: int = _FLUSH_ROWS) -> None:
     """Write ``staged`` (which carries ``bucket_col``) as
     ``data_dir/{bucket_col}={b}/part-*.parquet`` objects via
     ``backend``, from executor tasks. Mirrors
     ``df.write.partitionBy(bucket_col).parquet(data_dir)``: the bucket
-    column lives in the directory name, not in the files."""
+    column lives in the directory name, not in the files. Every part
+    object holds EXACTLY ``flush_rows`` rows except a bucket's last —
+    the determinism that makes retries overwrite instead of
+    duplicate."""
     out_schema = T.StructType(
         [f for f in staged.schema.fields if f.name != bucket_col])
     arrow_out = _arrow_schema(out_schema)
@@ -76,11 +86,6 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
-        # part names are DETERMINISTIC per (partition, bucket, seq):
-        # a task retry or speculative attempt overwrites its own
-        # objects byte-for-byte instead of duplicating rows — the
-        # idempotence rule Spark's own committers get from
-        # task-attempt promotion, achieved here by stable naming
         state: dict[int, dict] = {}
         manifest: list[tuple[int, str, int]] = []
 
@@ -105,13 +110,20 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
                 part = (tbl.filter(pc.equal(kb, b))
                         .drop_columns([bucket_col])
                         .cast(arrow_out))
-                st = state.setdefault(b, fresh(0))
-                st["writer"].write_table(part)
-                st["rows"] += part.num_rows
-                if st["buf"].tell() >= flush_bytes:
-                    flush(b, st)
-                    state[b] = fresh(st["seq"] + 1)  # seq carries on:
-                    #     the next rotation must not overwrite this one
+                if b not in state:
+                    state[b] = fresh(0)
+                # slice at exact flush_rows boundaries, independent of
+                # arrow batch framing: object row counts (and so the
+                # seq set) depend only on the partition's row multiset
+                while part.num_rows:
+                    st = state[b]
+                    take = min(part.num_rows, flush_rows - st["rows"])
+                    st["writer"].write_table(part.slice(0, take))
+                    st["rows"] += take
+                    part = part.slice(take)
+                    if st["rows"] >= flush_rows:
+                        flush(b, st)
+                        state[b] = fresh(st["seq"] + 1)
         for b, st in state.items():
             if st["rows"]:
                 flush(b, st)
@@ -127,14 +139,41 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
         .collect()
 
 
+def _list_leaf_files(leaf_dirs: list[str], backend) -> list[str]:
+    """Driver-side file listing for the snapshot's leaf dirs. Leaves
+    group under their commit directory (``.../data/vNNNNN-x/kb=B``),
+    so issue ONE paginated listing per distinct commit dir and filter
+    to the wanted buckets — O(commit dirs) round trips, not
+    O(buckets) HEAD+LIST pairs."""
+    from collections import defaultdict
+
+    by_parent: dict[str, set[str]] = defaultdict(set)
+    for d in leaf_dirs:
+        parent, _, leaf = d.rstrip("/").rpartition("/")
+        by_parent[parent].add(leaf)
+    files: list[str] = []
+    for parent, leaves in by_parent.items():
+        scheme = parent.split("://", 1)[0]
+        bucket, key = backend._split(parent)
+        p = key.rstrip("/") + "/"
+        for kind, item, _ in backend._list(bucket, p, None):
+            if kind != "key" or not item.endswith(".parquet"):
+                continue
+            if item[len(p):].split("/", 1)[0] in leaves:
+                files.append(f"{scheme}://{bucket}/{item}")
+    return files
+
+
 def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                  schema: T.StructType, backend) -> DataFrame:
     """Distributed read of the given leaf directories' parquet objects
     through ``backend``, conformed to ``schema`` (missing columns
     null-fill — the engine's schema-evolution rule)."""
-    files: list[str] = []
-    for d in leaf_dirs:
-        files.extend(backend.list_files(d, suffix=".parquet"))
+    if hasattr(backend, "_list") and hasattr(backend, "_split"):
+        files = _list_leaf_files(leaf_dirs, backend)
+    else:  # minimal-contract backend: per-leaf recursive listing
+        files = [f for d in leaf_dirs
+                 for f in backend.list_files(d, suffix=".parquet")]
     if not files:
         return spark.createDataFrame([], schema)
     arrow_schema = _arrow_schema(schema)

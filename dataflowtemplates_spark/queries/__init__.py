@@ -66,24 +66,71 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r13): must be inside any scored prefix ----
-    # the adaptive exact-duplicate collapse gate (q66/q141 pick the
-    # direct pair plan when the duplication probe reads ~1, the group
-    # collapse otherwise), the q183 insert-offset fix (derived from
-    # max(c_custkey), SF-safe), the CDC-sink micro-batch session
-    # rebind (q184), and the orphan-reclaim scan-order hardening
-    # (data/ listed before the log is read + pre-delete re-check, q181)
-    # — and the r13-NEW q186: online rebucket lifecycle audit
+    # -- changed this cycle (r14): must be inside any scored prefix ----
+    # q189 is NEW (KeyedTable lifecycle over live signed HTTP object
+    # storage); the CDC family's row-image canonicalization gained the
+    # map-in-key-type recursion (q183/q184/q185); and every KeyedTable
+    # query's read/write path gained the distributed object-store data
+    # plane branch (_snapshot/_commit_buckets), so the storage-engine
+    # family re-scores this round
+    "q189_objectstore_lifecycle",
+    "q183_cdc_apply_audit",
+    "q184_stream_cdc_apply",
+    "q185_replication_audit",
     "q186_rebucket_audit",
+    "q78_mutation_audit",
+    "q99_snapshot_audit",
+    "q122_vacuum_audit",
+    "q128_change_data_feed",
+    "q139_incremental_rollup",
+    "q145_stream_keyed_upsert",
+    "q159_table_fingerprint",
+    "q171_zorder_layout",
+    "q176_optimize_audit",
+    "q177_incremental_sync_audit",
+    "q180_commit_protocol_audit",
+    "q181_orphan_reclaim_audit",
+    "q182_txn_replay_audit",
+    # -- newest driver score r8 (oldest evidence): the simhash/dedup/
+    #    ANN block, fronted per the rotation rule ------------------
+    "q54_simhash",
+    "q55_dedup_pipeline",
+    "q56_dup_groups",
+    "q57_decontaminate",
+    "q58_repetition_stats",
+    "q59_tfidf_topterms",
+    "q60_vector_norms",
+    "q61_ann_bruteforce",
+    "q62_ann_lsh_bucketed",
+    "q63_embedding_neardup",
+    "q64_label_centroids",
+    # -- newest driver score r10, unchanged since ------------------
+    "q142_cdc_chunking",
+    "q143_fuzzy_match",
+    "q144_stream_heavy_hitters",
+    "q146_dsir_reweight",
+    "q147_user_ewma",
+    "q149_export_roundtrip",
+    "q150_grouped_regression",
+    "q151_gap_fill",
+    "q152_adaptive_quality_filter",
+    "q153_norm_outliers",
+    "q154_unpivot",
+    "q155_set_ops_all",
+    "q156_cohort_retention",
+    "q157_fk_integrity",
+    "q158_rolling_mau",
+    "q160_event_transitions",
+    "q161_weighted_sample",
+    "q162_hourly_anomalies",
+    "q163_session_paths",
+    "q164_stream_fingerprint",
+    "q165_composition_audit",
+    # -- remainder: prior committed order, fronted names removed ----
     "q187_ivf_append_audit",
     "q188_dedup_keep_best",
     "q141_semdedup",
     "q66_embedding_neardup_lsh",
-    "q183_cdc_apply_audit",
-    "q184_stream_cdc_apply",
-    "q181_orphan_reclaim_audit",
-    # -- newest driver score <= r8 (oldest evidence): fronted per
-    #    the rotation rule so the r13 prefix re-scores them --------
     "q87_corpus_pipeline",
     "q88_ann_pq_adc",
     "q95_stream_neardup_candidates",
@@ -126,32 +173,8 @@ REGISTRY_ORDER = (
     "q51_minhash_signature",
     "q52_lsh_pairs",
     "q53_ngram_jaccard",
-    "q54_simhash",
-    "q55_dedup_pipeline",
-    "q56_dup_groups",
-    "q57_decontaminate",
-    "q58_repetition_stats",
-    "q59_tfidf_topterms",
-    "q60_vector_norms",
-    "q61_ann_bruteforce",
-    "q62_ann_lsh_bucketed",
-    "q63_embedding_neardup",
-    "q64_label_centroids",
-    # -- newest driver score r12, unchanged since ------------------
-    "q185_replication_audit",
-    "q182_txn_replay_audit",
-    "q180_commit_protocol_audit",
     "q148_lsh_recall",
     "q179_jdbc_retry_exactly_once",
-    "q78_mutation_audit",
-    "q99_snapshot_audit",
-    "q122_vacuum_audit",
-    "q128_change_data_feed",
-    "q139_incremental_rollup",
-    "q145_stream_keyed_upsert",
-    "q159_table_fingerprint",
-    "q176_optimize_audit",
-    "q177_incremental_sync_audit",
     "q174_ngram_novelty",
     "q175_jdbc_incremental_pull",
     "q166_jdbc_roundtrip",
@@ -182,28 +205,7 @@ REGISTRY_ORDER = (
     "q84_chunk_overlap",
     "q85_bm25_topk",
     "q86_source_mixture",
-    "q165_composition_audit",
-    "q164_stream_fingerprint",
-    "q163_session_paths",
-    "q162_hourly_anomalies",
-    "q161_weighted_sample",
-    "q160_event_transitions",
-    "q158_rolling_mau",
-    "q157_fk_integrity",
-    "q156_cohort_retention",
-    "q155_set_ops_all",
-    "q154_unpivot",
-    "q153_norm_outliers",
-    "q152_adaptive_quality_filter",
-    "q151_gap_fill",
-    "q150_grouped_regression",
-    "q149_export_roundtrip",
-    "q147_user_ewma",
-    "q146_dsir_reweight",
-    "q144_stream_heavy_hitters",
     "q140_training_shards",
-    "q142_cdc_chunking",
-    "q143_fuzzy_match",
     "q124_big_order_customers",
     "q125_nation_trade_volume",
     "q126_part_value_share",
@@ -222,7 +224,6 @@ REGISTRY_ORDER = (
     "q120_histogram_quantiles",
     "q80_media_metadata",
     "q81_frame_sample",
-    "q171_zorder_layout",
     "q172_pagerank",
     "q173_cooccurrence_lift",
     "q178_epoch_shuffle",

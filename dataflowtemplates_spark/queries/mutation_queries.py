@@ -1681,7 +1681,176 @@ FROM f
 """
 
 
+def q189_objectstore_lifecycle(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Full KeyedTable lifecycle over a LIVE HTTP S3 endpoint with
+    SigV4-signed traffic — the composed claim the commit-protocol
+    property tests cover only piecewise: create → upsert → CDC
+    ``apply_changes`` → online ``rebucket`` → ``vacuum`` with log
+    truncation → crash-debris ``reclaim_orphans`` → final read, with
+    EVERY byte (commit-log JSON through the conditional-put CAS, and
+    parquet data through the distributed executor-side plane,
+    operators/objstore_plane.py) behind an in-process S3 REST
+    emulator that VERIFIES each request's SigV4 signature and answers
+    403 otherwise (testing/s3_emulator.py). The reference's equivalent
+    trust — handing transactional storage to a cloud service's API
+    (templates/SpannerToSpanner.java:109-114) — is re-expressed here
+    as an auditable protocol over the store's public REST surface.
+
+    The oracle recomputes the final table state set-relationally from
+    ``customer`` (sampled ``%7``): the ``%3`` upsert bump, the CDC
+    batch (absolute ``U`` images on ``%10`` keys, ``D`` wins over
+    ``U`` at the higher seq on ``%90`` keys, one fresh ``I``), with
+    the layout/maintenance steps contributing NOTHING — any row lost
+    or duplicated across the rebucket rewrite, the vacuum, or the
+    reclaim breaks count/sum/checksum. Five protocol booleans ride
+    the row, each asserted literally TRUE by the oracle:
+
+    * ``signed_traffic`` — an unsigned rival probe got HTTP 403, so
+      the endpoint the lifecycle ran against really enforced SigV4;
+    * ``grow_atomic`` — the rebucket was exactly one version advance;
+    * ``log_dense`` — the truncated log is contiguous versions;
+    * ``floor_enforced`` — a pre-floor ``read_at`` bound raises
+      instead of resolving against reclaimed history;
+    * ``orphan_reclaimed`` — planted crash debris was removed and
+      every surviving data dir is referenced by the log.
+
+    Scale note: the lifecycle is O(sample) per commit with map-only
+    object I/O (the plane ships parquet bytes executor-side; the
+    driver handles O(files) strings); on a real cluster the same
+    commits run with the native s3a connector for data and this
+    module's CAS for metadata — the protocol is identical, which is
+    exactly what this row proves every round."""
+    from dataflowtemplates_spark.operators import fsio
+    from dataflowtemplates_spark.operators.s3http import S3HttpBackend
+    from dataflowtemplates_spark.testing.s3_emulator import S3Emulator
+
+    register_tables(spark, sf_dir)
+    sample = (spark.table("customer")
+              .select("c_custkey", "c_nationkey", "c_acctbal")
+              .filter(F.col("c_custkey") % 7 == 0))
+    k = F.col("c_custkey")
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
+    emu = S3Emulator().start()
+    emu.require_sigv4 = creds
+    backend = S3HttpBackend(emu.endpoint, timeout_s=10.0,
+                            credentials=creds)
+    fsio.register_object_backend("s3l", backend)
+    try:
+        # the endpoint really rejects unsigned traffic: a credential-
+        # less rival must see 403, not data
+        try:
+            S3HttpBackend(emu.endpoint, timeout_s=10.0).read_bytes(
+                "s3l://q189/anything")
+            signed_traffic = False
+        except OSError as exc:
+            signed_traffic = "403" in str(exc)
+
+        t = KeyedTable(spark, "s3l://q189/tbl", ["c_custkey"],
+                       n_buckets=4)
+        t.apply_mutations(sample, "INSERT")               # v1 + v2
+        bound2 = t._commits()[-1]["time"]
+        t.apply_mutations(                                 # v3
+            sample.filter(k % 3 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + F.lit(50.0)),
+            "INSERT_OR_UPDATE")
+
+        # CDC batch: absolute U images on %10 keys (seq 1), D on %9
+        # keys (seq 2 — wins the %90 overlap), one I of max(k)+1
+        upd = (sample.filter(k % 10 == 0)
+               .withColumn("c_acctbal", k.cast("double") * F.lit(2.0))
+               .withColumn("_op", F.lit("U"))
+               .withColumn("seq", F.lit(1)))
+        dele = (sample.filter(k % 9 == 0).select("c_custkey")
+                .withColumn("c_nationkey",
+                            F.lit(None).cast("int"))
+                .withColumn("c_acctbal", F.lit(None).cast("double"))
+                .withColumn("_op", F.lit("D"))
+                .withColumn("seq", F.lit(2)))
+        ins = (sample.agg((F.max(k) + F.lit(1)).alias("c_custkey"))
+               .withColumn("c_nationkey", F.lit(0).cast("int"))
+               .withColumn("c_acctbal", F.lit(1234.56))
+               .withColumn("_op", F.lit("I"))
+               .withColumn("seq", F.lit(1)))
+        t.apply_changes(upd.unionByName(dele).unionByName(ins),
+                        op_col="_op", seq_col="seq")        # v4
+
+        v_pre = t._latest_version()
+        t.rebucket(8)                                       # v5
+        grow_atomic = t._latest_version() == v_pre + 1
+
+        t.vacuum(keep_last=2, truncate_log=True)            # v6
+        commits = t._commits()
+        versions = [c["version"] for c in commits]
+        log_dense = versions == list(range(versions[0],
+                                           versions[0] + len(versions)))
+        try:
+            t.read_at(bound2)
+            floor_enforced = False
+        except ValueError:
+            floor_enforced = True
+
+        # plant crash debris (a staged dir no log object references),
+        # then reclaim: exactly it goes, referenced dirs all survive
+        backend.write_bytes("s3l://q189/tbl/data/v99999-dead/kb=0/p0",
+                            b"dead")
+        removed = t.reclaim_orphans(grace_s=0.0)
+        referenced = {c["dir"] for c in t._commits() if c.get("dir")}
+        on_disk = set(backend.list_dir("s3l://q189/tbl/data"))
+        orphan_reclaimed = removed == 1 and on_disk <= referenced
+
+        out = (t.read().agg(
+                   F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
+                   F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                    .cast("double").alias("acctbal_sum"),
+                   F.sum("c_custkey").cast("bigint").alias("key_checksum"))
+               .withColumn("signed_traffic", F.lit(bool(signed_traffic)))
+               .withColumn("grow_atomic", F.lit(bool(grow_atomic)))
+               .withColumn("log_dense", F.lit(bool(log_dense)))
+               .withColumn("floor_enforced", F.lit(bool(floor_enforced)))
+               .withColumn("orphan_reclaimed",
+                           F.lit(bool(orphan_reclaimed)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        fsio.unregister_object_backend("s3l")
+        emu.stop()
+    return out
+
+
+# Final state, set-relationally: the %7 sample, minus %9 deletes (D at
+# seq 2 beats the %90 U at seq 1), %10 survivors overridden to k*2
+# (absolute CDC images), else the %3 upsert bump; plus the one insert
+# at max(sample)+1. The rebucket/vacuum/reclaim steps are pure
+# layout/metadata moves and contribute nothing. Booleans are
+# engine-protocol facts the oracle pins as literal TRUE.
+_Q189_ORACLE = """
+WITH sample AS (
+  SELECT c_custkey AS k, c_acctbal
+  FROM customer WHERE c_custkey % 7 = 0),
+final AS (
+  SELECT k,
+         CASE WHEN k % 10 = 0 THEN CAST(k AS DOUBLE) * 2
+              WHEN k % 3 = 0 THEN c_acctbal + CAST(50 AS DOUBLE)
+              ELSE c_acctbal END AS bal
+  FROM sample WHERE k % 9 <> 0
+  UNION ALL
+  SELECT (SELECT MAX(k) + 1 FROM sample) AS k,
+         CAST(1234.56 AS DOUBLE) AS bal)
+SELECT CAST(COUNT(*) AS BIGINT) AS snapshot_rows,
+       CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS acctbal_sum,
+       CAST(SUM(k) AS BIGINT) AS key_checksum,
+       TRUE AS signed_traffic,
+       TRUE AS grow_atomic,
+       TRUE AS log_dense,
+       TRUE AS floor_enforced,
+       TRUE AS orphan_reclaimed
+FROM final
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
+           "q189_objectstore_lifecycle": q189_objectstore_lifecycle,
            "q186_rebucket_audit": q186_rebucket_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -1699,6 +1868,7 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q183_cdc_apply_audit": q183_cdc_apply_audit,
            "q185_replication_audit": q185_replication_audit}
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
+           "q189_objectstore_lifecycle": _Q189_ORACLE,
            "q186_rebucket_audit": _Q186_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,

@@ -36,6 +36,8 @@ import urllib.parse
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from dataflowtemplates_spark.testing.listing import paginate
+
 
 class GcsEmulator:
     def __init__(self):
@@ -178,33 +180,17 @@ class GcsEmulator:
                 prefix = q.get("prefix", [""])[0]
                 delim = q.get("delimiter", [None])[0]
                 token = q.get("pageToken", [""])[0]
-                page = 2  # tiny pages: pagination always exercised
+                start = int(token) if token else 0
                 with emu._lock:
                     keys = sorted(
-                        k for k in emu._objects
+                        k[len(bucket) + 1:] for k in emu._objects
                         if k.startswith(bucket + "/")
                         and k[len(bucket) + 1:].startswith(prefix))
-                    stamps = {k: emu._mtimes.get(k, 0.0) for k in keys}
-                items, prefixes = [], []
-                seen = set()
-                start = int(token) if token else 0
-                emitted = 0
-                i = start
-                while i < len(keys) and emitted < page:
-                    rel = keys[i][len(bucket) + 1:]
-                    if delim:
-                        rest = rel[len(prefix):]
-                        if delim in rest:
-                            cp = prefix + rest.split(delim, 1)[0] + delim
-                            if cp not in seen:
-                                seen.add(cp)
-                                prefixes.append(cp)
-                                emitted += 1
-                            i += 1
-                            continue
-                    items.append((rel, stamps[keys[i]]))
-                    emitted += 1
-                    i += 1
+                    stamps = [emu._mtimes.get(f"{bucket}/{rel}", 0.0)
+                              for rel in keys]
+                items, prefixes, nxt = paginate(
+                    keys, stamps, prefix, delim, start,
+                    page=2)  # tiny pages: pagination always exercised
                 doc: dict = {"kind": "storage#objects"}
                 if items:
                     doc["items"] = [{
@@ -214,9 +200,9 @@ class GcsEmulator:
                             "+00:00", "Z")} for rel, ts in items]
                 if prefixes:
                     doc["prefixes"] = prefixes
-                if i < len(keys):
+                if nxt is not None:
                     doc["nextPageToken"] = (
-                        str(start) if emu.repeat_page_token else str(i))
+                        str(start) if emu.repeat_page_token else str(nxt))
                 self._send(200, json.dumps(doc).encode())
 
             def do_DELETE(self):

@@ -44,6 +44,7 @@ from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from dataflowtemplates_spark.operators import sigv4
+from dataflowtemplates_spark.testing.listing import paginate
 
 
 class S3Emulator:
@@ -145,36 +146,17 @@ class S3Emulator:
                 prefix = q.get("prefix", [""])[0]
                 delim = q.get("delimiter", [None])[0]
                 token = q.get("continuation-token", [""])[0]
-                page = 2  # tiny pages: pagination is always exercised
                 with emu._lock:
                     keys = sorted(
-                        k for k in emu._objects
+                        k[len(bucket) + 1:] for k in emu._objects
                         if k.startswith(bucket + "/")
                         and k[len(bucket) + 1:].startswith(prefix))
-                    stamps = {k: emu._mtimes.get(k, 0.0) for k in keys}
-                contents, prefixes = [], []
-                seen = set()
-                start = 0
-                if token:
-                    start = int(token)
-                emitted = 0
-                i = start
-                while i < len(keys) and emitted < page:
-                    rel = keys[i][len(bucket) + 1:]
-                    if delim:
-                        rest = rel[len(prefix):]
-                        if delim in rest:
-                            cp = prefix + rest.split(delim, 1)[0] + delim
-                            if cp not in seen:
-                                seen.add(cp)
-                                prefixes.append(cp)
-                                emitted += 1
-                            i += 1
-                            continue
-                    contents.append((rel, stamps[keys[i]]))
-                    emitted += 1
-                    i += 1
-                truncated = i < len(keys)
+                    stamps = [emu._mtimes.get(f"{bucket}/{rel}", 0.0)
+                              for rel in keys]
+                contents, prefixes, nxt = paginate(
+                    keys, stamps, prefix, delim,
+                    int(token) if token else 0,
+                    page=2)  # tiny pages: pagination always exercised
                 parts = ["<?xml version='1.0'?><ListBucketResult>"]
                 for rel, ts in contents:
                     lm = datetime.fromtimestamp(
@@ -187,10 +169,10 @@ class S3Emulator:
                     parts.append(f"<CommonPrefixes><Prefix>{cp}</Prefix>"
                                  f"</CommonPrefixes>")
                 parts.append(
-                    f"<IsTruncated>{'true' if truncated else 'false'}"
+                    f"<IsTruncated>{'true' if nxt is not None else 'false'}"
                     f"</IsTruncated>")
-                if truncated and not emu.omit_continuation_token:
-                    parts.append(f"<NextContinuationToken>{i}"
+                if nxt is not None and not emu.omit_continuation_token:
+                    parts.append(f"<NextContinuationToken>{nxt}"
                                  f"</NextContinuationToken>")
                 parts.append("</ListBucketResult>")
                 self._send(200, "".join(parts).encode())

@@ -136,24 +136,34 @@ def test_ambiguous_timeout_with_nothing_landed_retries_the_upload(
         backend._request = orig
 
 
-def test_ambiguous_replace_where_rival_took_generation(emu, backend):
-    """replace_if_generation loses its response while a rival replaces
-    at the same generation first: read-back sees the rival's bytes —
-    a clean False, never a wedge or a false win."""
+def test_ambiguous_replace_raises_instead_of_guessing(emu, backend):
+    """replace_if_generation loses its response: unlike the create
+    shape, replace payloads are NOT writer-unique (a rival can land
+    IDENTICAL bytes), so byte-equality read-back proves nothing — the
+    backend must RAISE for the caller to re-read the generation,
+    never report a guessed win or loss."""
     p = "gsemu://b/rw.json"
     assert backend.create_exclusive(p, b"v1")
     g1 = backend.generation_of(p)
 
-    def rival_lands(orig):
+    def rival_lands_same_bytes(orig):
+        # worst case for any byte-equality guess: the rival's replace
+        # carries the SAME payload ours would
         orig("POST", backend._upload_target("b", "rw.json", g1),
-             body=b"rival", headers={"Content-Length": "5"})
+             body=b"ours", headers={"Content-Length": "4"})
 
-    orig = _flaky_first_conditional_upload(backend, rival_lands)
+    orig = _flaky_first_conditional_upload(backend, rival_lands_same_bytes)
     try:
-        assert backend.replace_if_generation(p, b"ours", g1) is False
-        assert backend.read_bytes(p) == b"rival"
+        with pytest.raises(OSError, match="re-read the generation"):
+            backend.replace_if_generation(p, b"ours", g1)
     finally:
         backend._request = orig
+    # the caller's documented recovery: re-read, then CAS at the live
+    # generation
+    g2 = backend.generation_of(p)
+    assert g2 > g1
+    assert backend.replace_if_generation(p, b"final", g2) is True
+    assert backend.read_bytes(p) == b"final"
 
 
 def test_transient_500_raises_never_false(emu, backend):

@@ -86,9 +86,12 @@ def test_full_data_lifecycle_over_live_s3_http(spark, s3):
 
 
 def test_part_rotation_and_missing_column_nullfill(spark, s3):
-    """flush_bytes small enough to force rotation: multiple seq-named
-    objects per bucket, nothing lost on read-back; a file written
-    under an OLDER schema null-fills the new column."""
+    """flush_rows forcing rotation: the seq-named objects per bucket
+    are a PURE function of the bucket's row count (every object
+    exactly flush_rows rows except the last — the determinism that
+    makes task retries overwrite rather than duplicate), nothing lost
+    on read-back; a file written under an OLDER schema null-fills the
+    new column."""
     from dataflowtemplates_spark.operators import objstore_plane as op
 
     _, backend = s3
@@ -97,19 +100,25 @@ def test_part_rotation_and_missing_column_nullfill(spark, s3):
                   F.sha2(F.col("id").cast("string"), 256).alias("s"))
           .withColumn("kb", (F.col("id") % 2).cast("int"))
           .repartition(2, F.col("kb")))
-    # small arrow batches so the buffer check fires BETWEEN batches —
-    # rotation only happens across write_table calls
-    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "200")
-    try:
-        op.write_partitioned(df, "s3pl://bkt/rot", "kb", backend,
-                             flush_bytes=16 * 1024)
-    finally:
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
-                       prev)
+    op.write_partitioned(df, "s3pl://bkt/rot", "kb", backend,
+                         flush_rows=300)
     files = backend.list_files("s3pl://bkt/rot")
-    assert len(files) > 2  # rotation actually happened
+    # 1000 rows per bucket at 300/object = 4 objects per bucket, with
+    # deterministic seq names 0000..0003 whatever the arrival order
+    assert len(files) == 8
     assert len(set(files)) == len(files)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    for kb in (0, 1):
+        leaf = [f for f in files if f"/kb={kb}/" in f]
+        assert sorted(f.rsplit("-", 1)[1] for f in leaf) == \
+            ["0000.parquet", "0001.parquet", "0002.parquet",
+             "0003.parquet"]
+        sizes = sorted(
+            pq.read_table(pa.BufferReader(
+                backend.read_bytes(f))).num_rows for f in leaf)
+        assert sizes == [100, 300, 300, 300]
     from pyspark.sql import types as T
 
     wide = T.StructType([
