@@ -26,9 +26,14 @@ plane, not a driver shim:
   same object names with the same row sets (order within an object
   may differ; snapshots are order-free), leaving no stale higher-seq
   debris to duplicate rows — the idempotence Spark's own committers
-  get from task-attempt promotion. Executor memory is bounded by
-  ``flush_rows`` x row width; production would swap the buffered PUT
-  for a multipart upload behind the same batch shape.
+  get from task-attempt promotion. Backends exposing a streaming sink
+  (S3 multipart upload via ``open_write``) get row groups streamed
+  through BOUNDED memory (one in-flight part, default 8 MB) however
+  large the object; buffer-and-PUT is the fallback for backends
+  without one, bounded by ``flush_rows`` x row width. A multipart
+  retry is still safe: parts stage invisibly under an UploadId and
+  only CompleteMultipartUpload materializes the (deterministically
+  named) object, overwriting like a plain PUT.
 * **Read** (:func:`read_parquet`): the driver lists the snapshot's
   leaf directories through the backend (bucket pruning happened
   upstream in the ``_owners`` fold — the file list IS the pruned
@@ -66,7 +71,8 @@ def _arrow_schema(spark_schema: T.StructType):
 
 
 def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
-                      backend, flush_rows: int = _FLUSH_ROWS) -> None:
+                      backend, flush_rows: int = _FLUSH_ROWS,
+                      part_bytes: int = 8 * 1024 * 1024) -> None:
     """Write ``staged`` (which carries ``bucket_col``) as
     ``data_dir/{bucket_col}={b}/part-*.parquet`` objects via
     ``backend``, from executor tasks. Mirrors
@@ -87,21 +93,32 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
 
         pid = TaskContext.get().partitionId()
         state: dict[int, dict] = {}
+        next_seq: dict[int, int] = {}
         manifest: list[tuple[int, str, int]] = []
+        # backends exposing a streaming sink (S3 multipart upload) get
+        # rows streamed through bounded memory; others buffer the
+        # whole (rotation-bounded) object and PUT once
+        streaming = hasattr(backend, "open_write")
+
+        def fresh(b, seq):
+            key = posixpath.join(
+                data_dir, f"{bucket_col}={b}",
+                f"part-{pid:05d}-{seq:04d}.parquet")
+            sink = backend.open_write(key, part_bytes=part_bytes) \
+                if streaming else pa.BufferOutputStream()
+            return {"sink": sink, "key": key, "rows": 0, "seq": seq,
+                    "writer": pq.ParquetWriter(sink, arrow_out,
+                                               compression="snappy")}
 
         def flush(b, st):
             st["writer"].close()
-            key = posixpath.join(
-                data_dir, f"{bucket_col}={b}",
-                f"part-{pid:05d}-{st['seq']:04d}.parquet")
-            backend.write_bytes(key, st["buf"].getvalue().to_pybytes())
-            manifest.append((b, key, st["rows"]))
-
-        def fresh(seq):
-            buf = pa.BufferOutputStream()
-            return {"buf": buf, "rows": 0, "seq": seq,
-                    "writer": pq.ParquetWriter(buf, arrow_out,
-                                               compression="snappy")}
+            if streaming:
+                st["sink"].close()  # finalize (idempotent if the
+                #                     parquet writer closed it already)
+            else:
+                backend.write_bytes(
+                    st["key"], st["sink"].getvalue().to_pybytes())
+            manifest.append((b, st["key"], st["rows"]))
 
         for batch in batches:
             tbl = pa.Table.from_batches([batch])
@@ -110,12 +127,13 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
                 part = (tbl.filter(pc.equal(kb, b))
                         .drop_columns([bucket_col])
                         .cast(arrow_out))
-                if b not in state:
-                    state[b] = fresh(0)
                 # slice at exact flush_rows boundaries, independent of
                 # arrow batch framing: object row counts (and so the
                 # seq set) depend only on the partition's row multiset
                 while part.num_rows:
+                    if b not in state:  # lazily, so a flush at an
+                        #   exact boundary never opens an unused sink
+                        state[b] = fresh(b, next_seq.get(b, 0))
                     st = state[b]
                     take = min(part.num_rows, flush_rows - st["rows"])
                     st["writer"].write_table(part.slice(0, take))
@@ -123,7 +141,8 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
                     part = part.slice(take)
                     if st["rows"] >= flush_rows:
                         flush(b, st)
-                        state[b] = fresh(st["seq"] + 1)
+                        del state[b]
+                        next_seq[b] = st["seq"] + 1
         for b, st in state.items():
             if st["rows"]:
                 flush(b, st)

@@ -166,6 +166,77 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
         # they lost, wedging the version counter
         raise OSError(f"conditional PUT {path}: endpoint unreachable")
 
+    # -- multipart upload (the large-object write path) --------------------
+    # Public S3 semantics: parts are staged server-side under an
+    # UploadId and the COMPLETE call materializes the object
+    # atomically (it appears in GETs/LISTs only then, overwriting any
+    # previous object of that name like a plain PUT). Each call below
+    # is an ordinary signed request; a transport failure during
+    # COMPLETE is surfaced, not guessed — the data plane's part names
+    # are deterministic, so the caller's task retry re-uploads and
+    # re-completes the same object safely, and incomplete uploads are
+    # abortable debris (real deployments add a bucket lifecycle rule).
+    def multipart_start(self, path: str) -> str:
+        bucket, key = self._split(path)
+        status, _, body = self._request("POST", bucket, key,
+                                        query={"uploads": ""})
+        if status != 200:
+            raise OSError(f"CreateMultipartUpload {path}: HTTP {status}")
+        root = ET.fromstring(body)
+        ns = root.tag.split("}", 1)[0] + "}" if "{" in root.tag else ""
+        uid = root.findtext(f"{ns}UploadId")
+        if not uid:
+            raise OSError(f"CreateMultipartUpload {path}: no UploadId")
+        return uid
+
+    def multipart_put_part(self, path: str, upload_id: str,
+                           part_number: int, data: bytes) -> str:
+        bucket, key = self._split(path)
+        status, headers, _ = self._request(
+            "PUT", bucket, key,
+            query={"partNumber": str(int(part_number)),
+                   "uploadId": upload_id},
+            body=bytes(data),
+            headers={"Content-Length": str(len(data))})
+        if status != 200:
+            raise OSError(f"UploadPart {path} #{part_number}: "
+                          f"HTTP {status}")
+        etag = {k.lower(): v for k, v in headers.items()}.get("etag", "")
+        if not etag:
+            raise OSError(f"UploadPart {path} #{part_number}: no ETag")
+        return etag
+
+    def multipart_complete(self, path: str, upload_id: str,
+                           parts: list[tuple[int, str]]) -> None:
+        bucket, key = self._split(path)
+        body = "".join(
+            f"<Part><PartNumber>{int(n)}</PartNumber>"
+            f"<ETag>{etag}</ETag></Part>"
+            for n, etag in sorted(parts))
+        payload = (f"<CompleteMultipartUpload>{body}"
+                   "</CompleteMultipartUpload>").encode()
+        status, _, _ = self._request(
+            "POST", bucket, key, query={"uploadId": upload_id},
+            body=payload,
+            headers={"Content-Length": str(len(payload))})
+        if status != 200:
+            raise OSError(f"CompleteMultipartUpload {path}: "
+                          f"HTTP {status}")
+
+    def multipart_abort(self, path: str, upload_id: str) -> None:
+        bucket, key = self._split(path)
+        status, _, _ = self._request(
+            "DELETE", bucket, key, query={"uploadId": upload_id})
+        if status not in (200, 204, 404):
+            raise OSError(f"AbortMultipartUpload {path}: HTTP {status}")
+
+    def open_write(self, path: str, part_bytes: int = 8 * 1024 * 1024):
+        """File-like streaming sink: buffers up to ``part_bytes``, then
+        switches to a multipart upload so memory stays bounded however
+        large the object grows; an object that finishes under one part
+        lands as a single plain PUT (1 round trip, not 3)."""
+        return _MultipartSink(self, path, part_bytes)
+
     # -- service primitives (DerivedObjectOps contract) -------------------
     def _get_or_none(self, bucket: str, key: str) -> bytes | None:
         status, _, body = self._request("GET", bucket, key)
@@ -241,3 +312,93 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
                 token = nxt
             else:
                 return
+
+
+class _MultipartSink:
+    """File-like object (write/tell/close) streaming to
+    :meth:`S3HttpBackend.open_write`'s contract. Used by the data
+    plane as a ParquetWriter sink: rows stream through bounded memory
+    regardless of final object size. ``close()`` finalizes (single
+    PUT below one part, CompleteMultipartUpload above); an exception
+    path calls :meth:`abandon` to abort the staged upload."""
+
+    def __init__(self, backend: S3HttpBackend, path: str,
+                 part_bytes: int):
+        self._backend = backend
+        self._path = path
+        self._part_bytes = int(part_bytes)
+        self._buf = bytearray()
+        self._total = 0
+        self._upload_id: str | None = None
+        self._parts: list[tuple[int, str]] = []
+        self._closed = False
+
+    def write(self, data) -> int:
+        b = bytes(data)
+        self._buf.extend(b)
+        self._total += len(b)
+        while len(self._buf) >= self._part_bytes:
+            self._flush_part(self._part_bytes)
+        return len(b)
+
+    def _flush_part(self, n: int) -> None:
+        if self._upload_id is None:
+            self._upload_id = self._backend.multipart_start(self._path)
+        chunk, self._buf = bytes(self._buf[:n]), self._buf[n:]
+        num = len(self._parts) + 1
+        self._parts.append(
+            (num, self._backend.multipart_put_part(
+                self._path, self._upload_id, num, chunk)))
+
+    def tell(self) -> int:
+        return self._total
+
+    # file-like protocol bits pyarrow's PythonFile wrapper may probe
+    mode = "wb"
+
+    def flush(self) -> None:
+        pass
+
+    def readable(self) -> bool:
+        return False
+
+    def writable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._upload_id is None:
+            # never crossed one part: a plain PUT is cheaper and
+            # equally atomic
+            self._backend.write_bytes(self._path, bytes(self._buf))
+            return
+        if self._buf:
+            self._flush_part(len(self._buf))
+        self._backend.multipart_complete(self._path, self._upload_id,
+                                         self._parts)
+
+    def abandon(self) -> None:
+        """Abort instead of finalize (error-path cleanup)."""
+        self._closed = True
+        if self._upload_id is not None:
+            self._backend.multipart_abort(self._path, self._upload_id)
+
+    # context-manager sugar for direct users; the plane calls
+    # close()/abandon() explicitly
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self.abandon()
+        else:
+            self.close()

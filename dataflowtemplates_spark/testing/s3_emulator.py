@@ -58,6 +58,11 @@ class S3Emulator:
         #: (access_key, secret_key) -> every request must carry a
         #: valid SigV4 signature; None -> unsigned requests accepted
         self.require_sigv4: tuple[str, str] | None = None
+        #: staged multipart uploads: (key, upload_id) -> {part_n: bytes}
+        self._uploads: dict[tuple[str, str], dict[int, bytes]] = {}
+        self._upload_seq = 0
+        #: observability for tests: completed multipart object count
+        self.multipart_completed = 0
         emu = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -68,8 +73,11 @@ class S3Emulator:
 
             def _key(self):
                 u = urllib.parse.urlparse(self.path)
+                # keep_blank_values: flag-style params (?uploads=)
+                # must survive parsing, like the real service
                 return (urllib.parse.unquote(u.path.lstrip("/")),
-                        urllib.parse.parse_qs(u.query))
+                        urllib.parse.parse_qs(u.query,
+                                              keep_blank_values=True))
 
             def _send(self, status, body=b"", ctype="application/xml"):
                 self.send_response(status)
@@ -95,11 +103,85 @@ class S3Emulator:
                     ).encode())
                 return ok
 
+            def do_POST(self):
+                """Multipart: ?uploads = CreateMultipartUpload,
+                ?uploadId = CompleteMultipartUpload (atomic
+                materialization under the lock, like the service)."""
+                key, q = self._key()
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                if not self._authorized("POST", data):
+                    return
+                if "uploads" in q:
+                    with emu._lock:
+                        emu._upload_seq += 1
+                        uid = f"up-{emu._upload_seq:06d}"
+                        emu._uploads[(key, uid)] = {}
+                    self._send(200, (
+                        "<?xml version='1.0'?>"
+                        "<InitiateMultipartUploadResult>"
+                        f"<Key>{key}</Key><UploadId>{uid}</UploadId>"
+                        "</InitiateMultipartUploadResult>").encode())
+                    return
+                uid = q.get("uploadId", [None])[0]
+                if uid is None:
+                    self._send(400, b"<Error><Code>InvalidRequest"
+                                    b"</Code></Error>")
+                    return
+                import hashlib
+                import re
+                import time
+
+                want = [(int(m.group(1)), m.group(2)) for m in re.finditer(
+                    r"<PartNumber>(\d+)</PartNumber>\s*"
+                    r"<ETag>([^<]*)</ETag>", data.decode())]
+                with emu._lock:
+                    parts = emu._uploads.get((key, uid))
+                    if parts is None:
+                        self._send(404, b"<Error><Code>NoSuchUpload"
+                                        b"</Code></Error>")
+                        return
+                    for num, etag in want:
+                        have = parts.get(num)
+                        if have is None or etag.strip('"') != \
+                                hashlib.md5(have).hexdigest():
+                            self._send(400, b"<Error><Code>InvalidPart"
+                                            b"</Code></Error>")
+                            return
+                    emu._objects[key] = b"".join(
+                        parts[num] for num, _ in sorted(want))
+                    emu._mtimes[key] = time.time()
+                    del emu._uploads[(key, uid)]
+                    emu.multipart_completed += 1
+                self._send(200, (
+                    "<?xml version='1.0'?>"
+                    "<CompleteMultipartUploadResult>"
+                    f"<Key>{key}</Key>"
+                    "</CompleteMultipartUploadResult>").encode())
+
             def do_PUT(self):
-                key, _ = self._key()
+                key, q = self._key()
                 n = int(self.headers.get("Content-Length", 0))
                 data = self.rfile.read(n)
                 if not self._authorized("PUT", data):
+                    return
+                if "partNumber" in q and "uploadId" in q:
+                    import hashlib
+
+                    uid = q["uploadId"][0]
+                    num = int(q["partNumber"][0])
+                    with emu._lock:
+                        parts = emu._uploads.get((key, uid))
+                        if parts is None:
+                            self._send(404, b"<Error><Code>NoSuchUpload"
+                                            b"</Code></Error>")
+                            return
+                        parts[num] = data
+                    self.send_response(200)
+                    self.send_header(
+                        "ETag", f'"{hashlib.md5(data).hexdigest()}"')
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                     return
                 conditional = self.headers.get("If-None-Match") == "*"
                 with emu._lock:
@@ -199,7 +281,13 @@ class S3Emulator:
             def do_DELETE(self):
                 if not self._authorized("DELETE", b""):
                     return
-                key, _ = self._key()
+                key, q = self._key()
+                uid = q.get("uploadId", [None])[0]
+                if uid is not None:  # AbortMultipartUpload
+                    with emu._lock:
+                        emu._uploads.pop((key, uid), None)
+                    self._send(204)
+                    return
                 with emu._lock:
                     emu._objects.pop(key, None)
                     emu._mtimes.pop(key, None)

@@ -342,6 +342,77 @@ def test_backend_pickles_for_executor_shipping(emu, signed_backend):
     assert signed_backend.read_bytes("s3sig://b/pickled") == b"via-clone"
 
 
+def test_multipart_upload_roundtrip_and_atomicity(emu, backend):
+    """CreateMultipartUpload / UploadPart / Complete over live HTTP:
+    the object is INVISIBLE until Complete (atomic materialization),
+    then reads back as the part concatenation; Abort leaves nothing;
+    a Complete citing a wrong ETag is rejected."""
+    p = "s3emu://b/mp/obj.bin"
+    uid = backend.multipart_start(p)
+    chunks = [b"a" * 100, b"b" * 50, b"c" * 7]
+    parts = [(i + 1, backend.multipart_put_part(p, uid, i + 1, c))
+             for i, c in enumerate(chunks)]
+    assert not backend.exists(p)  # staged parts are invisible
+    backend.multipart_complete(p, uid, parts)
+    assert backend.read_bytes(p) == b"".join(chunks)
+    assert emu.multipart_completed == 1
+    # abort: nothing materializes
+    uid2 = backend.multipart_start("s3emu://b/mp/gone.bin")
+    backend.multipart_put_part("s3emu://b/mp/gone.bin", uid2, 1, b"x")
+    backend.multipart_abort("s3emu://b/mp/gone.bin", uid2)
+    with pytest.raises(OSError):
+        backend.multipart_complete("s3emu://b/mp/gone.bin", uid2,
+                                   [(1, '"deadbeef"')])
+    assert not backend.exists("s3emu://b/mp/gone.bin")
+    # wrong etag rejected
+    uid3 = backend.multipart_start("s3emu://b/mp/bad.bin")
+    backend.multipart_put_part("s3emu://b/mp/bad.bin", uid3, 1, b"x")
+    with pytest.raises(OSError):
+        backend.multipart_complete("s3emu://b/mp/bad.bin", uid3,
+                                   [(1, '"not-the-md5"')])
+
+
+def test_streaming_sink_small_object_single_put(emu, backend):
+    """open_write under one part: exactly one plain PUT, no multipart
+    round trips; over one part: streamed parts + complete."""
+    with backend.open_write("s3emu://b/sw/small.bin",
+                            part_bytes=1024) as w:
+        w.write(b"tiny")
+    assert backend.read_bytes("s3emu://b/sw/small.bin") == b"tiny"
+    assert emu.multipart_completed == 0
+    big = bytes(range(256)) * 40  # 10240 bytes > 3 parts of 4096
+    with backend.open_write("s3emu://b/sw/big.bin",
+                            part_bytes=4096) as w:
+        for i in range(0, len(big), 1000):  # odd write sizes
+            w.write(big[i:i + 1000])
+    assert backend.read_bytes("s3emu://b/sw/big.bin") == big
+    assert emu.multipart_completed == 1
+    # error path aborts: nothing materializes
+    try:
+        with backend.open_write("s3emu://b/sw/fail.bin",
+                                part_bytes=64) as w:
+            w.write(b"z" * 200)  # multipart already started
+            raise RuntimeError("task died")
+    except RuntimeError:
+        pass
+    assert not backend.exists("s3emu://b/sw/fail.bin")
+    assert not emu._uploads  # the staged upload was aborted
+
+
+def test_multipart_requests_are_signed(emu):
+    """All four multipart calls ride SigV4 when the endpoint demands
+    it (query params like uploadId are part of the canonical form)."""
+    emu.require_sigv4 = SIGV4_CREDS
+    b = S3HttpBackend(emu.endpoint, timeout_s=3.0,
+                      credentials=SIGV4_CREDS)
+    with b.open_write("x://b/signed.bin", part_bytes=64) as w:
+        w.write(b"q" * 200)
+    assert b.read_bytes("x://b/signed.bin") == b"q" * 200
+    unsigned = S3HttpBackend(emu.endpoint, timeout_s=3.0)
+    with pytest.raises(OSError, match="403"):
+        unsigned.multipart_start("x://b/nope.bin")
+
+
 def test_conditional_put_takes_fresh_socket_after_idle_reuse(emu, backend):
     """A GET warms the thread's keep-alive socket; even if the server
     then closes it, the CAS put must not surface a spurious failure —
