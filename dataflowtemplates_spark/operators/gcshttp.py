@@ -172,6 +172,65 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                              "create-if-absent")
         return self._conditional_upload(path, data, int(generation))
 
+    # -- resumable upload (the large-object write path) --------------------
+    # Public JSON API semantics: an initiate POST returns a session
+    # URI; chunks PUT to it with Content-Range answer 308 until the
+    # final chunk (whose range carries the total) materializes the
+    # object atomically — GCS's twin of S3 multipart. Intermediate
+    # chunks must be 256 KiB multiples per the published contract;
+    # :meth:`open_write` rounds part_bytes up accordingly.
+    _CHUNK_QUANTUM = 256 * 1024
+
+    def resumable_start(self, path: str) -> str:
+        bucket, key = self._split(path)
+        target = (f"/upload/storage/v1/b/"
+                  f"{urllib.parse.quote(bucket, safe='')}/o?"
+                  + urllib.parse.urlencode(
+                      [("uploadType", "resumable"), ("name", key)],
+                      quote_via=urllib.parse.quote))
+        status, headers, _ = self._request(
+            "POST", target, body=b"",
+            headers={"Content-Length": "0"})
+        if status != 200:
+            raise OSError(f"resumable initiate {path}: HTTP {status}")
+        loc = {k.lower(): v for k, v in headers.items()}.get("location")
+        if not loc:
+            raise OSError(f"resumable initiate {path}: no Location")
+        # keep only the path+query of the session URI (same endpoint)
+        u = urllib.parse.urlparse(loc)
+        return u.path + (f"?{u.query}" if u.query else "")
+
+    def resumable_put_chunk(self, session: str, start: int,
+                            data: bytes, total: int | None) -> int:
+        """One chunk: ``total`` is None for intermediate chunks
+        (``bytes a-b/*``, expect 308) and the object size for the
+        final one (expect 200/201). Returns the HTTP status."""
+        end = start + len(data) - 1
+        rng = (f"bytes {start}-{end}/"
+               f"{'*' if total is None else int(total)}")
+        status, _, _ = self._request(
+            "PUT", session, body=bytes(data),
+            headers={"Content-Length": str(len(data)),
+                     "Content-Range": rng})
+        expect = (308,) if total is None else (200, 201)
+        if status not in expect:
+            raise OSError(f"resumable chunk {rng} -> HTTP {status}")
+        return status
+
+    def resumable_abort(self, session: str) -> None:
+        status, _, _ = self._request("DELETE", session)
+        if status not in (200, 204, 404, 499):
+            raise OSError(f"resumable abort: HTTP {status}")
+
+    def open_write(self, path: str, part_bytes: int = 8 * 1024 * 1024):
+        """File-like streaming sink over the resumable protocol: under
+        one chunk it collapses to a single media upload; above, chunks
+        stream at ``part_bytes`` (rounded up to the 256 KiB quantum
+        the published contract requires of intermediate chunks)."""
+        q = self._CHUNK_QUANTUM
+        return _ResumableSink(self, path, ((int(part_bytes) + q - 1)
+                                           // q) * q)
+
     # -- service primitives (DerivedObjectOps contract) -------------------
     def _get_or_none(self, bucket: str, key: str) -> bytes | None:
         status, _, body = self._request(
@@ -242,3 +301,82 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                     f"LIST gs://{bucket}?prefix={prefix}: repeated "
                     f"nextPageToken {token!r}")
             seen_tokens.add(token)
+
+
+class _ResumableSink:
+    """File-like object (write/tell/close) over
+    :meth:`GcsHttpBackend.open_write`'s contract — the GCS twin of the
+    S3 multipart sink: rows stream through bounded memory; the final
+    chunk materializes the object atomically; ``abandon()`` aborts the
+    session on the error path."""
+
+    def __init__(self, backend: GcsHttpBackend, path: str,
+                 chunk_bytes: int):
+        self._backend = backend
+        self._path = path
+        self._chunk = int(chunk_bytes)
+        self._buf = bytearray()
+        self._sent = 0
+        self._session: str | None = None
+        self._closed = False
+
+    def write(self, data) -> int:
+        b = bytes(data)
+        self._buf.extend(b)
+        while len(self._buf) >= self._chunk:
+            if self._session is None:
+                self._session = self._backend.resumable_start(self._path)
+            chunk, self._buf = (bytes(self._buf[:self._chunk]),
+                                self._buf[self._chunk:])
+            self._backend.resumable_put_chunk(
+                self._session, self._sent, chunk, total=None)
+            self._sent += len(chunk)
+        return len(b)
+
+    def tell(self) -> int:
+        return self._sent + len(self._buf)
+
+    mode = "wb"
+
+    def flush(self) -> None:
+        pass
+
+    def readable(self) -> bool:
+        return False
+
+    def writable(self) -> bool:
+        return True
+
+    def seekable(self) -> bool:
+        return False
+
+    @property
+    def closed(self) -> bool:
+        return self._closed
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        self._closed = True
+        if self._session is None:
+            # never crossed one chunk: one media upload is cheaper
+            self._backend.write_bytes(self._path, bytes(self._buf))
+            return
+        self._backend.resumable_put_chunk(
+            self._session, self._sent, bytes(self._buf),
+            total=self._sent + len(self._buf))
+
+    def abandon(self) -> None:
+        """Abort instead of finalize (error-path cleanup)."""
+        self._closed = True
+        if self._session is not None:
+            self._backend.resumable_abort(self._session)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, *exc):
+        if exc_type is not None:
+            self.abandon()
+        else:
+            self.close()

@@ -50,6 +50,11 @@ class GcsEmulator:
         self.reject_next_put = 0
         self.repeat_page_token = False
         self.require_bearer: str | None = None
+        #: resumable sessions: sid -> {bucket, name, data: bytearray}
+        self._sessions: dict[str, dict] = {}
+        self._session_seq = 0
+        #: observability for tests: resumable-completed object count
+        self.resumable_completed = 0
         emu = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -112,6 +117,20 @@ class GcsEmulator:
                 name = q.get("name", [None])[0]
                 if not name:
                     self._err(400, "name required")
+                    return
+                if q.get("uploadType", [None])[0] == "resumable":
+                    with emu._lock:
+                        emu._session_seq += 1
+                        sid = f"sess-{emu._session_seq:06d}"
+                        emu._sessions[sid] = {
+                            "bucket": bucket, "name": name,
+                            "data": bytearray()}
+                    self.send_response(200)
+                    self.send_header(
+                        "Location",
+                        f"{emu.endpoint}/upload/session/{sid}")
+                    self.send_header("Content-Length", "0")
+                    self.end_headers()
                     return
                 full = f"{bucket}/{name}"
                 gen_match = q.get("ifGenerationMatch", [None])[0]
@@ -205,9 +224,71 @@ class GcsEmulator:
                         str(start) if emu.repeat_page_token else str(nxt))
                 self._send(200, json.dumps(doc).encode())
 
+            def do_PUT(self):
+                """Resumable chunk upload to a session URI."""
+                path, _ = self._parse()
+                n = int(self.headers.get("Content-Length", 0))
+                data = self.rfile.read(n)
+                if not self._authorized():
+                    return
+                if not path.startswith("/upload/session/"):
+                    self._err(404, "unknown path")
+                    return
+                sid = path[len("/upload/session/"):]
+                rng = self.headers.get("Content-Range", "")
+                try:
+                    spec = rng.split(" ", 1)[1]
+                    span, total_s = spec.split("/", 1)
+                    start_s, end_s = span.split("-", 1)
+                    start, end = int(start_s), int(end_s)
+                    total = None if total_s == "*" else int(total_s)
+                except (IndexError, ValueError):
+                    self._err(400, f"bad Content-Range {rng!r}")
+                    return
+                with emu._lock:
+                    sess = emu._sessions.get(sid)
+                    if sess is None:
+                        self._err(404, "no such session")
+                        return
+                    if start != len(sess["data"]) or \
+                            end - start + 1 != len(data):
+                        self._err(400, "range does not continue the "
+                                       "session")
+                        return
+                    sess["data"].extend(data)
+                    if total is None:
+                        self.send_response(308)
+                        self.send_header(
+                            "Range", f"bytes=0-{len(sess['data']) - 1}")
+                        self.send_header("Content-Length", "0")
+                        self.end_headers()
+                        return
+                    if total != len(sess["data"]):
+                        self._err(400, "final range total mismatch")
+                        return
+                    import time
+
+                    emu._gen_counter += 1
+                    gen = emu._gen_counter
+                    ts = time.time()
+                    full = f"{sess['bucket']}/{sess['name']}"
+                    emu._objects[full] = (bytes(sess["data"]), gen)
+                    emu._mtimes[full] = ts
+                    del emu._sessions[sid]
+                    emu.resumable_completed += 1
+                self._send(200, self._meta_json(
+                    sess["bucket"], sess["name"], bytes(sess["data"]),
+                    gen, ts))
+
             def do_DELETE(self):
                 path, _ = self._parse()
                 if not self._authorized():
+                    return
+                if path.startswith("/upload/session/"):
+                    with emu._lock:
+                        emu._sessions.pop(
+                            path[len("/upload/session/"):], None)
+                    self._send(204)
                     return
                 if not path.startswith("/storage/v1/b/"):
                     self._err(404, "unknown path")

@@ -228,6 +228,92 @@ def test_bearer_auth_required_and_enforced(emu):
     assert good.read_bytes("g://b/k.json") == b"d"
 
 
+def test_resumable_upload_roundtrip_chunking_and_abort(emu, backend):
+    """The JSON API's large-object path: initiate -> 308-chunked PUTs
+    -> final chunk materializes atomically (invisible before);
+    out-of-order ranges rejected; abort leaves nothing."""
+    p = "gsemu://b/rs/obj.bin"
+    sess = backend.resumable_start(p)
+    big = bytes(range(256)) * 3
+    assert backend.resumable_put_chunk(sess, 0, big[:256], None) == 308
+    assert not backend.exists(p)  # staged chunks invisible
+    # a chunk that does not continue the session is rejected
+    with pytest.raises(OSError, match="HTTP 400"):
+        backend.resumable_put_chunk(sess, 999, b"x", None)
+    assert backend.resumable_put_chunk(sess, 256, big[256:],
+                                       total=len(big)) == 200
+    assert backend.read_bytes(p) == big
+    assert emu.resumable_completed == 1
+    # abort: nothing materializes
+    sess2 = backend.resumable_start("gsemu://b/rs/gone.bin")
+    backend.resumable_put_chunk(sess2, 0, b"x" * 10, None)
+    backend.resumable_abort(sess2)
+    with pytest.raises(OSError):
+        backend.resumable_put_chunk(sess2, 10, b"y", total=11)
+    assert not backend.exists("gsemu://b/rs/gone.bin")
+
+
+def test_streaming_sink_single_upload_below_one_chunk(emu, backend):
+    """open_write under one chunk: a single media upload, no session;
+    above: streamed 256KiB-quantum chunks + final materialization;
+    error path aborts the session."""
+    with backend.open_write("gsemu://b/sw/small.bin") as w:
+        w.write(b"tiny")
+    assert backend.read_bytes("gsemu://b/sw/small.bin") == b"tiny"
+    assert emu.resumable_completed == 0
+    quantum = 256 * 1024
+    big = bytes(range(256)) * (quantum // 256 * 3)  # 3 quanta exactly
+    big += b"tail"
+    with backend.open_write("gsemu://b/sw/big.bin",
+                            part_bytes=1) as w:  # rounds up to 256KiB
+        for i in range(0, len(big), 100_000):
+            w.write(big[i:i + 100_000])
+    assert backend.read_bytes("gsemu://b/sw/big.bin") == big
+    assert emu.resumable_completed == 1
+    try:
+        with backend.open_write("gsemu://b/sw/fail.bin",
+                                part_bytes=1) as w:
+            w.write(b"z" * (quantum + 1))  # session started
+            raise RuntimeError("task died")
+    except RuntimeError:
+        pass
+    assert not backend.exists("gsemu://b/sw/fail.bin")
+    assert not emu._sessions  # the staged session was aborted
+
+
+def test_plane_streams_over_gcs_resumable(spark):
+    """The data plane's streaming sink discovery is backend-generic:
+    with tiny part_bytes the GCS write goes through the resumable
+    protocol and reads back exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from dataflowtemplates_spark.operators import objstore_plane as op
+
+    emu = GcsEmulator().start()
+    emu.require_bearer = "rs-token"
+    b = GcsHttpBackend(emu.endpoint, timeout_s=5.0,
+                       bearer_token="rs-token")
+    fsio.register_object_backend("gsrs", b)
+    try:
+        df = (spark.range(0, 3000)
+              .select(F.col("id"),
+                      F.sha2(F.col("id").cast("string"), 512).alias("s"))
+              .withColumn("kb", F.lit(0))
+              .repartition(1, F.col("kb")))
+        op.write_partitioned(df, "gsrs://bkt/mp", "kb", b,
+                             flush_rows=10_000, part_bytes=1)
+        assert emu.resumable_completed >= 1
+        schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("s", T.StringType())])
+        back = op.read_parquet(spark, ["gsrs://bkt/mp/kb=0"], schema, b)
+        assert back.count() == 3000
+        assert back.agg(F.sum("id")).first()[0] == sum(range(3000))
+    finally:
+        fsio.unregister_object_backend("gsrs")
+        emu.stop()
+
+
 def test_fsio_contract_parity_with_memory_store(backend):
     """Same fsio contract the S3 twin and MemoryObjectStore pin:
     FileNotFoundError on missing reads/deletes, mkdirs no-op,
