@@ -188,30 +188,48 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                   + urllib.parse.urlencode(
                       [("uploadType", "resumable"), ("name", key)],
                       quote_via=urllib.parse.quote))
+        # a retransmitted initiate would leak an orphan session:
+        # one attempt on a fresh socket
         status, headers, _ = self._request(
             "POST", target, body=b"",
-            headers={"Content-Length": "0"})
+            headers={"Content-Length": "0"}, idempotent=False)
         if status != 200:
             raise OSError(f"resumable initiate {path}: HTTP {status}")
         loc = {k.lower(): v for k, v in headers.items()}.get("location")
         if not loc:
             raise OSError(f"resumable initiate {path}: no Location")
-        # keep only the path+query of the session URI (same endpoint)
         u = urllib.parse.urlparse(loc)
+        if u.netloc and u.netloc != self._wire_host:
+            # chunks are sent over THIS backend's connection — a
+            # session homed elsewhere would 404 (or hit a wrong
+            # resource); surface it instead of assuming
+            raise OSError(
+                f"resumable initiate {path}: session Location "
+                f"{loc!r} is not on endpoint {self._wire_host!r}")
         return u.path + (f"?{u.query}" if u.query else "")
 
     def resumable_put_chunk(self, session: str, start: int,
                             data: bytes, total: int | None) -> int:
         """One chunk: ``total`` is None for intermediate chunks
         (``bytes a-b/*``, expect 308) and the object size for the
-        final one (expect 200/201). Returns the HTTP status."""
-        end = start + len(data) - 1
-        rng = (f"bytes {start}-{end}/"
-               f"{'*' if total is None else int(total)}")
+        final one (expect 200/201). A zero-byte finalize — the object
+        size was an exact chunk multiple — uses the contract's
+        ``bytes */TOTAL`` form (a dashed range with end < start is
+        invalid and real GCS rejects it). One transport attempt: a
+        retransmitted chunk after a lost response would no longer
+        continue the session and read as a spurious range error."""
+        if not data:
+            if total is None:
+                raise ValueError("zero-byte chunk only as finalize")
+            rng = f"bytes */{int(total)}"
+        else:
+            end = start + len(data) - 1
+            rng = (f"bytes {start}-{end}/"
+                   f"{'*' if total is None else int(total)}")
         status, _, _ = self._request(
             "PUT", session, body=bytes(data),
             headers={"Content-Length": str(len(data)),
-                     "Content-Range": rng})
+                     "Content-Range": rng}, idempotent=False)
         expect = (308,) if total is None else (200, 201)
         if status not in expect:
             raise OSError(f"resumable chunk {rng} -> HTTP {status}")
@@ -227,6 +245,8 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
         one chunk it collapses to a single media upload; above, chunks
         stream at ``part_bytes`` (rounded up to the 256 KiB quantum
         the published contract requires of intermediate chunks)."""
+        if int(part_bytes) <= 0:
+            raise ValueError("part_bytes must be positive")
         q = self._CHUNK_QUANTUM
         return _ResumableSink(self, path, ((int(part_bytes) + q - 1)
                                            // q) * q)
@@ -312,6 +332,8 @@ class _ResumableSink:
 
     def __init__(self, backend: GcsHttpBackend, path: str,
                  chunk_bytes: int):
+        if int(chunk_bytes) <= 0:
+            raise ValueError("chunk_bytes must be positive")
         self._backend = backend
         self._path = path
         self._chunk = int(chunk_bytes)
@@ -321,8 +343,8 @@ class _ResumableSink:
         self._closed = False
 
     def write(self, data) -> int:
-        b = bytes(data)
-        self._buf.extend(b)
+        mv = memoryview(data)
+        self._buf.extend(mv)  # buffer-protocol append, no bytes() copy
         while len(self._buf) >= self._chunk:
             if self._session is None:
                 self._session = self._backend.resumable_start(self._path)
@@ -331,7 +353,7 @@ class _ResumableSink:
             self._backend.resumable_put_chunk(
                 self._session, self._sent, chunk, total=None)
             self._sent += len(chunk)
-        return len(b)
+        return mv.nbytes
 
     def tell(self) -> int:
         return self._sent + len(self._buf)

@@ -120,32 +120,47 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
                     st["key"], st["sink"].getvalue().to_pybytes())
             manifest.append((b, st["key"], st["rows"]))
 
-        for batch in batches:
-            tbl = pa.Table.from_batches([batch])
-            kb = tbl.column(bucket_col)
-            for b in pc.unique(kb).to_pylist():
-                part = (tbl.filter(pc.equal(kb, b))
-                        .drop_columns([bucket_col])
-                        .cast(arrow_out))
-                # slice at exact flush_rows boundaries, independent of
-                # arrow batch framing: object row counts (and so the
-                # seq set) depend only on the partition's row multiset
-                while part.num_rows:
-                    if b not in state:  # lazily, so a flush at an
-                        #   exact boundary never opens an unused sink
-                        state[b] = fresh(b, next_seq.get(b, 0))
-                    st = state[b]
-                    take = min(part.num_rows, flush_rows - st["rows"])
-                    st["writer"].write_table(part.slice(0, take))
-                    st["rows"] += take
-                    part = part.slice(take)
-                    if st["rows"] >= flush_rows:
-                        flush(b, st)
-                        del state[b]
-                        next_seq[b] = st["seq"] + 1
-        for b, st in state.items():
-            if st["rows"]:
-                flush(b, st)
+        try:
+            for batch in batches:
+                tbl = pa.Table.from_batches([batch])
+                kb = tbl.column(bucket_col)
+                for b in pc.unique(kb).to_pylist():
+                    part = (tbl.filter(pc.equal(kb, b))
+                            .drop_columns([bucket_col])
+                            .cast(arrow_out))
+                    # slice at exact flush_rows boundaries, independent
+                    # of arrow batch framing: object row counts (and so
+                    # the seq set) depend only on the partition's row
+                    # multiset
+                    while part.num_rows:
+                        if b not in state:  # lazily, so a flush at an
+                            #   exact boundary never opens an unused
+                            #   sink
+                            state[b] = fresh(b, next_seq.get(b, 0))
+                        st = state[b]
+                        take = min(part.num_rows,
+                                   flush_rows - st["rows"])
+                        st["writer"].write_table(part.slice(0, take))
+                        st["rows"] += take
+                        part = part.slice(take)
+                        if st["rows"] >= flush_rows:
+                            flush(b, st)
+                            del state[b]
+                            next_seq[b] = st["seq"] + 1
+            for b, st in state.items():
+                if st["rows"]:
+                    flush(b, st)
+        except BaseException:
+            if streaming:
+                # abort every staged upload/session this task opened:
+                # incomplete uploads are invisible to LIST, so no
+                # later directory cleanup could find them
+                for st in state.values():
+                    try:
+                        st["sink"].abandon()
+                    except Exception:  # noqa: BLE001 - best-effort
+                        pass
+            raise
         yield pa.RecordBatch.from_arrays(
             [pa.array([m[0] for m in manifest], pa.int64()),
              pa.array([m[1] for m in manifest], pa.string()),

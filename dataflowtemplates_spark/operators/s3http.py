@@ -113,12 +113,15 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
 
     def _request(self, method: str, bucket: str, key: str = "",
                  query: dict | None = None, body: bytes | None = None,
-                 headers: dict | None = None):
+                 headers: dict | None = None,
+                 idempotent: bool | None = None):
         """One S3 REST call; returns (status, headers, body). A
         CONDITIONAL put (If-None-Match) is non-idempotent: no
         transport retry, always a fresh socket (httpstore discipline);
         everything else — GET/HEAD/DELETE, listings, unconditional
-        full-object overwrites — retries once on a fresh connection."""
+        full-object overwrites — retries once on a fresh connection.
+        ``idempotent`` overrides the inference for protocol calls the
+        transport must not retransmit (multipart start/complete)."""
         path = "/" + urllib.parse.quote(bucket)
         if key:
             path += "/" + urllib.parse.quote(key)
@@ -128,13 +131,14 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
             # SigV4 canonical encoding (%20, never '+')
             target += "?" + urllib.parse.urlencode(
                 query, quote_via=urllib.parse.quote)
-        cas = method == "PUT" and bool(
-            headers and headers.get("If-None-Match"))
+        if idempotent is None:
+            idempotent = not (method == "PUT" and bool(
+                headers and headers.get("If-None-Match")))
         return self._roundtrip(
             method, target, body,
             lambda: self._signed_headers(method, path, query, body,
                                          headers),
-            idempotent=not cas)
+            idempotent=idempotent)
 
     # -- the CAS primitive ----------------------------------------------
     def create_exclusive(self, path: str, data: bytes) -> bool:
@@ -178,8 +182,11 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
     # abortable debris (real deployments add a bucket lifecycle rule).
     def multipart_start(self, path: str) -> str:
         bucket, key = self._split(path)
+        # a retransmitted initiate would stage an orphan UploadId:
+        # one attempt on a fresh socket, like the CAS
         status, _, body = self._request("POST", bucket, key,
-                                        query={"uploads": ""})
+                                        query={"uploads": ""},
+                                        idempotent=False)
         if status != 200:
             raise OSError(f"CreateMultipartUpload {path}: HTTP {status}")
         root = ET.fromstring(body)
@@ -215,10 +222,15 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
             for n, etag in sorted(parts))
         payload = (f"<CompleteMultipartUpload>{body}"
                    "</CompleteMultipartUpload>").encode()
+        # COMPLETE consumes the UploadId: a transport retransmit of a
+        # landed COMPLETE would read 404 NoSuchUpload and turn success
+        # into a spurious failure — one attempt, surfaced, and the
+        # caller's deterministic naming makes a task-level retry safe
         status, _, _ = self._request(
             "POST", bucket, key, query={"uploadId": upload_id},
             body=payload,
-            headers={"Content-Length": str(len(payload))})
+            headers={"Content-Length": str(len(payload))},
+            idempotent=False)
         if status != 200:
             raise OSError(f"CompleteMultipartUpload {path}: "
                           f"HTTP {status}")
@@ -230,12 +242,21 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
         if status not in (200, 204, 404):
             raise OSError(f"AbortMultipartUpload {path}: HTTP {status}")
 
+    #: S3's published minimum size for every part but the last —
+    #: smaller intermediate parts fail CompleteMultipartUpload with
+    #: EntityTooSmall on the real service
+    MIN_PART_BYTES = 5 * 1024 * 1024
+
     def open_write(self, path: str, part_bytes: int = 8 * 1024 * 1024):
-        """File-like streaming sink: buffers up to ``part_bytes``, then
+        """File-like streaming sink: buffers up to ``part_bytes``
+        (clamped UP to the service's 5 MiB part minimum), then
         switches to a multipart upload so memory stays bounded however
         large the object grows; an object that finishes under one part
         lands as a single plain PUT (1 round trip, not 3)."""
-        return _MultipartSink(self, path, part_bytes)
+        if int(part_bytes) <= 0:
+            raise ValueError("part_bytes must be positive")
+        return _MultipartSink(self, path,
+                              max(int(part_bytes), self.MIN_PART_BYTES))
 
     # -- service primitives (DerivedObjectOps contract) -------------------
     def _get_or_none(self, bucket: str, key: str) -> bytes | None:
@@ -324,6 +345,8 @@ class _MultipartSink:
 
     def __init__(self, backend: S3HttpBackend, path: str,
                  part_bytes: int):
+        if int(part_bytes) <= 0:
+            raise ValueError("part_bytes must be positive")
         self._backend = backend
         self._path = path
         self._part_bytes = int(part_bytes)
@@ -334,12 +357,12 @@ class _MultipartSink:
         self._closed = False
 
     def write(self, data) -> int:
-        b = bytes(data)
-        self._buf.extend(b)
-        self._total += len(b)
+        mv = memoryview(data)
+        self._buf.extend(mv)  # buffer-protocol append, no bytes() copy
+        self._total += mv.nbytes
         while len(self._buf) >= self._part_bytes:
             self._flush_part(self._part_bytes)
-        return len(b)
+        return mv.nbytes
 
     def _flush_part(self, n: int) -> None:
         if self._upload_id is None:

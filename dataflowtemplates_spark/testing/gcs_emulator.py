@@ -239,19 +239,30 @@ class GcsEmulator:
                 try:
                     spec = rng.split(" ", 1)[1]
                     span, total_s = spec.split("/", 1)
-                    start_s, end_s = span.split("-", 1)
-                    start, end = int(start_s), int(end_s)
                     total = None if total_s == "*" else int(total_s)
-                except (IndexError, ValueError):
-                    self._err(400, f"bad Content-Range {rng!r}")
+                    if span == "*":
+                        # zero-byte finalize: 'bytes */TOTAL' only
+                        if total is None or data:
+                            raise ValueError("bare * needs a total "
+                                             "and no body")
+                        start = end = None
+                    else:
+                        start_s, end_s = span.split("-", 1)
+                        start, end = int(start_s), int(end_s)
+                        if end < start:  # degenerate dashed range:
+                            #   real GCS rejects it
+                            raise ValueError("end < start")
+                except (IndexError, ValueError) as exc:
+                    self._err(400, f"bad Content-Range {rng!r}: {exc}")
                     return
                 with emu._lock:
                     sess = emu._sessions.get(sid)
                     if sess is None:
                         self._err(404, "no such session")
                         return
-                    if start != len(sess["data"]) or \
-                            end - start + 1 != len(data):
+                    if start is not None and (
+                            start != len(sess["data"])
+                            or end - start + 1 != len(data)):
                         self._err(400, "range does not continue the "
                                        "session")
                         return

@@ -63,6 +63,10 @@ class S3Emulator:
         self._upload_seq = 0
         #: observability for tests: completed multipart object count
         self.multipart_completed = 0
+        #: the real service's 5 MiB floor for every part but the last
+        #: (EntityTooSmall at Complete otherwise); tests exercising
+        #: chunk mechanics cheaply may lower it
+        self.min_part_bytes = 5 * 1024 * 1024
         emu = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -141,12 +145,18 @@ class S3Emulator:
                         self._send(404, b"<Error><Code>NoSuchUpload"
                                         b"</Code></Error>")
                         return
-                    for num, etag in want:
+                    for i, (num, etag) in enumerate(sorted(want)):
                         have = parts.get(num)
                         if have is None or etag.strip('"') != \
                                 hashlib.md5(have).hexdigest():
                             self._send(400, b"<Error><Code>InvalidPart"
                                             b"</Code></Error>")
+                            return
+                        if (i + 1 < len(want)
+                                and len(have) < emu.min_part_bytes):
+                            self._send(400, b"<Error><Code>"
+                                            b"EntityTooSmall</Code>"
+                                            b"</Error>")
                             return
                     emu._objects[key] = b"".join(
                         parts[num] for num, _ in sorted(want))

@@ -270,6 +270,18 @@ def test_streaming_sink_single_upload_below_one_chunk(emu, backend):
             w.write(big[i:i + 100_000])
     assert backend.read_bytes("gsemu://b/sw/big.bin") == big
     assert emu.resumable_completed == 1
+    # EXACT chunk multiple: every byte already streamed when close()
+    # runs, so the finalize is the zero-byte 'bytes */TOTAL' form (a
+    # dashed end<start range is invalid and the emulator, like real
+    # GCS, rejects it)
+    exact = bytes(range(256)) * (quantum // 256 * 2)  # 2 quanta sharp
+    with backend.open_write("gsemu://b/sw/exact.bin",
+                            part_bytes=1) as w:
+        w.write(exact)
+    assert backend.read_bytes("gsemu://b/sw/exact.bin") == exact
+    assert emu.resumable_completed == 2
+    with pytest.raises(ValueError, match="positive"):
+        backend.open_write("gsemu://b/sw/bad.bin", part_bytes=0)
     try:
         with backend.open_write("gsemu://b/sw/fail.bin",
                                 part_bytes=1) as w:

@@ -203,13 +203,18 @@ def test_plane_streams_large_objects_via_multipart(spark, s3):
     from pyspark.sql import types as T
 
     emu, backend = s3
-    df = (spark.range(0, 3000)
-          .select(F.col("id"),
-                  F.sha2(F.col("id").cast("string"), 512).alias("s"))
+    # ~16 MB of high-entropy rows: the object crosses S3's REAL 5 MiB
+    # part floor (open_write clamps up to it), so streaming engages
+    # without opting the emulator's enforcement down
+    wide = F.concat(*[
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(k))), 512)
+        for k in range(8)])
+    df = (spark.range(0, 16000)
+          .select(F.col("id"), wide.alias("s"))
           .withColumn("kb", F.lit(0))
           .repartition(1, F.col("kb")))
     op.write_partitioned(df, "s3pl://bkt/mp", "kb", backend,
-                         flush_rows=10_000, part_bytes=32 * 1024)
+                         flush_rows=100_000)
     assert emu.multipart_completed >= 1  # streamed, not buffered
     files = backend.list_files("s3pl://bkt/mp")
     assert len(files) == 1  # one object: rotation never fired
@@ -217,8 +222,8 @@ def test_plane_streams_large_objects_via_multipart(spark, s3):
                            T.StructField("s", T.StringType())])
     back = op.read_parquet(spark, ["s3pl://bkt/mp/kb=0"], schema,
                            backend)
-    assert back.count() == 3000
-    assert back.agg(F.sum("id")).first()[0] == sum(range(3000))
+    assert back.count() == 16000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(16000))
 
 
 def test_data_lifecycle_over_live_gcs_http(spark):

@@ -347,6 +347,7 @@ def test_multipart_upload_roundtrip_and_atomicity(emu, backend):
     the object is INVISIBLE until Complete (atomic materialization),
     then reads back as the part concatenation; Abort leaves nothing;
     a Complete citing a wrong ETag is rejected."""
+    emu.min_part_bytes = 1  # exercise chunk mechanics with tiny parts
     p = "s3emu://b/mp/obj.bin"
     uid = backend.multipart_start(p)
     chunks = [b"a" * 100, b"b" * 50, b"c" * 7]
@@ -373,24 +374,26 @@ def test_multipart_upload_roundtrip_and_atomicity(emu, backend):
 
 
 def test_streaming_sink_small_object_single_put(emu, backend):
-    """open_write under one part: exactly one plain PUT, no multipart
-    round trips; over one part: streamed parts + complete."""
-    with backend.open_write("s3emu://b/sw/small.bin",
-                            part_bytes=1024) as w:
+    """Sink under one part: exactly one plain PUT, no multipart round
+    trips; over one part (via the sink class with a small part size —
+    open_write itself clamps to the service's 5 MiB floor): streamed
+    parts + complete; error path aborts the staged upload."""
+    from dataflowtemplates_spark.operators.s3http import _MultipartSink
+
+    emu.min_part_bytes = 1  # opt down to exercise chunking cheaply
+    with backend.open_write("s3emu://b/sw/small.bin") as w:
         w.write(b"tiny")
     assert backend.read_bytes("s3emu://b/sw/small.bin") == b"tiny"
     assert emu.multipart_completed == 0
     big = bytes(range(256)) * 40  # 10240 bytes > 3 parts of 4096
-    with backend.open_write("s3emu://b/sw/big.bin",
-                            part_bytes=4096) as w:
+    with _MultipartSink(backend, "s3emu://b/sw/big.bin", 4096) as w:
         for i in range(0, len(big), 1000):  # odd write sizes
             w.write(big[i:i + 1000])
     assert backend.read_bytes("s3emu://b/sw/big.bin") == big
     assert emu.multipart_completed == 1
     # error path aborts: nothing materializes
     try:
-        with backend.open_write("s3emu://b/sw/fail.bin",
-                                part_bytes=64) as w:
+        with _MultipartSink(backend, "s3emu://b/sw/fail.bin", 64) as w:
             w.write(b"z" * 200)  # multipart already started
             raise RuntimeError("task died")
     except RuntimeError:
@@ -399,15 +402,40 @@ def test_streaming_sink_small_object_single_put(emu, backend):
     assert not emu._uploads  # the staged upload was aborted
 
 
+def test_open_write_enforces_service_part_minimum(emu, backend):
+    """open_write clamps part_bytes UP to S3's published 5 MiB floor
+    (undersized intermediate parts fail Complete with EntityTooSmall
+    on the real service — the emulator enforces it too), and rejects
+    nonsensical sizes."""
+    sink = backend.open_write("s3emu://b/clamp.bin", part_bytes=1024)
+    assert sink._part_bytes == S3HttpBackend.MIN_PART_BYTES
+    sink.abandon()
+    with pytest.raises(ValueError, match="positive"):
+        backend.open_write("s3emu://b/clamp.bin", part_bytes=0)
+    # the emulator's default enforcement mirrors the service: an
+    # undersized NON-final part is rejected at Complete
+    p = "s3emu://b/small-parts.bin"
+    uid = backend.multipart_start(p)
+    parts = [(1, backend.multipart_put_part(p, uid, 1, b"a" * 10)),
+             (2, backend.multipart_put_part(p, uid, 2, b"b" * 10))]
+    with pytest.raises(OSError, match="400"):
+        backend.multipart_complete(p, uid, parts)
+    assert not backend.exists(p)
+
+
 def test_multipart_requests_are_signed(emu):
     """All four multipart calls ride SigV4 when the endpoint demands
     it (query params like uploadId are part of the canonical form)."""
+    from dataflowtemplates_spark.operators.s3http import _MultipartSink
+
     emu.require_sigv4 = SIGV4_CREDS
+    emu.min_part_bytes = 1
     b = S3HttpBackend(emu.endpoint, timeout_s=3.0,
                       credentials=SIGV4_CREDS)
-    with b.open_write("x://b/signed.bin", part_bytes=64) as w:
+    with _MultipartSink(b, "x://b/signed.bin", 64) as w:
         w.write(b"q" * 200)
     assert b.read_bytes("x://b/signed.bin") == b"q" * 200
+    assert emu.multipart_completed == 1
     unsigned = S3HttpBackend(emu.endpoint, timeout_s=3.0)
     with pytest.raises(OSError, match="403"):
         unsigned.multipart_start("x://b/nope.bin")
