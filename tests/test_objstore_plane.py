@@ -242,8 +242,16 @@ def test_data_lifecycle_over_live_gcs_http(spark):
             [Row(id=3, v=-1)]), "INSERT_OR_UPDATE")
         t.apply_mutations(spark.createDataFrame(
             [Row(id=11)]), "DELETE")
+        # the maintenance ops compose over GCS exactly like the S3
+        # twin: layout rewrite, retention, debris reclamation
+        t.rebucket(4)
+        t.vacuum(keep_last=2, truncate_log=True)
+        b.write_bytes("gspl://bkt/tbl/data/v99999-dead/kb=0/p0",
+                      b"dead")
+        assert t.reclaim_orphans(grace_s=0.0) == 1
         got = {r["id"]: r["v"] for r in t.read().collect()}
         assert len(got) == 11 and got[3] == -1 and 11 not in got
+        assert int(t._config_at(t._latest_version())["n_buckets"]) == 4
     finally:
         fsio.unregister_object_backend("gspl")
         emu.stop()
