@@ -170,6 +170,28 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
         # they lost, wedging the version counter
         raise OSError(f"conditional PUT {path}: endpoint unreachable")
 
+    # -- presigned URLs ----------------------------------------------------
+    def presign(self, path: str, expires_s: int = 3600,
+                method: str = "GET") -> str:
+        """A SigV4 QUERY-authenticated URL for ``path``: any plain
+        HTTP client can perform ``method`` on it until the grant
+        expires, without holding credentials — the standard way to
+        hand an exported artifact to a downstream consumer."""
+        if self._creds is None:
+            raise ValueError("presign requires credentials")
+        bucket, key = self._split(path)
+        epath = "/" + urllib.parse.quote(bucket)
+        if key:
+            epath += "/" + urllib.parse.quote(key)
+        token = self._creds[2] if len(self._creds) == 3 else None
+        qs = sigv4.presign_query(
+            method, self._wire_host, epath, [],
+            access_key=self._creds[0], secret_key=self._creds[1],
+            region=self._region, expires_s=expires_s,
+            session_token=token)
+        scheme = "https" if self._tls else "http"
+        return f"{scheme}://{self._wire_host}{epath}?{qs}"
+
     # -- multipart upload (the large-object write path) --------------------
     # Public S3 semantics: parts are staged server-side under an
     # UploadId and the COMPLETE call materializes the object

@@ -148,6 +148,93 @@ def sign_headers(method: str, host: str, encoded_path: str, query_pairs,
     return out
 
 
+def presign_query(method: str, host: str, encoded_path: str,
+                  query_pairs, *, access_key: str, secret_key: str,
+                  region: str, service: str = "s3",
+                  expires_s: int = 3600, amzdate: str | None = None,
+                  session_token: str | None = None) -> str:
+    """SigV4 QUERY authentication (presigned URLs): the credential
+    rides the query string instead of headers, so any plain HTTP
+    client can exercise the grant until it expires — how exported
+    artifacts are shared from S3 without distributing keys. Returns
+    the encoded query string (append after ``?``). Per the published
+    S3 contract the payload hash is ``UNSIGNED-PAYLOAD``, only
+    ``host`` is a signed header, and ``X-Amz-Signature`` is computed
+    over the OTHER query params sorted canonically."""
+    amzdate = amzdate or amz_date_now()
+    scope = f"{amzdate[:8]}/{region}/{service}/aws4_request"
+    params = [(str(k), str(v)) for k, v in query_pairs]
+    params += [
+        ("X-Amz-Algorithm", _ALGORITHM),
+        ("X-Amz-Credential", f"{access_key}/{scope}"),
+        ("X-Amz-Date", amzdate),
+        ("X-Amz-Expires", str(int(expires_s))),
+        ("X-Amz-SignedHeaders", "host"),
+    ]
+    if session_token:
+        params.append(("X-Amz-Security-Token", session_token))
+    canonical, _ = canonical_request(
+        method, encoded_path, params, {"host": host},
+        "UNSIGNED-PAYLOAD")
+    sig = hmac.new(
+        signing_key(secret_key, amzdate[:8], region, service),
+        string_to_sign(amzdate, scope, canonical).encode(),
+        hashlib.sha256).hexdigest()
+    params.append(("X-Amz-Signature", sig))
+    return "&".join(f"{_uri_encode(k)}={_uri_encode(v)}"
+                    for k, v in params)
+
+
+def verify_presigned(method: str, raw_target: str, host: str, *,
+                     secret_key: str, now: str | None = None,
+                     access_key: str | None = None) -> tuple[bool, str]:
+    """Server-side check of a presigned request (the emulator's
+    half): recompute the signature over the request's own query
+    params minus ``X-Amz-Signature``, and enforce the expiry window
+    against ``now`` (an x-amz-date-format stamp; defaults to the
+    current UTC time)."""
+    path, _, query = raw_target.partition("?")
+    enc_pairs = [tuple(f.partition("=")[::2])
+                 for f in query.split("&") if f]
+    dec = {urllib.parse.unquote(k): urllib.parse.unquote(v)
+           for k, v in enc_pairs}
+    if dec.get("X-Amz-Algorithm") != _ALGORITHM:
+        return False, "not a SigV4 presigned request"
+    try:
+        ak, date, region, service, terminal = \
+            dec["X-Amz-Credential"].split("/")
+        amzdate = dec["X-Amz-Date"]
+        expires = int(dec["X-Amz-Expires"])
+        claimed = dec["X-Amz-Signature"]
+    except (KeyError, ValueError) as exc:
+        return False, f"malformed presigned query: {exc}"
+    if terminal != "aws4_request" or amzdate[:8] != date:
+        return False, "bad credential scope"
+    if access_key is not None and ak != access_key:
+        return False, "unknown access key"
+    now = now or amz_date_now()
+    from datetime import datetime, timedelta
+
+    t0 = datetime.strptime(amzdate, "%Y%m%dT%H%M%SZ")
+    tn = datetime.strptime(now, "%Y%m%dT%H%M%SZ")
+    if tn < t0 or tn > t0 + timedelta(seconds=expires):
+        return False, "presigned grant expired"
+    keep = sorted((k, v) for k, v in enc_pairs
+                  if urllib.parse.unquote(k) != "X-Amz-Signature")
+    cqs = "&".join(f"{k}={v}" for k, v in keep)
+    canonical = "\n".join([
+        method.upper(), path or "/", cqs, f"host:{host}\n", "host",
+        "UNSIGNED-PAYLOAD"])
+    scope = f"{date}/{region}/{service}/aws4_request"
+    expect = hmac.new(
+        signing_key(secret_key, date, region, service),
+        string_to_sign(amzdate, scope, canonical).encode(),
+        hashlib.sha256).hexdigest()
+    if not hmac.compare_digest(expect, claimed):
+        return False, "signature mismatch"
+    return True, "ok"
+
+
 def parse_authorization(value: str) -> dict:
     """Split an ``Authorization: AWS4-HMAC-SHA256 ...`` header into
     {access_key, date, region, service, signed_headers, signature}.

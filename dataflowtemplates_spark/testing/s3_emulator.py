@@ -92,14 +92,22 @@ class S3Emulator:
                     self.wfile.write(body)
 
             def _authorized(self, method: str, payload: bytes) -> bool:
-                """SigV4 check against the raw request; 403 on failure
-                exactly like the live service."""
+                """SigV4 check against the raw request — header auth
+                or a presigned query grant; 403 on failure exactly
+                like the live service."""
                 want = emu.require_sigv4
                 if want is None:
                     return True
-                ok, reason = sigv4.verify(
-                    method, self.path, dict(self.headers.items()),
-                    payload, secret_key=want[1], access_key=want[0])
+                if "X-Amz-Signature" in self.path:
+                    ok, reason = sigv4.verify_presigned(
+                        method, self.path,
+                        self.headers.get("Host", ""),
+                        secret_key=want[1], access_key=want[0])
+                else:
+                    ok, reason = sigv4.verify(
+                        method, self.path, dict(self.headers.items()),
+                        payload, secret_key=want[1],
+                        access_key=want[0])
                 if not ok:
                     self._send(403, (
                         "<Error><Code>SignatureDoesNotMatch</Code>"

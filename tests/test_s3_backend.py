@@ -441,6 +441,35 @@ def test_multipart_requests_are_signed(emu):
         unsigned.multipart_start("x://b/nope.bin")
 
 
+def test_presigned_url_fetch_against_enforcing_endpoint(emu):
+    """A credential-less plain HTTP client (urllib) fetches an object
+    through a presigned URL from an endpoint that 403s everything
+    unsigned — and a tampered or signature-less URL is refused."""
+    import urllib.error
+    import urllib.request
+
+    emu.require_sigv4 = SIGV4_CREDS
+    b = S3HttpBackend(emu.endpoint, timeout_s=3.0,
+                      credentials=SIGV4_CREDS)
+    b.write_bytes("x://exports/shard-0.parquet", b"artifact-bytes")
+    url = b.presign("x://exports/shard-0.parquet", expires_s=120)
+    with urllib.request.urlopen(url, timeout=3) as resp:
+        assert resp.read() == b"artifact-bytes"
+    # plain GET without the grant: refused
+    bare = url.split("?", 1)[0]
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(bare, timeout=3)
+    assert exc.value.code == 403
+    # tampered object name: the signed path no longer matches
+    evil = url.replace("shard-0", "shard-1")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(evil, timeout=3)
+    assert exc.value.code == 403
+    # presign is a credentialed operation
+    with pytest.raises(ValueError, match="credentials"):
+        S3HttpBackend(emu.endpoint).presign("x://exports/a")
+
+
 def test_conditional_put_takes_fresh_socket_after_idle_reuse(emu, backend):
     """A GET warms the thread's keep-alive socket; even if the server
     then closes it, the CAS put must not surface a spurious failure —

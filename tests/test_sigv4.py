@@ -178,3 +178,83 @@ def test_randomized_cross_check_against_botocore():
             Credentials(AK, SK), "s3", region).add_auth(req)
         assert mine["Authorization"] == req.headers["Authorization"], (
             method, path, q)
+
+
+def test_presign_query_botocore_fixture_and_verify():
+    """Query-auth (presigned URL) signing pinned against botocore
+    1.43.11's S3SigV4QueryAuth output for the same request, and the
+    server-side verifier accepting/rejecting correctly (expiry,
+    tamper, stripped signature)."""
+    qs = sigv4.presign_query(
+        "GET", "127.0.0.1:9000", "/bucket/t/data/part-0.parquet", [],
+        access_key=AK, secret_key=SK, region="us-east-1",
+        expires_s=3600, amzdate=T0)
+    assert qs.endswith(
+        "X-Amz-Signature=d6e890ca111ebd9d6ce794efdfa510535bcd5e437199"
+        "00a513bb0c06f5e00297")
+    target = "/bucket/t/data/part-0.parquet?" + qs
+    ok, reason = sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:9000", secret_key=SK,
+        now="20150830T123600Z", access_key=AK)
+    assert ok, reason
+    # inside the window
+    assert sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:9000", secret_key=SK,
+        now="20150830T133500Z")[0]
+    # expired / not yet valid
+    ok, reason = sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:9000", secret_key=SK,
+        now="20150830T133700Z")
+    assert not ok and "expired" in reason
+    assert not sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:9000", secret_key=SK,
+        now="20150830T120000Z")[0]
+    # tampered path / host / method / stripped signature
+    bad = "/bucket/t/data/part-1.parquet?" + qs
+    assert not sigv4.verify_presigned(
+        "GET", bad, "127.0.0.1:9000", secret_key=SK, now=T0)[0]
+    assert not sigv4.verify_presigned(
+        "GET", target, "other:1", secret_key=SK, now=T0)[0]
+    assert not sigv4.verify_presigned(
+        "PUT", target, "127.0.0.1:9000", secret_key=SK, now=T0)[0]
+    stripped = target.rsplit("&X-Amz-Signature", 1)[0]
+    assert not sigv4.verify_presigned(
+        "GET", stripped, "127.0.0.1:9000", secret_key=SK, now=T0)[0]
+
+
+def test_presign_randomized_cross_check_against_botocore():
+    """50 random paths/hosts/expiries: the generated query string's
+    signature equals botocore S3SigV4QueryAuth's byte-for-byte."""
+    botocore_auth = pytest.importorskip("botocore.auth")
+    import datetime as dt
+    import random
+    import string
+    import urllib.parse
+
+    from botocore.awsrequest import AWSRequest
+    from botocore.credentials import Credentials
+
+    botocore_auth.get_current_datetime = (
+        lambda: dt.datetime(2015, 8, 30, 12, 36, 0))
+    rng = random.Random(189)
+    for _ in range(50):
+        bucket = "".join(rng.choices(string.ascii_lowercase, k=6))
+        key = "/".join("".join(rng.choices(
+            string.ascii_letters + string.digits + "._- =",
+            k=rng.randint(1, 8))) for _ in range(rng.randint(1, 3)))
+        host = f"127.0.0.1:{rng.randint(1024, 65535)}"
+        expires = rng.randint(60, 604800)
+        path = ("/" + urllib.parse.quote(bucket)
+                + "/" + urllib.parse.quote(key))
+        mine = sigv4.presign_query(
+            "GET", host, path, [], access_key=AK, secret_key=SK,
+            region="us-east-1", expires_s=expires,
+            amzdate="20150830T123600Z")
+        req = AWSRequest(method="GET", url=f"http://{host}{path}")
+        botocore_auth.S3SigV4QueryAuth(
+            Credentials(AK, SK), "s3", "us-east-1",
+            expires=expires).add_auth(req)
+        their_sig = urllib.parse.parse_qs(
+            urllib.parse.urlparse(req.url).query)["X-Amz-Signature"][0]
+        mine_sig = mine.rsplit("X-Amz-Signature=", 1)[1]
+        assert mine_sig == their_sig, (path, host, expires)
