@@ -283,10 +283,15 @@ def main() -> None:
     # query names to their unique qNN ids and (b) prints LAST with
     # nothing after it on either stream, so the complete object sits
     # inside the captured tail; full names live in the --json artifact.
+    # bare qids are reserved for globally unique qNN prefixes: on a
+    # collision EVERY collider keeps its full name (a first-wins rule
+    # would leave the bare qid ambiguous to a decoder)
+    from collections import Counter
+    qid_counts = Counter(n.split("_", 1)[0] for n in timings)
     short: dict[str, float] = {}
     for name, v in timings.items():
         qid = name.split("_", 1)[0]
-        short[qid if qid not in short else name] = v
+        short[qid if qid_counts[qid] == 1 else name] = v
     compact = dict(out)
     compact["queries"] = short
     cline = json.dumps(compact, separators=(",", ":"))

@@ -281,7 +281,12 @@ def verify(method: str, raw_target: str, headers, payload: bytes, *,
     if amzdate[:8] != auth["date"]:
         return False, "x-amz-date does not match credential scope date"
     claimed_hash = hdrs.get("x-amz-content-sha256", "")
-    if claimed_hash not in ("UNSIGNED-PAYLOAD", ""):
+    if not claimed_hash:
+        # the real service rejects header-authenticated requests that
+        # omit the payload-hash header outright — skipping the body
+        # check here would make the emulator laxer than what it models
+        return False, "missing x-amz-content-sha256"
+    if claimed_hash != "UNSIGNED-PAYLOAD":
         if hashlib.sha256(payload or b"").hexdigest() != claimed_hash:
             return False, "payload does not match x-amz-content-sha256"
     path, _, query = raw_target.partition("?")
@@ -300,7 +305,7 @@ def verify(method: str, raw_target: str, headers, payload: bytes, *,
     canonical = "\n".join([
         method.upper(), path or "/", cqs, hdr_block,
         ";".join(sorted(auth["signed_headers"])),
-        claimed_hash or EMPTY_SHA256,
+        claimed_hash,
     ])
     scope = (f"{auth['date']}/{auth['region']}/{auth['service']}"
              "/aws4_request")

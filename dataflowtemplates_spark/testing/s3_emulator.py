@@ -42,6 +42,7 @@ import threading
 import urllib.parse
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from xml.sax.saxutils import escape as _xml
 
 from dataflowtemplates_spark.operators import sigv4
 from dataflowtemplates_spark.testing.listing import paginate
@@ -132,7 +133,7 @@ class S3Emulator:
                     self._send(200, (
                         "<?xml version='1.0'?>"
                         "<InitiateMultipartUploadResult>"
-                        f"<Key>{key}</Key><UploadId>{uid}</UploadId>"
+                        f"<Key>{_xml(key)}</Key><UploadId>{uid}</UploadId>"
                         "</InitiateMultipartUploadResult>").encode())
                     return
                 uid = q.get("uploadId", [None])[0]
@@ -174,7 +175,7 @@ class S3Emulator:
                 self._send(200, (
                     "<?xml version='1.0'?>"
                     "<CompleteMultipartUploadResult>"
-                    f"<Key>{key}</Key>"
+                    f"<Key>{_xml(key)}</Key>"
                     "</CompleteMultipartUploadResult>").encode())
 
             def do_PUT(self):
@@ -263,11 +264,11 @@ class S3Emulator:
                         ts, tz=timezone.utc).isoformat().replace(
                         "+00:00", "Z")
                     parts.append(
-                        f"<Contents><Key>{rel}</Key>"
+                        f"<Contents><Key>{_xml(rel)}</Key>"
                         f"<LastModified>{lm}</LastModified></Contents>")
                 for cp in prefixes:
-                    parts.append(f"<CommonPrefixes><Prefix>{cp}</Prefix>"
-                                 f"</CommonPrefixes>")
+                    parts.append(f"<CommonPrefixes><Prefix>{_xml(cp)}"
+                                 f"</Prefix></CommonPrefixes>")
                 parts.append(
                     f"<IsTruncated>{'true' if nxt is not None else 'false'}"
                     f"</IsTruncated>")

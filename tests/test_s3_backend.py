@@ -145,6 +145,20 @@ def test_list_after_put_visibility_and_pagination(backend):
     assert not backend.is_dir("s3emu://b/t/data/d1")
 
 
+def test_listing_xml_escapes_special_keys(backend):
+    """Keys containing XML metacharacters (&, <, >) survive the
+    ListObjectsV2 round trip — the emulator must escape them in the
+    response body or ET.fromstring in the client raises."""
+    keys = ["esc/a&b/x<y.json", "esc/p&q/r>s.json", "esc/plain.json"]
+    for k in keys:
+        backend.write_bytes(f"s3emu://b/{k}", b"v")
+    assert backend.list_files("s3emu://b/esc") == \
+        sorted(f"s3emu://b/{k}" for k in keys)
+    # delimiter listing: the common prefix itself carries the '&'
+    assert backend.list_dir("s3emu://b/esc") == \
+        ["a&b", "p&q", "plain.json"]
+
+
 def test_fsio_contract_parity_with_memory_store(backend):
     """The HTTP backend honors the same fsio contract MemoryObjectStore
     pins: FileNotFoundError on missing reads/deletes, mkdirs no-op,

@@ -119,6 +119,24 @@ def test_verify_rejects_missing_or_malformed_authorization():
     assert parsed["signed_headers"] == ["host", "x-amz-date"]
 
 
+def test_verify_rejects_missing_content_sha256():
+    """Header-authenticated requests without x-amz-content-sha256 are
+    rejected outright (the real service's behavior) — even when the
+    Authorization signature would otherwise validate without it."""
+    hdrs = sigv4.sign_headers(
+        "GET", "127.0.0.1:9000", "/b/k", [], b"",
+        access_key=AK, secret_key=SK, region="us-east-1")
+    assert sigv4.verify("GET", "/b/k", hdrs, b"", secret_key=SK)[0]
+    for gone in (None, ""):
+        bad = {k: v for k, v in hdrs.items()
+               if k != "x-amz-content-sha256"}
+        if gone == "":
+            bad["x-amz-content-sha256"] = ""
+        ok, reason = sigv4.verify("GET", "/b/k", bad, b"",
+                                  secret_key=SK)
+        assert not ok and "x-amz-content-sha256" in reason
+
+
 def test_session_token_is_signed():
     """x-amz-security-token rides the signature: dropping or editing
     it after signing must fail verification."""
