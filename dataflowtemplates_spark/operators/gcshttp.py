@@ -261,6 +261,13 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
             return body
         raise OSError(f"GET gs://{bucket}/{key}: HTTP {status}")
 
+    def _get_ranged(self, bucket: str, key: str, range_value: str):
+        """Media download with a ``Range`` header — the primitive
+        behind read_tail/read_range (same RFC 9110 semantics as S3)."""
+        return self._request(
+            "GET", self._obj_path(bucket, key) + "?alt=media",
+            headers={"Range": range_value})
+
     def _head(self, bucket: str, key: str) -> bool:
         status, _, _ = self._request("GET", self._obj_path(bucket, key))
         if status == 200:

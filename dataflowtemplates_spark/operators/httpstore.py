@@ -148,6 +148,48 @@ class DerivedObjectOps:
             #                      services' own DELETE is idempotent)
         self._delete_object(bucket, key)
 
+    # -- ranged reads (parquet footer/column-chunk pruning) --------------
+    # Subclasses provide ``_get_ranged(bucket, key, range_value)`` ->
+    # (status, headers, body): one GET carrying an RFC 9110 ``Range``
+    # header (S3 object GET / GCS media download — both services
+    # publish the same semantics: 206 + Content-Range on a satisfied
+    # range, 200 + whole body when the server ignores it).
+    def read_tail(self, path: str, n: int) -> tuple[bytes, int]:
+        """Last ``n`` bytes and the TOTAL object size (from the 206
+        reply's ``Content-Range: bytes a-b/total``) in one suffix
+        GET — how a parquet footer is located without a prior HEAD."""
+        bucket, key = self._split(path)
+        status, headers, body = self._get_ranged(
+            bucket, key, f"bytes=-{int(n)}")
+        return self._range_reply(path, status, headers, body)
+
+    def read_range(self, path: str, start: int, length: int) -> bytes:
+        if int(length) <= 0:
+            raise ValueError("length must be positive")
+        bucket, key = self._split(path)
+        end = int(start) + int(length) - 1
+        status, headers, body = self._get_ranged(
+            bucket, key, f"bytes={int(start)}-{end}")
+        return self._range_reply(path, status, headers, body)[0]
+
+    @staticmethod
+    def _range_reply(path, status, headers, body) -> tuple[bytes, int]:
+        if status == 404:
+            raise FileNotFoundError(path)
+        if status == 200:
+            # server ignored the range (or it covered the object):
+            # the whole body is its own total
+            return body, len(body)
+        if status != 206:
+            raise OSError(f"range GET {path}: HTTP {status}")
+        cr = {k.lower(): v for k, v in headers.items()}.get(
+            "content-range", "")
+        total_s = cr.rsplit("/", 1)[-1] if "/" in cr else ""
+        if not total_s.isdigit():
+            raise OSError(
+                f"range GET {path}: unusable Content-Range {cr!r}")
+        return body, int(total_s)
+
     # -- prefix ("directory") ops ----------------------------------------
     def exists(self, path: str) -> bool:
         bucket, key = self._split(path)

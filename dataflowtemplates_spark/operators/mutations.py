@@ -427,10 +427,17 @@ class KeyedTable:
                     self._latest_version()).items())
                 if d is not None]
 
-    def read(self) -> DataFrame:
+    def read(self, columns: list[str] | None = None) -> DataFrame:
+        """Current snapshot; ``columns`` projects the scan down to the
+        named columns (result order = request order). On the native
+        parquet path Catalyst prunes the same projection into the scan
+        from any downstream ``select``; passing it here matters on the
+        object-store data plane, where the explicit list lets tasks
+        fetch only the projected chunks' byte ranges
+        (objstore_plane.read_parquet)."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        return self._snapshot(self._latest_version())
+        return self._snapshot(self._latest_version(), columns=columns)
 
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
         """Current state of the given buckets only — the path-pruned
@@ -470,13 +477,14 @@ class KeyedTable:
         return version
 
     def _snapshot(self, version: int,
-                  only_buckets: list[int] | None = None) -> DataFrame:
+                  only_buckets: list[int] | None = None,
+                  columns: list[str] | None = None) -> DataFrame:
         """The table state at ``version``, optionally restricted to a
-        bucket subset. Resolution is commit-log metadata only (the
-        `_owners` fold); the scan's path list contains EXACTLY the
-        requested buckets' current leaf directories — pruning happens
-        before the file index is even built, and no data is scanned to
-        resolve a snapshot."""
+        bucket subset and/or projected to ``columns``. Resolution is
+        commit-log metadata only (the `_owners` fold); the scan's path
+        list contains EXACTLY the requested buckets' current leaf
+        directories — pruning happens before the file index is even
+        built, and no data is scanned to resolve a snapshot."""
         owners = self._owners(version)
         only = (None if only_buckets is None
                 else {int(b) for b in only_buckets})
@@ -484,25 +492,41 @@ class KeyedTable:
                  for b, d in sorted(owners.items())
                  if d is not None and (only is None or b in only)]
         schema = self._schema()
+        if columns is not None:
+            known = {f.name for f in schema.fields}
+            bad = [c for c in columns if c not in known]
+            if bad:
+                raise ValueError(f"unknown columns {bad}; "
+                                 f"have {sorted(known)}")
         if not leafs:
-            return self.spark.createDataFrame([], schema)
+            out_schema = (schema if columns is None
+                          else T.StructType([schema[c] for c in columns]))
+            return self.spark.createDataFrame([], out_schema)
         plane = fsio.distributed_backend_for(leafs[0])
         if plane is not None:
             # object-store scheme without a native Hadoop connector:
             # executor-side parquet fetch through the backend (file
-            # list = the pruned buckets' leaves, computed above)
+            # list = the pruned buckets' leaves, computed above); an
+            # explicit projection prunes to ranged column-chunk GETs
             from dataflowtemplates_spark.operators.objstore_plane import (
                 read_parquet)
-            return read_parquet(self.spark, leafs, schema, plane)
-        return self.spark.read.schema(schema).parquet(*leafs)
+            return read_parquet(self.spark, leafs, schema, plane,
+                                columns=columns)
+        out = self.spark.read.schema(schema).parquet(*leafs)
+        if columns is not None:
+            out = out.select(*columns)  # Catalyst prunes into the scan
+        return out
 
-    def read_at(self, timestamp_bound: str) -> DataFrame:
+    def read_at(self, timestamp_bound: str,
+                columns: list[str] | None = None) -> DataFrame:
         """Snapshot read at an exact-staleness timestamp bound — the
         reference's TimestampBound.ofReadTimestamp semantics
         (SpannerQueryIO.java:129-136): the state produced by the last
         commit at or before the bound, regardless of later mutations.
+        ``columns`` projects the scan (see :meth:`read`).
         """
-        return self._snapshot(self._resolve_version(timestamp_bound))
+        return self._snapshot(self._resolve_version(timestamp_bound),
+                              columns=columns)
 
     def changes_between(self, bound_from: str, bound_to: str) -> DataFrame:
         """Change-data-feed between two timestamp bounds: every row
@@ -1158,7 +1182,8 @@ class KeyedTable:
 
     # -- storage ---------------------------------------------------------
     def _apply_clustering(self, staged: DataFrame,
-                          cluster: dict | None) -> DataFrame:
+                          cluster: dict | None,
+                          tiebreak: tuple = ()) -> DataFrame:
         """Sort the staged slice within each bucket partition by the
         table's cluster key (from the commit config), so every
         committed file carries tight parquet min/max stats on the
@@ -1172,12 +1197,25 @@ class KeyedTable:
         map-side only: no exchange is added after the bucket
         repartition, and the helper columns are projected away before
         the write (a projection preserves per-partition sort order).
-        NULL cluster values sort first, deterministically."""
+        NULL cluster values sort first, deterministically.
+
+        ``tiebreak`` (the orderable key expressions, supplied on the
+        object-store plane path) is appended after the cluster order —
+        keys are unique per row, so the within-partition sequence
+        becomes a TOTAL order, i.e. a pure function of the partition's
+        row multiset rather than of shuffle arrival order. The plane's
+        retry-overwrites-same-bytes idempotence needs exactly that
+        (objstore_plane.write_partitioned's caller contract); the
+        native committer path gets the same guarantee from
+        task-attempt promotion and skips the extra sort."""
         if not cluster:
+            if tiebreak:
+                return staged.sortWithinPartitions(
+                    _BUCKET_COL, *tiebreak)
             return staged
         if cluster["mode"] == "linear":
             return staged.sortWithinPartitions(
-                _BUCKET_COL, *cluster["by"])
+                _BUCKET_COL, *cluster["by"], *tiebreak)
         from dataflowtemplates_spark.functions.zorder import (
             normalized_zorder_spark)
         c1, c2 = cluster["by"]
@@ -1192,7 +1230,7 @@ class KeyedTable:
             e1, e2, "__zlo1", "__zhi1", "__zlo2", "__zhi2")
         return (staged.crossJoin(F.broadcast(bounds))
                 .withColumn("__zval", F.expr(z))
-                .sortWithinPartitions(_BUCKET_COL, "__zval")
+                .sortWithinPartitions(_BUCKET_COL, "__zval", *tiebreak)
                 .drop("__zlo1", "__zhi1", "__zlo2", "__zhi2", "__zval"))
 
     def _commit_buckets(self, new_slice: DataFrame | None,
@@ -1236,8 +1274,21 @@ class KeyedTable:
                           .withColumn(_BUCKET_COL,
                                       self._bucket_expr(n_buckets))
                           .repartition(len(touched), F.col(_BUCKET_COL)))
-                staged = self._apply_clustering(staged, cfg.get("cluster"))
                 plane = fsio.distributed_backend_for(data_dir)
+                tiebreak: tuple = ()
+                if plane is not None:
+                    # the plane's retry idempotence requires the
+                    # within-partition row sequence to be a pure
+                    # function of the row multiset: total-order by the
+                    # (unique) table keys after any cluster order
+                    types = {f.name: f.dataType
+                             for f in new_slice.schema.fields}
+                    tiebreak = tuple(
+                        _orderable_expr(F.col(k), types[k])
+                        for k in self.keys)
+                staged = self._apply_clustering(staged,
+                                                cfg.get("cluster"),
+                                                tiebreak)
                 if plane is not None:
                     # executor tasks stream parquet straight to the
                     # object store through the pickled backend

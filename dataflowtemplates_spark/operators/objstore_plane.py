@@ -21,12 +21,16 @@ plane, not a driver shim:
   and rotate at an exact ROW count (``flush_rows``), sliced
   independently of arrow batch boundaries — so the seq SET a task
   writes is a pure function of its partition's (deterministic) row
-  multiset, never of shuffle arrival order or compression ratios. A
-  task retry or speculative attempt therefore overwrites exactly the
-  same object names with the same row sets (order within an object
-  may differ; snapshots are order-free), leaving no stale higher-seq
-  debris to duplicate rows — the idempotence Spark's own committers
-  get from task-attempt promotion. Backends exposing a streaming sink
+  multiset, never of compression ratios. CALLER CONTRACT: the
+  within-partition row ORDER must also be a pure function of that
+  multiset — arrival order out of a shuffle is not deterministic
+  across task attempts, so the caller sorts each partition by a total
+  order first (KeyedTable sorts by bucket, cluster order, then the
+  unique table keys — mutations._apply_clustering). With that, a task
+  retry or speculative attempt overwrites exactly the same object
+  names with the same row sets, leaving no stale higher-seq debris to
+  duplicate rows — the idempotence Spark's own committers get from
+  task-attempt promotion. Backends exposing a streaming sink
   (S3 multipart upload via ``open_write``) get row groups streamed
   through BOUNDED memory (one in-flight part, default 8 MB) however
   large the object; buffer-and-PUT is the fallback for backends
@@ -44,10 +48,18 @@ plane, not a driver shim:
 
 Scale notes: both directions are map-only (no shuffle, no
 driver-side data movement; the driver handles O(files) strings).
-Column pruning does NOT push into this plane (each object is fetched
-whole) — with the native connector on a real cluster it does; this is
-the documented cost of the pure-Python seam, bounded by
-rewrite-granularity object sizes (n_buckets sizing, SCALE.md).
+Column pruning pushes into this plane through the EXPLICIT
+``columns=`` projection (``KeyedTable.read(columns=...)`` plumbs it):
+the task then fetches only the parquet footer plus the projected
+chunks' byte ranges via HTTP ``Range:`` GETs
+(operators/rangedparquet.py) — the native connector's economics for
+a narrow projection over a wide table. What does NOT push down is
+Catalyst-inferred pruning (a ``select`` above ``mapInArrow`` cannot
+reach inside the Python stage) and row-group predicate skipping —
+callers that want those without an explicit projection need the
+native connector; this remains the documented residual cost of the
+pure-Python seam, bounded by rewrite-granularity object sizes
+(n_buckets sizing, SCALE.md).
 """
 
 from __future__ import annotations
@@ -79,8 +91,9 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
     ``df.write.partitionBy(bucket_col).parquet(data_dir)``: the bucket
     column lives in the directory name, not in the files. Every part
     object holds EXACTLY ``flush_rows`` rows except a bucket's last —
-    the determinism that makes retries overwrite instead of
-    duplicate."""
+    which makes retries overwrite instead of duplicate PROVIDED the
+    caller delivers each partition's rows in a deterministic total
+    order (see the module docstring's caller contract)."""
     out_schema = T.StructType(
         [f for f in staged.schema.fields if f.name != bucket_col])
     arrow_out = _arrow_schema(out_schema)
@@ -199,10 +212,27 @@ def _list_leaf_files(leaf_dirs: list[str], backend) -> list[str]:
 
 
 def read_parquet(spark: SparkSession, leaf_dirs: list[str],
-                 schema: T.StructType, backend) -> DataFrame:
+                 schema: T.StructType, backend,
+                 columns: list[str] | None = None) -> DataFrame:
     """Distributed read of the given leaf directories' parquet objects
     through ``backend``, conformed to ``schema`` (missing columns
-    null-fill — the engine's schema-evolution rule)."""
+    null-fill — the engine's schema-evolution rule).
+
+    ``columns`` projects the read down to the named top-level columns
+    (result column order = request order). On backends exposing
+    ranged reads (the HTTP stores — operators/httpstore.py) the task
+    then fetches only the parquet FOOTER plus the projected columns'
+    chunk byte ranges (operators/rangedparquet.py) instead of whole
+    objects — the native connector's column-pruning economics, over
+    plain ``Range:`` GETs. Backends without ranged reads still fetch
+    whole objects and project after decode (correct, full-bytes)."""
+    if columns is not None:
+        known = {f.name for f in schema.fields}
+        bad = [c for c in columns if c not in known]
+        if bad:
+            raise ValueError(f"unknown columns {bad}; "
+                             f"have {sorted(known)}")
+        schema = T.StructType([schema[c] for c in columns])
     if hasattr(backend, "_list") and hasattr(backend, "_split"):
         files = _list_leaf_files(leaf_dirs, backend)
     else:  # minimal-contract backend: per-leaf recursive listing
@@ -211,15 +241,25 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
     if not files:
         return spark.createDataFrame([], schema)
     arrow_schema = _arrow_schema(schema)
+    ranged = (columns is not None and hasattr(backend, "read_tail")
+              and hasattr(backend, "read_range"))
+    names = list(schema.names)
 
     def task(batches):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        if ranged:
+            from dataflowtemplates_spark.operators import rangedparquet
+
         for batch in batches:
             for path in batch.column("path").to_pylist():
-                raw = backend.read_bytes(path)
-                tbl = pq.read_table(pa.BufferReader(raw))
+                if ranged:
+                    tbl = rangedparquet.fetch_table(backend, path,
+                                                    names)
+                else:
+                    raw = backend.read_bytes(path)
+                    tbl = pq.read_table(pa.BufferReader(raw))
                 cols = []
                 for field in arrow_schema:
                     if field.name in tbl.column_names:

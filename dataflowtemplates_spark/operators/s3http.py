@@ -289,6 +289,12 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
             return body
         raise OSError(f"GET s3://{bucket}/{key}: HTTP {status}")
 
+    def _get_ranged(self, bucket: str, key: str, range_value: str):
+        """Object GET with a ``Range`` header (signed like any other
+        semantic header) — the primitive behind read_tail/read_range."""
+        return self._request("GET", bucket, key,
+                             headers={"Range": range_value})
+
     def _put_object(self, bucket: str, key: str, data: bytes) -> None:
         status, _, _ = self._request(
             "PUT", bucket, key, body=data,

@@ -1,0 +1,227 @@
+"""Ranged-GET column pruning (operators/rangedparquet.py + the Range
+surface on both HTTP backends): a narrow projection through the
+object-store data plane must fetch a small fraction of the object's
+bytes — the emulators' byte counters make the economics assertable —
+while remaining value-identical to the whole-object read."""
+
+import io
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dataflowtemplates_spark.operators import fsio, rangedparquet
+from dataflowtemplates_spark.operators.gcshttp import GcsHttpBackend
+from dataflowtemplates_spark.operators.mutations import KeyedTable
+from dataflowtemplates_spark.operators.s3http import S3HttpBackend
+from dataflowtemplates_spark.testing.gcs_emulator import GcsEmulator
+from dataflowtemplates_spark.testing.s3_emulator import S3Emulator
+
+SIGV4_CREDS = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+
+
+@pytest.fixture()
+def s3(request):
+    emu = S3Emulator().start()
+    emu.require_sigv4 = SIGV4_CREDS
+    b = S3HttpBackend(emu.endpoint, timeout_s=5.0,
+                      credentials=SIGV4_CREDS)
+    fsio.register_object_backend("s3rr", b)
+    try:
+        yield emu, b
+    finally:
+        fsio.unregister_object_backend("s3rr")
+        emu.stop()
+
+
+@pytest.fixture()
+def gcs(request):
+    emu = GcsEmulator().start()
+    emu.require_bearer = "rr-token"
+    b = GcsHttpBackend(emu.endpoint, timeout_s=5.0,
+                       bearer_token="rr-token")
+    fsio.register_object_backend("gsrr", b)
+    try:
+        yield emu, b
+    finally:
+        fsio.unregister_object_backend("gsrr")
+        emu.stop()
+
+
+def _wide_parquet_bytes(n_rows=4000, n_cols=20, row_group_size=1000):
+    """A 20-column parquet object with a couple of narrow columns and
+    many fat ones, multiple row groups."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {"id": list(range(n_rows)),
+            "small": [i % 7 for i in range(n_rows)]}
+    for c in range(n_cols - 2):
+        # high-entropy strings: fat, incompressible chunks
+        cols[f"fat{c:02d}"] = [
+            f"{c}:{i}:" + format(hash((c, i)) & (2**64 - 1), "032x") * 4
+            for i in range(n_rows)]
+    sink = io.BytesIO()
+    pq.write_table(pa.table(cols), sink, row_group_size=row_group_size,
+                   compression="snappy")
+    return sink.getvalue(), cols
+
+
+@pytest.mark.parametrize("kind", ["s3", "gcs"])
+def test_read_tail_and_read_range_primitives(kind, request):
+    emu, backend = request.getfixturevalue(kind)
+    scheme = "s3rr" if kind == "s3" else "gsrr"
+    data = bytes(range(256)) * 40  # 10240 bytes
+    path = f"{scheme}://b/rr/obj.bin"
+    backend.write_bytes(path, data)
+    tail, total = backend.read_tail(path, 100)
+    assert tail == data[-100:] and total == len(data)
+    # suffix larger than the object: whole body, correct total
+    tail, total = backend.read_tail(path, 10 * len(data))
+    assert tail == data and total == len(data)
+    assert backend.read_range(path, 0, 16) == data[:16]
+    assert backend.read_range(path, 777, 5) == data[777:782]
+    # end clamped to the object
+    assert backend.read_range(path, len(data) - 4, 100) == data[-4:]
+    with pytest.raises(FileNotFoundError):
+        backend.read_tail(f"{scheme}://b/rr/nope", 10)
+    with pytest.raises(OSError):
+        backend.read_range(path, len(data) + 5, 10)  # 416
+    with pytest.raises(ValueError):
+        backend.read_range(path, 0, 0)
+
+
+def test_fetch_table_narrow_projection_byte_economics(s3):
+    """2-of-20-column projection: values equal the full read's
+    projection, and the bytes served by the emulator drop >=5x vs the
+    whole object (the VERDICT r14 acceptance bar)."""
+    emu, backend = s3
+    raw, cols = _wide_parquet_bytes()
+    path = "s3rr://b/w/wide.parquet"
+    backend.write_bytes(path, raw)
+
+    emu.object_get_bytes = 0
+    tbl = rangedparquet.fetch_table(backend, path, ["id", "small"])
+    narrow_bytes = emu.object_get_bytes
+    assert tbl.column_names == ["id", "small"]
+    assert tbl.column("id").to_pylist() == cols["id"]
+    assert tbl.column("small").to_pylist() == cols["small"]
+    assert narrow_bytes * 5 <= len(raw), (narrow_bytes, len(raw))
+
+    # wide projection falls back to ONE whole-object GET (not 20
+    # ranged ones): bytes equal the object exactly
+    emu.object_get_bytes = 0
+    full = rangedparquet.fetch_table(
+        backend, path, ["id", "small"] + [f"fat{c:02d}"
+                                          for c in range(18)])
+    assert emu.object_get_bytes == len(raw)
+    assert full.num_rows == 4000 and full.num_columns == 20
+
+    # projection of only a missing (schema-evolved) column: 0-column
+    # table still carries the row count, from footer-only bytes
+    emu.object_get_bytes = 0
+    none = rangedparquet.fetch_table(backend, path, ["later"])
+    assert none.num_rows == 4000 and none.num_columns == 0
+    assert emu.object_get_bytes * 10 <= len(raw)
+
+
+def test_fetch_table_small_object_single_roundtrip(s3):
+    """An object under the tail guess is served whole by the ONE
+    suffix GET — no extra round trips for small files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    emu, backend = s3
+    sink = io.BytesIO()
+    pq.write_table(pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]}),
+                   sink)
+    backend.write_bytes("s3rr://b/sm/t.parquet", sink.getvalue())
+    emu.object_get_bytes = 0
+    tbl = rangedparquet.fetch_table(backend, "s3rr://b/sm/t.parquet",
+                                    ["b"])
+    assert tbl.column("b").to_pylist() == ["x", "y", "z"]
+    assert emu.object_get_bytes == len(sink.getvalue())
+
+
+def test_sparse_file_hole_read_raises():
+    sf = rangedparquet._SparseFile(
+        100, [(0, b"0123456789"), (50, b"abcdefghij")])
+    assert sf.read(4) == b"0123"
+    sf.seek(52)
+    assert sf.read(3) == b"cde"
+    sf.seek(-50, 2)
+    assert sf.read(5) == b"abcde"
+    sf.seek(8)
+    with pytest.raises(OSError, match="unfetched hole"):
+        sf.read(5)  # crosses the [10, 50) hole
+    sf.seek(95)
+    with pytest.raises(OSError, match="unfetched hole"):
+        sf.read(-1)  # tail past the last segment is a hole too
+
+
+def test_plane_projection_over_live_http(spark, s3):
+    """KeyedTable.read(columns=...) end-to-end over the signed
+    emulator: result equals select() over the full read, column order
+    is the request order, bytes served drop >=5x, and a projected
+    column added by schema evolution null-fills."""
+    emu, backend = s3
+    t = KeyedTable(spark, "s3rr://bkt/tbl", ["id"], n_buckets=2)
+    pad = F.concat(*[F.sha2(F.concat(F.col("id").cast("string"),
+                                     F.lit(str(k))), 512)
+                     for k in range(4)])
+    df = (spark.range(0, 3000)
+          .select(F.col("id"), (F.col("id") % 97).alias("v"),
+                  pad.alias("pad1"), pad.alias("pad2"),
+                  pad.alias("pad3"), pad.alias("pad4")))
+    t.apply_mutations(df, "INSERT")
+
+    emu.object_get_bytes = 0
+    full = t.read().collect()
+    full_bytes = emu.object_get_bytes
+
+    emu.object_get_bytes = 0
+    narrow = t.read(columns=["v", "id"])
+    assert narrow.columns == ["v", "id"]
+    got = {r["id"]: r["v"] for r in narrow.collect()}
+    narrow_bytes = emu.object_get_bytes
+    assert got == {r["id"]: r["v"] for r in full}
+    assert narrow_bytes * 5 <= full_bytes, (narrow_bytes, full_bytes)
+
+    # schema evolution: project a column the older files lack
+    evolving = KeyedTable(spark, "s3rr://bkt/tbl", ["id"],
+                          schema_evolution=True)
+    evolving.apply_mutations(spark.createDataFrame(
+        [Row(id=1, v=1, tag="new")]), "INSERT_OR_UPDATE")
+    proj = evolving.read(columns=["id", "tag"])
+    assert proj.schema == T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("tag", T.StringType())])
+    vals = {r["id"]: r["tag"] for r in proj.collect()}
+    assert vals[1] == "new"
+    assert vals[2] is None and len(vals) == 3000
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        t.read(columns=["nope"])
+
+
+def test_plane_projection_over_gcs(spark, gcs):
+    """The same pruning over the GCS backend (media-download Range) —
+    backend-generic, not S3-shaped."""
+    emu, backend = gcs
+    t = KeyedTable(spark, "gsrr://bkt/tbl", ["id"], n_buckets=2)
+    pad = F.concat(*[F.sha2(F.concat(F.col("id").cast("string"),
+                                     F.lit(str(k))), 512)
+                     for k in range(4)])
+    t.apply_mutations(
+        spark.range(0, 2000).select(
+            F.col("id"), (F.col("id") % 13).alias("v"),
+            pad.alias("pad")),
+        "INSERT")
+    emu.object_get_bytes = 0
+    assert t.read().count() == 2000
+    full_bytes = emu.object_get_bytes
+    emu.object_get_bytes = 0
+    s = t.read(columns=["v"]).agg(F.sum("v")).first()[0]
+    assert s == sum(i % 13 for i in range(2000))
+    assert emu.object_get_bytes * 3 <= full_bytes
