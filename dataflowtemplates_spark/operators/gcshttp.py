@@ -36,7 +36,10 @@ AUTH: pass ``bearer_token=...`` and every request carries
 ``Authorization: Bearer <token>`` (the JSON API's OAuth2 scheme; token
 acquisition — service-account JWT exchange or metadata-server fetch —
 is deployment plumbing outside this module). 401/403 surface as
-OSError, never as a CAS loss.
+OSError, never as a CAS loss. :meth:`presign` additionally issues V4
+signed URLs from an HMAC service-account key (GCS's published
+AWS-interoperable signing) so artifacts can be handed to
+credential-less consumers — the S3 backend's ``presign`` twin.
 
 Transport retry discipline, pickling, and the derived fsio directory
 surface are shared with the S3 backend via operators/httpstore.py.
@@ -53,6 +56,7 @@ import json
 import urllib.parse
 from datetime import datetime
 
+from dataflowtemplates_spark.operators import sigv4
 from dataflowtemplates_spark.operators.httpstore import (
     DerivedObjectOps,
     HttpObjectTransport,
@@ -68,10 +72,16 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
     distributed = True  # picklable; executors may talk to it directly
 
     def __init__(self, endpoint: str, timeout_s: float = 10.0,
-                 put_retries: int = 2, bearer_token: str | None = None):
+                 put_retries: int = 2, bearer_token: str | None = None,
+                 hmac_key: tuple[str, str] | None = None,
+                 region: str = "auto"):
         self._init_transport(endpoint, timeout_s)
         self._put_retries = int(put_retries)
         self._token = bearer_token
+        #: (access_id, secret) HMAC service-account key — only needed
+        #: for :meth:`presign`; day-to-day JSON-API auth is the bearer
+        self._hmac_key = hmac_key
+        self._region = region
 
     # -- transport -------------------------------------------------------
     def _headers(self, extra: dict | None = None) -> dict:
@@ -171,6 +181,31 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                              "generation; use create_exclusive for "
                              "create-if-absent")
         return self._conditional_upload(path, data, int(generation))
+
+    # -- signed URLs --------------------------------------------------------
+    def presign(self, path: str, expires_s: int = 3600,
+                method: str = "GET") -> str:
+        """A GCS V4 signed URL for ``path``: any plain HTTP client can
+        perform ``method`` on it until the grant expires, without
+        holding credentials — the S3 ``presign`` twin. Uses the
+        published V4 signing algorithm with HMAC service-account keys
+        (``GOOG4-HMAC-SHA256`` / ``X-Goog-*`` query params) over the
+        XML-API path style ``/bucket/object`` — the address form GCS
+        documents for signed URLs (the JSON API does not take them)."""
+        if self._hmac_key is None:
+            raise ValueError("presign requires an HMAC key "
+                             "(hmac_key=(access_id, secret))")
+        bucket, key = self._split(path)
+        epath = "/" + urllib.parse.quote(bucket)
+        if key:
+            epath += "/" + urllib.parse.quote(key)
+        qs = sigv4.presign_query(
+            method, self._wire_host, epath, [],
+            access_key=self._hmac_key[0], secret_key=self._hmac_key[1],
+            region=self._region, service="storage",
+            expires_s=expires_s, flavor="goog")
+        scheme = "https" if self._tls else "http"
+        return f"{scheme}://{self._wire_host}{epath}?{qs}"
 
     # -- resumable upload (the large-object write path) --------------------
     # Public JSON API semantics: an initiate POST returns a session

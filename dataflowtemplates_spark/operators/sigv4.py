@@ -41,6 +41,19 @@ _ALGORITHM = "AWS4-HMAC-SHA256"
 #: sha256 of an empty payload — the hash every body-less request signs.
 EMPTY_SHA256 = hashlib.sha256(b"").hexdigest()
 
+#: The two published flavors of the V4 query-auth algorithm: AWS
+#: SigV4 and Google Cloud Storage's V4 signing with HMAC keys (the
+#: interoperability path GCS documents alongside RSA service-account
+#: signing) differ ONLY in these constants — same canonical request,
+#: same HMAC chain, same string-to-sign layout.
+#: (algorithm label, secret-key prefix, scope terminal, query-param
+#: prefix)
+_FLAVORS = {
+    "aws": (_ALGORITHM, b"AWS4", "aws4_request", "X-Amz-"),
+    "goog": ("GOOG4-HMAC-SHA256", b"GOOG4", "goog4_request",
+             "X-Goog-"),
+}
+
 
 def _uri_encode(s: str) -> str:
     """AWS canonical URI-encoding: everything but unreserved chars
@@ -90,18 +103,21 @@ def _hmac(key: bytes, msg: str) -> bytes:
 
 
 def signing_key(secret_key: str, date: str, region: str,
-                service: str) -> bytes:
+                service: str, flavor: str = "aws") -> bytes:
     """The derived signing key: HMAC chain over
-    AWS4+secret → date → region → service → aws4_request."""
-    k = _hmac(b"AWS4" + secret_key.encode(), date)
-    for part in (region, service, "aws4_request"):
+    prefix+secret → date → region → service → terminal
+    (AWS4/aws4_request, or GOOG4/goog4_request for the GCS flavor)."""
+    _, prefix, terminal, _ = _FLAVORS[flavor]
+    k = _hmac(prefix + secret_key.encode(), date)
+    for part in (region, service, terminal):
         k = _hmac(k, part)
     return k
 
 
-def string_to_sign(amzdate: str, scope: str, canonical: str) -> str:
+def string_to_sign(amzdate: str, scope: str, canonical: str,
+                   flavor: str = "aws") -> str:
     return "\n".join([
-        _ALGORITHM, amzdate, scope,
+        _FLAVORS[flavor][0], amzdate, scope,
         hashlib.sha256(canonical.encode()).hexdigest()])
 
 
@@ -152,63 +168,72 @@ def presign_query(method: str, host: str, encoded_path: str,
                   query_pairs, *, access_key: str, secret_key: str,
                   region: str, service: str = "s3",
                   expires_s: int = 3600, amzdate: str | None = None,
-                  session_token: str | None = None) -> str:
-    """SigV4 QUERY authentication (presigned URLs): the credential
+                  session_token: str | None = None,
+                  flavor: str = "aws") -> str:
+    """V4 QUERY authentication (presigned URLs): the credential
     rides the query string instead of headers, so any plain HTTP
     client can exercise the grant until it expires — how exported
-    artifacts are shared from S3 without distributing keys. Returns
-    the encoded query string (append after ``?``). Per the published
-    S3 contract the payload hash is ``UNSIGNED-PAYLOAD``, only
-    ``host`` is a signed header, and ``X-Amz-Signature`` is computed
-    over the OTHER query params sorted canonically."""
+    artifacts are shared from S3/GCS without distributing keys.
+    Returns the encoded query string (append after ``?``). Per the
+    published contract the payload hash is ``UNSIGNED-PAYLOAD``, only
+    ``host`` is a signed header, and the signature param is computed
+    over the OTHER query params sorted canonically. ``flavor="goog"``
+    emits GCS V4 signed-URL parameters (``X-Goog-*``,
+    ``GOOG4-HMAC-SHA256``) — GCS documents this exact algorithm for
+    HMAC service-account keys; everything but the constants is shared
+    with AWS."""
+    algorithm, _, terminal, pfx = _FLAVORS[flavor]
     amzdate = amzdate or amz_date_now()
-    scope = f"{amzdate[:8]}/{region}/{service}/aws4_request"
+    scope = f"{amzdate[:8]}/{region}/{service}/{terminal}"
     params = [(str(k), str(v)) for k, v in query_pairs]
     params += [
-        ("X-Amz-Algorithm", _ALGORITHM),
-        ("X-Amz-Credential", f"{access_key}/{scope}"),
-        ("X-Amz-Date", amzdate),
-        ("X-Amz-Expires", str(int(expires_s))),
-        ("X-Amz-SignedHeaders", "host"),
+        (f"{pfx}Algorithm", algorithm),
+        (f"{pfx}Credential", f"{access_key}/{scope}"),
+        (f"{pfx}Date", amzdate),
+        (f"{pfx}Expires", str(int(expires_s))),
+        (f"{pfx}SignedHeaders", "host"),
     ]
     if session_token:
-        params.append(("X-Amz-Security-Token", session_token))
+        params.append((f"{pfx}Security-Token", session_token))
     canonical, _ = canonical_request(
         method, encoded_path, params, {"host": host},
         "UNSIGNED-PAYLOAD")
     sig = hmac.new(
-        signing_key(secret_key, amzdate[:8], region, service),
-        string_to_sign(amzdate, scope, canonical).encode(),
+        signing_key(secret_key, amzdate[:8], region, service, flavor),
+        string_to_sign(amzdate, scope, canonical, flavor).encode(),
         hashlib.sha256).hexdigest()
-    params.append(("X-Amz-Signature", sig))
+    params.append((f"{pfx}Signature", sig))
     return "&".join(f"{_uri_encode(k)}={_uri_encode(v)}"
                     for k, v in params)
 
 
 def verify_presigned(method: str, raw_target: str, host: str, *,
                      secret_key: str, now: str | None = None,
-                     access_key: str | None = None) -> tuple[bool, str]:
+                     access_key: str | None = None,
+                     flavor: str = "aws") -> tuple[bool, str]:
     """Server-side check of a presigned request (the emulator's
     half): recompute the signature over the request's own query
-    params minus ``X-Amz-Signature``, and enforce the expiry window
+    params minus the signature param, and enforce the expiry window
     against ``now`` (an x-amz-date-format stamp; defaults to the
-    current UTC time)."""
+    current UTC time). ``flavor="goog"`` checks GCS V4 signed URLs
+    (``X-Goog-*`` params, GOOG4 constants)."""
+    algorithm, _, terminal, pfx = _FLAVORS[flavor]
     path, _, query = raw_target.partition("?")
     enc_pairs = [tuple(f.partition("=")[::2])
                  for f in query.split("&") if f]
     dec = {urllib.parse.unquote(k): urllib.parse.unquote(v)
            for k, v in enc_pairs}
-    if dec.get("X-Amz-Algorithm") != _ALGORITHM:
-        return False, "not a SigV4 presigned request"
+    if dec.get(f"{pfx}Algorithm") != algorithm:
+        return False, "not a V4 presigned request"
     try:
-        ak, date, region, service, terminal = \
-            dec["X-Amz-Credential"].split("/")
-        amzdate = dec["X-Amz-Date"]
-        expires = int(dec["X-Amz-Expires"])
-        claimed = dec["X-Amz-Signature"]
+        ak, date, region, service, term = \
+            dec[f"{pfx}Credential"].split("/")
+        amzdate = dec[f"{pfx}Date"]
+        expires = int(dec[f"{pfx}Expires"])
+        claimed = dec[f"{pfx}Signature"]
     except (KeyError, ValueError) as exc:
         return False, f"malformed presigned query: {exc}"
-    if terminal != "aws4_request" or amzdate[:8] != date:
+    if term != terminal or amzdate[:8] != date:
         return False, "bad credential scope"
     if access_key is not None and ak != access_key:
         return False, "unknown access key"
@@ -220,15 +245,15 @@ def verify_presigned(method: str, raw_target: str, host: str, *,
     if tn < t0 or tn > t0 + timedelta(seconds=expires):
         return False, "presigned grant expired"
     keep = sorted((k, v) for k, v in enc_pairs
-                  if urllib.parse.unquote(k) != "X-Amz-Signature")
+                  if urllib.parse.unquote(k) != f"{pfx}Signature")
     cqs = "&".join(f"{k}={v}" for k, v in keep)
     canonical = "\n".join([
         method.upper(), path or "/", cqs, f"host:{host}\n", "host",
         "UNSIGNED-PAYLOAD"])
-    scope = f"{date}/{region}/{service}/aws4_request"
+    scope = f"{date}/{region}/{service}/{terminal}"
     expect = hmac.new(
-        signing_key(secret_key, date, region, service),
-        string_to_sign(amzdate, scope, canonical).encode(),
+        signing_key(secret_key, date, region, service, flavor),
+        string_to_sign(amzdate, scope, canonical, flavor).encode(),
         hashlib.sha256).hexdigest()
     if not hmac.compare_digest(expect, claimed):
         return False, "signature mismatch"

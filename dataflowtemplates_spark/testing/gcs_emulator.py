@@ -25,7 +25,11 @@ Fault injection mirrors the S3 twin:
 
 AUTH: set ``emu.require_bearer = "<token>"`` and every request must
 carry ``Authorization: Bearer <token>`` or it is answered 401, like
-the real JSON API without OAuth credentials.
+the real JSON API without OAuth credentials. Set ``emu.hmac_key =
+(access_id, secret)`` and XML-API path-style GETs carrying
+``X-Goog-Signature`` are verified as V4 signed URLs (GOOG4 flavor of
+:mod:`operators.sigv4`) — the bearer-less sharing grant, enforced
+server-side with expiry/tamper 403s.
 """
 
 from __future__ import annotations
@@ -36,6 +40,7 @@ import urllib.parse
 from datetime import datetime, timezone
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from dataflowtemplates_spark.operators import sigv4
 from dataflowtemplates_spark.testing.listing import paginate
 
 
@@ -50,6 +55,10 @@ class GcsEmulator:
         self.reject_next_put = 0
         self.repeat_page_token = False
         self.require_bearer: str | None = None
+        #: (access_id, secret) HMAC key for V4 signed-URL checks; a
+        #: path-style GET carrying X-Goog-Signature verifies against
+        #: this (None -> every signed URL is refused 403)
+        self.hmac_key: tuple[str, str] | None = None
         #: resumable sessions: sid -> {bucket, name, data: bytearray}
         self._sessions: dict[str, dict] = {}
         self._session_seq = 0
@@ -169,6 +178,14 @@ class GcsEmulator:
 
             def do_GET(self):
                 path, q = self._parse()
+                if ("X-Goog-Signature" in self.path
+                        and not path.startswith(("/storage/",
+                                                 "/upload/"))):
+                    # XML-API path-style signed URL: the V4 query
+                    # grant IS the authentication (no bearer needed),
+                    # verified server-side like the real service
+                    self._signed_get(path)
+                    return
                 if not self._authorized():
                     return
                 if not path.startswith("/storage/v1/b/"):
@@ -236,6 +253,34 @@ class GcsEmulator:
                 else:
                     self._send(200, self._meta_json(bucket, key, data,
                                                     gen, ts))
+
+            def _signed_get(self, path):
+                """Serve a GCS V4 signed URL (path-style
+                ``/bucket/object``): recompute the GOOG4 signature
+                over the request's own query params and the expiry
+                window; 403 on any mismatch, exactly like the live
+                service's SignatureDoesNotMatch / ExpiredToken."""
+                key_pair = emu.hmac_key
+                if key_pair is None:
+                    self._err(403, "signed URLs not configured")
+                    return
+                ok, reason = sigv4.verify_presigned(
+                    "GET", self.path, self.headers.get("Host", ""),
+                    secret_key=key_pair[1], access_key=key_pair[0],
+                    flavor="goog")
+                if not ok:
+                    self._err(403, reason)
+                    return
+                full = urllib.parse.unquote(path.lstrip("/"))
+                with emu._lock:
+                    hit = emu._objects.get(full)
+                if hit is None:
+                    self._err(404, "No such object")
+                    return
+                data, _ = hit
+                with emu._lock:
+                    emu.object_get_bytes += len(data)
+                self._send(200, data, "application/octet-stream")
 
             def _list(self, bucket, q):
                 prefix = q.get("prefix", [""])[0]

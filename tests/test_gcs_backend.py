@@ -388,3 +388,60 @@ def test_keyed_table_metadata_protocol_over_live_gcs(spark, backend):
     raw = json.loads(backend.read_bytes(
         "gsemu://bucket/tbl/_log/" + f"{2:020d}.json"))
     assert raw["version"] == 2 and raw["config"]["n_buckets"] == 4
+
+
+def test_gcs_signed_url_fetch_against_enforcing_endpoint(emu):
+    """A credential-less plain HTTP client (urllib) fetches an object
+    through a GCS V4 signed URL from an endpoint that 401s everything
+    bearer-less — the S3 presign twin: the query grant IS the auth.
+    Tampered, expired, and signature-less fetches are refused."""
+    import urllib.error
+    import urllib.request
+
+    from dataflowtemplates_spark.operators import sigv4
+
+    emu.require_bearer = "tok-abc"
+    emu.hmac_key = ("GOOGHMACID", "hmac-secret-1")
+    b = GcsHttpBackend(emu.endpoint, timeout_s=3.0,
+                       bearer_token="tok-abc",
+                       hmac_key=emu.hmac_key)
+    b.write_bytes("g://exports/shard-0.parquet", b"artifact-bytes")
+    url = b.presign("g://exports/shard-0.parquet", expires_s=120)
+    assert "X-Goog-Algorithm=GOOG4-HMAC-SHA256" in url
+    with urllib.request.urlopen(url, timeout=3) as resp:
+        assert resp.read() == b"artifact-bytes"
+    # plain GET without the grant: path-style has no bearer -> 401/403
+    bare = url.split("?", 1)[0]
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(bare, timeout=3)
+    assert exc.value.code in (401, 403, 404)
+    # tampered object name: the signed path no longer matches
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(url.replace("shard-0", "shard-1"),
+                               timeout=3)
+    assert exc.value.code == 403
+    # an expired grant (signed in 2015) is refused by the window check
+    host = emu.endpoint.split("//", 1)[1]
+    old = sigv4.presign_query(
+        "GET", host, "/exports/shard-0.parquet", [],
+        access_key=emu.hmac_key[0], secret_key=emu.hmac_key[1],
+        region="auto", service="storage", expires_s=60,
+        amzdate="20150830T123600Z", flavor="goog")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"{emu.endpoint}/exports/shard-0.parquet?{old}", timeout=3)
+    assert exc.value.code == 403
+    # a wrong-key forgery is refused
+    forged = sigv4.presign_query(
+        "GET", host, "/exports/shard-0.parquet", [],
+        access_key=emu.hmac_key[0], secret_key="wrong-secret",
+        region="auto", service="storage", expires_s=120,
+        flavor="goog")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"{emu.endpoint}/exports/shard-0.parquet?{forged}",
+            timeout=3)
+    assert exc.value.code == 403
+    # presign is a keyed operation
+    with pytest.raises(ValueError, match="hmac_key"):
+        GcsHttpBackend(emu.endpoint).presign("g://exports/a")

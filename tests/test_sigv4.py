@@ -276,3 +276,69 @@ def test_presign_randomized_cross_check_against_botocore():
             urllib.parse.urlparse(req.url).query)["X-Amz-Signature"][0]
         mine_sig = mine.rsplit("X-Amz-Signature=", 1)[1]
         assert mine_sig == their_sig, (path, host, expires)
+
+
+def test_goog_flavor_signed_url_roundtrip_and_rejections():
+    """The GCS V4 signed-URL flavor (GOOG4-HMAC-SHA256, X-Goog-*
+    params, goog4_request scope — GCS's published HMAC-key signing):
+    sign/verify round trip, window enforcement, tamper rejections,
+    and flavor isolation (an AWS verifier must not accept a GOOG4
+    URL or vice versa — different algorithm label, key prefix, and
+    scope terminal all break the signature)."""
+    qs = sigv4.presign_query(
+        "GET", "127.0.0.1:4443", "/bucket/exports/part-0.parquet", [],
+        access_key="GOOGHMACIDEXAMPLE", secret_key=SK,
+        region="auto", service="storage", expires_s=3600,
+        amzdate=T0, flavor="goog")
+    assert "X-Goog-Algorithm=GOOG4-HMAC-SHA256" in qs
+    assert "goog4_request" in qs and "X-Amz-" not in qs
+    target = "/bucket/exports/part-0.parquet?" + qs
+    ok, reason = sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:4443", secret_key=SK,
+        now="20150830T130000Z", access_key="GOOGHMACIDEXAMPLE",
+        flavor="goog")
+    assert ok, reason
+    # expiry window
+    ok, reason = sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:4443", secret_key=SK,
+        now="20150830T140000Z", flavor="goog")
+    assert not ok and "expired" in reason
+    assert not sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:4443", secret_key=SK,
+        now="20150830T120000Z", flavor="goog")[0]
+    # tampered path / host / method / stripped signature
+    assert not sigv4.verify_presigned(
+        "GET", target.replace("part-0", "part-1"), "127.0.0.1:4443",
+        secret_key=SK, now=T0, flavor="goog")[0]
+    assert not sigv4.verify_presigned(
+        "GET", target, "other:1", secret_key=SK, now=T0,
+        flavor="goog")[0]
+    assert not sigv4.verify_presigned(
+        "PUT", target, "127.0.0.1:4443", secret_key=SK, now=T0,
+        flavor="goog")[0]
+    stripped = target.rsplit("&X-Goog-Signature", 1)[0]
+    assert not sigv4.verify_presigned(
+        "GET", stripped, "127.0.0.1:4443", secret_key=SK, now=T0,
+        flavor="goog")[0]
+    # flavor isolation, both directions
+    ok, reason = sigv4.verify_presigned(
+        "GET", target, "127.0.0.1:4443", secret_key=SK, now=T0,
+        flavor="aws")
+    assert not ok and "not a V4 presigned" in reason
+    aws_qs = sigv4.presign_query(
+        "GET", "127.0.0.1:4443", "/bucket/exports/part-0.parquet", [],
+        access_key=AK, secret_key=SK, region="us-east-1",
+        expires_s=3600, amzdate=T0)
+    assert not sigv4.verify_presigned(
+        "GET", "/bucket/exports/part-0.parquet?" + aws_qs,
+        "127.0.0.1:4443", secret_key=SK, now=T0, flavor="goog")[0]
+
+
+def test_goog_signing_key_differs_from_aws_for_same_inputs():
+    """Same secret/date/region/service: the GOOG4 HMAC chain derives
+    a different key than AWS4 (prefix + terminal differ), so a leaked
+    AWS-derived key cannot forge GCS grants."""
+    a = sigv4.signing_key(SK, "20150830", "auto", "storage")
+    g = sigv4.signing_key(SK, "20150830", "auto", "storage",
+                          flavor="goog")
+    assert a != g
