@@ -261,10 +261,19 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
             end = start + len(data) - 1
             rng = (f"bytes {start}-{end}/"
                    f"{'*' if total is None else int(total)}")
-        status, _, _ = self._request(
-            "PUT", session, body=bytes(data),
-            headers={"Content-Length": str(len(data)),
-                     "Content-Range": rng}, idempotent=False)
+        try:
+            status, _, _ = self._request(
+                "PUT", session, body=bytes(data),
+                headers={"Content-Length": str(len(data)),
+                         "Content-Range": rng}, idempotent=False)
+        except (TimeoutError, ConnectionError,
+                http.client.HTTPException, OSError) as exc:
+            raise OSError(
+                f"resumable chunk {rng}: response lost — a finalize "
+                "MAY have been applied (object live, session "
+                "consumed); abort is tolerant and a task-level retry "
+                "overwrites the deterministically named object "
+                f"({exc})") from exc
         expect = (308,) if total is None else (200, 201)
         if status not in expect:
             raise OSError(f"resumable chunk {rng} -> HTTP {status}")

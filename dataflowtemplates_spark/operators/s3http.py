@@ -248,11 +248,20 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
         # landed COMPLETE would read 404 NoSuchUpload and turn success
         # into a spurious failure — one attempt, surfaced, and the
         # caller's deterministic naming makes a task-level retry safe
-        status, _, _ = self._request(
-            "POST", bucket, key, query={"uploadId": upload_id},
-            body=payload,
-            headers={"Content-Length": str(len(payload))},
-            idempotent=False)
+        try:
+            status, _, _ = self._request(
+                "POST", bucket, key, query={"uploadId": upload_id},
+                body=payload,
+                headers={"Content-Length": str(len(payload))},
+                idempotent=False)
+        except (TimeoutError, ConnectionError,
+                http.client.HTTPException, OSError) as exc:
+            raise OSError(
+                f"CompleteMultipartUpload {path}: response lost — the "
+                "complete MAY have been applied (object live, UploadId "
+                "consumed); abort is 404-tolerant and a task-level "
+                "retry overwrites the deterministically named object "
+                f"({exc})") from exc
         if status != 200:
             raise OSError(f"CompleteMultipartUpload {path}: "
                           f"HTTP {status}")

@@ -52,6 +52,10 @@ class GcsEmulator:
         self._gen_counter = 0
         self._lock = threading.Lock()
         self.drop_response_next_put = False
+        #: ambiguous-timeout fault on the resumable FINAL chunk: the
+        #: NEXT finalizing chunk is fully APPLIED (object materialized,
+        #: session consumed), then the socket closes without a response
+        self.drop_response_next_final_chunk = False
         self.reject_next_put = 0
         self.repeat_page_token = False
         self.require_bearer: str | None = None
@@ -374,6 +378,16 @@ class GcsEmulator:
                     emu._mtimes[full] = ts
                     del emu._sessions[sid]
                     emu.resumable_completed += 1
+                    drop = emu.drop_response_next_final_chunk
+                    if drop:
+                        emu.drop_response_next_final_chunk = False
+                if drop:
+                    # finalize applied (object live, session consumed)
+                    # but the response is lost — the ambiguity the
+                    # caller must survive via deterministic naming
+                    self.close_connection = True
+                    self.connection.close()
+                    return
                 self._send(200, self._meta_json(
                     sess["bucket"], sess["name"], bytes(sess["data"]),
                     gen, ts))

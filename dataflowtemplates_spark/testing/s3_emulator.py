@@ -54,6 +54,12 @@ class S3Emulator:
         self._mtimes: dict[str, float] = {}
         self._lock = threading.Lock()
         self.drop_response_next_put = False
+        #: same ambiguous-timeout fault on the multipart legs: the
+        #: NEXT UploadPart / CompleteMultipartUpload is fully APPLIED
+        #: (part staged / object materialized + UploadId consumed),
+        #: then the socket closes without a response
+        self.drop_response_next_part = False
+        self.drop_response_next_complete = False
         self.reject_next_put = 0
         self.omit_continuation_token = False
         #: (access_key, secret_key) -> every request must carry a
@@ -176,6 +182,16 @@ class S3Emulator:
                     emu._mtimes[key] = time.time()
                     del emu._uploads[(key, uid)]
                     emu.multipart_completed += 1
+                    drop = emu.drop_response_next_complete
+                    if drop:
+                        emu.drop_response_next_complete = False
+                if drop:
+                    # COMPLETE applied (object live, UploadId consumed)
+                    # but the response is lost — the ambiguity the
+                    # caller must survive via deterministic naming
+                    self.close_connection = True
+                    self.connection.close()
+                    return
                 self._send(200, (
                     "<?xml version='1.0'?>"
                     "<CompleteMultipartUploadResult>"
@@ -200,6 +216,15 @@ class S3Emulator:
                                             b"</Code></Error>")
                             return
                         parts[num] = data
+                        drop = emu.drop_response_next_part
+                        if drop:
+                            emu.drop_response_next_part = False
+                    if drop:
+                        # part staged, response lost: re-PUTting the
+                        # same partNumber is service-idempotent
+                        self.close_connection = True
+                        self.connection.close()
+                        return
                     self.send_response(200)
                     self.send_header(
                         "ETag", f'"{hashlib.md5(data).hexdigest()}"')

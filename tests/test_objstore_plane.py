@@ -411,3 +411,115 @@ def test_n_writer_mixed_op_race_with_faults(spark, s3):
     on_disk = set(backend.list_dir(path + "/data"))
     assert on_disk <= referenced
     assert {r["id"] for r in t.read().collect()} == expect
+
+
+def _entropy_df(spark, n_rows, width=8):
+    """Deterministic high-entropy rows (incompressible, so objects
+    cross streaming thresholds) carrying the plane's bucket column."""
+    wide = F.concat(*[
+        F.sha2(F.concat(F.col("id").cast("string"), F.lit(str(k))), 512)
+        for k in range(width)])
+    return (spark.range(0, n_rows)
+            .select(F.col("id"), wide.alias("s"))
+            .withColumn("kb", F.lit(0))
+            .repartition(1, F.col("kb"))
+            .sortWithinPartitions("id"))  # the caller contract:
+    #       deterministic within-partition total order
+
+
+def test_uploadpart_response_loss_is_transport_retried(s3):
+    """UploadPart is service-idempotent (re-PUT of the same
+    partNumber overwrites the staged part), so an applied-but-
+    response-lost part recovers TRANSPARENTLY via the transport's
+    one fresh-socket retry — the write completes, bytes exact, no
+    upload left staged."""
+    import os as _os
+
+    emu, b = s3
+    emu.min_part_bytes = 64 * 1024
+    b.MIN_PART_BYTES = 64 * 1024  # instance override: cheap parts
+    data = _os.urandom(200 * 1024)
+    emu.drop_response_next_part = True
+    with b.open_write("s3pl://bkt/amb/part-00000-0000.bin",
+                      part_bytes=64 * 1024) as sink:
+        sink.write(data)
+    assert b.read_bytes("s3pl://bkt/amb/part-00000-0000.bin") == data
+    assert not emu._uploads
+    assert not emu.drop_response_next_part  # the fault did fire
+
+
+def test_complete_response_loss_s3_task_retry_overwrites(spark, s3):
+    """CompleteMultipartUpload applied but the response lost: the
+    backend surfaces the ambiguity (never guesses), the plane task
+    aborts its staged uploads on the way out, and a task RETRY —
+    rerunning the same write — overwrites the deterministically
+    named object: final state exact, no duplicate rows, no orphaned
+    UploadId (the documented recovery at objstore_plane.py:33-40)."""
+    from dataflowtemplates_spark.operators import objstore_plane as op
+    from pyspark.sql import types as T
+
+    emu, b = s3
+    emu.min_part_bytes = 64 * 1024
+    b.MIN_PART_BYTES = 64 * 1024
+    df = _entropy_df(spark, 2000)
+    emu.drop_response_next_complete = True
+    with pytest.raises(Exception, match="CompleteMultipartUpload"):
+        op.write_partitioned(df, "s3pl://bkt/ambc", "kb", b,
+                             flush_rows=1_000_000,
+                             part_bytes=64 * 1024)
+    # the ambiguity resolved server-side: object live OR absent, but
+    # the UploadId is consumed/aborted either way — nothing staged
+    assert not emu._uploads
+    # the task retry: same input, same deterministic names
+    op.write_partitioned(df, "s3pl://bkt/ambc", "kb", b,
+                         flush_rows=1_000_000, part_bytes=64 * 1024)
+    assert not emu._uploads
+    files = b.list_files("s3pl://bkt/ambc")
+    assert len(files) == 1  # overwritten, not duplicated
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("s", T.StringType())])
+    back = op.read_parquet(spark, ["s3pl://bkt/ambc/kb=0"], schema, b)
+    assert back.count() == 2000
+    assert back.agg(F.sum("id")).first()[0] == sum(range(2000))
+
+
+def test_final_chunk_response_loss_gcs_task_retry_overwrites(spark):
+    """The GCS twin: the resumable FINAL chunk applied (object
+    materialized, session consumed) but the response lost — the
+    backend raises, the plane aborts the session (404-tolerant), and
+    the task retry overwrites the same object name. Exact final
+    state, no session debris."""
+    from dataflowtemplates_spark.operators import objstore_plane as op
+    from pyspark.sql import types as T
+
+    emu = GcsEmulator().start()
+    emu.require_bearer = "tok-amb"
+    b = GcsHttpBackend(emu.endpoint, timeout_s=5.0,
+                       bearer_token="tok-amb")
+    fsio.register_object_backend("gsamb", b)
+    try:
+        df = _entropy_df(spark, 2000)  # ~1 MB: crosses the 256 KiB
+        #                                chunk quantum -> resumable path
+        emu.drop_response_next_final_chunk = True
+        with pytest.raises(Exception, match="resumable chunk"):
+            op.write_partitioned(df, "gsamb://bkt/ambg", "kb", b,
+                                 flush_rows=1_000_000,
+                                 part_bytes=256 * 1024)
+        assert not emu._sessions  # consumed by the applied finalize
+        #                           and/or aborted by the error path
+        assert emu.resumable_completed == 1  # the fault DID apply
+        op.write_partitioned(df, "gsamb://bkt/ambg", "kb", b,
+                             flush_rows=1_000_000,
+                             part_bytes=256 * 1024)
+        assert not emu._sessions
+        files = b.list_files("gsamb://bkt/ambg")
+        assert len(files) == 1
+        schema = T.StructType([T.StructField("id", T.LongType()),
+                               T.StructField("s", T.StringType())])
+        back = op.read_parquet(spark, ["gsamb://bkt/ambg/kb=0"],
+                               schema, b)
+        assert back.count() == 2000
+        assert back.agg(F.sum("id")).first()[0] == sum(range(2000))
+    finally:
+        fsio.unregister_object_backend("gsamb")
+        emu.stop()
