@@ -48,6 +48,11 @@ plane, not a driver shim:
 
 Scale notes: both directions are map-only (no shuffle, no
 driver-side data movement; the driver handles O(files) strings).
+Snapshot listing issues one paginated LIST per commit dir — from the
+driver for small snapshots, from EXECUTOR tasks (one per commit dir,
+``_DIST_LIST_MIN_DIRS`` threshold) when a long-lived table's snapshot
+spans many commit dirs, so the round trips parallelize instead of
+serializing on the driver.
 Column pruning pushes into this plane through the EXPLICIT
 ``columns=`` projection (``KeyedTable.read(columns=...)`` plumbs it):
 the task then fetches only the parquet footer plus the projected
@@ -186,29 +191,80 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
         .collect()
 
 
-def _list_leaf_files(leaf_dirs: list[str], backend) -> list[str]:
-    """Driver-side file listing for the snapshot's leaf dirs. Leaves
-    group under their commit directory (``.../data/vNNNNN-x/kb=B``),
-    so issue ONE paginated listing per distinct commit dir and filter
-    to the wanted buckets — O(commit dirs) round trips, not
-    O(buckets) HEAD+LIST pairs."""
+#: snapshots spanning at least this many distinct commit dirs list
+#: them from EXECUTORS (one task per commit dir) instead of
+#: serializing the paginated LIST round trips on the driver; below
+#: it, a Spark job costs more than the listing saves
+_DIST_LIST_MIN_DIRS = 8
+
+
+def _group_leaf_dirs(leaf_dirs: list[str]) -> dict[str, set[str]]:
+    """Leaves group under their commit directory
+    (``.../data/vNNNNN-x/kb=B``) -> {commit_dir: {leaf names}}."""
     from collections import defaultdict
 
     by_parent: dict[str, set[str]] = defaultdict(set)
     for d in leaf_dirs:
         parent, _, leaf = d.rstrip("/").rpartition("/")
         by_parent[parent].add(leaf)
-    files: list[str] = []
-    for parent, leaves in by_parent.items():
-        scheme = parent.split("://", 1)[0]
-        bucket, key = backend._split(parent)
-        p = key.rstrip("/") + "/"
-        for kind, item, _ in backend._list(bucket, p, None):
-            if kind != "key" or not item.endswith(".parquet"):
-                continue
-            if item[len(p):].split("/", 1)[0] in leaves:
-                files.append(f"{scheme}://{bucket}/{item}")
-    return files
+    return by_parent
+
+
+def _list_commit_dir(backend, parent: str, leaves) -> list[str]:
+    """ONE paginated listing of a commit dir, filtered to the wanted
+    bucket leaves — O(1) round trips per commit dir, not O(buckets)
+    HEAD+LIST pairs."""
+    scheme = parent.split("://", 1)[0]
+    bucket, key = backend._split(parent)
+    p = key.rstrip("/") + "/"
+    return [f"{scheme}://{bucket}/{item}"
+            for kind, item, _ in backend._list(bucket, p, None)
+            if kind == "key" and item.endswith(".parquet")
+            and item[len(p):].split("/", 1)[0] in leaves]
+
+
+def _list_leaf_files(leaf_dirs: list[str], backend,
+                     spark: SparkSession | None = None) -> list[str]:
+    """File listing for the snapshot's leaf dirs. Small snapshots
+    list from the driver (no job-scheduling latency); a snapshot
+    spanning many commit dirs — a long-lived 100 TB table between
+    rebuckets — distributes the per-commit-dir LISTs to executors so
+    the round trips parallelize instead of serializing on the driver
+    (same ``mapInArrow`` trick as the data path; the driver still
+    only ever holds O(files) strings)."""
+    by_parent = _group_leaf_dirs(leaf_dirs)
+    if (spark is not None and getattr(backend, "distributed", False)
+            and len(by_parent) >= _DIST_LIST_MIN_DIRS):
+        return _list_leaf_files_distributed(spark, by_parent, backend)
+    return [f for parent, leaves in by_parent.items()
+            for f in _list_commit_dir(backend, parent, leaves)]
+
+
+def _list_leaf_files_distributed(spark: SparkSession,
+                                 by_parent: dict[str, set[str]],
+                                 backend) -> list[str]:
+    """One executor task per commit dir issues that dir's paginated
+    LIST through the pickled backend; the collected result is the
+    same O(files) string manifest the driver path produces."""
+    def task(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            out: list[str] = []
+            for parent, leaves in zip(
+                    batch.column("parent").to_pylist(),
+                    batch.column("leaves").to_pylist()):
+                out.extend(_list_commit_dir(backend, parent,
+                                            set(leaves)))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out, pa.string())], names=["file"])
+
+    items = sorted((p, sorted(ls)) for p, ls in by_parent.items())
+    frame = spark.createDataFrame(
+        items, "parent string, leaves array<string>")
+    rows = (frame.repartition(len(items))
+            .mapInArrow(task, "file string").collect())
+    return [r["file"] for r in rows]
 
 
 def read_parquet(spark: SparkSession, leaf_dirs: list[str],
@@ -234,7 +290,7 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                              f"have {sorted(known)}")
         schema = T.StructType([schema[c] for c in columns])
     if hasattr(backend, "_list") and hasattr(backend, "_split"):
-        files = _list_leaf_files(leaf_dirs, backend)
+        files = _list_leaf_files(leaf_dirs, backend, spark)
     else:  # minimal-contract backend: per-leaf recursive listing
         files = [f for d in leaf_dirs
                  for f in backend.list_files(d, suffix=".parquet")]

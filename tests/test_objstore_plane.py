@@ -523,3 +523,38 @@ def test_final_chunk_response_loss_gcs_task_retry_overwrites(spark):
     finally:
         fsio.unregister_object_backend("gsamb")
         emu.stop()
+
+
+def test_distributed_snapshot_listing_parity(spark, s3, monkeypatch):
+    """A snapshot spanning many commit dirs lists from executor tasks
+    (one per commit dir) instead of serializing the LIST round trips
+    on the driver; the distributed manifest must equal the
+    driver-path manifest exactly, and the read over it must be
+    exact. Threshold forced to 1 so BOTH paths run on the same
+    snapshot; the default read (threshold 8, 10 commit dirs here)
+    takes the distributed path organically too."""
+    from dataflowtemplates_spark.operators import objstore_plane as op
+
+    _, backend = s3
+    t = KeyedTable(spark, "s3pl://bkt/many", ["id"], n_buckets=3)
+    # 10 commits -> 10 live commit dirs (no compaction in between)
+    for c in range(10):
+        t.apply_mutations(spark.createDataFrame(
+            [Row(id=c * 100 + i, v=float(c)) for i in range(30)]),
+            "INSERT")
+    # leaf dirs straight from the owner fold: the read path's input
+    leaf_dirs = sorted({f.rsplit("/", 1)[0].replace("s3pl://", "")
+                        for f in backend.list_files(
+                            "s3pl://bkt/many/data")})
+    leaf_dirs = [f"s3pl://{d}" for d in leaf_dirs]
+    assert len({d.rsplit("/", 2)[1] for d in leaf_dirs}) == 10
+    driver_files = sorted(op._list_leaf_files(leaf_dirs, backend))
+    monkeypatch.setattr(op, "_DIST_LIST_MIN_DIRS", 1)
+    dist_files = sorted(op._list_leaf_files(leaf_dirs, backend,
+                                            spark))
+    assert dist_files == driver_files and len(dist_files) >= 10
+    # and the full read (which now routes through the distributed
+    # listing) stays exact
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert len(got) == 300
+    assert got[0] == 0.0 and got[905] == 9.0
