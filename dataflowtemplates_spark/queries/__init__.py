@@ -66,13 +66,12 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
-    # -- changed this cycle (r14): must be inside any scored prefix ----
-    # q189 is NEW (KeyedTable lifecycle over live signed HTTP object
-    # storage); the CDC family's row-image canonicalization gained the
-    # map-in-key-type recursion (q183/q184/q185); and every KeyedTable
-    # query's read/write path gained the distributed object-store data
-    # plane branch (_snapshot/_commit_buckets), so the storage-engine
-    # family re-scores this round
+    # -- changed this cycle (r15): must be inside any scored prefix ----
+    # the KeyedTable commit path gained the deterministic part-slicing
+    # total order, the read path gained ranged-GET column projection
+    # and executor-distributed snapshot listing, and q189's signing
+    # module grew the GOOG4 flavor — the storage-engine family
+    # re-scores again this round
     "q189_objectstore_lifecycle",
     "q183_cdc_apply_audit",
     "q184_stream_cdc_apply",
@@ -91,8 +90,42 @@ REGISTRY_ORDER = (
     "q180_commit_protocol_audit",
     "q181_orphan_reclaim_audit",
     "q182_txn_replay_audit",
-    # -- newest driver score r8 (oldest evidence): the simhash/dedup/
-    #    ANN block, fronted per the rotation rule ------------------
+    # -- stalest driver evidence (r11/r12-scored middle), fronted per
+    #    the rotation rule: the ANN/pipeline block ... ------------
+    "q65_ann_ivf",
+    "q66_embedding_neardup_lsh",
+    "q67_kmeans",
+    "q68_bpe_pairs",
+    "q69_ngram_containment",
+    "q70_generator_rows",
+    "q71_generator_profile",
+    "q72_embedding_quantize",
+    "q73_decontaminate_bloom",
+    "q74_incremental_dedup",
+    "q75_stratified_split",
+    "q76_charlm_coverage",
+    "q77_embedding_dup_groups",
+    #    ... and the multimodal/streaming block ------------------
+    "q80_media_metadata",
+    "q81_frame_sample",
+    "q82_media_features",
+    "q83_media_resize",
+    "q84_chunk_overlap",
+    "q85_bm25_topk",
+    "q86_source_mixture",
+    "q87_corpus_pipeline",
+    "q88_ann_pq_adc",
+    "q89_sketch_rollup",
+    "q90_stream_tumbling",
+    "q91_stream_sessionize",
+    "q92_stream_dedup",
+    "q93_stream_user_stats",
+    "q94_stream_enrich",
+    "q95_stream_neardup_candidates",
+    "q96_stream_stream_join",
+    "q97_scd2_intervals",
+    "q98_stream_corpus_scrub",
+    # -- remainder: prior committed order, fronted names removed ----
     "q54_simhash",
     "q55_dedup_pipeline",
     "q56_dup_groups",
@@ -104,7 +137,6 @@ REGISTRY_ORDER = (
     "q62_ann_lsh_bucketed",
     "q63_embedding_neardup",
     "q64_label_centroids",
-    # -- newest driver score r10, unchanged since ------------------
     "q142_cdc_chunking",
     "q143_fuzzy_match",
     "q144_stream_heavy_hitters",
@@ -126,16 +158,9 @@ REGISTRY_ORDER = (
     "q163_session_paths",
     "q164_stream_fingerprint",
     "q165_composition_audit",
-    # -- remainder: prior committed order, fronted names removed ----
     "q187_ivf_append_audit",
     "q188_dedup_keep_best",
     "q141_semdedup",
-    "q66_embedding_neardup_lsh",
-    "q87_corpus_pipeline",
-    "q88_ann_pq_adc",
-    "q95_stream_neardup_candidates",
-    "q97_scd2_intervals",
-    "q98_stream_corpus_scrub",
     "q100_blocking_supplier",
     "q101_small_quantity_revenue",
     "q102_bpe_tokenize",
@@ -154,8 +179,6 @@ REGISTRY_ORDER = (
     "q118_cms_heavy_hitters",
     "q119_bpe_lang_compression",
     "q121_stream_approx_distinct",
-    "q89_sketch_rollup",
-    "q96_stream_stream_join",
     "q105_min_cost_supplier",
     "q106_dominant_supplier",
     "q39_approx_sketches",
@@ -198,13 +221,7 @@ REGISTRY_ORDER = (
     "q36_range_join",
     "q37_salted_distinct",
     "q38_percentiles",
-    "q65_ann_ivf",
-    "q73_decontaminate_bloom",
-    "q74_incremental_dedup",
     "q79_pii_redact",
-    "q84_chunk_overlap",
-    "q85_bm25_topk",
-    "q86_source_mixture",
     "q140_training_shards",
     "q124_big_order_customers",
     "q125_nation_trade_volume",
@@ -222,30 +239,12 @@ REGISTRY_ORDER = (
     "q138_stream_classify",
     "q116_parts_supplier_relation",
     "q120_histogram_quantiles",
-    "q80_media_metadata",
-    "q81_frame_sample",
     "q172_pagerank",
     "q173_cooccurrence_lift",
     "q178_epoch_shuffle",
     "q168_kanon_export",
     "q169_matryoshka_recall",
     "q170_robust_outliers",
-    "q67_kmeans",
-    "q68_bpe_pairs",
-    "q69_ngram_containment",
-    "q70_generator_rows",
-    "q71_generator_profile",
-    "q72_embedding_quantize",
-    "q75_stratified_split",
-    "q76_charlm_coverage",
-    "q77_embedding_dup_groups",
-    "q82_media_features",
-    "q83_media_resize",
-    "q90_stream_tumbling",
-    "q91_stream_sessionize",
-    "q92_stream_dedup",
-    "q93_stream_user_stats",
-    "q94_stream_enrich",
     "q01_pricing_summary",
     "q03_top_unshipped",
     "q05_regional_revenue",
