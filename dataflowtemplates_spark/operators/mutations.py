@@ -427,17 +427,27 @@ class KeyedTable:
                     self._latest_version()).items())
                 if d is not None]
 
-    def read(self, columns: list[str] | None = None) -> DataFrame:
+    def read(self, columns: list[str] | None = None,
+             predicate: list[tuple] | None = None) -> DataFrame:
         """Current snapshot; ``columns`` projects the scan down to the
         named columns (result order = request order). On the native
         parquet path Catalyst prunes the same projection into the scan
         from any downstream ``select``; passing it here matters on the
         object-store data plane, where the explicit list lets tasks
         fetch only the projected chunks' byte ranges
-        (objstore_plane.read_parquet)."""
+        (objstore_plane.read_parquet).
+
+        ``predicate`` ([(column, op, value)] conjunction, op in
+        ``rangedparquet.PREDICATE_OPS``) filters rows exactly. On the
+        native path it becomes a Catalyst filter (pushed into the
+        scan, parquet row-group statistics applied by Spark); on the
+        data plane it prunes row groups via footer statistics before
+        their chunk bytes are fetched, with the exact residual filter
+        applied executor-side — same result either way."""
         if not self.exists():
             raise FileNotFoundError(f"table not initialized: {self.path}")
-        return self._snapshot(self._latest_version(), columns=columns)
+        return self._snapshot(self._latest_version(), columns=columns,
+                              predicate=predicate)
 
     def _read_buckets(self, buckets: list[int]) -> DataFrame:
         """Current state of the given buckets only — the path-pruned
@@ -478,13 +488,15 @@ class KeyedTable:
 
     def _snapshot(self, version: int,
                   only_buckets: list[int] | None = None,
-                  columns: list[str] | None = None) -> DataFrame:
+                  columns: list[str] | None = None,
+                  predicate: list[tuple] | None = None) -> DataFrame:
         """The table state at ``version``, optionally restricted to a
-        bucket subset and/or projected to ``columns``. Resolution is
-        commit-log metadata only (the `_owners` fold); the scan's path
-        list contains EXACTLY the requested buckets' current leaf
-        directories — pruning happens before the file index is even
-        built, and no data is scanned to resolve a snapshot."""
+        bucket subset, projected to ``columns``, and/or filtered by a
+        conjunctive ``predicate``. Resolution is commit-log metadata
+        only (the `_owners` fold); the scan's path list contains
+        EXACTLY the requested buckets' current leaf directories —
+        pruning happens before the file index is even built, and no
+        data is scanned to resolve a snapshot."""
         owners = self._owners(version)
         only = (None if only_buckets is None
                 else {int(b) for b in only_buckets})
@@ -492,12 +504,24 @@ class KeyedTable:
                  for b, d in sorted(owners.items())
                  if d is not None and (only is None or b in only)]
         schema = self._schema()
+        known = {f.name for f in schema.fields}
         if columns is not None:
-            known = {f.name for f in schema.fields}
             bad = [c for c in columns if c not in known]
             if bad:
                 raise ValueError(f"unknown columns {bad}; "
                                  f"have {sorted(known)}")
+        if predicate is not None:
+            from dataflowtemplates_spark.operators.rangedparquet import (
+                PREDICATE_OPS,
+            )
+            for name, op, _ in predicate:
+                if name not in known:
+                    raise ValueError(
+                        f"unknown predicate column {name!r}")
+                if op not in PREDICATE_OPS:
+                    raise ValueError(
+                        f"unsupported predicate op {op!r}; "
+                        f"have {PREDICATE_OPS}")
         if not leafs:
             out_schema = (schema if columns is None
                           else T.StructType([schema[c] for c in columns]))
@@ -507,26 +531,37 @@ class KeyedTable:
             # object-store scheme without a native Hadoop connector:
             # executor-side parquet fetch through the backend (file
             # list = the pruned buckets' leaves, computed above); an
-            # explicit projection prunes to ranged column-chunk GETs
+            # explicit projection prunes to ranged column-chunk GETs,
+            # and a predicate skips statistics-refuted row groups
             from dataflowtemplates_spark.operators.objstore_plane import (
                 read_parquet)
             return read_parquet(self.spark, leafs, schema, plane,
-                                columns=columns)
+                                columns=columns, predicate=predicate)
         out = self.spark.read.schema(schema).parquet(*leafs)
+        if predicate is not None:
+            import operator as _op
+            fns = {"==": _op.eq, "<=": _op.le, ">=": _op.ge,
+                   "<": _op.lt, ">": _op.gt}
+            for name, op, val in predicate:
+                # Catalyst pushes these into the parquet scan, where
+                # Spark's own reader applies row-group statistics
+                out = out.filter(fns[op](F.col(name), F.lit(val)))
         if columns is not None:
             out = out.select(*columns)  # Catalyst prunes into the scan
         return out
 
     def read_at(self, timestamp_bound: str,
-                columns: list[str] | None = None) -> DataFrame:
+                columns: list[str] | None = None,
+                predicate: list[tuple] | None = None) -> DataFrame:
         """Snapshot read at an exact-staleness timestamp bound — the
         reference's TimestampBound.ofReadTimestamp semantics
         (SpannerQueryIO.java:129-136): the state produced by the last
         commit at or before the bound, regardless of later mutations.
-        ``columns`` projects the scan (see :meth:`read`).
+        ``columns`` projects and ``predicate`` filters the scan (see
+        :meth:`read`).
         """
         return self._snapshot(self._resolve_version(timestamp_bound),
-                              columns=columns)
+                              columns=columns, predicate=predicate)
 
     def changes_between(self, bound_from: str, bound_to: str) -> DataFrame:
         """Change-data-feed between two timestamp bounds: every row

@@ -216,7 +216,9 @@ def _list_commit_dir(backend, parent: str, leaves) -> list[str]:
     HEAD+LIST pairs."""
     scheme = parent.split("://", 1)[0]
     bucket, key = backend._split(parent)
-    p = key.rstrip("/") + "/"
+    # bucket-root parent (leaf dirs one level under the bucket) lists
+    # with an empty prefix, not "/"
+    p = key.rstrip("/") + "/" if key else ""
     return [f"{scheme}://{bucket}/{item}"
             for kind, item, _ in backend._list(bucket, p, None)
             if kind == "key" and item.endswith(".parquet")
@@ -269,7 +271,8 @@ def _list_leaf_files_distributed(spark: SparkSession,
 
 def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                  schema: T.StructType, backend,
-                 columns: list[str] | None = None) -> DataFrame:
+                 columns: list[str] | None = None,
+                 predicate: list[tuple] | None = None) -> DataFrame:
     """Distributed read of the given leaf directories' parquet objects
     through ``backend``, conformed to ``schema`` (missing columns
     null-fill — the engine's schema-evolution rule).
@@ -281,38 +284,72 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
     chunk byte ranges (operators/rangedparquet.py) instead of whole
     objects — the native connector's column-pruning economics, over
     plain ``Range:`` GETs. Backends without ranged reads still fetch
-    whole objects and project after decode (correct, full-bytes)."""
+    whole objects and project after decode (correct, full-bytes).
+
+    ``predicate`` ([(column, op, value)] conjunction, op in
+    ``rangedparquet.PREDICATE_OPS``) filters rows EXACTLY (SQL
+    three-valued semantics: a null comparison never matches) and, on
+    the ranged path, additionally skips row groups whose footer
+    statistics refute it — those groups' chunk bytes are never
+    fetched, the native reader's row-group predicate pruning. A
+    predicate column absent from an evolved file null-fills, so no
+    row of that file matches."""
+    known = {f.name for f in schema.fields}
+    if predicate is not None:
+        from dataflowtemplates_spark.operators.rangedparquet import (
+            PREDICATE_OPS,
+        )
+        for name, op, _ in predicate:
+            if name not in known:
+                raise ValueError(f"unknown predicate column {name!r}")
+            if op not in PREDICATE_OPS:
+                raise ValueError(f"unsupported predicate op {op!r}; "
+                                 f"have {PREDICATE_OPS}")
+    out_names = list(columns) if columns is not None else None
     if columns is not None:
-        known = {f.name for f in schema.fields}
         bad = [c for c in columns if c not in known]
         if bad:
             raise ValueError(f"unknown columns {bad}; "
                              f"have {sorted(known)}")
+        if predicate is not None:
+            # the residual filter evaluates executor-side on the
+            # fetched table: predicate columns ride the fetch and are
+            # dropped again after filtering
+            columns = columns + [
+                n for n in dict.fromkeys(n for n, _, _ in predicate)
+                if n not in columns]
         schema = T.StructType([schema[c] for c in columns])
     if hasattr(backend, "_list") and hasattr(backend, "_split"):
         files = _list_leaf_files(leaf_dirs, backend, spark)
     else:  # minimal-contract backend: per-leaf recursive listing
         files = [f for d in leaf_dirs
                  for f in backend.list_files(d, suffix=".parquet")]
+    final_schema = (T.StructType([schema[c] for c in out_names])
+                    if out_names is not None else schema)
     if not files:
-        return spark.createDataFrame([], schema)
+        return spark.createDataFrame([], final_schema)
     arrow_schema = _arrow_schema(schema)
     ranged = (columns is not None and hasattr(backend, "read_tail")
               and hasattr(backend, "read_range"))
     names = list(schema.names)
+    final_names = list(final_schema.names)
 
     def task(batches):
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
         if ranged:
             from dataflowtemplates_spark.operators import rangedparquet
 
+        cmp_fn = {"==": pc.equal, "<=": pc.less_equal,
+                  ">=": pc.greater_equal, "<": pc.less,
+                  ">": pc.greater}
         for batch in batches:
             for path in batch.column("path").to_pylist():
                 if ranged:
-                    tbl = rangedparquet.fetch_table(backend, path,
-                                                    names)
+                    tbl = rangedparquet.fetch_table(
+                        backend, path, names, predicate=predicate)
                 else:
                     raw = backend.read_bytes(path)
                     tbl = pq.read_table(pa.BufferReader(raw))
@@ -325,10 +362,24 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                         cols.append(pa.nulls(tbl.num_rows, field.type))
                 out = pa.table(dict(zip(arrow_schema.names, cols)),
                                schema=arrow_schema)
+                if predicate:
+                    # the EXACT residual filter: statistics pruned
+                    # groups, not rows (and the non-ranged path never
+                    # pruned at all) — three-valued null semantics
+                    mask = None
+                    for pname, op, val in predicate:
+                        c = cmp_fn[op](out.column(pname),
+                                       pa.scalar(val))
+                        mask = (c if mask is None
+                                else pc.and_kleene(mask, c))
+                    out = out.filter(
+                        pc.fill_null(mask, False))
+                if final_names != list(out.column_names):
+                    out = out.select(final_names)
                 yield from out.to_batches()
 
     paths = spark.createDataFrame([(f,) for f in sorted(files)],
                                   "path string")
     # one file per task: the parallel unit is the object, matching the
     # native source's file-split granularity at these object sizes
-    return paths.repartition(len(files)).mapInArrow(task, schema)
+    return paths.repartition(len(files)).mapInArrow(task, final_schema)

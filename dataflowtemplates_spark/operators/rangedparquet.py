@@ -149,12 +149,16 @@ def _footer(backend, path: str, tail_bytes: int):
     return tail, size, pq.read_metadata(pa.BufferReader(tail))
 
 
-def _chunk_ranges(meta, columns: set[str]) -> list[tuple[int, int]]:
+def _chunk_ranges(meta, columns: set[str],
+                  row_groups: list[int] | None = None
+                  ) -> list[tuple[int, int]]:
     """[start, end) byte ranges of every column chunk whose TOP-LEVEL
     schema path is in ``columns`` (nested projections fetch the whole
-    top-level column, matching pq.read_table's column selection)."""
+    top-level column, matching pq.read_table's column selection),
+    restricted to ``row_groups`` when given (predicate skipping)."""
     ranges: list[tuple[int, int]] = []
-    for rg in range(meta.num_row_groups):
+    for rg in (range(meta.num_row_groups) if row_groups is None
+               else row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
             col = g.column(ci)
@@ -165,6 +169,50 @@ def _chunk_ranges(meta, columns: set[str]) -> list[tuple[int, int]]:
                 start = min(start, col.dictionary_page_offset)
             ranges.append((start, start + col.total_compressed_size))
     return sorted(ranges)
+
+
+#: the conjunctive predicate ops row-group statistics can refute
+PREDICATE_OPS = ("==", "<=", ">=", "<", ">")
+
+
+def _rg_may_match(meta, rg: int, predicate) -> bool:
+    """False only when the row group's column statistics PROVE no row
+    can satisfy the conjunctive predicate — the standard min/max
+    refutation every native parquet reader applies. Missing stats, a
+    missing column, or a nested path keep the group (never guess)."""
+    g = meta.row_group(rg)
+    stats = {}
+    for ci in range(g.num_columns):
+        col = g.column(ci)
+        if "." not in col.path_in_schema:  # flat columns only:
+            #   nested min/max ordering is not the row's ordering
+            stats[col.path_in_schema] = col.statistics
+    for name, op, val in predicate:
+        st = stats.get(name)
+        if st is None or not st.has_min_max:
+            continue
+        mn, mx = st.min, st.max
+        if ((op == "==" and (val < mn or val > mx))
+                or (op == "<=" and mn > val)
+                or (op == "<" and mn >= val)
+                or (op == ">=" and mx < val)
+                or (op == ">" and mx <= val)):
+            return False
+    return True
+
+
+def select_row_groups(meta, predicate) -> list[int]:
+    """Row groups the statistics cannot refute for the conjunctive
+    ``predicate`` ([(column, op, value)], op in PREDICATE_OPS). The
+    selection is a SUPERSET guarantee: every matching row lives in a
+    selected group; selected groups may still hold non-matching rows
+    (the caller applies the exact residual filter)."""
+    for name, op, _ in predicate:
+        if op not in PREDICATE_OPS:
+            raise ValueError(f"unsupported predicate op {op!r} on "
+                             f"{name!r}; have {PREDICATE_OPS}")
+    return [rg for rg in range(meta.num_row_groups)
+            if _rg_may_match(meta, rg, predicate)]
 
 
 def _coalesce(ranges: list[tuple[int, int]],
@@ -181,11 +229,18 @@ def _coalesce(ranges: list[tuple[int, int]],
 def fetch_table(backend, path: str, columns: list[str],
                 tail_bytes: int = DEFAULT_TAIL_BYTES,
                 coalesce_gap: int = DEFAULT_COALESCE_GAP,
-                whole_fraction: float = DEFAULT_WHOLE_FRACTION):
+                whole_fraction: float = DEFAULT_WHOLE_FRACTION,
+                predicate=None):
     """Read ``columns`` of the parquet object at ``path`` through
     ranged GETs; returns a pyarrow Table holding exactly the projected
     columns that EXIST in the file (a file written before a schema
     evolution simply lacks the new column — the caller null-fills).
+
+    ``predicate`` ([(column, op, value)] conjunction, op in
+    :data:`PREDICATE_OPS`) additionally SKIPS row groups whose
+    statistics refute it — their chunk bytes are never fetched. The
+    result is a superset of the matching rows (statistics prune
+    groups, not rows); the caller applies the exact residual filter.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -197,19 +252,37 @@ def fetch_table(backend, path: str, columns: list[str],
     # column: project what exists (possibly nothing — a 0-column
     # n-row table still carries the row count the null-fill needs)
     present = [c for c in columns if c in in_file]
+    rgs = (None if predicate is None
+           else select_row_groups(meta, predicate))
     if len(tail) >= size:
-        return pq.read_table(pa.BufferReader(tail), columns=present)
-    runs = _coalesce(_chunk_ranges(meta, set(present)), coalesce_gap)
+        pf = pq.ParquetFile(pa.BufferReader(tail))
+        if rgs is None:
+            return pf.read(columns=present, use_threads=False)
+        return pf.read_row_groups(rgs, columns=present,
+                                  use_threads=False)
+    runs = _coalesce(_chunk_ranges(meta, set(present), rgs),
+                     coalesce_gap)
     wanted_bytes = sum(e - s for s, e in runs)
     if wanted_bytes >= whole_fraction * size:
         # wide projection: one head range + the already-fetched tail
         # reassemble the whole object — total bytes over the wire ==
         # object size, strictly fewer round trips than per-chunk GETs
         head = backend.read_range(path, 0, size - len(tail))
-        return pq.read_table(pa.BufferReader(head + tail),
-                             columns=present)
+        pf = pq.ParquetFile(pa.BufferReader(head + tail))
+        if rgs is None:
+            return pf.read(columns=present, use_threads=False)
+        return pf.read_row_groups(rgs, columns=present,
+                                  use_threads=False)
+    if rgs is not None and not rgs:
+        # every group refuted: zero data bytes fetched; an empty
+        # table with the projected schema (row count 0)
+        empty = meta.schema.to_arrow_schema()
+        return pa.table(
+            {c: pa.array([], empty.field(c).type) for c in present})
     segments = [(size - len(tail), tail)]
     for s, e in runs:
         segments.append((s, backend.read_range(path, s, e - s)))
     pf = pq.ParquetFile(_SparseFile(size, segments))
-    return pf.read(columns=present, use_threads=False)
+    if rgs is None:
+        return pf.read(columns=present, use_threads=False)
+    return pf.read_row_groups(rgs, columns=present, use_threads=False)

@@ -225,3 +225,143 @@ def test_plane_projection_over_gcs(spark, gcs):
     s = t.read(columns=["v"]).agg(F.sum("v")).first()[0]
     assert s == sum(i % 13 for i in range(2000))
     assert emu.object_get_bytes * 3 <= full_bytes
+
+
+def test_predicate_row_group_skipping_byte_economics(s3):
+    """Row-group predicate skipping: footer min/max statistics refute
+    whole groups, whose chunk bytes are then never fetched. With ids
+    sorted across 4 row groups of 1000, `id >= 3000` must fetch ~1/4
+    of the projection's data bytes and return exactly the last
+    group's rows (statistics happen to be exact here because the
+    groups partition the sort order)."""
+    emu, backend = s3
+    raw, cols = _wide_parquet_bytes()  # id = 0..3999 sorted, rg=1000
+    path = "s3rr://b/p/wide.parquet"
+    backend.write_bytes(path, raw)
+
+    emu.object_get_bytes = 0
+    all_proj = rangedparquet.fetch_table(backend, path,
+                                         ["id", "fat00"])
+    proj_bytes = emu.object_get_bytes
+    assert all_proj.num_rows == 4000
+
+    emu.object_get_bytes = 0
+    tbl = rangedparquet.fetch_table(backend, path, ["id", "fat00"],
+                                    predicate=[("id", ">=", 3000)])
+    pred_bytes = emu.object_get_bytes
+    assert tbl.column("id").to_pylist() == list(range(3000, 4000))
+    # 1 of 4 groups fetched: well under half the projection's bytes
+    assert pred_bytes * 2 < proj_bytes, (pred_bytes, proj_bytes)
+
+    # conjunction narrows to one group via two bounds
+    mid = rangedparquet.fetch_table(
+        backend, path, ["id"],
+        predicate=[("id", ">=", 1200), ("id", "<", 1800)])
+    assert mid.column("id").to_pylist() == list(range(1000, 2000))
+    # superset contract: the group's non-matching rows remain — the
+    # caller (read_parquet) applies the exact residual filter
+
+    # equality probe: one group
+    one = rangedparquet.fetch_table(backend, path, ["small"],
+                                    predicate=[("id", "==", 2500)])
+    assert one.num_rows == 1000
+
+    # fully refuted: zero data bytes, empty table with the projection
+    emu.object_get_bytes = 0
+    none = rangedparquet.fetch_table(backend, path, ["id", "fat00"],
+                                     predicate=[("id", ">", 10**6)])
+    assert none.num_rows == 0
+    assert none.column_names == ["id", "fat00"]
+    assert emu.object_get_bytes * 10 <= len(raw)  # footer only
+
+    # a predicate column with NO statistics value in this op set, or
+    # absent from the file entirely, never prunes (superset safety)
+    missing = rangedparquet.fetch_table(backend, path, ["id"],
+                                        predicate=[("later", "==", 1)])
+    assert missing.num_rows == 4000
+
+    with pytest.raises(ValueError, match="unsupported predicate op"):
+        rangedparquet.fetch_table(backend, path, ["id"],
+                                  predicate=[("id", "!=", 1)])
+
+
+def test_plane_predicate_exact_filter_and_pruning(spark, s3):
+    """read_parquet(predicate=...): rows filter EXACTLY (residual
+    filter on top of the statistics pruning), predicate-only columns
+    ride the fetch but are dropped from the result, bytes drop vs the
+    same projection unpredicated, and a predicate over an evolved
+    column null-fills (no rows match from old files)."""
+    from dataflowtemplates_spark.operators import objstore_plane as op
+
+    emu, backend = s3
+    raw, cols = _wide_parquet_bytes()
+    backend.write_bytes("s3rr://b/t/data.parquet", raw)
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()),
+         T.StructField("small", T.LongType()),
+         T.StructField("later", T.LongType())]
+        + [T.StructField(f"fat{c:02d}", T.StringType())
+           for c in range(18)])
+
+    emu.object_get_bytes = 0
+    got = op.read_parquet(spark, ["s3rr://b/t"], schema, backend,
+                          columns=["small", "fat00"],
+                          predicate=[("id", ">=", 3000),
+                                     ("small", "==", 3)]).collect()
+    pred_bytes = emu.object_get_bytes
+    want = sorted((cols["small"][i], cols["fat00"][i])
+                  for i in range(3000, 4000) if cols["small"][i] == 3)
+    assert sorted((r["small"], r["fat00"]) for r in got) == want
+    assert got and got[0].asDict().keys() == {"small", "fat00"}
+    #                                         ^ id rode the fetch
+    #                                           but is dropped
+
+    emu.object_get_bytes = 0
+    op.read_parquet(spark, ["s3rr://b/t"], schema, backend,
+                    columns=["small", "fat00", "id"]).collect()
+    assert pred_bytes * 2 < emu.object_get_bytes  # pruning saved bytes
+
+    # evolved column: absent -> null -> matches nothing
+    assert op.read_parquet(spark, ["s3rr://b/t"], schema, backend,
+                           columns=["id"],
+                           predicate=[("later", ">=", 0)]).count() == 0
+
+    # non-ranged path (columns=None): exact filter, full bytes
+    got2 = op.read_parquet(spark, ["s3rr://b/t"], schema, backend,
+                           predicate=[("id", "<", 5)]).collect()
+    assert sorted(r["id"] for r in got2) == [0, 1, 2, 3, 4]
+
+    with pytest.raises(ValueError, match="unknown predicate column"):
+        op.read_parquet(spark, ["s3rr://b/t"], schema, backend,
+                        columns=["id"], predicate=[("nope", "==", 1)])
+
+
+def test_keyedtable_predicate_native_vs_plane_parity(spark, s3,
+                                                     tmp_path):
+    """KeyedTable.read(predicate=...) returns the same rows on the
+    native parquet path (Catalyst filter pushed into the scan) and
+    the object-store plane (statistics row-group pruning + exact
+    residual filter) — and composes with a column projection on
+    both."""
+    rows = [Row(id=i, v=float(i % 13), s=f"s-{i % 5}")
+            for i in range(400)]
+    pred = [("v", ">=", 4.0), ("v", "<", 9.0)]
+
+    native = KeyedTable(spark, f"file://{tmp_path}/t", ["id"],
+                        n_buckets=3)
+    native.apply_mutations(spark.createDataFrame(rows), "INSERT")
+    plane = KeyedTable(spark, "s3rr://bkt/t", ["id"], n_buckets=3)
+    plane.apply_mutations(spark.createDataFrame(rows), "INSERT")
+
+    for cols in (None, ["id", "s"]):
+        a = sorted(map(tuple, native.read(
+            columns=cols, predicate=pred).collect()))
+        b = sorted(map(tuple, plane.read(
+            columns=cols, predicate=pred).collect()))
+        assert a == b and len(a) == sum(
+            1 for r in rows if 4.0 <= r.v < 9.0)
+    # projection shape: predicate column v is NOT in the output
+    got = plane.read(columns=["id", "s"], predicate=pred).columns
+    assert got == ["id", "s"]
+    with pytest.raises(ValueError, match="unknown predicate column"):
+        native.read(predicate=[("nope", "==", 1)])
