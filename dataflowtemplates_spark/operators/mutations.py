@@ -197,11 +197,14 @@ class KeyedTable:
                  key_fields: list[str], n_buckets: int = 16,
                  schema_evolution: bool = False,
                  cluster_by: list[str] | None = None,
-                 cluster_mode: str = "linear"):
+                 cluster_mode: str = "linear",
+                 plane_flush_rows: int | None = None):
         if not key_fields:
             raise ValueError("key_fields must be non-empty")
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if plane_flush_rows is not None and int(plane_flush_rows) < 1:
+            raise ValueError("plane_flush_rows must be >= 1")
         _validate_cluster_spec(cluster_by, cluster_mode)
         self.spark = spark
         self.path = path
@@ -224,6 +227,14 @@ class KeyedTable:
         #: semantics); with it off (default) they are dropped at the
         #: boundary, mirroring the STRUCT/nested-array skip.
         self.schema_evolution = bool(schema_evolution)
+        #: Object-rotation row count for THIS handle's writes through
+        #: the object-store data plane (objstore_plane._FLUSH_ROWS
+        #: when None) — the object-size tuning knob: at scale pick it
+        #: so row_width x flush_rows lands objects in the tens of MB.
+        #: A write-side option (like a parquet block size), not table
+        #: config: readers never consult it.
+        self._plane_flush_rows = (None if plane_flush_rows is None
+                                  else int(plane_flush_rows))
         #: log objects are immutable once written, so parsed entries
         #: cache forever (keyed by full path)
         self._log_cache: dict[str, dict] = {}
@@ -1329,8 +1340,10 @@ class KeyedTable:
                     # object store through the pickled backend
                     from dataflowtemplates_spark.operators import (
                         objstore_plane)
+                    kw = ({} if self._plane_flush_rows is None
+                          else {"flush_rows": self._plane_flush_rows})
                     objstore_plane.write_partitioned(
-                        staged, data_dir, _BUCKET_COL, plane)
+                        staged, data_dir, _BUCKET_COL, plane, **kw)
                 else:
                     (staged.write.mode("overwrite")
                      .partitionBy(_BUCKET_COL).parquet(data_dir))

@@ -71,7 +71,9 @@ REGISTRY_ORDER = (
     # total order, the read path gained ranged-GET column projection
     # and executor-distributed snapshot listing, and q189's signing
     # module grew the GOOG4 flavor — the storage-engine family
-    # re-scores again this round
+    # re-scores again this round; q190 is NEW (ranged-read economics
+    # over live signed HTTP)
+    "q190_ranged_read_audit",
     "q189_objectstore_lifecycle",
     "q183_cdc_apply_audit",
     "q184_stream_cdc_apply",
