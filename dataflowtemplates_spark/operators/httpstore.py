@@ -157,11 +157,17 @@ class DerivedObjectOps:
     def read_tail(self, path: str, n: int) -> tuple[bytes, int]:
         """Last ``n`` bytes and the TOTAL object size (from the 206
         reply's ``Content-Range: bytes a-b/total``) in one suffix
-        GET — how a parquet footer is located without a prior HEAD."""
+        GET — how a parquet footer is located without a prior HEAD.
+        A server that ignores the Range header (200 + whole body —
+        e.g. a proxy stripping Range) degrades to the correct slice
+        of the full object, never a mis-offset one."""
         bucket, key = self._split(path)
         status, headers, body = self._get_ranged(
             bucket, key, f"bytes=-{int(n)}")
-        return self._range_reply(path, status, headers, body)
+        body, total = self._range_reply(path, status, headers, body)
+        if status == 200 and len(body) > int(n):
+            body = body[-int(n):]
+        return body, total
 
     def read_range(self, path: str, start: int, length: int) -> bytes:
         if int(length) <= 0:
@@ -170,7 +176,14 @@ class DerivedObjectOps:
         end = int(start) + int(length) - 1
         status, headers, body = self._get_ranged(
             bucket, key, f"bytes={int(start)}-{end}")
-        return self._range_reply(path, status, headers, body)[0]
+        body, _ = self._range_reply(path, status, headers, body)
+        if status == 200:
+            # server ignored the range: slice the requested window
+            # out of the whole body (returning it verbatim would put
+            # these bytes at the WRONG offset in the caller's sparse
+            # assembly)
+            body = body[int(start):int(start) + int(length)]
+        return body
 
     @staticmethod
     def _range_reply(path, status, headers, body) -> tuple[bytes, int]:
@@ -178,7 +191,8 @@ class DerivedObjectOps:
             raise FileNotFoundError(path)
         if status == 200:
             # server ignored the range (or it covered the object):
-            # the whole body is its own total
+            # the whole body, its own total — CALLERS slice out the
+            # window they asked for
             return body, len(body)
         if status != 206:
             raise OSError(f"range GET {path}: HTTP {status}")

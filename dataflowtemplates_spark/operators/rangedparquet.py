@@ -279,9 +279,15 @@ def fetch_table(backend, path: str, columns: list[str],
         empty = meta.schema.to_arrow_schema()
         return pa.table(
             {c: pa.array([], empty.field(c).type) for c in present})
-    segments = [(size - len(tail), tail)]
+    tail_start = size - len(tail)
+    segments = [(tail_start, tail)]
     for s, e in runs:
-        segments.append((s, backend.read_range(path, s, e - s)))
+        # bytes at/past tail_start are already in memory from the
+        # suffix GET: clip the run instead of re-fetching them (the
+        # sparse read crosses the contiguous segment boundary)
+        e = min(e, tail_start)
+        if s < e:
+            segments.append((s, backend.read_range(path, s, e - s)))
     pf = pq.ParquetFile(_SparseFile(size, segments))
     if rgs is None:
         return pf.read(columns=present, use_threads=False)

@@ -42,6 +42,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from dataflowtemplates_spark.operators import sigv4
 from dataflowtemplates_spark.testing.listing import paginate
+from dataflowtemplates_spark.testing.rangeserve import serve_object_get
 
 
 class GcsEmulator:
@@ -214,46 +215,13 @@ class GcsEmulator:
                     return
                 data, gen = hit
                 if q.get("alt", [None])[0] == "media":
-                    rng = self.headers.get("Range", "")
-                    if rng.startswith("bytes="):
-                        spec = rng[len("bytes="):]
-                        try:
-                            if spec.startswith("-"):
-                                n = int(spec[1:])
-                                start = max(0, len(data) - n)
-                                end = len(data) - 1
-                            else:
-                                a, _, b = spec.partition("-")
-                                start = int(a)
-                                end = (int(b) if b else len(data) - 1)
-                                end = min(end, len(data) - 1)
-                        except ValueError:
-                            self._err(400, f"bad Range {rng!r}")
-                            return
-                        if start >= len(data) or start > end:
-                            self.send_response(416)
-                            self.send_header(
-                                "Content-Range", f"bytes */{len(data)}")
-                            self.send_header("Content-Length", "0")
-                            self.end_headers()
-                            return
-                        chunk = data[start:end + 1]
+                    def count(n):
                         with emu._lock:
-                            emu.object_get_bytes += len(chunk)
-                        self.send_response(206)
-                        self.send_header("Content-Type",
-                                         "application/octet-stream")
-                        self.send_header(
-                            "Content-Range",
-                            f"bytes {start}-{end}/{len(data)}")
-                        self.send_header("Content-Length",
-                                         str(len(chunk)))
-                        self.end_headers()
-                        self.wfile.write(chunk)
-                        return
-                    with emu._lock:
-                        emu.object_get_bytes += len(data)
-                    self._send(200, data, "application/octet-stream")
+                            emu.object_get_bytes += n
+
+                    if serve_object_get(self, data,
+                                        count) == "bad-range":
+                        self._err(400, "bad Range header")
                 else:
                     self._send(200, self._meta_json(bucket, key, data,
                                                     gen, ts))

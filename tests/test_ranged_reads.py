@@ -365,3 +365,47 @@ def test_keyedtable_predicate_native_vs_plane_parity(spark, s3,
     assert got == ["id", "s"]
     with pytest.raises(ValueError, match="unknown predicate column"):
         native.read(predicate=[("nope", "==", 1)])
+
+
+def test_range_ignoring_server_degrades_to_correct_slices(s3):
+    """A server (or intermediary proxy) that IGNORES the Range header
+    and answers 200 + whole body must degrade to the CORRECT window —
+    returning the whole body verbatim would place those bytes at the
+    wrong offset in the sparse assembly and decode garbage. The
+    ranged read then costs full bytes but stays value-exact."""
+    _, real = s3
+    raw, cols = _wide_parquet_bytes()
+    path = "s3rr://b/ig/wide.parquet"
+    real.write_bytes(path, raw)
+
+    class RangeDeaf:
+        """Proxy over the real backend that strips Range handling."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def _get_ranged(self, bucket, key, range_value):
+            body = self._inner._get_or_none(bucket, key)
+            return (404, {}, b"") if body is None else (200, {}, body)
+
+    deaf = RangeDeaf(real)
+    # make deaf a DerivedObjectOps-shaped object: read_tail/read_range
+    # come from the class of the INNER object via explicit binding
+    from dataflowtemplates_spark.operators.httpstore import (
+        DerivedObjectOps,
+    )
+    deaf.read_tail = DerivedObjectOps.read_tail.__get__(deaf)
+    deaf.read_range = DerivedObjectOps.read_range.__get__(deaf)
+    deaf._split = DerivedObjectOps._split.__get__(deaf)
+    deaf._range_reply = DerivedObjectOps._range_reply
+
+    tail, total = deaf.read_tail(path, 100)
+    assert tail == raw[-100:] and total == len(raw)
+    assert deaf.read_range(path, 777, 5) == raw[777:782]
+
+    tbl = rangedparquet.fetch_table(deaf, path, ["id", "small"])
+    assert tbl.column("id").to_pylist() == cols["id"]
+    assert tbl.column("small").to_pylist() == cols["small"]
