@@ -58,13 +58,16 @@ Column pruning pushes into this plane through the EXPLICIT
 the task then fetches only the parquet footer plus the projected
 chunks' byte ranges via HTTP ``Range:`` GETs
 (operators/rangedparquet.py) — the native connector's economics for
-a narrow projection over a wide table. What does NOT push down is
-Catalyst-inferred pruning (a ``select`` above ``mapInArrow`` cannot
-reach inside the Python stage) and row-group predicate skipping —
-callers that want those without an explicit projection need the
-native connector; this remains the documented residual cost of the
-pure-Python seam, bounded by rewrite-granularity object sizes
-(n_buckets sizing, SCALE.md).
+a narrow projection over a wide table. An EXPLICIT ``predicate=``
+additionally skips row groups whose footer statistics refute it
+(their chunk bytes are never fetched), with the exact residual
+filter applied executor-side. What does NOT push down is
+Catalyst-INFERRED pruning (a ``select``/``filter`` above
+``mapInArrow`` cannot reach inside the Python stage) — callers that
+want it without the explicit arguments need the native connector;
+this remains the documented residual cost of the pure-Python seam,
+bounded by rewrite-granularity object sizes (n_buckets sizing,
+SCALE.md).
 """
 
 from __future__ import annotations

@@ -250,9 +250,16 @@ class GcsEmulator:
                     self._err(404, "No such object")
                     return
                 data, _ = hit
-                with emu._lock:
-                    emu.object_get_bytes += len(data)
-                self._send(200, data, "application/octet-stream")
+
+                def count(n):
+                    with emu._lock:
+                        emu.object_get_bytes += n
+
+                # the grant covers the object; a ranged fetch of it is
+                # the same authorization (how a large shared artifact
+                # is consumed piecewise)
+                if serve_object_get(self, data, count) == "bad-range":
+                    self._err(400, "bad Range header")
 
             def _list(self, bucket, q):
                 prefix = q.get("prefix", [""])[0]

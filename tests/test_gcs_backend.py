@@ -410,6 +410,12 @@ def test_gcs_signed_url_fetch_against_enforcing_endpoint(emu):
     assert "X-Goog-Algorithm=GOOG4-HMAC-SHA256" in url
     with urllib.request.urlopen(url, timeout=3) as resp:
         assert resp.read() == b"artifact-bytes"
+    # a ranged fetch rides the same grant (Range is not a signed
+    # header under SignedHeaders=host) — how a large shared artifact
+    # is consumed piecewise
+    req = urllib.request.Request(url, headers={"Range": "bytes=0-7"})
+    with urllib.request.urlopen(req, timeout=3) as resp:
+        assert resp.status == 206 and resp.read() == b"artifact"
     # plain GET without the grant: path-style has no bearer -> 401/403
     bare = url.split("?", 1)[0]
     with pytest.raises(urllib.error.HTTPError) as exc:
