@@ -118,6 +118,7 @@ HEADLINE = (
     "q186_rebucket_audit",       # r13: online rebucket lifecycle
     "q189_objectstore_lifecycle",  # r14: lifecycle over signed HTTP S3
     "q190_ranged_read_audit",    # r15: ranged projection + rg pruning
+    "q191_datasource_pushdown_audit",  # r15: Catalyst-inferred pushdown
     "q187_ivf_append_audit",     # r13: incremental IVF maintenance
     "q188_dedup_keep_best",      # r13: quality-aware dup-group pick
     "q168_kanon_export",    # r11: k-anonymity suppression export

@@ -71,8 +71,10 @@ REGISTRY_ORDER = (
     # total order, the read path gained ranged-GET column projection
     # and executor-distributed snapshot listing, and q189's signing
     # module grew the GOOG4 flavor — the storage-engine family
-    # re-scores again this round; q190 is NEW (ranged-read economics
-    # over live signed HTTP)
+    # re-scores again this round; q190/q191 are NEW (ranged-read
+    # economics + Catalyst-inferred DataSource pushdown, both over
+    # live signed HTTP)
+    "q191_datasource_pushdown_audit",
     "q190_ranged_read_audit",
     "q189_objectstore_lifecycle",
     "q183_cdc_apply_audit",

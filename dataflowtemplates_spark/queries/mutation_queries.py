@@ -1982,9 +1982,130 @@ FROM sample
 """
 
 
+def q191_datasource_pushdown_audit(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """CATALYST-INFERRED filter pushdown into the object-store plane
+    via the engine's registered Python DataSource
+    (sources/keyedtable_source.py): an ORDINARY
+    ``spark.read.format("keyedtable")...filter(...)`` — no explicit
+    ``predicate=`` argument anywhere — plans through Catalyst, whose
+    comparison filters reach :meth:`KeyedTableReader.pushFilters` and
+    become the ranged reader's row-group statistics pruning; refuted
+    objects cost footer bytes only. Every filter is also re-applied
+    by Spark itself, so the values are the engine's own exact
+    semantics (the source only reduces I/O).
+
+    Same data shape as q190 (a ~4 KB incompressible pad, small
+    object rotation, key-clustered files) on an independent customer
+    sample (``%4``); the oracle recomputes the relational outputs
+    set-relationally and pins two booleans literally TRUE:
+
+    * ``pushdown_engaged`` — the filtered format read served fewer
+      bytes than the unfiltered one (Catalyst's filters really
+      reached the store);
+    * ``pushdown_economical`` — it served <= 1/2 of the full-scan
+      bytes (only statistics refutation can do that).
+
+    This closes the plane's documented residual for FILTERS — a
+    declarative ``.filter`` now prunes I/O with no plane-specific
+    API; column pruning still rides the explicit ``columns`` option
+    (no DataSource hook exists for it yet)."""
+    from dataflowtemplates_spark.operators import fsio
+    from dataflowtemplates_spark.operators.s3http import S3HttpBackend
+    from dataflowtemplates_spark.sources import keyedtable_source
+    from dataflowtemplates_spark.testing.s3_emulator import S3Emulator
+
+    register_tables(spark, sf_dir)
+    k = F.col("c_custkey")
+    pad = F.concat(*[F.sha2(F.concat(k.cast("string"), F.lit(f"_{j}")),
+                            512) for j in range(32)])
+    sample = (spark.table("customer")
+              .filter(k % 4 == 0)
+              .select("c_custkey", "c_acctbal", pad.alias("pad")))
+    cut = int(sample.agg(F.max(k)).first()[0]) * 7 // 8
+
+    creds = ("AKIDEXAMPLE", "wJalrXUtnFEMI/K7MDENG+bPxRfiCYEXAMPLEKEY")
+    emu = S3Emulator().start()
+    emu.require_sigv4 = creds
+    backend = S3HttpBackend(emu.endpoint, timeout_s=10.0,
+                            credentials=creds)
+    fsio.register_object_backend("s3q", backend)
+    keyedtable_source.register(spark)
+    try:
+        t = KeyedTable(spark, "s3q://q191/tbl", ["c_custkey"],
+                       n_buckets=1, cluster_by=["c_custkey"],
+                       plane_flush_rows=128)
+        t.apply_mutations(sample, "INSERT")
+
+        def fmt():
+            return (spark.read.format("keyedtable")
+                    .option("path", "s3q://q191/tbl")
+                    .option("endpoint", emu.endpoint)
+                    .option("access_key", creds[0])
+                    .option("secret_key", creds[1]))
+
+        emu.object_get_bytes = 0
+        full = (fmt().load()
+                .agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("total_rows"),
+                     F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                      .cast("double").alias("bal_sum"))
+                .localCheckpoint(eager=True))
+        full_bytes = emu.object_get_bytes
+
+        emu.object_get_bytes = 0
+        sel = (fmt().load()
+               .filter(F.col("c_custkey") >= F.lit(cut))
+               .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("sel_rows"),
+                    F.sum("c_custkey").cast("bigint")
+                     .alias("sel_key_sum"),
+                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                     .cast("double").alias("sel_bal_sum"))
+               .localCheckpoint(eager=True))
+        sel_bytes = emu.object_get_bytes
+
+        out = (full.crossJoin(sel)
+               .withColumn("pushdown_engaged",
+                           F.lit(bool(sel_bytes < full_bytes)))
+               .withColumn("pushdown_economical",
+                           F.lit(bool(sel_bytes * 2 <= full_bytes)))
+               .localCheckpoint(eager=True))  # pin before teardown
+    finally:
+        fsio.unregister_object_backend("s3q")
+        emu.stop()
+    return out
+
+
+# Set-relational recompute over `customer` (%4 sample, closed-form
+# (MAX*7)//8 cut); the pushdown booleans are engine-protocol facts
+# asserted literally TRUE.
+_Q191_ORACLE = """
+WITH sample AS (
+  SELECT c_custkey AS k, c_acctbal
+  FROM customer WHERE c_custkey % 4 = 0),
+cut AS (SELECT (MAX(k) * 7) // 8 AS c FROM sample)
+SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           AS bal_sum,
+       CAST(SUM(CASE WHEN k >= (SELECT c FROM cut)
+                     THEN 1 END) AS BIGINT) AS sel_rows,
+       CAST(SUM(CASE WHEN k >= (SELECT c FROM cut)
+                     THEN k END) AS BIGINT) AS sel_key_sum,
+       CAST(SUM(CASE WHEN k >= (SELECT c FROM cut)
+                     THEN CAST(c_acctbal AS DECIMAL(18,2)) END)
+            AS DOUBLE) AS sel_bal_sum,
+       TRUE AS pushdown_engaged,
+       TRUE AS pushdown_economical
+FROM sample
+"""
+
+
 QUERIES = {"q78_mutation_audit": q78_mutation_audit,
            "q189_objectstore_lifecycle": q189_objectstore_lifecycle,
            "q190_ranged_read_audit": q190_ranged_read_audit,
+           "q191_datasource_pushdown_audit":
+               q191_datasource_pushdown_audit,
            "q186_rebucket_audit": q186_rebucket_audit,
            "q166_jdbc_roundtrip": q166_jdbc_roundtrip,
            "q175_jdbc_incremental_pull": q175_jdbc_incremental_pull,
@@ -2004,6 +2125,7 @@ QUERIES = {"q78_mutation_audit": q78_mutation_audit,
 ORACLES = {"q78_mutation_audit": _Q78_ORACLE,
            "q189_objectstore_lifecycle": _Q189_ORACLE,
            "q190_ranged_read_audit": _Q190_ORACLE,
+           "q191_datasource_pushdown_audit": _Q191_ORACLE,
            "q186_rebucket_audit": _Q186_ORACLE,
            "q166_jdbc_roundtrip": _Q166_ORACLE,
            "q175_jdbc_incremental_pull": _Q175_ORACLE,

@@ -32,7 +32,7 @@ def test_registry_count_matches_survey():
     """SURVEY.md §7.5 states the registry size; keep the self-
     description exact (update BOTH when adding a query)."""
     from dataflowtemplates_spark.queries import all_queries
-    assert len(all_queries()) == 183
+    assert len(all_queries()) == 184
 
 
 def test_committed_docs_state_the_real_registry_count():
