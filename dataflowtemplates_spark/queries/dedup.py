@@ -1512,8 +1512,14 @@ def q174_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle side — never the driver. Novelty is computed in one pass;
     no per-document loop exists anywhere.
     """
+    from dataflowtemplates_spark.operators.partitioning import (
+        spread_if_narrow)
     register_tables(spark, sf_dir)
-    docs = spark.table("documents")
+    # single-file scan hygiene (guide §2.5 input skew): the trigram
+    # explode + per-gram hashing below is the query's compute; on a
+    # one-split toy scan it pins to one core without this guard (at
+    # scale the scan arrives in many splits and this is a no-op)
+    docs = spread_if_narrow(spark.table("documents"))
     # NB: guard, not greatest() — sequence(1, 0) in Spark is the
     # DESCENDING sequence [1, 0], whose slice(arr, 0, 3) throws for
     # documents under 3 words; DuckDB's RANGE(1, 0) is empty, so the

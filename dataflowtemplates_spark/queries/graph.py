@@ -112,6 +112,15 @@ def pagerank(edges: DataFrame,
     rationale; `tests/test_graph_layout.py` pins it against an
     independent pure-Python model on adversarial graphs (dangling
     nodes, cycles, disconnected pieces)."""
+    # Materialize the edge list once: every iteration's contribution
+    # join re-reads ``edges``, and without truncation each per-round
+    # eager checkpoint job would re-run the caller's whole edge
+    # derivation (for q172: the lineitem-orders join + distinct) K+1
+    # times. The distinct edge list is O(nodes^2) small — for the
+    # nation graph, hundreds of rows — so one eager materialization
+    # makes every round O(E) over an in-memory table (the same
+    # GraphX-style discipline already applied to ``ranks`` below).
+    edges = edges.localCheckpoint(eager=True)
     nodes = (edges.select(F.col("src").alias("node"))
              .union(edges.select(F.col("dst").alias("node")))
              .distinct())

@@ -38,6 +38,28 @@ _EVENTS_NS_SCHEMA = T.StructType([
 ])
 
 
+#: Memo of the per-file nanos probe below, keyed by (path, mtime, size):
+#: the answer is a pure function of the file's bytes (footer type +
+#: Spark writer metadata), so re-running the batch-read schema probe —
+#: a full `spark.read.parquet` schema inference — on every streaming
+#: query invocation bought nothing (guide §1.2 driver-side fixed cost).
+_TS_LONG_MEMO: dict[tuple, bool] = {}
+
+
+def _ts_reads_long(spark: SparkSession, path: str) -> bool:
+    from pyspark.sql.types import LongType
+
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
+    hit = _TS_LONG_MEMO.get(key)
+    if hit is None:
+        hit = ("ts" in _nanos_timestamp_cols(path)
+               and isinstance(spark.read.parquet(path)
+                              .schema["ts"].dataType, LongType))
+        _TS_LONG_MEMO[key] = hit
+    return hit
+
+
 def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table, nanos-aware.
 
@@ -48,8 +70,6 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     files read as native timestamps despite an identical-looking
     footer — forcing a long schema on those fails the scan.
     """
-    from pyspark.sql.types import LongType
-
     register_tables(spark, sf_dir)  # engine confs incl. nanosAsLong
     path = os.path.join(sf_dir, "events.parquet")
     if os.path.isfile(path):
@@ -58,9 +78,7 @@ def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, opts = sf_dir, {"pathGlobFilter": "events.parquet"}
     else:
         src, opts = path, {}
-    ts_reads_long = ("ts" in _nanos_timestamp_cols(path)
-                     and isinstance(spark.read.parquet(path)
-                                    .schema["ts"].dataType, LongType))
+    ts_reads_long = _ts_reads_long(spark, path)
     if ts_reads_long:
         raw = (spark.readStream.schema(_EVENTS_NS_SCHEMA)
                .options(**opts).parquet(src))
