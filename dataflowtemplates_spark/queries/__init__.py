@@ -66,6 +66,15 @@ _MODULES = (dedup, similarity, generator_queries, multimodal_queries,
 #: per the module-docstring rules; ``tests/test_registry.py`` pins that
 #: it covers exactly the registered query set with no duplicates.
 REGISTRY_ORDER = (
+    # -- changed in the r15 OPTIMIZATION pass: restructured for
+    #    performance with oracle-identical output (percentile array
+    #    fusion q120/q38; one-pass probe aggregation q73; edge-list
+    #    materialization q172; scan spread q174) — re-score first ----
+    "q120_histogram_quantiles",
+    "q38_percentiles",
+    "q73_decontaminate_bloom",
+    "q172_pagerank",
+    "q174_ngram_novelty",
     # -- changed this cycle (r15): must be inside any scored prefix ----
     # the KeyedTable commit path gained the deterministic part-slicing
     # total order, the read path gained ranged-GET column projection
@@ -104,7 +113,6 @@ REGISTRY_ORDER = (
     "q70_generator_rows",
     "q71_generator_profile",
     "q72_embedding_quantize",
-    "q73_decontaminate_bloom",
     "q74_incremental_dedup",
     "q75_stratified_split",
     "q76_charlm_coverage",
@@ -202,7 +210,6 @@ REGISTRY_ORDER = (
     "q53_ngram_jaccard",
     "q148_lsh_recall",
     "q179_jdbc_retry_exactly_once",
-    "q174_ngram_novelty",
     "q175_jdbc_incremental_pull",
     "q166_jdbc_roundtrip",
     "q167_stream_jdbc_sink",
@@ -224,7 +231,6 @@ REGISTRY_ORDER = (
     "q35_asof_join",
     "q36_range_join",
     "q37_salted_distinct",
-    "q38_percentiles",
     "q79_pii_redact",
     "q140_training_shards",
     "q124_big_order_customers",
@@ -242,8 +248,6 @@ REGISTRY_ORDER = (
     "q137_hybrid_retrieval",
     "q138_stream_classify",
     "q116_parts_supplier_relation",
-    "q120_histogram_quantiles",
-    "q172_pagerank",
     "q173_cooccurrence_lift",
     "q178_epoch_shuffle",
     "q168_kanon_export",

@@ -890,23 +890,31 @@ def q73_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle of the corpus), but the bitmap crosses the wire once per
     # executor rather than once per task closure
     bloom_df = spark.createDataFrame([(words,)], "bloom array<long>")
-    bloom_flagged = (corpus
-                     .crossJoin(F.broadcast(bloom_df))
-                     .filter(bloom_might_contain(F.col("bloom"), m,
-                                                 F.col("gram")))
-                     .groupBy("doc_id")
-                     .agg(F.count(F.lit(1)).alias("n_hit"))
-                     .filter(F.col("n_hit") >= DECON_HITS)
-                     .select("doc_id"))
-    exact_flagged = (corpus.join(F.broadcast(bench_grams), "gram")
-                     .groupBy("doc_id")
-                     .agg(F.count(F.lit(1)).alias("n_hit"))
-                     .filter(F.col("n_hit") >= DECON_HITS)
-                     .select("doc_id"))
+    # ONE corpus pass for both probes (guide §1.2/§2.4): the previous
+    # form derived bloom_flagged and exact_flagged separately and then
+    # counted each plus their anti-join — four actions, each re-running
+    # the corpus tokenize+explode and shuffling (doc_id) again. Both
+    # probes are per-gram predicates (the bloom test is a map-only
+    # expression; bench membership a broadcast lookup), so one
+    # aggregate carries both hit counts per document; the three counts
+    # then read a checkpointed O(corpus docs) x 3-column frame. Same
+    # per-document hit numbers, hence identical flags and counts.
+    hits = (corpus
+            .crossJoin(F.broadcast(bloom_df))
+            .join(F.broadcast(bench_grams.withColumn("_b", F.lit(1))),
+                  "gram", "left")
+            .groupBy("doc_id")
+            .agg(F.sum(bloom_might_contain(F.col("bloom"), m,
+                                           F.col("gram")).cast("int"))
+                  .alias("n_bloom_hit"),
+                 F.sum(F.coalesce(F.col("_b"), F.lit(0)))
+                  .alias("n_exact_hit"))
+            .localCheckpoint(eager=True))
     n_corpus = toked.filter(~is_bench).count()
-    n_exact = exact_flagged.count()
-    n_bloom = bloom_flagged.count()
-    n_missed = exact_flagged.join(bloom_flagged, "doc_id", "left_anti").count()
+    n_exact = hits.filter(F.col("n_exact_hit") >= DECON_HITS).count()
+    n_bloom = hits.filter(F.col("n_bloom_hit") >= DECON_HITS).count()
+    n_missed = hits.filter((F.col("n_exact_hit") >= DECON_HITS)
+                           & (F.col("n_bloom_hit") < DECON_HITS)).count()
     return spark.createDataFrame(
         [(n_corpus, n_exact,
           n_missed == 0,
