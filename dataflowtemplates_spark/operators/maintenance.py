@@ -33,7 +33,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["compact", "fingerprint", "write_sorted", "write_zordered",
+__all__ = ["compact", "fingerprint", "fingerprint_aggs",
+           "fingerprint_hash", "write_sorted", "write_zordered",
            "zorder_key", "CompactResult"]
 
 
@@ -224,19 +225,35 @@ def fingerprint(df: DataFrame, cols: list[str] | None = None,
     Spark and DuckDB; callers fold doubles/timestamps only via an
     explicit cast convention (q159 restricts itself to bigint/varchar).
     """
+    return (df.select(fingerprint_hash(df, cols).alias("h"))
+            .agg(*fingerprint_aggs(mod)))
+
+
+def fingerprint_hash(df: DataFrame, cols: list[str] | None = None):
+    """The per-row 60-bit hash column :func:`fingerprint` folds —
+    exposed so a caller can ride extra aggregates on the SAME scan
+    (one job computes fingerprint + snapshot stats instead of two
+    serial passes; the audit queries' step probes use this)."""
     from pyspark.sql import functions as F
 
     use = cols or df.columns
     canon = F.concat_ws(
         "|", *[F.coalesce(F.col(c).cast("string"), F.lit("\\N"))
                for c in use])
-    h = F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
-    return (df.select(h.alias("h"))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                 F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).cast("bigint")
-                  .alias("fp_xor"),
-                 F.coalesce(F.sum(F.col("h") % mod), F.lit(0))
-                  .cast("bigint").alias("fp_sum")))
+    return F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+
+
+def fingerprint_aggs(mod: int = 1_000_000_007) -> list:
+    """The three fold expressions over a ``h`` column from
+    :func:`fingerprint_hash` — identical to what :func:`fingerprint`
+    aggregates, for callers composing a fused single-pass agg."""
+    from pyspark.sql import functions as F
+
+    return [F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.coalesce(F.expr("bit_xor(h)"), F.lit(0)).cast("bigint")
+             .alias("fp_xor"),
+            F.coalesce(F.sum(F.col("h") % mod), F.lit(0))
+             .cast("bigint").alias("fp_sum")]
 
 
 def replicate_changes(src, dst, bound_from: str, bound_to: str,

@@ -69,7 +69,11 @@ REGISTRY_ORDER = (
     # -- changed in the r15 OPTIMIZATION pass: restructured for
     #    performance with oracle-identical output (percentile array
     #    fusion q120/q38; one-pass probe aggregation q73; edge-list
-    #    materialization q172; scan spread q174) — re-score first ----
+    #    materialization q172; scan spread q174; fused per-step
+    #    replication probes q185; fused audit close q186) — re-score
+    #    first ----
+    "q185_replication_audit",
+    "q186_rebucket_audit",
     "q120_histogram_quantiles",
     "q38_percentiles",
     "q73_decontaminate_bloom",
@@ -88,8 +92,6 @@ REGISTRY_ORDER = (
     "q189_objectstore_lifecycle",
     "q183_cdc_apply_audit",
     "q184_stream_cdc_apply",
-    "q185_replication_audit",
-    "q186_rebucket_audit",
     "q78_mutation_audit",
     "q99_snapshot_audit",
     "q122_vacuum_audit",

@@ -1472,9 +1472,14 @@ def q185_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: each step reads both snapshots pruned to the window's
     touched buckets and commits once on the replica — O(changed
     buckets) per step; the fingerprints are one map-side hash +
-    one-row aggregate per side."""
+    one-row aggregate per side, and each step's THREE probes (source
+    fingerprint, replica fingerprint, replica snapshot aggregate) are
+    fused into one action — a cross join of three 1-row aggregates —
+    so both sides scan concurrently in a single job instead of three
+    serial barriers (guide §1.2 pass count, §2.6 overlap)."""
     from dataflowtemplates_spark.operators.maintenance import (
-        fingerprint, replicate_changes)
+        fingerprint, fingerprint_aggs, fingerprint_hash,
+        replicate_changes)
 
     register_tables(spark, sf_dir)
     cust = spark.table("customer").select("c_custkey", "c_nationkey",
@@ -1499,30 +1504,47 @@ def q185_replication_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                          n_buckets=8)
         dst.create(cust)
 
-        def fp(df) -> tuple:
-            return tuple(fingerprint(df).collect()[0])
+        def fp_pair(src_df, dst_df, extra_aggs=()):
+            """One action for a replication probe: source fingerprint ×
+            replica fingerprint (× optional replica snapshot stats) as
+            a cross join of 1-row aggregates — the subtrees share no
+            lineage, so the scheduler overlaps both sides' scans in a
+            single job instead of two serial collect barriers."""
+            s = fingerprint(src_df).toDF("s_n", "s_x", "s_s")
+            d = (dst_df
+                 .select(fingerprint_hash(dst_df).alias("h"),
+                         F.col("c_acctbal"))
+                 .agg(*fingerprint_aggs(), *extra_aggs))
+            row = s.crossJoin(d).collect()[0]
+            match = (row["s_n"], row["s_x"], row["s_s"]) == \
+                (row["n_rows"], row["fp_xor"], row["fp_sum"])
+            return match, row
 
         steps = []
         for step, v in enumerate((2, 3, 4), start=1):
             replicate_changes(src, dst, times[v - 1], times[v],
                               txn_app="repl", txn_version=v)
-            match = fp(src.read_at(times[v])) == fp(dst.read())
+            match, row = fp_pair(
+                src.read_at(times[v]), dst.read(),
+                [F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                 .cast("double").alias("acctbal_sum")])
             steps.append(
-                dst.read().agg(
+                spark.range(1).select(
                     F.lit(step).cast("bigint").alias("step"),
-                    F.count(F.lit(1)).cast("bigint")
+                    F.lit(row["n_rows"]).cast("bigint")
                      .alias("snapshot_rows"),
-                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-                     .cast("double").alias("acctbal_sum"))
+                    F.lit(row["acctbal_sum"]).cast("double")
+                     .alias("acctbal_sum"))
                 .withColumn("fp_match", F.lit(bool(match))))
         # double-fire the middle window: recorded watermark wins
         r = replicate_changes(src, dst, times[2], times[3],
                               txn_app="repl", txn_version=3)
-        replay_noop = r.replayed and r.applied == 0 \
-            and fp(src.read()) == fp(dst.read())
+        match, _ = fp_pair(src.read(), dst.read())
+        replay_noop = r.replayed and r.applied == 0 and match
+        # steps are literal rows — nothing references table files, so
+        # no checkpoint is needed before teardown
         out = (reduce(DataFrame.unionByName, steps)
-               .withColumn("replay_noop", F.lit(bool(replay_noop)))
-               .localCheckpoint(eager=True))  # pin before teardown
+               .withColumn("replay_noop", F.lit(bool(replay_noop))))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out.orderBy("step")
@@ -1632,22 +1654,37 @@ def q186_rebucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.rebucket(8)                                        # v7
         shrink_atomic = tbl._latest_version() == v_pre2 + 1
 
-        fp_tt = fingerprint(tbl.read_at(bound3)).first()
-        time_travel_exact = (
-            tuple(fp3) == tuple(fp_tt))
-
-        out = (tbl.read().agg(
+        # ONE action closes the audit: the time-travel fingerprint and
+        # the final snapshot aggregate are independent 1-row subtrees,
+        # so a cross join runs both scans in a single job (guide §1.2,
+        # §2.6) instead of two serial collects plus a checkpoint job;
+        # the output is then literal rows — nothing references table
+        # files, so no pin-before-teardown checkpoint is needed
+        row = (fingerprint(tbl.read_at(bound3))
+               .toDF("t_n", "t_x", "t_s")
+               .crossJoin(tbl.read().agg(
                    F.count(F.lit(1)).cast("bigint").alias("snapshot_rows"),
                    F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
                     .cast("double").alias("acctbal_sum"),
-                   F.sum("c_custkey").cast("bigint").alias("key_checksum"))
+                   F.sum("c_custkey").cast("bigint")
+                    .alias("key_checksum")))
+               .collect()[0])
+        time_travel_exact = (
+            tuple(fp3) == (row["t_n"], row["t_x"], row["t_s"]))
+
+        out = (spark.range(1).select(
+                   F.lit(row["snapshot_rows"]).cast("bigint")
+                    .alias("snapshot_rows"),
+                   F.lit(row["acctbal_sum"]).cast("double")
+                    .alias("acctbal_sum"),
+                   F.lit(row["key_checksum"]).cast("bigint")
+                    .alias("key_checksum"))
                .withColumn("grow_atomic", F.lit(bool(grow_atomic)))
                .withColumn("pruned_by_new_layout",
                            F.lit(bool(pruned_by_new_layout)))
                .withColumn("shrink_atomic", F.lit(bool(shrink_atomic)))
                .withColumn("time_travel_exact",
-                           F.lit(bool(time_travel_exact)))
-               .localCheckpoint(eager=True))  # pin before teardown
+                           F.lit(bool(time_travel_exact))))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return out
