@@ -52,6 +52,18 @@ _BASE_CONFS: dict[str, str] = {
     # s3a://, gs://) carry their own integrity layers and never touch
     # this conf — executor-local file:// scratch is the only surface.
     "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
+    # PySpark 4's DataFrame-API debugging wrapper (errors/utils.py
+    # _with_origin) taxes EVERY decorated DataFrame call with a
+    # getActiveSession + conf.get + PySparkCurrentOrigin.set/clear —
+    # ~4 py4j round trips and a Python stack walk per call — purely to
+    # enrich error messages with the user call site. On driver-bound
+    # paths (the KeyedTable commit loops build hundreds of DataFrame
+    # expressions per commit) this is a measurable constant per commit.
+    # Results-neutral: only the rendered context of error messages
+    # changes. The Python-side flag is cached once at first use, so it
+    # must be set before any DataFrame call (builder conf here;
+    # ensure_engine_confs pins it for harness-built sessions).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 
@@ -107,11 +119,22 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     for k in ("spark.sql.session.timeZone",
               "spark.sql.adaptive.enabled",
               "spark.sql.adaptive.coalescePartitions.enabled",
-              "spark.sql.adaptive.skewJoin.enabled"):
+              "spark.sql.adaptive.skewJoin.enabled",
+              "spark.python.sql.dataFrameDebugging.enabled"):
         try:
             spark.conf.set(k, _BASE_CONFS[k])
         except Exception:
             pass  # conf locked by the host session — proceed with its value
+    # PySpark memoizes the debugging flag once at first DataFrame call
+    # (errors/utils.py is_debugging_enabled); a harness-built session
+    # may have populated it as True before reaching us — drop the memo
+    # so the conf just set above is re-read.
+    try:
+        from pyspark.errors import utils as _pyspark_err_utils
+        if getattr(_pyspark_err_utils, "_enable_debugging_cache", None):
+            _pyspark_err_utils._enable_debugging_cache = None
+    except Exception:
+        pass
     # AQE confs are preferences; the timezone is a CORRECTNESS
     # precondition: the NTZ->TIMESTAMP->epoch hops (q16/q21) equal
     # DuckDB's epoch() only under UTC. A host session that locked a
