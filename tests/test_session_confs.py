@@ -1,0 +1,45 @@
+"""Engine session-conf behavior (r15 change #10).
+
+The PySpark 4 DataFrame-debugging wrapper taxes every DataFrame call
+with origin bookkeeping purely to enrich error messages; the engine
+disables it (`spark.python.sql.dataFrameDebugging.enabled=false` in
+`_BASE_CONFS`). PySpark memoizes the flag at the FIRST decorated call
+(`pyspark.errors.utils._enable_debugging_cache`), so a harness-built
+session that ran DataFrame code before reaching us would have locked
+it True — `ensure_engine_confs` must both set the conf and drop a
+stale True memo so the new value is actually read.
+"""
+
+from pyspark.errors import utils as pyspark_err_utils
+
+from dataflowtemplates_spark.session import _BASE_CONFS, ensure_engine_confs
+
+
+def test_base_confs_disable_dataframe_debugging(spark):
+    assert _BASE_CONFS["spark.python.sql.dataFrameDebugging.enabled"] == "false"
+    assert (spark.conf.get("spark.python.sql.dataFrameDebugging.enabled")
+            == "false")
+
+
+def test_ensure_engine_confs_drops_stale_debugging_memo(spark):
+    orig = pyspark_err_utils._enable_debugging_cache
+    try:
+        # simulate a harness session that memoized True before we ran
+        pyspark_err_utils._enable_debugging_cache = True
+        ensure_engine_confs(spark)
+        assert pyspark_err_utils._enable_debugging_cache is None
+        # next wrapper call re-reads the conf just pinned -> False
+        assert pyspark_err_utils.is_debugging_enabled() is False
+    finally:
+        pyspark_err_utils._enable_debugging_cache = orig
+
+
+def test_ensure_engine_confs_keeps_false_memo(spark):
+    orig = pyspark_err_utils._enable_debugging_cache
+    try:
+        # a False memo already matches the engine conf: left alone
+        pyspark_err_utils._enable_debugging_cache = False
+        ensure_engine_confs(spark)
+        assert pyspark_err_utils._enable_debugging_cache is False
+    finally:
+        pyspark_err_utils._enable_debugging_cache = orig
