@@ -61,8 +61,20 @@ _DF_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def _path_sig(path: str) -> tuple:
     st = os.stat(path)
     if os.path.isdir(path):
-        names = sorted(os.listdir(path))
-        return (st.st_mtime_ns, len(names), tuple(names[:4]))
+        # Every member's (name, mtime_ns, size) folds into the
+        # signature: rewriting a part file IN PLACE (same name) does
+        # not bump the directory's own mtime, so the dir stat alone
+        # would serve a stale plan with stale file lengths. O(entries)
+        # stat calls — microseconds against the 0.2-0.8s rebuild this
+        # memo exists to skip.
+        members = []
+        for name in sorted(os.listdir(path)):
+            try:
+                m = os.stat(os.path.join(path, name))
+                members.append((name, m.st_mtime_ns, m.st_size))
+            except OSError:
+                members.append((name, -1, -1))
+        return (st.st_mtime_ns, tuple(members))
     return (st.st_mtime_ns, st.st_size)
 
 

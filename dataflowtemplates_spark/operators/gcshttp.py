@@ -335,7 +335,9 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
 
     def _list(self, bucket: str, prefix: str, delimiter: str | None):
         """Objects listing, fully depaginated. Yields
-        ('key', key, mtime_epoch) and ('prefix', p, None)."""
+        ('key', key, mtime_epoch, size_bytes) and
+        ('prefix', p, None, None); size comes from the item's
+        ``size`` field (None when a server omits it)."""
         token = None
         seen_tokens = set()
         while True:
@@ -359,9 +361,11 @@ class GcsHttpBackend(HttpObjectTransport, DerivedObjectOps):
                 if upd:
                     mtime = datetime.fromisoformat(
                         upd.replace("Z", "+00:00")).timestamp()
-                yield ("key", item["name"], mtime)
+                sz = item.get("size")
+                yield ("key", item["name"], mtime,
+                       int(sz) if sz is not None else None)
             for p in doc.get("prefixes", []):
-                yield ("prefix", p, None)
+                yield ("prefix", p, None, None)
             token = doc.get("nextPageToken")
             if not token:
                 return

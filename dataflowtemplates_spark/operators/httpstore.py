@@ -114,8 +114,8 @@ class HttpObjectTransport:
 
 class DerivedObjectOps:
     """fsio directory surface over the subclass primitives
-    ``_list(bucket, prefix, delimiter)`` (yields ('key', key, mtime) /
-    ('prefix', p, None), fully depaginated), ``_head(bucket, key)``,
+    ``_list(bucket, prefix, delimiter)`` (yields ('key', key, mtime,
+    size) / ('prefix', p, None, None), fully depaginated), ``_head(bucket, key)``,
     ``_get_or_none(bucket, key)``, ``_put_object(bucket, key, data)``
     and ``_delete_object(bucket, key)`` (missing-key tolerant)."""
 
@@ -232,7 +232,7 @@ class DerivedObjectOps:
         bucket, key = self._split(path)
         p = self._kprefix(key)
         out: dict[str, bool] = {}
-        for kind, item, _ in self._list(bucket, p, "/"):
+        for kind, item, _, _ in self._list(bucket, p, "/"):
             if kind == "key":
                 name = item[len(p):]
                 if name:
@@ -250,7 +250,7 @@ class DerivedObjectOps:
         p = self._kprefix(key)
         out = []
         seen = False
-        for kind, item, _ in self._list(bucket, p, None):
+        for kind, item, _, _ in self._list(bucket, p, None):
             if kind != "key":
                 continue
             seen = True
@@ -269,18 +269,18 @@ class DerivedObjectOps:
         ts = []
         if key and self._head(bucket, key):
             # a single object: LIST its exact key for the stamp
-            for kind, item, m in self._list(bucket, key, None):
+            for kind, item, m, _ in self._list(bucket, key, None):
                 if kind == "key" and item == key and m is not None:
                     ts.append(m)
-        for kind, _, m in self._list(bucket, self._kprefix(key), None):
+        for kind, _, m, _ in self._list(bucket, self._kprefix(key), None):
             if kind == "key" and m is not None:
                 ts.append(m)
         return max(ts) if ts else None
 
     def delete_dir(self, path: str) -> None:
         bucket, key = self._split(path)
-        for kind, item, _ in list(self._list(bucket, self._kprefix(key),
-                                             None)):
+        for kind, item, _, _ in list(
+                self._list(bucket, self._kprefix(key), None)):
             if kind == "key":
                 self._delete_object(bucket, item)
 
@@ -296,7 +296,7 @@ class DerivedObjectOps:
             sp = self._kprefix(sk)
             pairs = [(f"{scheme}://{sb}/{item}",
                       f"{scheme}://{db}/{dk.rstrip('/')}/{item[len(sp):]}")
-                     for kind, item, _ in self._list(sb, sp, None)
+                     for kind, item, _, _ in self._list(sb, sp, None)
                      if kind == "key"]
             if not pairs:
                 raise FileNotFoundError(src)

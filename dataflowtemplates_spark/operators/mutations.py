@@ -636,7 +636,19 @@ class KeyedTable:
 
     def register(self, name: str,
                  timestamp_bound: str | None = None) -> None:
-        """Expose the table (optionally a snapshot) to spark.sql."""
+        """Expose the table (optionally a snapshot) to spark.sql.
+
+        Base catalog view names are rejected: ``register_tables``
+        skips re-binding a view it believes it already holds, so
+        silently shadowing e.g. ``customer`` with a KeyedTable view
+        would leave later queries reading the wrong table instead of
+        failing loudly (catalog.py's skip-if-identical invariant)."""
+        from dataflowtemplates_spark.catalog import TABLES
+        if name in TABLES:
+            raise ValueError(
+                f"view name {name!r} collides with a base catalog "
+                f"table ({', '.join(TABLES)}); register_tables "
+                "assumes nothing else binds those names")
         df = self.read_at(timestamp_bound) if timestamp_bound else self.read()
         df.createOrReplaceTempView(name)
 

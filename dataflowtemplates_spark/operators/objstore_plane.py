@@ -72,6 +72,7 @@ SCALE.md).
 
 from __future__ import annotations
 
+import os
 import posixpath
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,6 +201,48 @@ def write_partitioned(staged: DataFrame, data_dir: str, bucket_col: str,
 #: it, a Spark job costs more than the listing saves
 _DIST_LIST_MIN_DIRS = 8
 
+#: Partition packing: target bytes of parquet objects per scan task.
+#: One object per task matches the native source's file-split
+#: granularity when objects are tens of MB (the n_buckets /
+#: flush_rows sizing), but a small-object layout then pays Python
+#: worker spin-up and task scheduling PER TINY OBJECT (guide §4/§6).
+#: Packing bins objects into ~this many bytes per task, floored at
+#: the cluster's default parallelism so a small scan still fills
+#: every core; object sizes ride the snapshot LIST for free.
+#: Env-tunable for deployments with different object economics.
+_PACK_TARGET_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_PLANE_PACK_BYTES", str(32 << 20)))
+
+
+def _pack_files(sized_files: list, target_bytes: int,
+                floor_bins: int) -> list[list[str]]:
+    """Deterministic greedy (longest-processing-time) packing of
+    ``(path, size)`` pairs into ``max(ceil(total/target), floor)``
+    bins — never more bins than files. Unknown sizes (None) assume
+    ``target_bytes`` so they land in their own bin. Returns each
+    bin's paths sorted; the bin list itself is a pure function of the
+    input multiset (sorted input, stable tie-break), so retried
+    plans pack identically."""
+    if not sized_files:
+        return []
+    sized = [(p, (target_bytes if s is None else int(s)))
+             for p, s in sorted(sized_files)]
+    total = sum(s for _, s in sized)
+    n_bins = max(1, min(len(sized),
+                        max(-(-total // target_bytes), floor_bins)))
+    if n_bins >= len(sized):
+        return [[p] for p, _ in sized]
+    import heapq
+
+    heap = [(0, i) for i in range(n_bins)]
+    heapq.heapify(heap)
+    bins: list[list[str]] = [[] for _ in range(n_bins)]
+    for p, s in sorted(sized, key=lambda x: (-x[1], x[0])):
+        load, i = heapq.heappop(heap)
+        bins[i].append(p)
+        heapq.heappush(heap, (load + s, i))
+    return [sorted(b) for b in bins if b]
+
 
 def _group_leaf_dirs(leaf_dirs: list[str]) -> dict[str, set[str]]:
     """Leaves group under their commit directory
@@ -213,30 +256,33 @@ def _group_leaf_dirs(leaf_dirs: list[str]) -> dict[str, set[str]]:
     return by_parent
 
 
-def _list_commit_dir(backend, parent: str, leaves) -> list[str]:
+def _list_commit_dir(backend, parent: str, leaves) -> list[tuple]:
     """ONE paginated listing of a commit dir, filtered to the wanted
     bucket leaves — O(1) round trips per commit dir, not O(buckets)
-    HEAD+LIST pairs."""
+    HEAD+LIST pairs. Returns ``(path, size_bytes)`` pairs (size rides
+    the same listing for free — S3 <Size> / GCS size — and feeds the
+    partition PACKING that amortizes per-task overhead over small
+    objects; None when a server omits it)."""
     scheme = parent.split("://", 1)[0]
     bucket, key = backend._split(parent)
     # bucket-root parent (leaf dirs one level under the bucket) lists
     # with an empty prefix, not "/"
     p = key.rstrip("/") + "/" if key else ""
-    return [f"{scheme}://{bucket}/{item}"
-            for kind, item, _ in backend._list(bucket, p, None)
+    return [(f"{scheme}://{bucket}/{item}", size)
+            for kind, item, _, size in backend._list(bucket, p, None)
             if kind == "key" and item.endswith(".parquet")
             and item[len(p):].split("/", 1)[0] in leaves]
 
 
 def _list_leaf_files(leaf_dirs: list[str], backend,
-                     spark: SparkSession | None = None) -> list[str]:
-    """File listing for the snapshot's leaf dirs. Small snapshots
-    list from the driver (no job-scheduling latency); a snapshot
-    spanning many commit dirs — a long-lived 100 TB table between
-    rebuckets — distributes the per-commit-dir LISTs to executors so
-    the round trips parallelize instead of serializing on the driver
-    (same ``mapInArrow`` trick as the data path; the driver still
-    only ever holds O(files) strings)."""
+                     spark: SparkSession | None = None) -> list[tuple]:
+    """``(path, size)`` listing for the snapshot's leaf dirs. Small
+    snapshots list from the driver (no job-scheduling latency); a
+    snapshot spanning many commit dirs — a long-lived 100 TB table
+    between rebuckets — distributes the per-commit-dir LISTs to
+    executors so the round trips parallelize instead of serializing
+    on the driver (same ``mapInArrow`` trick as the data path; the
+    driver still only ever holds O(files) strings)."""
     by_parent = _group_leaf_dirs(leaf_dirs)
     if (spark is not None and getattr(backend, "distributed", False)
             and len(by_parent) >= _DIST_LIST_MIN_DIRS):
@@ -247,29 +293,34 @@ def _list_leaf_files(leaf_dirs: list[str], backend,
 
 def _list_leaf_files_distributed(spark: SparkSession,
                                  by_parent: dict[str, set[str]],
-                                 backend) -> list[str]:
+                                 backend) -> list[tuple]:
     """One executor task per commit dir issues that dir's paginated
     LIST through the pickled backend; the collected result is the
-    same O(files) string manifest the driver path produces."""
+    same O(files) ``(path, size)`` manifest the driver path
+    produces."""
     def task(batches):
         import pyarrow as pa
 
         for batch in batches:
-            out: list[str] = []
+            out: list[tuple] = []
             for parent, leaves in zip(
                     batch.column("parent").to_pylist(),
                     batch.column("leaves").to_pylist()):
                 out.extend(_list_commit_dir(backend, parent,
                                             set(leaves)))
             yield pa.RecordBatch.from_arrays(
-                [pa.array(out, pa.string())], names=["file"])
+                [pa.array([f for f, _ in out], pa.string()),
+                 pa.array([(-1 if s is None else s) for _, s in out],
+                          pa.int64())],
+                names=["file", "size"])
 
     items = sorted((p, sorted(ls)) for p, ls in by_parent.items())
     frame = spark.createDataFrame(
         items, "parent string, leaves array<string>")
     rows = (frame.repartition(len(items))
-            .mapInArrow(task, "file string").collect())
-    return [r["file"] for r in rows]
+            .mapInArrow(task, "file string, size long").collect())
+    return [(r["file"], (None if r["size"] < 0 else int(r["size"])))
+            for r in rows]
 
 
 def read_parquet(spark: SparkSession, leaf_dirs: list[str],
@@ -323,13 +374,14 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                 if n not in columns]
         schema = T.StructType([schema[c] for c in columns])
     if hasattr(backend, "_list") and hasattr(backend, "_split"):
-        files = _list_leaf_files(leaf_dirs, backend, spark)
-    else:  # minimal-contract backend: per-leaf recursive listing
-        files = [f for d in leaf_dirs
+        sized = _list_leaf_files(leaf_dirs, backend, spark)
+    else:  # minimal-contract backend: per-leaf recursive listing,
+        #    no sizes — packing assumes target-sized objects
+        sized = [(f, None) for d in leaf_dirs
                  for f in backend.list_files(d, suffix=".parquet")]
     final_schema = (T.StructType([schema[c] for c in out_names])
                     if out_names is not None else schema)
-    if not files:
+    if not sized:
         return spark.createDataFrame([], final_schema)
     arrow_schema = _arrow_schema(schema)
     ranged = (columns is not None and hasattr(backend, "read_tail")
@@ -349,7 +401,9 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                   ">=": pc.greater_equal, "<": pc.less,
                   ">": pc.greater}
         for batch in batches:
-            for path in batch.column("path").to_pylist():
+            flat = (p for bin_paths in batch.column("paths").to_pylist()
+                    for p in bin_paths)
+            for path in flat:
                 if ranged:
                     tbl = rangedparquet.fetch_table(
                         backend, path, names, predicate=predicate)
@@ -381,8 +435,12 @@ def read_parquet(spark: SparkSession, leaf_dirs: list[str],
                     out = out.select(final_names)
                 yield from out.to_batches()
 
-    paths = spark.createDataFrame([(f,) for f in sorted(files)],
-                                  "path string")
-    # one file per task: the parallel unit is the object, matching the
-    # native source's file-split granularity at these object sizes
-    return paths.repartition(len(files)).mapInArrow(task, final_schema)
+    # bins of ~_PACK_TARGET_BYTES per task (floored at the cluster's
+    # parallelism): one tiny object per task would pay Python-worker
+    # and scheduling overhead per object; large objects still get a
+    # task each, matching the native source's split granularity
+    bins = _pack_files(sized, _PACK_TARGET_BYTES,
+                       spark.sparkContext.defaultParallelism)
+    paths = spark.createDataFrame([(b,) for b in bins],
+                                  "paths array<string>")
+    return paths.repartition(len(bins)).mapInArrow(task, final_schema)

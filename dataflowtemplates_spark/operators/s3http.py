@@ -326,8 +326,9 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
 
     def _list(self, bucket: str, prefix: str, delimiter: str | None):
         """ListObjectsV2, fully drained across continuation pages.
-        Yields ('key', key, mtime_epoch) and ('prefix', common_prefix,
-        None) items."""
+        Yields ('key', key, mtime_epoch, size_bytes) and
+        ('prefix', common_prefix, None, None) items; size comes from
+        the response's <Size> (None when a server omits it)."""
         token = None
         while True:
             q = {"list-type": "2", "prefix": prefix}
@@ -355,9 +356,11 @@ class S3HttpBackend(HttpObjectTransport, DerivedObjectOps):
                             lm.replace("Z", "+00:00")).timestamp()
                     except ValueError:
                         mtime = parsedate_to_datetime(lm).timestamp()
-                yield ("key", key, mtime)
+                sz = c.findtext(f"{ns}Size")
+                yield ("key", key, mtime,
+                       int(sz) if sz and sz.isdigit() else None)
             for p in root.findall(f"{ns}CommonPrefixes"):
-                yield ("prefix", p.findtext(f"{ns}Prefix"), None)
+                yield ("prefix", p.findtext(f"{ns}Prefix"), None, None)
             if root.findtext(f"{ns}IsTruncated") == "true":
                 nxt = root.findtext(f"{ns}NextContinuationToken")
                 if not nxt or nxt == token:

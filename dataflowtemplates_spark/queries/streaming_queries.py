@@ -38,25 +38,38 @@ _EVENTS_NS_SCHEMA = T.StructType([
 ])
 
 
-#: Memo of the per-file nanos probe below, keyed by (path, mtime, size):
-#: the answer is a pure function of the file's bytes (footer type +
-#: Spark writer metadata), so re-running the batch-read schema probe —
-#: a full `spark.read.parquet` schema inference — on every streaming
-#: query invocation bought nothing (guide §1.2 driver-side fixed cost).
-_TS_LONG_MEMO: dict[tuple, bool] = {}
+#: Memo of the per-file nanos probe below, keyed PER SESSION (the
+#: WeakKeyDictionary discipline of catalog._DF_MEMO — the probe's
+#: answer depends on the session's nanosAsLong conf at read time, so
+#: a process-global map could leak one session's answer into another
+#: configured differently) and within a session by (path, mtime, size,
+#: nanosAsLong): a pure function of the file's bytes under that conf,
+#: so re-running the batch-read schema probe — a full
+#: `spark.read.parquet` inference — on every streaming query
+#: invocation bought nothing (guide §1.2 driver-side fixed cost).
+import weakref as _weakref
+
+_TS_LONG_MEMO: "_weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    _weakref.WeakKeyDictionary())
 
 
 def _ts_reads_long(spark: SparkSession, path: str) -> bool:
     from pyspark.sql.types import LongType
 
     st = os.stat(path)
-    key = (path, st.st_mtime_ns, st.st_size)
-    hit = _TS_LONG_MEMO.get(key)
+    nanos_conf = spark.conf.get(
+        "spark.sql.legacy.parquet.nanosAsLong", "false")
+    key = (path, st.st_mtime_ns, st.st_size, nanos_conf)
+    try:
+        memo = _TS_LONG_MEMO.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stand-in (tests)
+        memo = {}
+    hit = memo.get(key)
     if hit is None:
         hit = ("ts" in _nanos_timestamp_cols(path)
                and isinstance(spark.read.parquet(path)
                               .schema["ts"].dataType, LongType))
-        _TS_LONG_MEMO[key] = hit
+        memo[key] = hit
     return hit
 
 

@@ -128,13 +128,24 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     # PySpark memoizes the debugging flag once at first DataFrame call
     # (errors/utils.py is_debugging_enabled); a harness-built session
     # may have populated it as True before reaching us — drop the memo
-    # so the conf just set above is re-read.
-    try:
-        from pyspark.errors import utils as _pyspark_err_utils
-        if getattr(_pyspark_err_utils, "_enable_debugging_cache", None):
-            _pyspark_err_utils._enable_debugging_cache = None
-    except Exception:
-        pass
+    # so the conf just set above is re-read. The attribute is private
+    # to pyspark (4.x): if a future release renames it, warn loudly
+    # instead of silently re-enabling the per-call wrapper tax — the
+    # conf itself stays set either way, so only the stale-memo case
+    # degrades.
+    from pyspark.errors import utils as _pyspark_err_utils
+    if not hasattr(_pyspark_err_utils, "_enable_debugging_cache"):
+        import warnings
+        warnings.warn(
+            "pyspark.errors.utils._enable_debugging_cache is gone in "
+            "this PySpark version; a session that already evaluated "
+            "the DataFrame-debugging flag may keep the per-call "
+            "wrapper enabled despite "
+            "spark.python.sql.dataFrameDebugging.enabled=false — "
+            "re-check how this PySpark caches the flag",
+            RuntimeWarning, stacklevel=2)
+    elif _pyspark_err_utils._enable_debugging_cache:
+        _pyspark_err_utils._enable_debugging_cache = None
     # AQE confs are preferences; the timezone is a CORRECTNESS
     # precondition: the NTZ->TIMESTAMP->epoch hops (q16/q21) equal
     # DuckDB's epoch() only under UTC. A host session that locked a

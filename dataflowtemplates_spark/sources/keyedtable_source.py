@@ -23,10 +23,13 @@ own, never a reimplementation. Column pruning has no DataSource API
 hook yet; the explicit ``columns`` option projects the fetch the same
 way ``KeyedTable.read(columns=...)`` does.
 
-Read path: one :class:`InputPartition` per data object (the same
-file-per-task granularity as the plane), the snapshot's file list
-computed driver-side from the commit log's ``_owners`` fold — so the
-partition list IS the pruned scan. ``read()`` runs in the Python
+Read path: one :class:`InputPartition` per ~pack-target bytes of
+data objects (small objects bin together so Python-worker spin-up
+and per-task overhead amortize instead of repeating per tiny object;
+sizes ride the snapshot LIST for free — the plane's ``_pack_files``
+discipline), the snapshot's file list computed driver-side from the
+commit log's ``_owners`` fold — so the partition list IS the pruned
+scan. ``read()`` runs in the Python
 worker with the PICKLED backend (no fsio registry exists there) and
 yields Arrow record batches conformed to the table schema
 (missing-column null-fill, the engine's schema-evolution rule).
@@ -70,21 +73,26 @@ _PUSH_OPS = {
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path: str):
-        self.path = path
+    def __init__(self, paths: list[str]):
+        self.paths = paths
 
     def __repr__(self) -> str:
-        return f"_FilePartition({self.path!r})"
+        return f"_FilePartition({self.paths!r})"
 
 
 class KeyedTableReader(DataSourceReader):
-    """One partition per data object; pushed comparison filters feed
-    the ranged reader's row-group statistics pruning."""
+    """One partition per ~pack-target bytes of data objects (small
+    objects bin together so Python-worker and task overhead amortize;
+    a tens-of-MB object still gets its own partition — the plane's
+    ``_pack_files`` discipline); pushed comparison filters feed the
+    ranged reader's row-group statistics pruning."""
 
-    def __init__(self, schema, files: list[str], backend):
+    def __init__(self, schema, sized_files: list[tuple], backend,
+                 pack_bytes: int | None = None):
         self._schema = schema
-        self._files = files
+        self._sized_files = sized_files
         self._backend = backend
+        self._pack_bytes = pack_bytes
         self._predicate: list[tuple] = []
 
     def pushFilters(self, filters):
@@ -102,14 +110,28 @@ class KeyedTableReader(DataSourceReader):
         return filters
 
     def partitions(self):
-        if not self._files:
+        import os as _os
+
+        from dataflowtemplates_spark.operators.objstore_plane import (
+            _PACK_TARGET_BYTES,
+            _pack_files,
+        )
+
+        if not self._sized_files:
             # zero data objects: one empty partition keeps the scan
             # well-formed (read() yields nothing for it)
-            return [_FilePartition("")]
-        return [_FilePartition(f) for f in self._files]
+            return [_FilePartition([])]
+        # floor at the harness's core count (the planner process has
+        # no SparkContext to ask) so a small scan still fills the
+        # cluster; override per read with the pack_bytes option
+        floor = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        bins = _pack_files(self._sized_files,
+                           self._pack_bytes or _PACK_TARGET_BYTES,
+                           floor)
+        return [_FilePartition(b) for b in bins]
 
     def read(self, partition):
-        if not partition.path:
+        if not partition.paths:
             return
         import pyarrow as pa
         import pyarrow.parquet as pq
@@ -120,23 +142,25 @@ class KeyedTableReader(DataSourceReader):
         arrow_schema = to_arrow_schema(self._schema)
         names = list(self._schema.names)
         backend = self._backend
-        if hasattr(backend, "read_tail") and hasattr(backend,
-                                                     "read_range"):
-            tbl = rangedparquet.fetch_table(
-                backend, partition.path, names,
-                predicate=self._predicate or None)
-        else:
-            raw = backend.read_bytes(partition.path)
-            tbl = pq.read_table(pa.BufferReader(raw))
-        cols = []
-        for field in arrow_schema:
-            if field.name in tbl.column_names:
-                cols.append(tbl.column(field.name).cast(field.type))
+        ranged = (hasattr(backend, "read_tail")
+                  and hasattr(backend, "read_range"))
+        for path in partition.paths:
+            if ranged:
+                tbl = rangedparquet.fetch_table(
+                    backend, path, names,
+                    predicate=self._predicate or None)
             else:
-                cols.append(pa.nulls(tbl.num_rows, field.type))
-        out = pa.table(dict(zip(arrow_schema.names, cols)),
-                       schema=arrow_schema)
-        yield from out.to_batches()
+                raw = backend.read_bytes(path)
+                tbl = pq.read_table(pa.BufferReader(raw))
+            cols = []
+            for field in arrow_schema:
+                if field.name in tbl.column_names:
+                    cols.append(tbl.column(field.name).cast(field.type))
+                else:
+                    cols.append(pa.nulls(tbl.num_rows, field.type))
+            out = pa.table(dict(zip(arrow_schema.names, cols)),
+                           schema=arrow_schema)
+            yield from out.to_batches()
 
 
 class KeyedTableDataSource(DataSource):
@@ -156,6 +180,8 @@ class KeyedTableDataSource(DataSource):
     * ``timestamp_bound`` — snapshot-at-bound read
       (``KeyedTable.read_at`` semantics).
     * ``timeout_s`` — HTTP timeout (default 10).
+    * ``pack_bytes`` — target object bytes per input partition
+      (default: the plane's ``_PACK_TARGET_BYTES``).
     """
 
     @classmethod
@@ -258,9 +284,11 @@ class KeyedTableDataSource(DataSource):
         leafs = [posixpath.join(t.path, "data", d,
                                 f"{_BUCKET_COL}={b}")
                  for b, d in sorted(owners.items()) if d is not None]
-        files = sorted(_list_leaf_files(leafs, backend)) if leafs \
+        sized = sorted(_list_leaf_files(leafs, backend)) if leafs \
             else []
-        return KeyedTableReader(schema, files, backend)
+        pack = self.options.get("pack_bytes")
+        return KeyedTableReader(schema, sized, backend,
+                                pack_bytes=int(pack) if pack else None)
 
 
 def register(spark) -> None:

@@ -271,8 +271,10 @@ class GcsEmulator:
                         k[len(bucket) + 1:] for k in emu._objects
                         if k.startswith(bucket + "/")
                         and k[len(bucket) + 1:].startswith(prefix))
-                    stamps = [emu._mtimes.get(f"{bucket}/{rel}", 0.0)
-                              for rel in keys]
+                    stamps = [
+                        (emu._mtimes.get(f"{bucket}/{rel}", 0.0),
+                         len(emu._objects.get(f"{bucket}/{rel}", b"")))
+                        for rel in keys]
                 items, prefixes, nxt = paginate(
                     keys, stamps, prefix, delim, start,
                     page=2)  # tiny pages: pagination always exercised
@@ -280,9 +282,10 @@ class GcsEmulator:
                 if items:
                     doc["items"] = [{
                         "name": rel,
+                        "size": str(size),
                         "updated": datetime.fromtimestamp(
                             ts, tz=timezone.utc).isoformat().replace(
-                            "+00:00", "Z")} for rel, ts in items]
+                            "+00:00", "Z")} for rel, (ts, size) in items]
                 if prefixes:
                     doc["prefixes"] = prefixes
                 if nxt is not None:

@@ -16,14 +16,15 @@ both backends' ``list_dir_typed`` do."""
 from __future__ import annotations
 
 
-def paginate(rel_keys: list[str], stamps: list[float], prefix: str,
+def paginate(rel_keys: list[str], stamps: list, prefix: str,
              delim: str | None, start: int, page: int):
     """One listing page over ``rel_keys`` (sorted, already filtered to
-    ``prefix``) with parallel ``stamps``. Returns
+    ``prefix``) with parallel ``stamps`` (opaque per-key metadata the
+    caller renders — the emulators pass ``(mtime, size)``). Returns
     ``(items, prefixes, next_start)`` where ``items`` are
-    ``(rel_key, mtime)`` pairs, ``prefixes`` the delimiter rollups,
+    ``(rel_key, stamp)`` pairs, ``prefixes`` the delimiter rollups,
     and ``next_start`` the continuation cursor (None = last page)."""
-    items: list[tuple[str, float]] = []
+    items: list[tuple] = []
     prefixes: list[str] = []
     seen: set[str] = set()
     emitted, i = 0, start

@@ -288,20 +288,23 @@ class S3Emulator:
                         k[len(bucket) + 1:] for k in emu._objects
                         if k.startswith(bucket + "/")
                         and k[len(bucket) + 1:].startswith(prefix))
-                    stamps = [emu._mtimes.get(f"{bucket}/{rel}", 0.0)
-                              for rel in keys]
+                    stamps = [
+                        (emu._mtimes.get(f"{bucket}/{rel}", 0.0),
+                         len(emu._objects.get(f"{bucket}/{rel}", b"")))
+                        for rel in keys]
                 contents, prefixes, nxt = paginate(
                     keys, stamps, prefix, delim,
                     int(token) if token else 0,
                     page=2)  # tiny pages: pagination always exercised
                 parts = ["<?xml version='1.0'?><ListBucketResult>"]
-                for rel, ts in contents:
+                for rel, (ts, size) in contents:
                     lm = datetime.fromtimestamp(
                         ts, tz=timezone.utc).isoformat().replace(
                         "+00:00", "Z")
                     parts.append(
                         f"<Contents><Key>{_xml(rel)}</Key>"
-                        f"<LastModified>{lm}</LastModified></Contents>")
+                        f"<LastModified>{lm}</LastModified>"
+                        f"<Size>{size}</Size></Contents>")
                 for cp in prefixes:
                     parts.append(f"<CommonPrefixes><Prefix>{_xml(cp)}"
                                  f"</Prefix></CommonPrefixes>")

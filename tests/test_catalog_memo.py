@@ -57,3 +57,28 @@ def test_file_change_invalidates_memo(spark, tmp_path):
 def test_missing_dir_still_raises(spark):
     with pytest.raises(FileNotFoundError):
         register_tables(spark, "/root/testdata/does_not_exist")
+
+
+def test_inplace_member_rewrite_invalidates_dir_memo(spark, tmp_path):
+    """A DIRECTORY table whose member file is rewritten in place (same
+    name; the dir's own mtime does not move) must still miss the memo —
+    the r15 verdict's directory-shape hole."""
+    d = tmp_path / "sfy"
+    t = d / "nation.parquet"  # directory-shaped table
+    t.mkdir(parents=True)
+    src = os.path.join(SF_SMOKE, "nation.parquet")
+    member = t / "part-00000.parquet"
+    shutil.copy(src, member)
+    dir_st = os.stat(t)
+    first = load_table(spark, str(d), "nation")
+    n1 = first.count()
+    # rewrite the member IN PLACE with different bytes, then pin the
+    # directory's own stat back so only the member's (mtime, size)
+    # differs — exactly the staleness class the signature must catch
+    shutil.copy(os.path.join(SF_SMOKE, "region.parquet"), member)
+    m = os.stat(member)
+    os.utime(member, ns=(m.st_mtime_ns + 10**9, m.st_mtime_ns + 10**9))
+    os.utime(t, ns=(dir_st.st_mtime_ns, dir_st.st_mtime_ns))
+    second = load_table(spark, str(d), "nation")
+    assert second is not first
+    assert second.count() != n1 or set(second.columns) != set(first.columns)

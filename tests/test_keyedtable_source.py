@@ -131,3 +131,46 @@ def test_timestamp_bound_and_errors(spark, s3):
     with pytest.raises(Exception, match="endpoint"):
         (spark.read.format("keyedtable")
          .option("path", "nosuch://b/t").load().collect())
+
+
+def test_partition_packing_bins_small_objects(spark, s3):
+    """Small objects bin into ~pack_bytes partitions (amortizing the
+    per-task Python-worker overhead) without changing the result
+    multiset; a large pack target still floors at the core count."""
+    from dataflowtemplates_spark.operators.objstore_plane import (
+        _pack_files)
+
+    _wide_table(spark, "s3ds://bkt/pk")  # 600 rows / 100-row objects
+    emu, _ = s3
+    src = KeyedTableDataSource(
+        {"path": "s3ds://bkt/pk", "endpoint": emu.endpoint,
+         "access_key": SIGV4_CREDS[0], "secret_key": SIGV4_CREDS[1],
+         # pack everything into one bin: 6 objects << 1 GiB
+         "pack_bytes": str(1 << 30)})
+    reader = src.reader(src.schema())
+    assert len(reader._sized_files) == 6
+    assert all(isinstance(s, int) and s > 0
+               for _, s in reader._sized_files)
+    parts = reader.partitions()
+    # floor = SPARK_GRAFT_CPUS (>= 6 here), so small scans still get
+    # one object per partition until the floor exceeds the file count
+    assert 1 <= len(parts) <= 6
+    assert sorted(p for part in parts for p in part.paths) == sorted(
+        f for f, _ in reader._sized_files)
+    # a packed read returns the identical multiset
+    got = (_fmt(spark, emu, "s3ds://bkt/pk")
+           .option("pack_bytes", str(1 << 30)).load())
+    rows = {r["id"]: r["v"] for r in got.collect()}
+    assert rows == {i: i % 13 for i in range(600)}
+
+    # _pack_files invariants: deterministic, byte-driven bin count,
+    # never more bins than files, unknown sizes isolate
+    sized = [(f"s3ds://bkt/o{i:02d}", 10 << 20) for i in range(8)]
+    bins = _pack_files(sized, 32 << 20, 1)
+    assert bins == _pack_files(list(reversed(sized)), 32 << 20, 1)
+    assert len(bins) == 3  # ceil(80 MiB / 32 MiB)
+    assert sorted(p for b in bins for p in b) == sorted(
+        f for f, _ in sized)
+    assert len(_pack_files(sized, 1 << 20, 4)) == 8  # one per file
+    assert len(_pack_files([("a", None), ("b", None)],
+                           32 << 20, 1)) == 2  # unknown -> own bin

@@ -1089,3 +1089,12 @@ def test_apply_changes_map_reachable_through_key_type(spark, tmp_path):
         t.apply_changes(
             stage("tie", [(2, 2, [("x", 1)]), (2, 2, [("x", 2)])]),
             op_col="_op", seq_col="seq")
+
+
+def test_register_rejects_base_catalog_names(table):
+    # catalog.register_tables skips re-binding views it believes it
+    # holds, so shadowing a base table name must fail loudly instead
+    # of silently corrupting later queries (r15 ADVICE)
+    with pytest.raises(ValueError, match="base catalog"):
+        table.register("customer")
+    table.register("kt_view_ok")  # non-colliding names still bind

@@ -43,3 +43,22 @@ def test_ensure_engine_confs_keeps_false_memo(spark):
         assert pyspark_err_utils._enable_debugging_cache is False
     finally:
         pyspark_err_utils._enable_debugging_cache = orig
+
+
+def test_private_debugging_attr_still_exists():
+    """The stale-memo drop reaches into pyspark's private
+    `_enable_debugging_cache`; if a PySpark upgrade renames it the
+    perf fix must degrade LOUDLY (ensure_engine_confs warns), and this
+    test is the tripwire that says the guard's happy path still
+    applies to the installed version."""
+    assert hasattr(pyspark_err_utils, "_enable_debugging_cache")
+
+
+def test_ensure_engine_confs_warns_when_attr_gone(spark, monkeypatch):
+    import warnings
+
+    monkeypatch.delattr(pyspark_err_utils, "_enable_debugging_cache")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        ensure_engine_confs(spark)
+    assert any("_enable_debugging_cache" in str(w.message) for w in rec)
