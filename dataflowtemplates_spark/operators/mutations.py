@@ -321,8 +321,13 @@ class KeyedTable:
         return T.StructType.fromJson(json.loads(self._meta()["schema"]))
 
     def _bucket_expr(self, n_buckets: int):
-        return F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]),
-                      F.lit(n_buckets)).cast("int")
+        # one py4j round trip (F.expr) instead of ~6 column-op calls:
+        # this expression is rebuilt on every commit's annotate,
+        # probe, and staging plans, so its construction cost is part
+        # of the per-commit constant (guide §4)
+        cols = ", ".join(f"`{k}`" for k in self.keys)
+        return F.expr(
+            f"CAST(pmod(xxhash64({cols}), {int(n_buckets)}) AS INT)")
 
     def _owners(self, version: int) -> dict[int, str | None]:
         """bucket id -> data dir name whose files hold that bucket's
@@ -721,7 +726,8 @@ class KeyedTable:
     # -- mutations -------------------------------------------------------
     def apply_mutations(self, batch: DataFrame, op: str,
                         txn_app: str | None = None,
-                        txn_version: int | None = None) -> MutationResult:
+                        txn_version: int | None = None,
+                        collapsed: dict | None = None) -> MutationResult:
         """Apply one mutation batch. ``txn_app``/``txn_version`` opt in
         to TRANSACTIONAL IDEMPOTENCE (Delta's txnAppId/txnVersion): the
         commit object records, per application id, the highest version
@@ -733,7 +739,26 @@ class KeyedTable:
         win records both — which upgrades any at-least-once redelivery
         (Structured Streaming's foreachBatch contract) to exactly-once
         table state, including NON-idempotent folds like additive
-        counters."""
+        counters.
+
+        ``collapsed`` is a CALLER CONTRACT (the same device as
+        ``write_partitioned``'s deterministic-order contract) that
+        skips the per-commit annotate-and-checkpoint job for
+        REPLACE / INSERT_OR_UPDATE: a dict
+        ``{"buckets": sorted bucket ids of the batch's keys,
+        "n_rows": exact batch row count, "n_buckets": the bucket
+        count those ids were hashed under}`` asserting the batch
+        holds EXACTLY ONE row per key and NO null key field — true by
+        construction for a ``groupBy(keys)`` aggregate, whose
+        Observation metrics provide the three values on the job the
+        caller already runs (streaming/pipelines.versioned_upsert_fold
+        is the canonical caller). Result state is identical to the
+        slow path (keep == batch, quarantine empty); a stale
+        ``n_buckets`` (concurrent rebucket) falls back to the full
+        annotate pass, and a batch whose keys land outside
+        ``buckets`` is caught by the commit-time present⊆touched
+        guard. Semantics are UNCHANGED whenever the assertion holds;
+        callers that cannot prove it must not pass ``collapsed``."""
         op = op.upper()
         if op not in VALID_OPS:
             raise ValueError(f"op must be one of {VALID_OPS}, got {op!r}")
@@ -743,7 +768,8 @@ class KeyedTable:
             raise ValueError("txn_version must be >= 0")
         if op == "DELETE":
             return self._delete(batch, txn_app, txn_version)
-        return self._write(batch, op, txn_app, txn_version)
+        return self._write(batch, op, txn_app, txn_version,
+                           collapsed=collapsed)
 
     def _txn_gate(self, cfg: dict, txn_app: str | None,
                   txn_version: int | None):
@@ -826,13 +852,18 @@ class KeyedTable:
 
     def _write(self, batch: DataFrame, op: str,
                txn_app: str | None = None,
-               txn_version: int | None = None) -> MutationResult:
-        """Job economics (the per-commit constant, shaved rounds 10 and
-        12): REPLACE/INSERT_OR_UPDATE run exactly TWO Spark jobs per
-        commit — one annotate-and-checkpoint pass over the batch (which
-        also carries the touched-bucket set and applying-row count as
-        riding Observation metrics, and whose filters yield the
-        quarantine with no further job) plus the staging write.
+               txn_version: int | None = None,
+               collapsed: dict | None = None) -> MutationResult:
+        """Job economics (the per-commit constant, shaved rounds 10,
+        12 and 16): REPLACE/INSERT_OR_UPDATE run exactly TWO Spark
+        jobs per commit — one annotate-and-checkpoint pass over the
+        batch (which also carries the touched-bucket set and
+        applying-row count as riding Observation metrics, and whose
+        filters yield the quarantine with no further job) plus the
+        staging write — or ONE job (the staging write alone) when the
+        caller supplies the ``collapsed`` contract, which provides
+        exactly what the annotate pass would have computed for a
+        batch that is already one-row-per-key and null-key-free.
         INSERT/UPDATE add one aggregate job folding applied-count +
         actually-rewritten-bucket set on ``applies`` and one conflict
         materialization, then rewrite ONLY the buckets an applying row
@@ -865,56 +896,75 @@ class KeyedTable:
             return MutationResult(0, _empty_with_error(batch),
                                   replayed=True)
         n_buckets = int(cfg["n_buckets"])
-        # ONE annotate-and-materialize pass (the r12 per-commit constant
-        # shave): the null-key flag and the within-batch dedupe rank are
-        # computed together and the annotated batch is checkpointed
-        # once; keep / null-quarantine / dup-quarantine are then plain
-        # filters over the materialized rows — no second pass over the
-        # batch and no separate quarantine checkpoint job. The window
-        # over monotonically_increasing_id is nondeterministic under
-        # re-evaluation, so the checkpoint also freezes the chosen
-        # per-key winners; null-key rows sit in their own window
-        # partitions and never affect a real key's rank. The
-        # touched-bucket set and applying-row count ride the same job
-        # as Observation metrics.
-        from pyspark.sql import Window as W
-        null_pred = None
-        for k in self.keys:
-            p = F.col(k).isNull()
-            null_pred = p if null_pred is None else (null_pred | p)
-        w = W.partitionBy(*self.keys).orderBy("_mid")
-        ann = (batch
-               .withColumn("_mid", F.monotonically_increasing_id())
-               .withColumn("_rn", F.row_number().over(w))
-               .withColumn("_bad", null_pred)
-               .drop("_mid"))
-        keep_cond = (~F.col("_bad")) & (F.col("_rn") == 1)
-        keep_obs = Observation()
-        ann = ann.observe(
-            keep_obs,
-            F.collect_set(
-                F.when(keep_cond,
-                       self._bucket_expr(n_buckets))).alias("bks"),
-            F.count(F.when(keep_cond, F.lit(1))).alias("n"))
-        ann = ann.localCheckpoint(eager=True)
-        touched = sorted(int(b) for b in keep_obs.get["bks"])
-        keep_n = int(keep_obs.get["n"])
-        helpers = ["_rn", "_bad"]
-        keep = ann.filter(keep_cond).drop(*helpers)
-        null_q = (ann.filter(F.col("_bad")).drop(*helpers)
-                  .withColumn(_ERR_COL, F.lit("NULL_KEY_FIELD")))
-        dup_q = (ann.filter((~F.col("_bad")) & (F.col("_rn") > 1))
-                 .drop(*helpers)
-                 .withColumn(_ERR_COL, F.lit("DUPLICATE_KEY_IN_BATCH")))
+        fast = (collapsed is not None
+                and op in ("REPLACE", "INSERT_OR_UPDATE")
+                and int(collapsed.get("n_buckets", -1)) == n_buckets)
+        if fast:
+            # The collapsed contract (see apply_mutations) supplies
+            # exactly what the annotate job computes for a batch that
+            # is one-row-per-key with no null key: every row is kept,
+            # nothing quarantines, and the touched buckets + row count
+            # rode the CALLER's own aggregate job — so the commit's
+            # only action is the staging write (2 jobs -> 1). A stale
+            # n_buckets (racing rebucket between the caller's probe
+            # and here) fails the equality above and takes the slow
+            # path, which re-derives buckets under the current layout.
+            touched = sorted(int(b) for b in collapsed["buckets"])
+            keep_n = int(collapsed["n_rows"])
+            keep = batch
+            quarantine = _empty_with_error(batch)
+        else:
+            # ONE annotate-and-materialize pass (the r12 per-commit
+            # constant shave): the null-key flag and the within-batch
+            # dedupe rank are computed together and the annotated
+            # batch is checkpointed once; keep / null-quarantine /
+            # dup-quarantine are then plain filters over the
+            # materialized rows — no second pass over the batch and no
+            # separate quarantine checkpoint job. The window over
+            # monotonically_increasing_id is nondeterministic under
+            # re-evaluation, so the checkpoint also freezes the chosen
+            # per-key winners; null-key rows sit in their own window
+            # partitions and never affect a real key's rank. The
+            # touched-bucket set and applying-row count ride the same
+            # job as Observation metrics.
+            from pyspark.sql import Window as W
+            null_pred = None
+            for k in self.keys:
+                p = F.col(k).isNull()
+                null_pred = p if null_pred is None else (null_pred | p)
+            w = W.partitionBy(*self.keys).orderBy("_mid")
+            ann = (batch
+                   .withColumn("_mid", F.monotonically_increasing_id())
+                   .withColumn("_rn", F.row_number().over(w))
+                   .withColumn("_bad", null_pred)
+                   .drop("_mid"))
+            keep_cond = (~F.col("_bad")) & (F.col("_rn") == 1)
+            keep_obs = Observation()
+            ann = ann.observe(
+                keep_obs,
+                F.collect_set(
+                    F.when(keep_cond,
+                           self._bucket_expr(n_buckets))).alias("bks"),
+                F.count(F.when(keep_cond, F.lit(1))).alias("n"))
+            ann = ann.localCheckpoint(eager=True)
+            touched = sorted(int(b) for b in keep_obs.get["bks"])
+            keep_n = int(keep_obs.get["n"])
+            helpers = ["_rn", "_bad"]
+            keep = ann.filter(keep_cond).drop(*helpers)
+            null_q = (ann.filter(F.col("_bad")).drop(*helpers)
+                      .withColumn(_ERR_COL, F.lit("NULL_KEY_FIELD")))
+            dup_q = (ann.filter((~F.col("_bad")) & (F.col("_rn") > 1))
+                     .drop(*helpers)
+                     .withColumn(_ERR_COL,
+                                 F.lit("DUPLICATE_KEY_IN_BATCH")))
         # snapshot-isolated: the base version's files are immutable, so
         # this slice cannot shift under the merge even if a rival
         # commits mid-flight (the CAS will catch that at publish time)
         target = self._snapshot(base_version, touched)
 
-        key_cols = [F.col(k) for k in self.keys]
-        existing_keys = target.select(*key_cols).distinct()
-
         if op in ("INSERT", "UPDATE"):
+            key_cols = [F.col(k) for k in self.keys]
+            existing_keys = target.select(*key_cols).distinct()
             if op == "INSERT":
                 conflicts = (keep.join(existing_keys, self.keys, "left_semi")
                              .withColumn(_ERR_COL, F.lit("ALREADY_EXISTS")))
@@ -966,10 +1016,12 @@ class KeyedTable:
         # conflicts additionally join against table files and must be
         # materialized BEFORE the commit publishes — callers hold the
         # quarantine past temp-table teardown, and its lineage must not
-        # re-read files a later vacuum may reclaim.
-        if op in ("INSERT", "UPDATE"):
-            conflicts = conflicts.localCheckpoint(eager=True)
-        quarantine = null_q.unionByName(dup_q).unionByName(conflicts)
+        # re-read files a later vacuum may reclaim. (The fast path's
+        # quarantine is the empty frame built above.)
+        if not fast:
+            if op in ("INSERT", "UPDATE"):
+                conflicts = conflicts.localCheckpoint(eager=True)
+            quarantine = null_q.unionByName(dup_q).unionByName(conflicts)
         if applied_n == 0:
             # nothing changed: data-free commit, no staging write (the
             # txn watermark, if any, still publishes — the batch WAS
@@ -1140,11 +1192,40 @@ class KeyedTable:
         del_keys = ann.filter(win_del).select(*self.keys)
         target = self._snapshot(base_version, touched)
         matched_del = 0
+        del_obs = None
         if n_del:
-            # one bounded agg over the pruned slice (mirrors _delete)
-            matched_del = target.join(
-                del_keys, self.keys, "left_semi").count()
-            target = target.join(del_keys, self.keys, "left_anti")
+            # When the batch also carries upserts the staging write is
+            # guaranteed to run, so the matched-delete count RIDES it
+            # as an Observation on a left-join flag instead of paying
+            # its own left-semi aggregate job (3 jobs/batch -> 2; the
+            # guide's §1.2 pass-count rule). Flag-join ≡ semi/anti
+            # pair: del_keys is one row per key (winner rank), so the
+            # left join never duplicates a target row, count(flag) is
+            # the semi count and filter(flag IS NULL) the anti set.
+            # Fused only when the merge references `target` once (the
+            # upsert image covers every table column — true for
+            # whole-image CDC feeds); a partial-image merge reads
+            # target twice, which would double-count the metric.
+            fuse = (n_up > 0 and "_kt_del" not in target.columns
+                    and set(upserts.columns) >= set(target.columns))
+            if fuse:
+                flagged = target.join(
+                    del_keys.withColumn("_kt_del", F.lit(True)),
+                    self.keys, "left")
+                del_obs = Observation()
+                flagged = flagged.observe(
+                    del_obs,
+                    F.count(F.when(F.col("_kt_del"),
+                                   F.lit(1))).alias("n"))
+                target = (flagged.filter(F.col("_kt_del").isNull())
+                          .drop("_kt_del"))
+            else:
+                # one bounded agg over the pruned slice (mirrors
+                # _delete); also the delete-only path, where the
+                # count must exist BEFORE the data-free decision
+                matched_del = target.join(
+                    del_keys, self.keys, "left_semi").count()
+                target = target.join(del_keys, self.keys, "left_anti")
         if n_up == 0 and matched_del == 0:
             # delete-only batch, every key missed: nothing changes —
             # data-free commit (the txn watermark still publishes)
@@ -1155,6 +1236,9 @@ class KeyedTable:
                      if n_up else target)
         self._commit_buckets(new_slice, touched, n_buckets,
                              base_version, config_update=txn_update)
+        if del_obs is not None:
+            # the staging write has run; the riding metric is final
+            matched_del = int(del_obs.get["n"])
         return MutationResult(applied=n_up + matched_del,
                               quarantine=quarantine)
 
@@ -1362,6 +1446,22 @@ class KeyedTable:
                 present = [int(fn.split("=", 1)[1])
                            for fn in fsio.list_dir(data_dir)
                            if fn.startswith(f"{_BUCKET_COL}=")]
+                # a staged bucket OUTSIDE the declared touched set
+                # would be invisible to the owner fold (readers only
+                # advance owners for entry["buckets"]) — silent row
+                # loss. Unreachable through the annotate path (touched
+                # is derived from the same bucket expression); this
+                # guards the collapsed caller contract and any future
+                # direct caller.
+                stray = sorted(set(present) - set(int(b)
+                                                  for b in touched))
+                if stray:
+                    raise RuntimeError(
+                        f"staged data landed in buckets {stray} "
+                        f"outside the declared touched set for "
+                        f"{self.path}: the batch violated its "
+                        "collapsed/touched contract; nothing was "
+                        "published")
             except Exception:
                 if fsio.exists(data_dir):
                     fsio.delete_dir(data_dir)
@@ -1664,19 +1764,22 @@ def _parse_bound(s: str):
 
 
 def _conform(df: DataFrame, target: DataFrame) -> DataFrame:
-    """Project df to the target's column set/order, nulling missing ones."""
-    cols = []
+    """Project df to the target's column set/order, nulling missing
+    ones. Built as SQL strings — one py4j call for the whole
+    projection instead of ~3 per column (per-commit constant,
+    guide §4)."""
+    have = set(df.columns)
+    exprs = []
     for f in target.schema.fields:
-        if f.name in df.columns:
-            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
-        else:
-            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-    return df.select(*cols)
+        src = f"`{f.name}`" if f.name in have else "NULL"
+        exprs.append(
+            f"CAST({src} AS {f.dataType.simpleString()}) AS `{f.name}`")
+    return df.selectExpr(*exprs)
 
 
 def _empty_with_error(like: DataFrame) -> DataFrame:
-    return (like.limit(0)
-            .withColumn(_ERR_COL, F.lit(None).cast("string")))
+    return like.limit(0).selectExpr(
+        "*", f"CAST(NULL AS STRING) AS `{_ERR_COL}`")
 
 
 def write_failure_count(result: MutationResult, path: str) -> int:

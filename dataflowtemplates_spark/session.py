@@ -52,6 +52,21 @@ _BASE_CONFS: dict[str, str] = {
     # s3a://, gs://) carry their own integrity layers and never touch
     # this conf — executor-local file:// scratch is the only surface.
     "spark.hadoop.fs.file.impl": "org.apache.hadoop.fs.RawLocalFileSystem",
+    # Spark 4.1's streaming-checkpoint checksum layer
+    # (ChecksumCheckpointFileManager) writes and verifies a checksum
+    # twin for EVERY checkpoint file (offsets, commits, and each state
+    # store's per-partition delta — a stream-stream join commits
+    # 4 stores x shuffle-partitions files per micro-batch) through a
+    # 2-thread pool per file manager. Nothing in this engine consumes
+    # the checksums (same posture as the RawLocalFileSystem .crc
+    # decision above: integrity belongs to the storage layer), and the
+    # lingering pools measurably tax later queries in a shared session
+    # (q96 after q90: 12-13.7s with the layer on vs 6.4-7.1s off;
+    # ~512 live "ChecksumCheckpointFileManager" threads observed after
+    # one q96 drain). Results-neutral: only corruption DETECTION
+    # metadata is dropped; deployments wanting the defense-in-depth
+    # re-enable it per job.
+    "spark.sql.streaming.checkpoint.fileChecksum.enabled": "false",
     # PySpark 4's DataFrame-API debugging wrapper (errors/utils.py
     # _with_origin) taxes EVERY decorated DataFrame call with a
     # getActiveSession + conf.get + PySparkCurrentOrigin.set/clear —
@@ -120,7 +135,8 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
               "spark.sql.adaptive.enabled",
               "spark.sql.adaptive.coalescePartitions.enabled",
               "spark.sql.adaptive.skewJoin.enabled",
-              "spark.python.sql.dataFrameDebugging.enabled"):
+              "spark.python.sql.dataFrameDebugging.enabled",
+              "spark.sql.streaming.checkpoint.fileChecksum.enabled"):
         try:
             spark.conf.set(k, _BASE_CONFS[k])
         except Exception:

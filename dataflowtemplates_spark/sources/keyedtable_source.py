@@ -123,8 +123,11 @@ class KeyedTableReader(DataSourceReader):
             return [_FilePartition([])]
         # floor at the harness's core count (the planner process has
         # no SparkContext to ask) so a small scan still fills the
-        # cluster; override per read with the pack_bytes option
-        floor = int(_os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # cluster; override per read with the pack_bytes option, or
+        # fleet-wide with SPARK_GRAFT_PACK_FLOOR
+        floor = int(_os.environ.get(
+            "SPARK_GRAFT_PACK_FLOOR",
+            _os.environ.get("SPARK_GRAFT_CPUS", "32")))
         bins = _pack_files(self._sized_files,
                            self._pack_bytes or _PACK_TARGET_BYTES,
                            floor)

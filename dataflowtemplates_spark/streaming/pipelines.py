@@ -364,37 +364,50 @@ def versioned_upsert_fold(tbl_path: str, txn_app: str | None = None):
                                    "event_type")).alias("s")))
         nb = int(t._meta()["n_buckets"])
         # materialize the per-batch aggregate ONCE, with the touched-
-        # bucket set riding the same job as an Observation metric —
-        # the downstream join and the mutation's staging write then
-        # reuse the checkpointed rows instead of re-aggregating the
-        # batch twice more (the r10 per-commit constant shave)
+        # bucket set, row count and null-key count riding the same job
+        # as Observation metrics — the downstream join and the
+        # mutation's staging write then reuse the checkpointed rows
+        # instead of re-aggregating the batch twice more (the r10
+        # per-commit constant shave), and the three metrics are
+        # exactly the mutation's `collapsed` contract (the r16 shave:
+        # the commit's annotate job disappears — groupBy output is
+        # one-row-per-key by construction, so annotation would find
+        # nothing to quarantine)
         obs = Observation()
         agg = agg.observe(
-            obs, F.collect_set(t._bucket_expr(nb)).alias("bks"))
+            obs, F.collect_set(t._bucket_expr(nb)).alias("bks"),
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("user_id").isNull(),
+                           F.lit(1))).alias("n_null"))
         agg = agg.localCheckpoint(eager=True)
         touched = sorted(int(b) for b in obs.get["bks"])
-        cur = (t._read_buckets(touched)
-               .select("user_id", "n_seen",
-                       F.struct(
-                           F.col("last_ts").alias("ts"),
-                           F.col("last_event_id").alias("event_id"),
-                           F.col("last_value").alias("value"),
-                           F.col("last_event_type").alias("event_type"),
-                       ).alias("cs")))
+        n_rows = int(obs.get["n"])
+        collapsed = (None if int(obs.get["n_null"])
+                     else {"buckets": touched, "n_rows": n_rows,
+                           "n_buckets": nb})
+        # single-call SQL expressions: the merged-image plan is built
+        # fresh per micro-batch, and building it column-op-by-column-op
+        # costs ~100 py4j round trips (~0.1s/batch of pure driver
+        # chatter — guide §4's Python-boundary constant); selectExpr
+        # hands the same expressions to the JVM in ONE call each
+        cur = t._read_buckets(touched).selectExpr(
+            "user_id", "n_seen",
+            "named_struct('ts', last_ts, 'event_id', last_event_id, "
+            "'value', last_value, 'event_type', last_event_type) AS cs")
         m = agg.join(cur, "user_id", "left")
-        ns = F.greatest("s", "cs")  # greatest skips NULL (new key)
+        # greatest skips NULL (new key): the version guard
         t.apply_mutations(
-            m.select(
+            m.selectExpr(
                 "user_id",
-                (F.coalesce(F.col("n_seen"), F.lit(0))
-                 + F.col("n_b")).alias("n_seen"),
-                ns["ts"].alias("last_ts"),
-                ns["event_id"].alias("last_event_id"),
-                ns["value"].alias("last_value"),
-                ns["event_type"].alias("last_event_type")),
+                "coalesce(n_seen, CAST(0 AS BIGINT)) + n_b AS n_seen",
+                "greatest(s, cs).ts AS last_ts",
+                "greatest(s, cs).event_id AS last_event_id",
+                "greatest(s, cs).value AS last_value",
+                "greatest(s, cs).event_type AS last_event_type"),
             "INSERT_OR_UPDATE",
             txn_app=txn_app,
-            txn_version=(int(bid) if txn_app is not None else None))
+            txn_version=(int(bid) if txn_app is not None else None),
+            collapsed=collapsed)
 
     return fold
 

@@ -76,6 +76,10 @@ class GcsEmulator:
 
         class Handler(BaseHTTPRequestHandler):
             protocol_version = "HTTP/1.1"
+            # see s3_emulator.Handler: TCP_NODELAY removes the ~40ms
+            # Nagle/delayed-ACK stall between the header and body
+            # writes of every response
+            disable_nagle_algorithm = True
 
             def log_message(self, *a):  # keep pytest output clean
                 pass

@@ -1098,3 +1098,71 @@ def test_register_rejects_base_catalog_names(table):
     with pytest.raises(ValueError, match="base catalog"):
         table.register("customer")
     table.register("kt_view_ok")  # non-colliding names still bind
+
+
+def test_collapsed_contract_equals_slow_path(spark, tmp_path):
+    """The `collapsed` caller contract (one row per key, no null key,
+    buckets+count precomputed) must land the IDENTICAL table state,
+    log shape and applied count as the full annotate path."""
+    from pyspark.sql import functions as F
+
+    nb = 4
+    slow = KeyedTable(spark, str(tmp_path / "slow"), ["id"], n_buckets=nb)
+    fast = KeyedTable(spark, str(tmp_path / "fast"), ["id"], n_buckets=nb)
+    for step in range(3):
+        batch = spark.createDataFrame(
+            [Row(id=i, v=i * 10 + step, tag=f"s{step}")
+             for i in range(step, 10 + step)])
+        rows = (batch.select(
+            F.pmod(F.xxhash64("id"), F.lit(nb)).cast("int").alias("b"))
+            .distinct().collect())
+        buckets = sorted(int(r["b"]) for r in rows)
+        r_slow = slow.apply_mutations(batch, "INSERT_OR_UPDATE")
+        r_fast = fast.apply_mutations(
+            batch, "INSERT_OR_UPDATE",
+            collapsed={"buckets": buckets, "n_rows": 10,
+                       "n_buckets": nb})
+        assert r_fast.applied == r_slow.applied == 10
+        assert r_fast.failed == 0 and not r_fast.replayed
+    assert (sorted(map(tuple, fast.read().collect()))
+            == sorted(map(tuple, slow.read().collect())))
+    assert fast._latest_version() == slow._latest_version()
+    # per-version touched-bucket sets in the log agree
+    assert ([c["buckets"] for c in fast._commits()]
+            == [c["buckets"] for c in slow._commits()])
+
+
+def test_collapsed_stale_n_buckets_falls_back(spark, tmp_path):
+    """A collapsed hint computed against a superseded bucket layout
+    (racing rebucket) must NOT be trusted: the slow path recomputes
+    under the current layout and the state stays exact."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=2)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=i, v=i) for i in range(6)]), "INSERT")
+    t.rebucket(8)
+    # hint was derived under the OLD n_buckets=2 layout
+    r = t.apply_mutations(
+        spark.createDataFrame([Row(id=3, v=333), Row(id=99, v=99)]),
+        "INSERT_OR_UPDATE",
+        collapsed={"buckets": [0, 1], "n_rows": 2, "n_buckets": 2})
+    assert r.applied == 2
+    got = {x.id: x.v for x in t.read().collect()}
+    assert got[3] == 333 and got[99] == 99 and len(got) == 7
+
+
+def test_collapsed_bucket_violation_fails_before_publish(spark, tmp_path):
+    """A batch whose keys hash OUTSIDE the declared buckets must be
+    caught by the commit-time present-subset-of-touched guard with
+    nothing published (no version advance, no data dir leak)."""
+    t = KeyedTable(spark, str(tmp_path / "t"), ["id"], n_buckets=8)
+    t.apply_mutations(spark.createDataFrame(
+        [Row(id=i, v=i) for i in range(6)]), "INSERT")
+    v0 = t._latest_version()
+    batch = spark.createDataFrame([Row(id=i, v=-i) for i in range(6)])
+    with pytest.raises(RuntimeError, match="touched"):
+        t.apply_mutations(
+            batch, "INSERT_OR_UPDATE",
+            collapsed={"buckets": [0], "n_rows": 6, "n_buckets": 8})
+    assert t._latest_version() == v0
+    assert {x.id: x.v for x in t.read().collect()} == {
+        i: i for i in range(6)}

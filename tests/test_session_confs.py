@@ -62,3 +62,15 @@ def test_ensure_engine_confs_warns_when_attr_gone(spark, monkeypatch):
         warnings.simplefilter("always")
         ensure_engine_confs(spark)
     assert any("_enable_debugging_cache" in str(w.message) for w in rec)
+
+
+def test_streaming_checkpoint_checksum_disabled(spark):
+    """Spark 4.1's per-checkpoint-file checksum layer doubles
+    checkpoint file I/O and leaks per-file thread pools into the
+    session (r16 q96 profile); the engine runs with it off and pins
+    that here so an upgrade flipping the default degrades loudly."""
+    assert _BASE_CONFS[
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled"] == "false"
+    assert (spark.conf.get(
+        "spark.sql.streaming.checkpoint.fileChecksum.enabled")
+        == "false")
